@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector algebra over `array<float>` embedding columns — pure Column
+  * (higher-order functions, codegen'd), no UDFs.
+  *
+  * Numeric reproducibility contract (shared with the DuckDB oracles): cast
+  * elements to double FIRST, multiply pairwise, then fold LEFT-to-right in
+  * double. Both engines then execute the identical IEEE op sequence, so
+  * results are bit-identical and need no tolerance when hash-compared.
+  */
+object VectorOps {
+
+  /** array<float> → array<double>, element-exact. */
+  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB SQL fragment computing the same dot product over two
+    * DOUBLE[] expressions of length `dim` (1-based list indexing;
+    * list_reduce's first-element seed equals a 0.0-seeded left fold).
+    */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** Deterministic pseudo-random hyperplane weight for LSH, computed with
+    * exact integer arithmetic so both engines agree bit-for-bit:
+    * w(j,d) = ((1103515245*(j*dim+d) + 12345) mod 2^31) / 2^31 − 0.5.
+    * (LCG constants are the classic POSIX rand ones; division by 2^31 is
+    * exact in double.)
+    */
+  def planeWeight(j: Column, d: Column, dim: Int): Column =
+    ((lit(1103515245L) * (j.cast("long") * dim + d) + lit(12345L)) % lit(2147483648L))
+      .cast("double") / lit(2147483648.0) - lit(0.5)
+
+  def planeWeightSql(j: String, i1based: String, dim: Int): String =
+    s"((((1103515245 * ($j * $dim + ($i1based - 1)) + 12345) % 2147483648)::DOUBLE / 2147483648.0) - 0.5)"
+
+  /** Signed-random-projection dot for plane `j` (column) over a double
+    * array: sum_d e[d] * w(j,d).
+    */
+  def planeDot(e: Column, j: Column, dim: Int): Column = {
+    val products = zip_with(e, sequence(lit(0), lit(dim - 1)), (x, d) => x * planeWeight(j, d, dim))
+    aggregate(products, lit(0.0), (acc, v) => acc + v)
+  }
+
+  def planeDotSql(e: String, j: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $e[i] * ${planeWeightSql(j, "i", dim)}), (x, y) -> x + y)"
+}

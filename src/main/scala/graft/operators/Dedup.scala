@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+
+/** Deduplication family for large-scale training-data pipelines. All
+  * operators take a `documents`-shaped DataFrame (doc_id, text, ...).
+  *
+  * Scale design (100 TB): every variant is shuffle-bounded by its key —
+  * exact/fingerprint shuffle once on the hash; MinHash/SimHash compute
+  * signatures map-side (per-row Column algebra, no UDFs) and shuffle only
+  * (doc, band) pairs, so candidate generation is O(docs × bands), never
+  * O(docs²); the pairwise Jaccard verification only runs on LSH candidates
+  * or an explicit small query set.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min doc_id) representative per identical text.
+    * Group key is md5(text) — 16 bytes shuffled instead of full documents.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-exact dedup on normalized text (lower / strip punct / collapse
+    * whitespace): each doc labeled with its canonical representative.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fp = docs.withColumn("fp", md5(TextOps.normalized(col("text"))))
+    val w = Window.partitionBy("fp")
+    fp.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast(IntegerType))
+      .select("doc_id", "fp", "canonical_id", "is_dup")
+  }
+
+  /** Distinct word-3-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", TextOps.words(col("text")))
+      .withColumn("shingle", explode(TextOps.shingles3("ws")))
+      .select("doc_id", "shingle").distinct()
+
+  /** MinHash signatures: for permutations j in [0, numPerms), the min over
+    * shingles of a per-permutation hash. Hash = md5-32 of "j:shingle" so
+    * the oracle reproduces it exactly. Output (doc_id, perm, h).
+    */
+  def minhashSignatures(docs: DataFrame, numPerms: Int): DataFrame =
+    shingles(docs)
+      .withColumn("perm", explode(sequence(lit(0), lit(numPerms - 1))))
+      .groupBy("doc_id", "perm")
+      .agg(min(TextOps.hash32(concat(col("perm").cast(StringType), lit(":"), col("shingle")))).as("h"))
+
+  /** LSH banding over minhash signatures: docs sharing any band-hash are
+    * candidate near-duplicates. bandSize hashes per band; candidate pairs
+    * (d1 < d2) distinct. The join is on (band, band_hash) — equi-join,
+    * shuffle-partitioned by band hash, no cross product.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bandSize: Int): DataFrame = {
+    val bands = signatures
+      .groupBy(col("doc_id"), expr(s"CAST(perm div $bandSize AS INT)").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("perm"), col("h")))), x => x.getField("h").cast(StringType)),
+        ",")).as("bh"))
+    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
+    val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** SimHash (bits-wide, default 32): frequency-weighted ±1 vote per bit of
+    * each word's md5-32 hash; bit set iff the vote is positive.
+    * Output (doc_id, simhash). Near-dups then differ in few bits
+    * (hamming distance via bit_count(xor) downstream).
+    */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val wordFreq = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
+      .withColumn("h", TextOps.hash32(col("w")))
+    wordFreq
+      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("((h >> b) & 1) = 1"), col("f")).otherwise(-col("f"))).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard of a small query set (queryPred over doc_id)
+    * against the corpus; top-k most similar docs per query. The ratio is a
+    * single double division of exact integers — engine-reproducible.
+    */
+  def jaccardTopK(docs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val q = sh.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("q_id"), col("shingle"))
+    val inter = q.join(sh.select(col("doc_id").as("d_id"), col("shingle")), Seq("shingle"))
+      .filter(col("d_id") =!= col("q_id"))
+      .groupBy("q_id", "d_id").agg(count(lit(1)).as("common"))
+    val joined = inter
+      .join(sizes.select(col("doc_id").as("q_id"), col("sz").as("sz_q")), Seq("q_id"))
+      .join(sizes.select(col("doc_id").as("d_id"), col("sz").as("sz_d")), Seq("d_id"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("sz_q") + col("sz_d") - col("common")))
+    val w = Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("d_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("d_id"), col("jaccard"), col("rk"))
+  }
+}

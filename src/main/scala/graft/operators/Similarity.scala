@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over `embeddings`-shaped data
+  * (vec_id, embedding array<float>, label).
+  *
+  * Scale design: brute force is the CORRECTNESS baseline — it broadcasts
+  * the (small) query set so the corpus streams map-side with no shuffle,
+  * O(|corpus|·|queries|·dim). The scale path is sign-LSH bucketing: each
+  * vector hashes to a bucket map-side; the candidate join is an equi-join
+  * on bucket, so work is O(|corpus| + collisions) and partitions by bucket.
+  * For 100 TB you'd additionally pre-partition the corpus by bucket at
+  * write time (bucketBy) so the probe is shuffle-free.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 8
+
+  private def embD(c: String) = VectorOps.toDouble(col(c))
+
+  /** Brute-force top-k cosine neighbors of each query vector (queries =
+    * vec_id < queryMaxId), excluding self. Broadcast-nested-loop by
+    * construction; the per-partition top-k is taken before the final
+    * (tiny) global sort.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorOps.cosine(embD("q_emb"), embD("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))
+  }
+
+  /** Sign-LSH bucket per vector: bit j = sign(v · w_j) over NumPlanes
+    * deterministic pseudo-random hyperplanes (VectorOps.planeWeight).
+    * Output (vec_id, bucket). Map-side only — no shuffle.
+    */
+  def lshBuckets(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("e", embD("embedding"))
+      .withColumn("j", explode(sequence(lit(0), lit(NumPlanes - 1))))
+      .withColumn("bitv",
+        when(VectorOps.planeDot(col("e"), col("j"), Dim) > 0.0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(col("bitv")).as("bucket"))
+
+  /** ANN via LSH: rank same-bucket candidates of each query by cosine.
+    * The equi-join on bucket replaces the cross product.
+    */
+  def lshTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val withBucket = embeddings.join(lshBuckets(embeddings), Seq("vec_id"))
+    val q = withBucket.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = withBucket.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorOps.cosine(embD("q_emb"), embD("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("bucket"), col("cosine"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs among vec_id < maxId: global top-k
+    * pairs by cosine (deterministic tie-break). The pair generation is
+    * bounded by maxId² — at scale use lshBuckets first and only pair
+    * within buckets.
+    */
+  def nearDupPairs(embeddings: DataFrame, maxId: Long, topK: Int): DataFrame = {
+    val sub = embeddings.filter(col("vec_id") < maxId)
+    val a = sub.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    val pairs = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("cosine", VectorOps.cosine(embD("e1"), embD("e2")))
+    val w = Window.orderBy(col("cosine").desc, col("d1"), col("d2"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("d1", "d2", "cosine", "rk")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextOps
+import graft.operators.Dedup
+
+/** Dedup operator queries over `documents`, each with a DuckDB oracle that
+  * reproduces the exact hash arithmetic (md5-32) and fold order.
+  */
+object DedupQueries {
+
+  // Shared oracle CTEs: words → distinct 3-gram shingles per doc.
+  private val shinglesCte =
+    s"""WITH t AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(${TextOps.shingles3Sql("ws")}) AS shingle FROM t),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+
+  private val minhashCte =
+    shinglesCte +
+      s""",
+      |mh AS (SELECT doc_id, CAST(j AS INT) AS perm,
+      |              min(${TextOps.hash32Sql("CAST(j AS VARCHAR) || ':' || shingle")}) AS h
+      |       FROM sh, (SELECT unnest(range(0, 16)) AS j) g
+      |       GROUP BY doc_id, j)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup — canonical representative per identical text.
+    QueryDef("q30_dedup_exact",
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text
+        |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))
+        .select("text_md5", "canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    },
+
+    // Near-exact dedup on normalized text.
+    QueryDef("q31_dedup_fingerprint",
+      s"""SELECT doc_id, md5(${TextOps.normalizedSql}) AS fp,
+        |       min(doc_id) OVER (PARTITION BY md5(${TextOps.normalizedSql})) AS canonical_id,
+        |       CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(${TextOps.normalizedSql})) AS INT) AS is_dup
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // MinHash signatures (16 permutations, md5-32 hash family).
+    QueryDef("q32_minhash_signatures",
+      minhashCte + "\nSELECT doc_id, perm, h FROM mh ORDER BY doc_id, perm") { (s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), 16)
+        .select("doc_id", "perm", "h")
+        .orderBy("doc_id", "perm")
+    },
+
+    // LSH banding (8 bands × 2 hashes) → candidate near-dup pairs.
+    QueryDef("q33_minhash_pairs",
+      minhashCte +
+        """,
+        |bands AS (SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+        |                 md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY perm)) AS bh
+        |          FROM mh GROUP BY doc_id, perm // 2)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, dir), 16), 2)
+        .orderBy("d1", "d2")
+    },
+
+    // SimHash (32-bit, frequency-weighted votes).
+    QueryDef("q34_simhash",
+      s"""WITH w0 AS (SELECT doc_id, unnest(${TextOps.wordsSql}) AS w FROM documents),
+        |wt AS (SELECT doc_id, w, COUNT(*) AS f FROM w0 GROUP BY doc_id, w),
+        |wh AS (SELECT doc_id, f, ${TextOps.hash32Sql("w")} AS h FROM wt),
+        |bits AS (SELECT doc_id, b,
+        |                CASE WHEN SUM(CASE WHEN ((h >> b) & 1) = 1 THEN f ELSE -f END) > 0
+        |                     THEN (1::BIGINT << b) ELSE 0 END AS bitv
+        |         FROM wh, (SELECT unnest(range(0, 32)) AS b) g
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), 32).orderBy("doc_id")
+    },
+
+    // Exact n-gram Jaccard: query docs (doc_id<10) vs corpus, top-5 each.
+    QueryDef("q35_jaccard_topk",
+      shinglesCte +
+        """,
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT q.doc_id AS q_id, d.doc_id AS d_id, COUNT(*) AS common
+        |          FROM sh q JOIN sh d ON q.shingle = d.shingle
+        |          WHERE q.doc_id < 10 AND d.doc_id <> q.doc_id
+        |          GROUP BY q.doc_id, d.doc_id),
+        |j AS (SELECT q_id, d_id,
+        |             CAST(common AS DOUBLE) / (sq.sz + sd.sz - common) AS jaccard
+        |      FROM inter
+        |      JOIN sz sq ON sq.doc_id = q_id
+        |      JOIN sz sd ON sd.doc_id = d_id)
+        |SELECT q_id, d_id, jaccard,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY jaccard DESC, d_id) AS INT) AS rk
+        |FROM j
+        |QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Dedup.jaccardTopK(Tables.documents(s, dir), 10L, 5)
+        .orderBy("q_id", "rk")
+    }
+  )
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+import graft.functions.ScalarOps
+
+/** Relational / window / sessionization coverage over the TPC-H-ish star
+  * schema (SURVEY.md §2.4–§2.6 + §7 M7 rollups). Design points for 100 TB:
+  * dimension joins are explicitly `broadcast()`; fact-side aggregations use
+  * partial (map-side) aggregation; all money sums are exact decimals so the
+  * plan may reorder/parallelize freely without changing results; AQE handles
+  * shuffle sizing and skew.
+  */
+object RelationalQueries {
+
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(18, 4)
+
+  // Revenue per row in EXACT decimal arithmetic: cast each 2dp factor to
+  // decimal first, then multiply decimals. Casting the double *product*
+  // would diverge between engines (Spark converts the exact binary value,
+  // DuckDB rounds via a scaled multiply); casting the factors is safe
+  // because the data itself is 2dp.
+  private def revDec =
+    col("l_extendedprice").cast(D2) * (lit(1.0).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+  private val revSql =
+    "(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+  private def chargeDec =
+    revDec * (lit(1.0).cast(DecimalType(3, 2)) + col("l_tax").cast(DecimalType(4, 2)))
+  private val chargeSql =
+    s"($revSql * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape — pricing summary with exact decimal sums.
+    QueryDef("q20_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM($chargeSql) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          ScalarOps.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          ScalarOps.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          sum(revDec).cast(DoubleType).as("sum_disc_price"),
+          sum(chargeDec).cast(DoubleType).as("sum_charge"),
+          ScalarOps.exactAvg(col("l_quantity"), 2).as("avg_qty"),
+          ScalarOps.exactAvg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 shape — top-10 BUILDING orders by revenue. Revenue is an
+    // exact decimal so the top-k ordering is engine-independent.
+    QueryDef("q21_top_orders",
+      s"""SELECT o_orderkey,
+        |       CAST(SUM($revSql) AS DOUBLE) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY SUM($revSql) DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revDec).as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("rev_dec").cast(DoubleType).as("revenue"),
+          ScalarOps.dateString(col("o_orderdate")).as("o_orderdate_s"), col("o_orderpriority"))
+    },
+
+    // TPC-H Q5 shape — revenue per (region, nation) through a 5-way join;
+    // all dimensions broadcast, single fact shuffle for the aggregate.
+    QueryDef("q22_nation_revenue",
+      s"""SELECT r_name, n_name,
+        |       CAST(SUM($revSql) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val dims = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revDec).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Window functions — per-customer running total + rank over orders.
+    QueryDef("q23_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |            AS DOUBLE) AS running_total,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ScalarOps.dateString(col("o_orderdate")).as("o_orderdate_s"),
+          sum(col("o_totalprice").cast(D2)).over(w).cast(DoubleType).as("running_total"),
+          row_number().over(w).as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Top-k per group — 3 priciest orders per customer, deterministic ties.
+    QueryDef("q24_topk_per_group",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |       CAST(rk AS INT) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+        |                                         o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").cast(D2).desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(D2).cast(DoubleType).as("o_totalprice"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+
+    // Sessionization — 30-min-gap sessions per user (gaps-and-islands; the
+    // streaming-native session_window form lives in graft.streaming).
+    QueryDef("q25_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(ScalarOps.tsString(min(col("ts"))).as("session_start"),
+          ScalarOps.tsString(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Tumbling-window rollup — hourly per event_type (batch analogue of the
+    // streaming windowed aggregation).
+    QueryDef("q26_hourly_rollup",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |       event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          ScalarOps.exactSum(col("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_s", "event_type")
+    }
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+/** ANN / embedding queries over `embeddings`. Oracles reproduce the exact
+  * double fold of the dot products (see VectorOps), so raw cosine doubles
+  * hash-match without tolerance.
+  */
+object SimilarityQueries {
+
+  private val D = Similarity.Dim
+  private def cos(a: String, b: String) = VectorOps.cosineSql(a, b, D)
+
+  // doubled embeddings view
+  private val eCte = "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+  private val bucketCte =
+    eCte +
+      s""",
+      |bv AS (SELECT vec_id, j,
+      |              CASE WHEN ${VectorOps.planeDotSql("emb", "j", 64)} > 0
+      |                   THEN (1::BIGINT << j) ELSE 0 END AS bitv
+      |       FROM e, (SELECT unnest(range(0, ${Similarity.NumPlanes})) AS j) g),
+      |bk AS (SELECT vec_id, CAST(SUM(bitv) AS BIGINT) AS bucket FROM bv GROUP BY vec_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force top-10 cosine neighbors for queries vec_id < 5.
+    QueryDef("q40_ann_bruteforce",
+      eCte +
+        s"""
+        |SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |       ${cos("q.emb", "d.emb")} AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY q.vec_id
+        |            ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id) AS INT) AS rk
+        |FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY rk <= 10
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), 5L, 10)
+        .orderBy("q_id", "rk")
+    },
+
+    // Sign-LSH bucket histogram (8 hyperplanes → 256 buckets).
+    QueryDef("q41_lsh_buckets",
+      bucketCte +
+        """
+        |SELECT bucket, COUNT(*) AS n FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir))
+        .groupBy("bucket").count().withColumnRenamed("count", "n")
+        .orderBy("bucket")
+    },
+
+    // ANN via LSH: top-5 same-bucket candidates per query by cosine.
+    QueryDef("q42_ann_lsh_topk",
+      bucketCte +
+        s""",
+        |eb AS (SELECT e.vec_id, emb, bucket FROM e JOIN bk USING (vec_id)),
+        |cand AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.bucket AS bucket,
+        |                ${cos("q.emb", "d.emb")} AS cosine
+        |         FROM eb q JOIN eb d ON q.bucket = d.bucket AND d.vec_id <> q.vec_id
+        |         WHERE q.vec_id < 5)
+        |SELECT q_id, n_id, bucket, cosine,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rk
+        |FROM cand
+        |QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), 5L, 5)
+        .orderBy("q_id", "rk")
+    },
+
+    // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
+    QueryDef("q43_embedding_neardup",
+      eCte +
+        s"""
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |       ${cos("a.emb", "b.emb")} AS cosine,
+        |       CAST(row_number() OVER (ORDER BY ${cos("a.emb", "b.emb")} DESC, a.vec_id, b.vec_id) AS INT) AS rk
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |QUALIFY rk <= 20
+        |ORDER BY rk""".stripMargin) { (s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), 300L, 20)
+        .orderBy("rk")
+    }
+  )
+}

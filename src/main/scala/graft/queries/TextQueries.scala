@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextOps
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal-plumbing queries over `documents`. */
+object TextQueries {
+
+  private val W = TextOps.wordsSql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace + BPE-ish pre-tokenization counts.
+    QueryDef("q45_token_stats",
+      """SELECT doc_id,
+        |       CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Quality scoring: length/punct/stopword features + composite score.
+    QueryDef("q46_text_quality",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars_m,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop,
+        |         list_reduce(list_transform($W, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) AS sum_word_len
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_words, n_punct, n_stop,
+        |       CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
+        |       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        |       CAST(sum_word_len AS DOUBLE) / n_words AS avg_word_len,
+        |       (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |         + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
+        |         + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Heuristic language ID (CJK range + English stopword density).
+    QueryDef("q47_lang_id",
+      s"""WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','and','a','of'], w))) AS BIGINT) AS n_en
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |            WHEN CAST(n_en AS DOUBLE) / n_words >= 0.03 THEN 'en'
+        |            ELSE 'unknown' END AS predicted_lang,
+        |       CAST(n_en AS DOUBLE) / n_words AS en_score,
+        |       CAST(lang = (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |            WHEN CAST(n_en AS DOUBLE) / n_words >= 0.03 THEN 'en'
+        |            ELSE 'unknown' END) AS INT) AS label_match
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))
+        .select("doc_id", "lang", "predicted_lang", "en_score", "label_match")
+        .orderBy("doc_id")
+    },
+
+    // Rolling polynomial document fingerprint (order-sensitive left fold).
+    QueryDef("q48_doc_fingerprint",
+      s"""SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform($W, w -> ${TextOps.hash32Sql("w")} % 1000000007)),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Multimodal plumbing: binary payload + deterministic metadata.
+    QueryDef("q50_multimodal_meta",
+      s"""SELECT doc_id AS media_id, 'image' AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       ${TextOps.hash32Sql("text")} AS content_hash,
+        |       CAST(64 + (${TextOps.hash32Sql("text")} % 512) AS INT) AS width,
+        |       CAST(64 + (${TextOps.hash32Sql("text")} % 256) AS INT) AS height,
+        |       CAST(n_chars % 30 AS INT) AS frame_count
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      Multimodal.attachBinary(Tables.documents(s, dir))
+        .select(col("media_id"), col("modality"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.content_hash").as("content_hash"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.frame_count").as("frame_count"))
+        .orderBy("media_id")
+    },
+
+    // Frame-sampling explode over the fake video metadata.
+    QueryDef("q51_frame_sample",
+      """SELECT doc_id AS media_id, 'image' AS modality, CAST(f AS INT) AS frame_idx
+        |FROM documents,
+        |     (SELECT unnest(range(0, 30, 4)) AS f) g
+        |WHERE f < n_chars % 30
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.frameSample(Multimodal.attachBinary(Tables.documents(s, dir)), 4)
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+}
