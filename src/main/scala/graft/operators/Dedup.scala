@@ -42,27 +42,44 @@ object Dedup {
       .withColumn("shingle", explode(TextOps.shingles3("ws")))
       .select("doc_id", "shingle").distinct()
 
-  /** MinHash signatures: for permutations j in [0, numPerms), the min over
-    * shingles of a per-permutation hash. Hash = md5-32 of "j:shingle" so
-    * the oracle reproduces it exactly. Output (doc_id, perm, h).
+  /** MinHash signature in WIDE form: one row per doc with columns h0..h{n-1},
+    * h_j = min over shingles of md5-32("j:shingle"). All n hashes are
+    * computed map-side on each shingle row and partially aggregated before
+    * the single shuffle on doc_id — n× fewer shuffled rows than the
+    * explode-by-permutation formulation.
     */
-  def minhashSignatures(docs: DataFrame, numPerms: Int): DataFrame =
-    shingles(docs)
-      .withColumn("perm", explode(sequence(lit(0), lit(numPerms - 1))))
-      .groupBy("doc_id", "perm")
-      .agg(min(TextOps.hash32(concat(col("perm").cast(StringType), lit(":"), col("shingle")))).as("h"))
+  def minhashWide(docs: DataFrame, numPerms: Int): DataFrame = {
+    val mins = (0 until numPerms).map { j =>
+      min(TextOps.hash32(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")
+    }
+    shingles(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding over minhash signatures: docs sharing any band-hash are
-    * candidate near-duplicates. bandSize hashes per band; candidate pairs
-    * (d1 < d2) distinct. The join is on (band, band_hash) — equi-join,
-    * shuffle-partitioned by band hash, no cross product.
+  /** MinHash signatures in LONG form (doc_id, perm, h) — the wide form
+    * unpivoted with `stack` (post-aggregation, so the unpivot is free).
     */
-  def lshCandidatePairs(signatures: DataFrame, bandSize: Int): DataFrame = {
-    val bands = signatures
-      .groupBy(col("doc_id"), expr(s"CAST(perm div $bandSize AS INT)").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("perm"), col("h")))), x => x.getField("h").cast(StringType)),
-        ",")).as("bh"))
+  def minhashSignatures(docs: DataFrame, numPerms: Int): DataFrame = {
+    val stackArgs = (0 until numPerms).map(j => s"$j, h$j").mkString(", ")
+    minhashWide(docs, numPerms)
+      .select(col("doc_id"), expr(s"stack($numPerms, $stackArgs) AS (perm, h)"))
+  }
+
+  /** LSH banding over wide minhash signatures: docs sharing any band-hash
+    * are candidate near-duplicates. Band hashes are pure map-side column
+    * algebra over the wide signature row (no second aggregation); the
+    * candidate join is an equi-join on (band, band_hash) — shuffle
+    * partitioned by band hash, no cross product — and Spark reuses the
+    * identical exchange for both sides of the self-join.
+    */
+  def lshCandidatePairs(wide: DataFrame, bandSize: Int, numPerms: Int): DataFrame = {
+    val numBands = numPerms / bandSize
+    val bandStructs = (0 until numBands).map { b =>
+      val parts = (0 until bandSize).map(i => col(s"h${b * bandSize + i}").cast(StringType))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bh"))
+    }
+    val bands = wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
@@ -94,14 +111,22 @@ object Dedup {
   def jaccardTopK(docs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
     val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val q = sh.filter(col("doc_id") < queryMaxId)
+    // Query side shingles only the (tiny) query subset and is broadcast, so
+    // the corpus-side scan streams map-side with no shuffle of `sh`; the
+    // (q_id, d_id) counts then partial-aggregate before their one shuffle.
+    val q = shingles(docs.filter(col("doc_id") < queryMaxId))
       .select(col("doc_id").as("q_id"), col("shingle"))
-    val inter = q.join(sh.select(col("doc_id").as("d_id"), col("shingle")), Seq("shingle"))
+    val inter = sh.select(col("doc_id").as("d_id"), col("shingle"))
+      .join(broadcast(q), Seq("shingle"))
       .filter(col("d_id") =!= col("q_id"))
       .groupBy("q_id", "d_id").agg(count(lit(1)).as("common"))
+    // Size lookups: the query-side sizes are tiny; the corpus-side sizes
+    // are one row per doc — broadcast at test SF. (At 100 TB the d_id join
+    // falls back to a shuffle hash join; it is keyed and partial-agg'd.)
     val joined = inter
-      .join(sizes.select(col("doc_id").as("q_id"), col("sz").as("sz_q")), Seq("q_id"))
-      .join(sizes.select(col("doc_id").as("d_id"), col("sz").as("sz_d")), Seq("d_id"))
+      .join(broadcast(sizes.filter(col("doc_id") < queryMaxId)
+        .select(col("doc_id").as("q_id"), col("sz").as("sz_q"))), Seq("q_id"))
+      .join(broadcast(sizes.select(col("doc_id").as("d_id"), col("sz").as("sz_d"))), Seq("d_id"))
       .withColumn("jaccard",
         col("common").cast(DoubleType) / (col("sz_q") + col("sz_d") - col("common")))
     val w = Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("d_id"))

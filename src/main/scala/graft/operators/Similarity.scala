@@ -80,8 +80,14 @@ object Similarity {
     val b = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
     val pairs = a.crossJoin(b).filter(col("d1") < col("d2"))
       .withColumn("cosine", VectorOps.cosine(embD("e1"), embD("e2")))
-    val w = Window.orderBy(col("cosine").desc, col("d1"), col("d2"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+    // Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heap + tiny driver merge), NOT a single-partition global window over
+    // all pairs. The rank is then assigned on just the k surviving rows.
+    val top = pairs
+      .orderBy(col("cosine").desc, col("d1"), col("d2"))
+      .limit(topK)
+    val w = Window.partitionBy(lit(1)).orderBy(col("cosine").desc, col("d1"), col("d2"))
+    top.withColumn("rk", row_number().over(w))
       .select("d1", "d2", "cosine", "rk")
   }
 }

@@ -64,7 +64,7 @@ object DedupQueries {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-      Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, dir), 16), 2)
+      Dedup.lshCandidatePairs(Dedup.minhashWide(Tables.documents(s, dir), 16), 2, 16)
         .orderBy("d1", "d2")
     },
 
