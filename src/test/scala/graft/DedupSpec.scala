@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family invariants on a tiny hand-built corpus. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "The  quick BROWN fox, jumps over the lazy dog!"), // normalized dup of 1
+    (4L, "completely different text with no overlap at all here"),
+    (5L, "the quick brown fox jumps over the sleepy dog")   // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact: identical texts collapse to min doc_id") {
+    val m = Dedup.exact(docs).select("canonical_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2) // docs 1,2
+    assert(m.values.sum == 5 && m.size == 4)
+  }
+
+  test("fingerprint: normalization collapses punctuation/case/whitespace variants") {
+    val got = Dedup.fingerprint(docs).select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Int)].collect().map { case (d, c, i) => d -> ((c, i)) }.toMap
+    assert(got(1L) == ((1L, 0)) && got(2L) == ((1L, 1)) && got(3L) == ((1L, 1)))
+    assert(got(4L) == ((4L, 0)) && got(5L) == ((5L, 0)))
+  }
+
+  test("shingles: n-3 word 3-grams, distinct, empty under 3 words") {
+    val short = Seq((9L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short).isEmpty)
+    val s1 = Dedup.shingles(docs.filter(col("doc_id") === 1)).as[(Long, String)].collect()
+    assert(s1.length == 7) // 9 words → 7 shingles, all distinct here
+    assert(s1.map(_._2).contains("the quick brown"))
+  }
+
+  test("minhash long form equals the naive per-permutation formulation") {
+    val naive = Dedup.shingles(docs)
+      .withColumn("perm", explode(sequence(lit(0), lit(7))))
+      .groupBy("doc_id", "perm")
+      .agg(min(graft.functions.TextOps.hash32(
+        concat(col("perm").cast("string"), lit(":"), col("shingle")))).as("h"))
+      .select("doc_id", "perm", "h").as[(Long, Int, Long)].collect().toSet
+    val wide = Dedup.minhashSignatures(docs, 8)
+      .select("doc_id", "perm", "h").as[(Long, Int, Long)].collect().toSet
+    assert(wide == naive)
+  }
+
+  test("lsh: identical docs always collide; disjoint docs never do") {
+    val wide = Dedup.minhashWide(docs, 8)
+    val pairs = Dedup.lshCandidatePairs(wide, 2, 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))             // identical signatures
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // no shared shingles
+  }
+
+  test("simhash: identical docs get identical hashes; hamming(1,5) < hamming(1,4)") {
+    val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(5L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("jaccardTopK: near-dup ranks first for the query, bounded by k") {
+    val got = Dedup.jaccardTopK(docs, queryMaxId = 2L, k = 3)
+      .select("q_id", "d_id", "rk").as[(Long, Long, Int)].collect()
+    val q1 = got.filter(_._1 == 1L).sortBy(_._3)
+    assert(q1.head._2 == 2L)     // exact dup: jaccard 1.0
+    assert(q1.length <= 3)
+  }
+}

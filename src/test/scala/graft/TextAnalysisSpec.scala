@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal plumbing invariants. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: whitespace vs BPE-ish counts on a known sentence") {
+    val docs = Seq((1L, "Hello, world! abc123 x")).toDF("doc_id", "text")
+    val (ws, bpe) = TextAnalysis.tokenStats(docs)
+      .select("n_ws_tokens", "n_bpe_tokens").as[(Long, Long)].head()
+    assert(ws == 4)
+    // Hello , world ! abc 123 x → 7 BPE-ish tokens
+    assert(bpe == 7)
+  }
+
+  test("qualityScore: ratios are exact fractions of counted features") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs).head()
+    assert(r.getAs[Long]("n_words") == 3)
+    assert(r.getAs[Long]("n_stop") == 1)
+    assert(r.getAs[Double]("stop_ratio") == 1.0 / 3.0)
+    assert(r.getAs[Long]("n_punct") == 0)
+    assert(r.getAs[Double]("avg_word_len") == 9.0 / 3.0)
+  }
+
+  test("langId: CJK beats stopword heuristic; English text detected") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "你好世界 the the the", "zh"),
+      (3L, "zzz qqq vvv www", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "zh" && got(3L) == "unknown")
+  }
+
+  test("fingerprint: order-sensitive rolling hash") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val h = TextAnalysis.fingerprint(a).as[(Long, Long)].collect().toMap
+    assert(h(1L) != h(2L))
+    val p = 1000000007L
+    assert(h.values.forall(v => v >= 0 && v < p))
+  }
+
+  test("normalized strips punctuation and collapses whitespace") {
+    val got = Seq(1).toDF("x")
+      .select(TextOps.normalized(lit("  Hello,   WORLD!! 42  ")).as("r"))
+      .as[String].head()
+    assert(got == "hello world 42")
+  }
+
+  test("multimodal: binary attach → stub decode roundtrips byte length; frame sampling strides") {
+    val docs = Seq((1L, "hello world", 11L), (2L, "ab", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.attachBinary(docs)
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val dec = Multimodal.decodeStub(media)
+      .select("media_id", "byte_len", "first_byte").as[(Long, Long, Int)].collect()
+      .map { case (id, len, fb) => id -> ((len, fb)) }.toMap
+    assert(dec(1L) == ((11L, 'h'.toInt)))
+    assert(dec(2L) == ((2L, 'a'.toInt)))
+    val frames = Multimodal.frameSample(media, stride = 3)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect()
+    // doc 1: frame_count = 11 % 30 = 11 → frames 0,3,6,9
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 3, 6, 9))
+  }
+}
