@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.streaming.MeasureStream
+
+/** S1 — the OPC UA subscription source as a DataSource V2 micro-batch
+  * stream (SURVEY.md §2.1). Registered as format "measure-sim":
+  *
+  * {{{
+  * spark.readStream.format("graft.sources.MeasureSourceProvider")
+  *   .option("nDevices", 10).option("nMeasures", 3)
+  *   .option("maxRowsPerTrigger", 1000).load()
+  * }}}
+  *
+  * Offset = one monotone sequence number over the feed's append-only log
+  * (replayable: a restarted query re-reads the same [start, end) range and
+  * gets identical rows — the at-least-once + idempotent-MERGE story of
+  * SURVEY.md §7.4).
+  *
+  * T6 — the per-item bounded queue (QueueSize=10 discard-oldest,
+  * `Services/OpcSubscribeService.cs:236-237`) maps to `maxRowsPerTrigger`
+  * admission plus `queueCapacity`: if the backlog exceeds
+  * queueCapacity × items, the planner DROPS the oldest surplus (advances
+  * the start offset), exactly like the server discarding old queue entries.
+  *
+  * Scale: planInputPartitions splits the range into `numPartitions` even
+  * slices; each PartitionReader regenerates its slice executor-side from
+  * the pure feed function — nothing is buffered on the driver, so 1000
+  * executors read 1000 disjoint slices with zero driver memory.
+  */
+class MeasureSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MeasureStream.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MeasureTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class MeasureTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "measure_sim"
+  override def schema(): StructType = MeasureStream.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MeasureScan(options)
+}
+
+final class MeasureScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = MeasureStream.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MeasureMicroBatchStream(
+      nDevices = options.getInt("nDevices", 10),
+      nMeasures = options.getInt("nMeasures", 3),
+      startMicros = options.getLong("startMicros", 1704067200000000L), // 2024-01-01 UTC
+      intervalMicros = options.getLong("intervalMicros", 5000000L),    // 5 s sampling
+      ticksPerBatch = options.getLong("ticksPerBatch", 1L),
+      maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", Long.MaxValue),
+      queueCapacity = options.getLong("queueCapacity", 10L),           // T6 QueueSize
+      numPartitions = options.getInt("numPartitions", 4))
+}
+
+final case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+final class MeasureMicroBatchStream(
+    nDevices: Int, nMeasures: Int, startMicros: Long, intervalMicros: Long,
+    ticksPerBatch: Long, maxRowsPerTrigger: Long, queueCapacity: Long,
+    numPartitions: Int) extends MicroBatchStream {
+
+  private val feed = new SimulatedFeed(nDevices, nMeasures, startMicros, intervalMicros, 0L)
+  private val perItemRows = nDevices.toLong * nMeasures
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset(): Offset = {
+    // each trigger the simulated server produces `ticksPerBatch` more ticks
+    feed.clockTicks += ticksPerBatch
+    SeqOffset(feed.latest())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val endSeq = end.asInstanceOf[SeqOffset].seq
+    var startSeq = start.asInstanceOf[SeqOffset].seq
+    // T6 discard-oldest: cap the backlog at queueCapacity values per item
+    val capacity = queueCapacity * perItemRows
+    if (endSeq - startSeq > capacity) startSeq = endSeq - capacity
+    // admission control: at most maxRowsPerTrigger per micro-batch
+    // (addExact-free overflow guard: maxRowsPerTrigger defaults to Long.MaxValue)
+    val admittedEnd =
+      if (maxRowsPerTrigger > endSeq - startSeq) endSeq
+      else startSeq + maxRowsPerTrigger
+    val n = math.max(1, numPartitions)
+    val span = admittedEnd - startSeq
+    (0 until n).flatMap { p =>
+      val lo = startSeq + span * p / n
+      val hi = startSeq + span * (p + 1) / n
+      if (hi > lo) Some(MeasureRange(lo, hi, nDevices, nMeasures, startMicros, intervalMicros))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val r = partition.asInstanceOf[MeasureRange]
+      new MeasureReader(r)
+    }
+}
+
+final case class MeasureRange(
+    lo: Long, hi: Long, nDevices: Int, nMeasures: Int,
+    startMicros: Long, intervalMicros: Long) extends InputPartition
+
+/** Executor-side reader: regenerates its [lo, hi) slice from the pure feed
+  * function. A real OPC connector would instead drain a per-executor
+  * receiver buffer here.
+  */
+final class MeasureReader(r: MeasureRange) extends PartitionReader[InternalRow] {
+  private val feed = new SimulatedFeed(r.nDevices, r.nMeasures, r.startMicros, r.intervalMicros, 0L)
+  private var i = r.lo - 1
+  override def next(): Boolean = { i += 1; i < r.hi }
+  override def get(): InternalRow = {
+    val (dev, m, v, ts, ok) = feed.at(i)
+    InternalRow(UTF8String.fromString(dev), UTF8String.fromString(m), v, ts, ok)
+  }
+  override def close(): Unit = ()
+}
