@@ -36,23 +36,45 @@ object Dedup {
       .select("doc_id", "fp", "canonical_id", "is_dup")
   }
 
-  /** Distinct word-3-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word-3-gram shingles per document: (doc_id, shingle).
+    * Exploded rows + hash-aggregate distinct: the partial aggregate
+    * dedups map-side before the shuffle, and everything stays in
+    * whole-stage codegen (an `array_distinct` set formulation measured
+    * slower — O(n²) string-array dedup outside the hash aggregate).
+    */
   def shingles(docs: DataFrame): DataFrame =
     docs.withColumn("ws", TextOps.words(col("text")))
       .withColumn("shingle", explode(TextOps.shingles3("ws")))
       .select("doc_id", "shingle").distinct()
 
+  /** Universal-hash permutation family over M = 2³¹−1: permutation j maps a
+    * base hash to (a_j·base + b_j) mod M. ONE md5 per shingle feeds all
+    * permutations (vs hashing "j:shingle" per permutation — n× fewer md5
+    * evaluations, which profiling showed dominate signature cost). The
+    * coefficients are exported so the DuckDB oracle embeds identical
+    * literals. Intermediates stay < 2⁶² (a_j < M, base < 2³¹), so Long
+    * arithmetic is exact in both engines.
+    */
+  val MinhashMod = 2147483647L // 2^31 − 1
+  def permA(j: Int): Long = (2654435761L * (2L * j + 1)) % MinhashMod
+  def permB(j: Int): Long = (40503L * j + 1) % MinhashMod
+
   /** MinHash signature in WIDE form: one row per doc with columns h0..h{n-1},
-    * h_j = min over shingles of md5-32("j:shingle"). All n hashes are
-    * computed map-side on each shingle row and partially aggregated before
-    * the single shuffle on doc_id — n× fewer shuffled rows than the
-    * explode-by-permutation formulation.
+    * h_j = min over the doc's shingles of the j-th permuted base hash. The
+    * base md5 is computed on exploded shingle rows inside whole-stage
+    * codegen; the n permutation mins partially aggregate map-side, so the
+    * single shuffle moves one n-column partial signature per (doc, input
+    * partition) — not shingle rows. (A `transform`+`array_min` lambda
+    * formulation would be shuffle-free but falls out of codegen — measured
+    * 3× slower.)
     */
   def minhashWide(docs: DataFrame, numPerms: Int): DataFrame = {
     val mins = (0 until numPerms).map { j =>
-      min(TextOps.hash32(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")
+      min((lit(permA(j)) * col("base31") + lit(permB(j))) % MinhashMod).as(s"h$j")
     }
-    shingles(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingles(docs)
+      .withColumn("base31", TextOps.hash32(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash signatures in LONG form (doc_id, perm, h) — the wide form
@@ -129,6 +151,7 @@ object Dedup {
       .join(broadcast(sizes.select(col("doc_id").as("d_id"), col("sz").as("sz_d"))), Seq("d_id"))
       .withColumn("jaccard",
         col("common").cast(DoubleType) / (col("sz_q") + col("sz_d") - col("common")))
+      .select("q_id", "d_id", "jaccard")
     val w = Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("d_id"))
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("d_id"), col("jaccard"), col("rk"))

@@ -16,12 +16,20 @@ object DedupQueries {
       |sh0 AS (SELECT doc_id, unnest(${TextOps.shingles3Sql("ws")}) AS shingle FROM t),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
 
+  // Permutation coefficients embedded as literals from the SAME Scala
+  // functions the Spark operator uses (Dedup.permA/permB) — parity by
+  // construction.
+  private val coefValues = (0 until 16)
+    .map(j => s"(${j}, ${Dedup.permA(j)}, ${Dedup.permB(j)})").mkString(", ")
+
   private val minhashCte =
     shinglesCte +
       s""",
+      |mhb AS (SELECT doc_id, (${TextOps.hash32Sql("shingle")} & 2147483647) AS base31 FROM sh),
+      |coef AS (SELECT * FROM (VALUES $coefValues) AS c(j, a, b)),
       |mh AS (SELECT doc_id, CAST(j AS INT) AS perm,
-      |              min(${TextOps.hash32Sql("CAST(j AS VARCHAR) || ':' || shingle")}) AS h
-      |       FROM sh, (SELECT unnest(range(0, 16)) AS j) g
+      |              min((a * base31 + b) % ${Dedup.MinhashMod}) AS h
+      |       FROM mhb, coef
       |       GROUP BY doc_id, j)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

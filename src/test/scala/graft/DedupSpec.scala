@@ -39,10 +39,12 @@ class DedupSpec extends SparkSpec {
 
   test("minhash long form equals the naive per-permutation formulation") {
     val naive = Dedup.shingles(docs)
+      .withColumn("base31",
+        graft.functions.TextOps.hash32(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
       .withColumn("perm", explode(sequence(lit(0), lit(7))))
       .groupBy("doc_id", "perm")
-      .agg(min(graft.functions.TextOps.hash32(
-        concat(col("perm").cast("string"), lit(":"), col("shingle")))).as("h"))
+      .agg(min(expr(s"(CASE perm ${(0 until 8).map(j =>
+        s"WHEN $j THEN ${Dedup.permA(j)} * base31 + ${Dedup.permB(j)}").mkString(" ")} END) % ${Dedup.MinhashMod}")).as("h"))
       .select("doc_id", "perm", "h").as[(Long, Int, Long)].collect().toSet
     val wide = Dedup.minhashSignatures(docs, 8)
       .select("doc_id", "perm", "h").as[(Long, Int, Long)].collect().toSet
