@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    ReferenceQueries.defs ++ RelationalQueries.defs ++
+    ReferenceQueries.defs ++ ControlPlaneQueries.defs ++ RelationalQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

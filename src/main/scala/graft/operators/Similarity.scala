@@ -69,6 +69,48 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("bucket"), col("cosine"), col("rk"))
   }
 
+  /** IVF coarse quantizer: cell = the centroid (vec_id ≡ 0 mod `step`,
+    * a deterministic training-free seed pick — real IVF would k-means, but
+    * the Spark plumbing is identical) with max cosine to the vector.
+    * Assignment is a broadcast of the centroid set + map-side scoring with
+    * a partially-aggregated argmax (`max(struct(score, cell))`), so the
+    * only exchange is the final per-vector combine. Output (vec_id, cell).
+    */
+  def ivfCells(embeddings: DataFrame, step: Long = 100L): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    embeddings.crossJoin(broadcast(cents))
+      .withColumn("cs", VectorOps.cosine(embD("embedding"), embD("c_emb")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+  }
+
+  /** IVF probe: each query scores the centroids, probes its `nprobe` best
+    * cells, and ranks only vectors assigned to those cells — candidate
+    * work is |cells probed| / |cells| of brute force. At 100 TB the corpus
+    * is written bucketed by cell so the probe join is shuffle-free; each
+    * corpus vector lives in exactly one cell, so candidates need no dedup.
+    */
+  def ivfTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
+              nprobe: Int = 2, step: Long = 100L): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
+    val qCells = embeddings.filter(col("vec_id") < queryMaxId)
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", VectorOps.cosine(embD("embedding"), embD("c_emb")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val scored = embeddings.join(ivfCells(embeddings, step), Seq("vec_id"))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorOps.cosine(embD("q_emb"), embD("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("cosine"), col("rk"))
+  }
+
   /** Embedding near-duplicate pairs among vec_id < maxId: global top-k
     * pairs by cosine (deterministic tie-break). The pair generation is
     * bounded by maxId² — at scale use lshBuckets first and only pair

@@ -207,6 +207,74 @@ object RelationalQueries {
           ScalarOps.exactSum(col("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_s", "event_type")
+    },
+
+    // Multi-dimensional aggregate — ROLLUP over (region, nation) with
+    // exact decimal sums; subtotal rows carry NULL dimension values.
+    QueryDef("q27_rollup",
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |       COUNT(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        // functions.col, NOT the string overload: Dataset.col attaches
+        // dataset-id metadata that trips the ambiguous-self-join check
+        // once Expand duplicates the grouping attrs
+        .rollup(col("r_name"), col("n_name"))
+        .agg(ScalarOps.exactSum(col("c_acctbal"), 2).as("sum_acctbal"),
+          count(lit(1)).as("n"))
+        // fresh attribute ids: sorting by name would otherwise resolve
+        // through the Aggregate into the Expand's duplicated grouping cols
+        .toDF("r_name", "n_name", "sum_acctbal", "n")
+        .sort(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    // As-of join — each purchase event picks up the user's latest view at
+    // or before it (AsOfJoin: union + running-last, ONE shuffle — see the
+    // operator for why this beats a range join at scale). The oracle uses
+    // the quadratic window formulation, fine at oracle SF.
+    QueryDef("q28_asof_view",
+      """WITH v AS (SELECT user_id, ts, max(value) AS v_value
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts_s,
+        |       v.v_value AS view_value
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC) = 1
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("v_value"))
+        .withColumn("v_ts", col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.leftAsOf(purchases, views, "user_id", "ts",
+          Seq("v_ts", "v_value"))
+        .select(col("event_id"), col("user_id"),
+          ScalarOps.tsString(col("ts")).as("ts_s"),
+          ScalarOps.tsString(col("asof.v_ts")).as("view_ts_s"),
+          col("asof.v_value").as("view_value"))
+        .orderBy("event_id")
+    },
+
+    // HLL cardinality sketch — approx_count_distinct per event_type. Sketch
+    // internals are engine-specific, so no DuckDB hash oracle (driver
+    // records the weaker rows-only check); the exact twin is q26's
+    // countDistinct.
+    QueryDef.sparkOnly("q29_approx_users") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
     }
   )
 }

@@ -71,6 +71,37 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
+    // IVF ANN: training-free coarse quantizer (centroids = vec_id ≡ 0
+    // mod 100), nprobe=2 cells per query, top-5 by cosine within probed
+    // cells — the bucketed scale path beside q40's brute-force baseline.
+    QueryDef("q44_ann_ivf",
+      eCte +
+        s""",
+        |cent AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id % 100 = 0),
+        |asn AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, cent.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY ${cos("e.emb", "cent.c_emb")} DESC, cent.cell DESC) AS rn
+        |    FROM e, cent) WHERE rn = 1),
+        |qc AS (SELECT q_id, q_emb, cell FROM (
+        |    SELECT e.vec_id AS q_id, e.emb AS q_emb, cent.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY ${cos("e.emb", "cent.c_emb")} DESC, cent.cell DESC) AS rn
+        |    FROM e, cent WHERE e.vec_id < 5) WHERE rn <= 2),
+        |cand AS (SELECT qc.q_id, d.vec_id AS n_id, qc.cell,
+        |                ${cos("qc.q_emb", "d.emb")} AS cosine
+        |         FROM qc JOIN asn ON asn.cell = qc.cell
+        |         JOIN e d ON d.vec_id = asn.vec_id
+        |         WHERE d.vec_id <> qc.q_id)
+        |SELECT q_id, n_id, cell, cosine,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cosine DESC, n_id) AS INT) AS rk
+        |FROM cand QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), 5L, 5, nprobe = 2, step = 100L)
+        .orderBy("q_id", "rk")
+    },
+
     // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
     QueryDef("q43_embedding_neardup",
       eCte +

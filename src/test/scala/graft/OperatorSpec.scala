@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, NodeTree, Similarity}
+
+/** Specs for the graph/as-of/IVF extension operators. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("NodeTree.bfs: depth, path, opened flag; unreachable subtrees dropped") {
+    val nodes = Seq(
+      ("root", null.asInstanceOf[String], "Objects"),
+      ("a", "root", "PlantA"),
+      ("b", "root", "PlantB"),
+      ("a1", "a", "Inverter1"),
+      ("a11", "a1", "Power"),
+      ("orphan", "missing", "Nowhere")).toDF("id", "parent_id", "text")
+    val out = NodeTree.bfs(nodes, openDepth = 2)
+      .select("id", "depth", "path", "opened")
+      .as[(String, Int, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out("root") == ("root", 0, "Objects", 1))
+    assert(out("a1") == ("a1", 2, "Objects/PlantA/Inverter1", 0))
+    assert(out("a11") == ("a11", 3, "Objects/PlantA/Inverter1/Power", 0))
+    assert(!out.contains("orphan")) // parent never reached
+    assert(out.size == 5)
+  }
+
+  test("NodeTree.pruneExclusions: excluded node AND its subtree vanish from the walk") {
+    val nodes = Seq(
+      ("r", null.asInstanceOf[String], "Root"),
+      ("x", "r", "Excluded"),
+      ("x1", "x", "Child"),
+      ("k", "r", "Kept")).toDF("id", "parent_id", "text")
+    val excl = Seq("Excluded").toDF("text")
+    val ids = NodeTree.bfs(NodeTree.pruneExclusions(nodes, excl))
+      .select("id").as[String].collect().toSet
+    assert(ids == Set("r", "k"))
+  }
+
+  test("AsOfJoin.leftAsOf: latest right at-or-before left ts, inclusive, null when none") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 00:10:00")),
+      (2L, "u1", ts("2024-01-01 00:00:00")), // before any right row
+      (3L, "u1", ts("2024-01-01 00:05:00")), // equal ts: right visible
+      (4L, "u2", ts("2024-01-01 00:10:00"))  // other key
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 00:05:00"), 5.0),
+      ("u1", ts("2024-01-01 00:08:00"), 8.0),
+      ("u2", ts("2024-01-01 00:09:00"), 9.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("v"))
+      .select(col("event_id"), col("asof.v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(8.0))
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains(5.0)) // inclusive bound
+    assert(got(4L).contains(9.0))
+  }
+
+  test("IVF: every vector lands in exactly one cell; probe results are a subset of brute force candidates") {
+    val dim = Similarity.Dim
+    // deterministic synthetic embeddings
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d => (((i * 31 + d * 7) % 13).toFloat - 6.0f) / 6.0f))
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.ivfCells(emb, step = 10L)
+    assert(cells.count() == 40L)
+    assert(cells.select("vec_id").distinct().count() == 40L)
+    val cellVals = cells.select("cell").distinct().as[Long].collect().toSet
+    assert(cellVals.subsetOf(Set(0L, 10L, 20L, 30L)))
+    val res = Similarity.ivfTopK(emb, queryMaxId = 3L, k = 5, nprobe = 2, step = 10L)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect()
+    assert(res.nonEmpty)
+    val byQ = res.groupBy(_._1)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 5)
+    }
+  }
+}
