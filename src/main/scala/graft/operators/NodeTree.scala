@@ -57,4 +57,32 @@ object NodeTree {
     */
   def pruneExclusions(nodes: DataFrame, exclusions: DataFrame): DataFrame =
     nodes.join(broadcast(exclusions), Seq("text"), "left_anti")
+
+  /** K5 — jsTree JSON export (reference `Helpers/OpcuaBrowse.cs:256-264`,
+    * `Models/JsTreeExport.cs:36-46`): lowercase property names, per-node
+    * `state.opened`, children nested recursively. Serialization is
+    * driver-side, as in the reference — address-space trees are small
+    * relative to the data plane (the reference writes one file per
+    * connection); the distributed part is the BFS that produced `walked`.
+    * Children and roots are ordered by id for a deterministic document.
+    */
+  def toJsTreeJson(walked: DataFrame): String = {
+    val rows = walked.select("id", "parent_id", "text", "opened").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2), r.getInt(3) == 1))
+    val children = rows.filter(_._2.isDefined)
+      .groupBy(_._2.get).map { case (p, cs) => p -> cs.sortBy(_._1) }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def render(node: (String, Option[String], String, Boolean)): String = {
+      val kids = children.getOrElse(node._1, Array.empty[(String, Option[String], String, Boolean)])
+      s"""{"text":"${esc(node._3)}","id":"${esc(node._1)}",""" +
+        s""""state":{"opened":${node._4}},""" +
+        s""""children":[${kids.map(render).mkString(",")}]}"""
+    }
+    rows.filter(_._2.isEmpty).sortBy(_._1).map(render).mkString("[", ",", "]")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import graft.operators.NodeTree
+import graft.streaming.ConfigReload
+
+/** K5 jsTree serialization and S4 config hot-reload. */
+class ControlPlaneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toJsTreeJson: nested lowercase jsTree document, ordered, escaped (K5)") {
+    val nodes = Seq(
+      ("r1", null.asInstanceOf[String], "Objects"),
+      ("r1/a", "r1", "Plant \"A\""),
+      ("r1/b", "r1", "PlantB"),
+      ("r1/a/x", "r1/a", "Inv1")).toDF("id", "parent_id", "text")
+    val json = NodeTree.toJsTreeJson(NodeTree.bfs(nodes, openDepth = 2))
+    assert(json ==
+      """[{"text":"Objects","id":"r1","state":{"opened":true},"children":[""" +
+      """{"text":"Plant \"A\"","id":"r1/a","state":{"opened":true},"children":[""" +
+      """{"text":"Inv1","id":"r1/a/x","state":{"opened":false},"children":[]}]},""" +
+      """{"text":"PlantB","id":"r1/b","state":{"opened":true},"children":[]}]}]""")
+  }
+
+  test("ConfigReload.watch: json change stops the query and relaunches from new config (S4)") {
+    val dir = Files.createTempDirectory("graft-config").toFile
+    val cfg = new File(dir, "site_devices.json")
+    Files.write(cfg.toPath, "{\"v\":1}".getBytes)
+    @volatile var launches = 0
+    val handle = ConfigReload.watch(dir, pollMs = 100L) { () =>
+      launches += 1
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop").start()
+    }
+    try {
+      assert(launches == 1)
+      val q1 = handle.currentQuery
+      Thread.sleep(300)
+      Files.write(cfg.toPath, "{\"v\":2}".getBytes)
+      cfg.setLastModified(System.currentTimeMillis() + 2000) // defeat mtime granularity
+      val deadline = System.currentTimeMillis() + 15000
+      while (launches < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(launches == 2)
+      assert(!q1.isActive)          // old query cancelled
+      assert(handle.currentQuery.isActive)
+    } finally handle.close()
+  }
+}
