@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plan of selected queries plus a red-flag
+  * summary (missing parquet filter pushdown, cartesian products, exchange
+  * counts) — the per-operator plan review loop: run, read, fix the plan,
+  * re-run. Not part of the driver contract.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val targets = if (args.nonEmpty) args.toSeq else Seq(
+      "q01_gates", "q07_current_values", "q20_pricing_summary", "q22_nation_revenue",
+      "q28_asof_view", "q32_minhash_signatures", "q35_jaccard_topk", "q42_ann_lsh_topk")
+    targets.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nExchange = "(?m)^\\s*[^(]*Exchange".r.findAllIn(plan).length
+      val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+      val cartesian = plan.contains("CartesianProduct")
+      val scanLines = plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema")).map(_.trim).toSeq
+      println(s"\n===== $name =====")
+      println(s"[audit] exchanges=$nExchange (broadcast=$nBroadcast) cartesian=$cartesian")
+      scanLines.foreach(l => println(s"[audit] $l"))
+      if (sys.env.contains("GRAFT_FULL_PLAN")) println(plan)
+    }
+    spark.stop()
+  }
+}
