@@ -35,6 +35,10 @@ object NodeTree {
     var depth = 0
     var exhausted = false
     while (!exhausted && depth < maxDepth) {
+      // localCheckpoint: materialize the level ONCE — the emptiness probe,
+      // the union lineage, and the next level's join all reuse it (and
+      // lineage stays bounded on deep trees instead of nesting one join
+      // plan per level)
       val next = nodes
         .join(frontier.select(col("id").as("__pid"),
           col("depth").as("__pdepth"), col("path").as("__ppath")),
@@ -42,6 +46,7 @@ object NodeTree {
         .select(col("id"), col("parent_id"), col("text"),
           (col("__pdepth") + 1).as("depth"),
           concat(col("__ppath"), lit("/"), col("text")).as("path"))
+        .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
         acc = acc.unionByName(next)

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{CurrentValues, Gates}
+import graft.sources.MeasureSourceProvider
+import graft.streaming.CurrentValuesSink.UpsertTarget
+
+/** The reference's full data path (SURVEY.md §3.1) wired end-to-end in
+  * Structured Streaming:
+  *
+  * {{{
+  * source (DataSource V2)            S1/T6
+  *   → measure exclusion (F3)
+  *   → watermark + dedup   (T8)
+  *   → quality gate (F1) split:
+  *       good  → scale (C1) → current-value upsert (K2)
+  *       state → liveness machine (T2) → online-flag upsert
+  * }}}
+  *
+  * Two queries share the one source stream: the value path and the
+  * liveness path (the reference likewise writes value rows and
+  * myPV_online rows independently — `Services/OpcSubscribeService.cs:578-585`).
+  * Both land in the same keyed UpsertTarget, so the result is exactly the
+  * reference's `modvalues` table.
+  *
+  * The staleness gate (F2) is enforced by the watermark: rows older than
+  * the delay are dropped by `dropDuplicatesWithinWatermark`'s state
+  * eviction bound, matching the reference's |now − source| ≤ 60 s intent
+  * in event time (deterministic under replay — SURVEY.md §7.4).
+  */
+object IngestPipeline {
+
+  /** Driver-side twin of ScalarOps.lastUpdatedString (C4 µs format, UTC). */
+  private def formatTs(ts: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(ts.toInstant)
+
+  final case class Handle(valueQuery: StreamingQuery, livenessQuery: StreamingQuery) {
+    def stop(): Unit = { valueQuery.stop(); livenessQuery.stop() }
+    def processAllAvailable(): Unit = {
+      valueQuery.processAllAvailable(); livenessQuery.processAllAvailable()
+    }
+  }
+
+  /** Gates + dedup shared by both paths. */
+  def gated(raw: DataFrame, watermarkDelay: String = "60 seconds"): DataFrame =
+    MeasureStream.watermarkDedup(Gates.excludeOnlineMeasure(raw), watermarkDelay)
+
+  /** Start the two sink queries over an already-open measure stream. */
+  def start(raw: DataFrame, target: UpsertTarget,
+            slope: Double = 1.0, offset: Double = 0.0,
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Handle = {
+    val g = gated(raw)
+
+    // value path: only good values reach the table (F1)
+    val valueQuery = CurrentValuesSink
+      .writer(Gates.qualityGate(g), target, slope, offset, trigger)
+      .queryName("graft-values").start()
+
+    // liveness path: ALL events feed the state machine (bad status and
+    // silence both drive the flag to 0)
+    val livenessQuery = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
+      .writeStream.outputMode("append").trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Liveness.OnlineEvent], _: Long) =>
+        val rows = batch.collect().toSeq
+          .groupBy(_.device).map { case (d, evs) => evs.maxBy(_.event_ts.getTime) }
+          .map(e => CurrentValuesSink.ModRow(
+            e.device, CurrentValues.OnlineMeasure, e.online, e.online,
+            formatTs(e.event_ts)))
+        target.upsert(rows.toSeq)
+      }
+      .queryName("graft-liveness").start()
+
+    Handle(valueQuery, livenessQuery)
+  }
+
+  /** Convenience: open the simulated DataSource V2 source and run the full
+    * pipeline against it (the shape a production OPC UA connector plugs
+    * into).
+    */
+  def startFromSource(spark: SparkSession, target: UpsertTarget,
+                      nDevices: Int = 5, nMeasures: Int = 2): Handle = {
+    val raw = spark.readStream
+      .format(classOf[MeasureSourceProvider].getName)
+      .option("nDevices", nDevices).option("nMeasures", nMeasures)
+      .option("numPartitions", 2)
+      .load()
+    start(raw, target)
+  }
+}

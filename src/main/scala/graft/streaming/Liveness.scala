@@ -72,13 +72,16 @@ object Liveness {
 
   /** Wire the state machine onto a gated measure stream. Callers attach
     * their own sink (`foreachBatch` MERGE in production, memory sink in
-    * tests). Watermark bounds both dedup state and the timeout clock.
+    * tests). Watermark bounds both dedup state and the timeout clock; pass
+    * `watermarked = true` when the input already carries one (redefining a
+    * watermark downstream is disallowed).
     */
-  def onlineEvents(measures: Dataset[MeasureEvent]): Dataset[OnlineEvent] = {
+  def onlineEvents(measures: Dataset[MeasureEvent],
+                   watermarked: Boolean = false): Dataset[OnlineEvent] = {
     import measures.sparkSession.implicits._
-    measures
-      .withWatermark("source_ts", DeviceTimeout)
-      .groupByKey(_.device)
+    val wm = if (watermarked) measures
+             else measures.withWatermark("source_ts", DeviceTimeout)
+    wm.groupByKey(_.device)
       .flatMapGroupsWithState[DeviceState, OnlineEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }

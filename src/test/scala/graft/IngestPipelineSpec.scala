@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.CurrentValues
+import graft.streaming._
+import graft.streaming.CurrentValuesSink.InMemoryTarget
+
+/** End-to-end data path (SURVEY.md §3.1): source → gates → dedup → split
+  * value/liveness paths → keyed upserts into one modvalues-shaped target.
+  */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("memory-stream pipeline: values scaled+upserted, liveness flags derived, dedup applied") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MeasureEvent]
+    val target = new InMemoryTarget
+    val handle = IngestPipeline.start(input.toDF(), target, slope = 2.0, offset = 1.0,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    try {
+      val e1 = MeasureEvent("d1", "temp", 4.0, ts("2024-01-01 00:00:01"), status_ok = true)
+      input.addData(e1, e1, // duplicate dropped by T8
+        MeasureEvent("d1", "temp", 6.0, ts("2024-01-01 00:00:09"), status_ok = true),
+        MeasureEvent("d2", "rpm", 3.0, ts("2024-01-01 00:00:09"), status_ok = false),
+        MeasureEvent("d1", CurrentValues.OnlineMeasure, 9.9,
+          ts("2024-01-01 00:00:10"), status_ok = true)) // F3: never subscribable
+      handle.processAllAvailable()
+
+      val snap = target.snapshot.map(r => (r.device, r.measure_name) -> r).toMap
+      // value path: last-writer-wins, slope_intercept scaling 2v+1
+      val d1temp = snap(("d1", "temp"))
+      assert(d1temp.tag_value == 6.0)
+      assert(d1temp.measure_value == 13.0)
+      assert(d1temp.last_updated == "2024-01-01T00:00:09.000000")
+      // bad-status value never lands in the value table
+      assert(!snap.contains(("d2", "rpm")))
+      // F3: the pseudo-measure was filtered before the sink
+      assert(snap(("d1", CurrentValues.OnlineMeasure)).tag_value != 9.9)
+      // liveness path: good d1 → online 1, bad-status d2 → online 0
+      assert(snap(("d1", CurrentValues.OnlineMeasure)).measure_value == 1.0)
+      assert(snap(("d2", CurrentValues.OnlineMeasure)).measure_value == 0.0)
+    } finally handle.stop()
+  }
+
+  test("DataSource V2 pipeline: simulated source feeds both paths to the target") {
+    val target = new InMemoryTarget
+    val handle = IngestPipeline.startFromSource(spark, target, nDevices = 3, nMeasures = 2)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def valueRows = target.snapshot.count(_.measure_name != CurrentValues.OnlineMeasure)
+      def onlineRows = target.snapshot.count(_.measure_name == CurrentValues.OnlineMeasure)
+      while ((valueRows < 6 || onlineRows < 3) && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(valueRows == 6)   // 3 devices × 2 measures, keyed (no duplicates)
+      assert(onlineRows == 3)  // one myPV_online row per device
+      assert(target.snapshot.forall(r => r.device.startsWith("dev-")))
+    } finally handle.stop()
+  }
+}
