@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.VectorOps
+import graft.functions.{NativeVectorOps, VectorOps}
 
 /** Approximate-nearest-neighbor search over `embeddings`-shaped data
   * (vec_id, embedding array<float>, label).
@@ -30,11 +30,12 @@ object Similarity {
     * (tiny) global sort.
     */
   def bruteForceTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = embeddings.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", VectorOps.cosine(embD("q_emb"), embD("embedding")))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("q_emb"), embD("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))
@@ -58,12 +59,13 @@ object Similarity {
     * The equi-join on bucket replaces the cross product.
     */
   def lshTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
     val withBucket = embeddings.join(lshBuckets(embeddings), Seq("vec_id"))
     val q = withBucket.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
     val scored = withBucket.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", VectorOps.cosine(embD("q_emb"), embD("embedding")))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("q_emb"), embD("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("bucket"), col("cosine"), col("rk"))
@@ -77,10 +79,11 @@ object Similarity {
     * only exchange is the final per-vector combine. Output (vec_id, cell).
     */
   def ivfCells(embeddings: DataFrame, step: Long = 100L): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
     val cents = embeddings.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     embeddings.crossJoin(broadcast(cents))
-      .withColumn("cs", VectorOps.cosine(embD("embedding"), embD("c_emb")))
+      .withColumn("cs", NativeVectorOps.cosine(embD("embedding"), embD("c_emb")))
       .groupBy("vec_id")
       .agg(max(struct(col("cs"), col("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"))
@@ -94,18 +97,19 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
               nprobe: Int = 2, step: Long = 100L): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
     val cents = embeddings.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
     val qCells = embeddings.filter(col("vec_id") < queryMaxId)
       .crossJoin(broadcast(cents))
-      .withColumn("cs", VectorOps.cosine(embD("embedding"), embD("c_emb")))
+      .withColumn("cs", NativeVectorOps.cosine(embD("embedding"), embD("c_emb")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
     val scored = embeddings.join(ivfCells(embeddings, step), Seq("vec_id"))
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", VectorOps.cosine(embD("q_emb"), embD("embedding")))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("q_emb"), embD("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("cosine"), col("rk"))
@@ -117,11 +121,12 @@ object Similarity {
     * within buckets.
     */
   def nearDupPairs(embeddings: DataFrame, maxId: Long, topK: Int): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
     val sub = embeddings.filter(col("vec_id") < maxId)
     val a = sub.select(col("vec_id").as("d1"), col("embedding").as("e1"))
     val b = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
     val pairs = a.crossJoin(b).filter(col("d1") < col("d2"))
-      .withColumn("cosine", VectorOps.cosine(embD("e1"), embD("e2")))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("e1"), embD("e2")))
     // Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
     // heap + tiny driver merge), NOT a single-partition global window over
     // all pairs. The rank is then assigned on just the k surviving rows.

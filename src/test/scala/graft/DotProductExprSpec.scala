@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NativeVectorOps, VectorOps}
+
+/** The native codegen DotProduct expression must be bit-identical to the
+  * higher-order-function formulation (same left-to-right IEEE fold).
+  */
+class DotProductExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = (0 until 200).map { i =>
+    (i.toLong,
+      Array.tabulate(64)(d => math.sin(i * 64 + d) * 10),
+      Array.tabulate(64)(d => math.cos(i * 64 + d) * 10))
+  }.toDF("id", "a", "b")
+
+  test("native dot == HOF dot, bit-for-bit, interpreted and codegen paths") {
+    NativeVectorOps.register(spark)
+    val both = vecs.select(
+      NativeVectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.dot(col("a"), col("b")).as("hof"))
+    val rows = both.as[(Double, Double)].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("native cosine == HOF cosine; null array propagates null") {
+    NativeVectorOps.register(spark)
+    val both = vecs.select(
+      NativeVectorOps.cosine(col("a"), col("b")).as("native"),
+      VectorOps.cosine(col("a"), col("b")).as("hof"))
+    both.as[(Double, Double)].collect().foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+    val withNull = vecs.select(
+      NativeVectorOps.dot(when(col("id") === 0, col("a")), col("b")).as("d"))
+    assert(withNull.filter(col("d").isNull).count() == 199)
+  }
+}
