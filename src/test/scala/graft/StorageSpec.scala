@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.sources.Storage
+
+/** The 100 TB layout properties, asserted on the actual plans: partition
+  * pruning on date-partitioned history, no Exchange when joining
+  * co-bucketed tables.
+  */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("measure history: day-partitioned write, filters prune partitions") {
+    val dir = Files.createTempDirectory("graft-history").toString
+    val events = Seq(
+      ("d1", "temp", 1.0, ts("2024-01-01 10:00:00"), true),
+      ("d1", "temp", 2.0, ts("2024-01-02 10:00:00"), true),
+      ("d2", "temp", 3.0, ts("2024-01-03 10:00:00"), true))
+      .toDF("device", "measure_name", "raw_value", "source_ts", "status_ok")
+    Storage.writeMeasureHistory(events, dir)
+
+    val read = Storage.readMeasureHistory(spark, dir)
+    val pruned = read.filter(col("day") === "2024-01-02")
+    assert(pruned.count() == 1)
+    assert(pruned.select("raw_value").as[Double].head() == 2.0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-02"))
+    // pruning happened: the executed scan touched exactly one partition dir
+    val filesRead = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(filesRead.length == 1 && filesRead.head.contains("day=2024-01-02"))
+  }
+
+  test("co-bucketed device tables join with no shuffle exchange") {
+    val base = Files.createTempDirectory("graft-buckets")
+    val modvalues = (1 to 100)
+      .map(i => (s"dev-${i % 20}", s"m$i", i.toDouble))
+      .toDF("device", "measure_name", "tag_value")
+    val devices = (0 until 20).map(i => (s"dev-$i", s"site-${i % 3}"))
+      .toDF("device", "site")
+    Storage.writeDeviceBucketed(modvalues, "modvalues_b", s"$base/modvalues", buckets = 4)
+    Storage.writeDeviceBucketed(devices, "devices_b", s"$base/devices", buckets = 4)
+    try {
+      // disable auto-broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("modvalues_b").join(spark.table("devices_b"), "device")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free co-bucketed join, got:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS modvalues_b")
+      spark.sql("DROP TABLE IF EXISTS devices_b")
+    }
+  }
+}
