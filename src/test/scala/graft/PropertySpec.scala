@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import graft.functions.ScalarOps
+import graft.operators.{CurrentValues, Dedup, VennJoin}
+
+/** Property-based tests (SURVEY.md §5.3): algebraic laws the operators
+  * must satisfy for arbitrary inputs, not just curated examples. Runs
+  * under sbt's native ScalaCheck framework.
+  */
+object PropertySpec extends Properties("graft") {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val scaleGen = for {
+    a <- Gen.chooseNum(-1e6, 1e6)
+    b <- Gen.chooseNum(-1e6, 1e6)
+    slope <- Gen.chooseNum(0.001, 1e3)
+    offset <- Gen.chooseNum(-1e3, 1e3)
+  } yield (a, b, slope, offset)
+
+  property("scaling monotone for slope>0, anti-monotone for slope<0") =
+    forAll(scaleGen) { case (a, b, slope, offset) =>
+      (math.abs(a - b) > 1e-3) ==> {
+        def scale(vs: Seq[Double], s: Double): Seq[Double] =
+          vs.toDF("raw_value")
+            .select(ScalarOps.scaleSlopeIntercept(col("raw_value"), s, offset))
+            .as[Double].collect().toSeq
+        val (lo, hi) = if (a < b) (a, b) else (b, a)
+        val Seq(pLo, pHi) = scale(Seq(lo, hi), slope)
+        val Seq(nLo, nHi) = scale(Seq(lo, hi), -slope)
+        pLo <= pHi && nLo >= nHi
+      }
+    }
+
+  private val eventsGen = Gen.nonEmptyListOf(for {
+    dev <- Gen.oneOf("d1", "d2", "d3")
+    m <- Gen.oneOf("temp", "rpm")
+    v <- Gen.chooseNum(-100.0, 100.0)
+    t <- Gen.chooseNum(0L, 50L)
+  } yield (dev, m, v, t)).map(_.take(40))
+
+  property("lastValuePerKey insensitive to input row order") =
+    forAll(eventsGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((d, m, v, t), i) =>
+        (i.toLong, d, m, v, new Timestamp(1700000000000L + t * 1000))
+      }
+      def run(xs: Seq[(Long, String, String, Double, Timestamp)]): Set[(String, String, Long)] =
+        CurrentValues.lastValuePerKey(
+          xs.toDF("event_id", "device", "measure_name", "raw_value", "source_ts"))
+          .select("device", "measure_name", "event_id")
+          .as[(String, String, Long)].collect().toSet
+      run(rows) == run(scala.util.Random.shuffle(rows))
+    }
+
+  private val keySetsGen = for {
+    l <- Gen.listOf(Gen.chooseNum(0, 30))
+    r <- Gen.listOf(Gen.chooseNum(0, 30))
+  } yield (l.distinct, r.distinct)
+
+  property("vennJoin partitions the key-union exactly") =
+    forAll(keySetsGen) { case (l, r) =>
+      val out = VennJoin.vennJoin(l.toDF("k"), r.toDF("k"), Seq("k"))
+        .select("k", "status").as[(Int, String)].collect()
+      val sized = out.length == (l.toSet ++ r.toSet).size
+      val classified = out.forall { case (k, status) =>
+        status == (if (l.contains(k) && r.contains(k)) "both"
+                   else if (l.contains(k)) "left_only"
+                   else "right_only")
+      }
+      sized && classified
+    }
+
+  property("minhash permutation stays in [0, 2^31-1)") =
+    forAll(Gen.chooseNum(0, 63), Gen.chooseNum(0L, 0x7FFFFFFFL)) { (j, base) =>
+      val h = (Dedup.permA(j) * base + Dedup.permB(j)) % Dedup.MinhashMod
+      h >= 0 && h < Dedup.MinhashMod
+    }
+
+  property("minhash permutation coefficients distinct across j") =
+    Prop((0 until 64).map(Dedup.permA).distinct.size == 64)
+}
