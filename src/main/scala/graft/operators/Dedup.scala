@@ -104,7 +104,12 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
+    // shuffle (not broadcast) self-join: both sides canonicalize to the
+    // SAME exchange, so the signature pipeline runs once and the second
+    // side is a ReusedExchange — broadcasting one side would recompute the
+    // whole minhash for it (and could never broadcast at corpus scale)
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }
 

@@ -266,6 +266,51 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Pivot — the modvalues EAV table rendered wide: one row per device,
+    // one column per measure, holding each key's last value (the shape a
+    // dashboard consumer reads). Spark `pivot` with an explicit column
+    // list stays a single hash aggregate; the oracle is the conditional-
+    // aggregation twin.
+    QueryDef("q38_pivot_wide",
+      Tables.measuresSql +
+        """, last AS (
+        |  SELECT device, measure_name, raw_value
+        |  FROM measures
+        |  QUALIFY row_number() OVER (PARTITION BY device, measure_name
+        |                             ORDER BY source_ts DESC, event_id DESC) = 1)
+        |SELECT device,
+        |       max(CASE WHEN measure_name = 'click' THEN raw_value END) AS click,
+        |       max(CASE WHEN measure_name = 'error' THEN raw_value END) AS error,
+        |       max(CASE WHEN measure_name = 'purchase' THEN raw_value END) AS purchase,
+        |       max(CASE WHEN measure_name = 'signup' THEN raw_value END) AS signup,
+        |       max(CASE WHEN measure_name = 'view' THEN raw_value END) AS view
+        |FROM last GROUP BY device ORDER BY device""".stripMargin) { (s, dir) =>
+      graft.operators.CurrentValues.lastValuePerKey(Tables.measures(s, dir))
+        .groupBy("device")
+        .pivot("measure_name", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(max(col("raw_value")))
+        .orderBy("device")
+    },
+
+    // Set operations — INTERSECT / EXCEPT classified in one result (the
+    // §2.6 trio the venn join subsumes, exposed as first-class ops).
+    QueryDef("q39_setops",
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM o)
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM b INTERSECT SELECT c_custkey FROM o)
+        |ORDER BY op, c_custkey""".stripMargin) { (s, dir) =>
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val withOrders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.except(withOrders).withColumn("op", lit("except"))
+        .unionByName(building.intersect(withOrders).withColumn("op", lit("intersect")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    },
+
     // HLL cardinality sketch — approx_count_distinct per event_type. Sketch
     // internals are engine-specific, so no DuckDB hash oracle (driver
     // records the weaker rows-only check); the exact twin is q26's
