@@ -102,6 +102,21 @@ object TextQueries {
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       Multimodal.frameSample(Multimodal.attachBinary(Tables.documents(s, dir)), 4)
         .orderBy("media_id", "frame_idx")
+    },
+
+    // The mapPartitions decode stage itself: deterministic per-row features
+    // over the raw bytes. Oracle uses char arithmetic, valid because the
+    // corpus is ASCII (octet_length == length for every row).
+    QueryDef("q52_decode_features",
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       ascii(substr(text, 1, 1)) AS first_byte,
+        |       CAST(list_reduce(list_transform(range(1, least(65, length(text) + 1)),
+        |                                       i -> ascii(text[i])),
+        |                        (a, b) -> a + b) AS BIGINT) AS byte_sum_64
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeStub(Multimodal.attachBinary(Tables.documents(s, dir)))
+        .orderBy("media_id")
     }
   )
 }
