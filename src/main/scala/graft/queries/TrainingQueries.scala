@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{NativeVectorOps, TextOps, VectorOps}
+
+/** Training-data pipeline operators beyond dedup/similarity: deterministic
+  * dataset splits, text×embedding enrichment, vocabulary building. Each is
+  * the shape used at corpus scale — hash-based splits need no global
+  * state, the enrichment join is a plain keyed join AQE can size, and the
+  * vocab top-k partial-aggregates before one shuffle.
+  */
+object TrainingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic train/val split: bucket = md5-hash of the KEY (never
+    // random()), so membership is stable across runs, engines, and
+    // re-partitioning — the property that makes a 100 TB split reproducible.
+    QueryDef("q53_hash_split",
+      s"""SELECT doc_id,
+        |       CASE WHEN (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100) < 90
+        |            THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(TextOps.hash32(col("doc_id").cast("string")) % 100 < 90, "train")
+            .otherwise("val").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Text × embedding enrichment: token counts beside the vector norm
+    // (via the native graft_dot expression) — the multimodal join every
+    // curriculum/filtering stage starts from.
+    QueryDef("q54_doc_embedding",
+      s"""SELECT d.doc_id, e.label,
+        |       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+        |       sqrt(${VectorOps.dotSql("emb", "emb", 64)}) AS emb_norm
+        |FROM documents d
+        |JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings) e
+        |  ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      NativeVectorOps.register(s)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
+      val embs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("emb"), col("label"))
+      docs.join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("label"), col("n_ws_tokens"),
+          sqrt(NativeVectorOps.dot(col("emb"), col("emb"))).as("emb_norm"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary: global top-50 tokens by frequency, deterministic
+    // tie-break on the token. Partial aggregation combines map-side; the
+    // top-k is a TakeOrdered (per-partition heap + driver merge), not a
+    // global sort.
+    QueryDef("q55_vocab_topk",
+      s"""SELECT w, COUNT(*) AS freq
+        |FROM (SELECT unnest(${TextOps.wordsSql}) AS w FROM documents)
+        |GROUP BY w
+        |ORDER BY freq DESC, w
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(50)
+    }
+  )
+}
