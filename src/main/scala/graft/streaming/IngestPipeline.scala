@@ -78,6 +78,24 @@ object IngestPipeline {
     Handle(valueQuery, livenessQuery)
   }
 
+  /** K4/T1 — the heartbeat as its own triggered query (reference: every
+    * 12th 5 s tick, `Services/OpcSubscribeService.cs:299-301`): each
+    * trigger bumps last_updated for every row of currently-online devices,
+    * because OPC UA only pushes on change and downstream consumers treat a
+    * stale last_updated as death. The rate source is just a metronome; the
+    * work happens in foreachBatch against the keyed target.
+    */
+  def heartbeatQuery(spark: SparkSession, target: UpsertTarget,
+                     trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                     now: () => java.sql.Timestamp = () =>
+                       java.sql.Timestamp.from(java.time.Instant.now())): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream.outputMode("append").trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        CurrentValuesSink.heartbeat(target, formatTs(now()))
+      }
+      .queryName("graft-heartbeat").start()
+
   /** Convenience: open the simulated DataSource V2 source and run the full
     * pipeline against it (the shape a production OPC UA connector plugs
     * into).

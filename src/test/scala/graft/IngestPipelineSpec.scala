@@ -45,6 +45,28 @@ class IngestPipelineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("heartbeat query bumps last_updated only for online devices (K4/T1)") {
+    import graft.streaming.CurrentValuesSink.ModRow
+    val target = new InMemoryTarget
+    target.upsert(Seq(
+      ModRow("d1", "temp", 1.0, 1.0, "T0"),
+      ModRow("d1", CurrentValues.OnlineMeasure, 1.0, 1.0, "T0"),
+      ModRow("d2", "temp", 2.0, 2.0, "T0"),
+      ModRow("d2", CurrentValues.OnlineMeasure, 0.0, 0.0, "T0")))
+    val q = IngestPipeline.heartbeatQuery(spark, target,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"),
+      now = () => ts("2024-06-01 12:00:00"))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def bumped = target.snapshot.exists(r => r.device == "d1" && r.last_updated != "T0")
+      while (!bumped && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val snap = target.snapshot
+      assert(snap.filter(_.device == "d1")
+        .forall(_.last_updated == "2024-06-01T12:00:00.000000"))
+      assert(snap.filter(_.device == "d2").forall(_.last_updated == "T0"))
+    } finally q.stop()
+  }
+
   test("DataSource V2 pipeline: simulated source feeds both paths to the target") {
     val target = new InMemoryTarget
     val handle = IngestPipeline.startFromSource(spark, target, nDevices = 3, nMeasures = 2)
