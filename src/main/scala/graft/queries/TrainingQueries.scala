@@ -52,6 +52,29 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Interval join — views within ±30 min of each purchase, per user,
+    // via the bucketed RangeJoin (equi-join on (key, time-bin), never the
+    // quadratic theta join the oracle is allowed to run at its SF).
+    QueryDef("q56_interval_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, COUNT(v.ts) AS n_views_30m
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id
+        | AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 1800000000
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+      val counts = graft.operators.RangeJoin
+        .within(purchases, views, "user_id", "ts", "ts", 1800000000L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_views_30m"))
+      purchases.select("event_id").join(counts, Seq("event_id"), "left_outer")
+        .select(col("event_id"), coalesce(col("n_views_30m"), lit(0L)).as("n_views_30m"))
+        .orderBy("event_id")
+    },
+
     // Vocabulary: global top-50 tokens by frequency, deterministic
     // tie-break on the token. Partial aggregation combines map-side; the
     // top-k is a TakeOrdered (per-partition heap + driver merge), not a

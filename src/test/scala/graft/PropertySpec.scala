@@ -82,4 +82,29 @@ object PropertySpec extends Properties("graft") {
 
   property("minhash permutation coefficients distinct across j") =
     Prop((0 until 64).map(Dedup.permA).distinct.size == 64)
+
+  private val intervalGen = for {
+    ls <- Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("u1", "u2"), Gen.chooseNum(0L, 600L)))
+    rs <- Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("u1", "u2"), Gen.chooseNum(0L, 600L)))
+    tol <- Gen.oneOf(30L, 60L, 100L)
+  } yield (ls.take(25), rs.take(25), tol)
+
+  property("bucketed RangeJoin equals the naive theta join") =
+    forAll(intervalGen) { case (ls, rs, tolSec) =>
+      val tolMicros = tolSec * 1000000L
+      val left = ls.zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, u, new Timestamp(t * 1000)) }
+        .toDF("lid", "k", "ts")
+      val right = rs.map { case (u, t) => (u, new Timestamp(t * 1000)) }
+        .toDF("k", "ts")
+      val bucketed = graft.operators.RangeJoin
+        .within(left, right, "k", "ts", "ts", tolMicros)
+        .select(col("lid"), unix_micros(col("r_ts")).as("rt"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val naive = left.join(right.withColumnRenamed("ts", "rts"), Seq("k"))
+        .filter(abs(unix_micros(col("ts")) - unix_micros(col("rts"))) <= tolMicros)
+        .select(col("lid"), unix_micros(col("rts")).as("rt"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      bucketed == naive
+    }
 }
