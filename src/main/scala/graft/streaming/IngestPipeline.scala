@@ -96,6 +96,29 @@ object IngestPipeline {
       }
       .queryName("graft-heartbeat").start()
 
+  /** T3 fan-out (reference `:980-997`): a server silent for 3 minutes
+    * marks EVERY device of that server offline. The stream carries
+    * (server, source_ts); each silence event joins the (device, server)
+    * dimension batch-side and lands as myPV_online=0 upserts.
+    */
+  def watchdogQuery(withServer: DataFrame, deviceDim: Seq[(String, String)],
+                    target: UpsertTarget,
+                    trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val dimByServer = deviceDim.groupBy(_._2)
+    ServerWatchdog.silenceEvents(withServer)
+      .writeStream.outputMode("append").trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ServerWatchdog.SilenceEvent], _: Long) =>
+        val rows = batch.collect().toSeq.flatMap { ev =>
+          dimByServer.getOrElse(ev.server, Seq.empty).map { case (device, _) =>
+            CurrentValuesSink.ModRow(device, CurrentValues.OnlineMeasure,
+              0.0, 0.0, formatTs(ev.silent_since))
+          }
+        }
+        target.upsert(rows)
+      }
+      .queryName("graft-watchdog").start()
+  }
+
   /** Convenience: open the simulated DataSource V2 source and run the full
     * pipeline against it (the shape a production OPC UA connector plugs
     * into).

@@ -67,6 +67,33 @@ class IngestPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("server watchdog fan-out: 3 min silence marks every device of that server offline (T3)") {
+    import graft.streaming.CurrentValuesSink.ModRow
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val withServer = input.toDF().toDF("server", "source_ts")
+    val target = new InMemoryTarget
+    target.upsert(Seq(
+      ModRow("d1", CurrentValues.OnlineMeasure, 1.0, 1.0, "T0"),
+      ModRow("d2", CurrentValues.OnlineMeasure, 1.0, 1.0, "T0"),
+      ModRow("d3", CurrentValues.OnlineMeasure, 1.0, 1.0, "T0")))
+    val q = IngestPipeline.watchdogQuery(withServer,
+      Seq(("d1", "s1"), ("d2", "s1"), ("d3", "s2")), target,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    try {
+      input.addData(("s1", ts("2024-01-01 00:00:00")), ("s2", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // s2 keeps talking; s1 silent past 3 min; extra batch flushes timeout
+      input.addData(("s2", ts("2024-01-01 00:04:00")))
+      q.processAllAvailable()
+      input.addData(("s2", ts("2024-01-01 00:08:00")))
+      q.processAllAvailable()
+      val online = target.snapshot.map(r => r.device -> r.measure_value).toMap
+      assert(online("d1") == 0.0 && online("d2") == 0.0) // s1 devices offline
+      assert(online("d3") == 1.0)                        // s2 device untouched
+    } finally q.stop()
+  }
+
   test("DataSource V2 pipeline: simulated source feeds both paths to the target") {
     val target = new InMemoryTarget
     val handle = IngestPipeline.startFromSource(spark, target, nDevices = 3, nMeasures = 2)
