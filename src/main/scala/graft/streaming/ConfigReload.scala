@@ -40,14 +40,23 @@ object ConfigReload {
     val queryRef = new AtomicReference[StreamingQuery](launch())
     val thread = new Thread(() => {
       var last = snapshot()
+      var pendingRelaunch = false
       while (!stopFlag.get()) {
         Thread.sleep(pollMs)
         val now = snapshot()
-        if (now != last) {
+        if (now != last || pendingRelaunch) {
           last = now
-          val old = queryRef.get()
-          old.stop()                       // cancel …
-          queryRef.set(launch())           // … and fully resubscribe
+          Option(queryRef.get()).foreach(_.stop()) // cancel …
+          // … and fully resubscribe; a failed launch (e.g. config mid-write,
+          // matching the reference's JSON-read retry) retries next poll
+          try {
+            queryRef.set(launch())
+            pendingRelaunch = false
+          } catch {
+            case _: Exception =>
+              queryRef.set(null)
+              pendingRelaunch = true
+          }
         }
       }
     }, "graft-config-reload")

@@ -39,11 +39,39 @@ class ControlPlaneSpec extends SparkSpec {
       Thread.sleep(300)
       Files.write(cfg.toPath, "{\"v\":2}".getBytes)
       cfg.setLastModified(System.currentTimeMillis() + 2000) // defeat mtime granularity
+      // the content write and the mtime bump may be seen as two separate
+      // changes → possibly two relaunch cycles; wait for a stable state
       val deadline = System.currentTimeMillis() + 15000
-      while (launches < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
-      assert(launches == 2)
+      def settled = launches >= 2 && handle.currentQuery != null &&
+        handle.currentQuery.isActive
+      while (!settled && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(launches >= 2)
       assert(!q1.isActive)          // old query cancelled
       assert(handle.currentQuery.isActive)
+    } finally handle.close()
+  }
+
+  test("ConfigReload: failed relaunch retries on the next poll instead of dying (S3 retry parity)") {
+    val dir = Files.createTempDirectory("graft-config-retry").toFile
+    val cfg = new File(dir, "cfg.json")
+    Files.write(cfg.toPath, "{\"v\":1}".getBytes)
+    @volatile var launches = 0
+    val handle = ConfigReload.watch(dir, pollMs = 100L) { () =>
+      launches += 1
+      if (launches == 2) throw new RuntimeException("config mid-write")
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop").start()
+    }
+    try {
+      Thread.sleep(300)
+      Files.write(cfg.toPath, "{\"v\":2}".getBytes)
+      cfg.setLastModified(System.currentTimeMillis() + 2000)
+      val deadline = System.currentTimeMillis() + 15000
+      // launch 2 throws; the watcher must retry and succeed with launch 3
+      while ((launches < 3 || handle.currentQuery == null) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(launches >= 3)
+      assert(handle.currentQuery != null && handle.currentQuery.isActive)
     } finally handle.close()
   }
 }
