@@ -50,20 +50,29 @@ object IngestPipeline {
   def gated(raw: DataFrame, watermarkDelay: String = "60 seconds"): DataFrame =
     MeasureStream.watermarkDedup(Gates.excludeOnlineMeasure(raw), watermarkDelay)
 
-  /** Start the two sink queries over an already-open measure stream. */
+  /** Start the two sink queries over an already-open measure stream.
+    * `checkpointDir` is REQUIRED in production: with it, a restart resumes
+    * from the committed epoch and the idempotent keyed upsert makes the
+    * replay exactly-once (SURVEY.md §7.4); without it (tests/demos) Spark
+    * uses a temp checkpoint and restart re-reads the source.
+    */
   def start(raw: DataFrame, target: UpsertTarget,
             slope: Double = 1.0, offset: Double = 0.0,
-            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Handle = {
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+            checkpointDir: Option[String] = None): Handle = {
     val g = gated(raw)
 
     // value path: only good values reach the table (F1)
-    val valueQuery = CurrentValuesSink
+    val valueWriter = CurrentValuesSink
       .writer(Gates.qualityGate(g), target, slope, offset, trigger)
-      .queryName("graft-values").start()
+      .queryName("graft-values")
+    val valueQuery = checkpointDir
+      .map(d => valueWriter.option("checkpointLocation", s"$d/values"))
+      .getOrElse(valueWriter).start()
 
     // liveness path: ALL events feed the state machine (bad status and
     // silence both drive the flag to 0)
-    val livenessQuery = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
+    val livenessWriter = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
       .writeStream.outputMode("append").trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Liveness.OnlineEvent], _: Long) =>
         val rows = batch.collect().toSeq
@@ -73,7 +82,10 @@ object IngestPipeline {
             formatTs(e.event_ts)))
         target.upsert(rows.toSeq)
       }
-      .queryName("graft-liveness").start()
+      .queryName("graft-liveness")
+    val livenessQuery = checkpointDir
+      .map(d => livenessWriter.option("checkpointLocation", s"$d/liveness"))
+      .getOrElse(livenessWriter).start()
 
     Handle(valueQuery, livenessQuery)
   }
