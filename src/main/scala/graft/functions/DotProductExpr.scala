@@ -71,11 +71,17 @@ object NativeVectorOps {
 
   /** Idempotent per-session registration (temp function registry — no
     * SparkSessionExtensions requirement on the session builder, so driver
-    * contract mains can call it from inside any query fn).
+    * contract mains can call it from inside any query fn). The existence
+    * check keeps repeat calls silent (createOrReplace WARNs on replace).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "internal")
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(id)) {
+      registry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "internal")
+    }
+  }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 

@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.io.File
+import java.util.concurrent.ConcurrentHashMap
+
+/** G2 — browse-job dedup + status registry (reference
+  * `Services/BrowseService.cs:14-41` ConcurrentDictionary registry;
+  * `Helpers/OpcuaBrowse.cs:162-173` temp-file marker preventing two
+  * concurrent browses of the same connection).
+  *
+  * In the rebuild a "browse job" is the driver-side G1 BFS walk
+  * ([[NodeTree.bfs]]) over one connection's address space; this registry is
+  * the admission control in front of it. Two layers, as in the reference:
+  * an in-process map for status queries, and an atomically-created marker
+  * file so independent driver processes sharing the output directory also
+  * dedup (the reference's reason for the temp file).
+  */
+final class BrowseJobRegistry(markerDir: File) {
+
+  import BrowseJobRegistry._
+
+  markerDir.mkdirs()
+
+  private val jobs = new ConcurrentHashMap[String, JobStatus]()
+
+  private def markerFor(connectionUrl: String): File =
+    // filename-safe key, same intent as the reference's sanitized temp name
+    new File(markerDir, "browse_" +
+      java.lang.Integer.toHexString(connectionUrl.hashCode) + "_" +
+      connectionUrl.replaceAll("[^A-Za-z0-9._-]", "_") + ".inprogress")
+
+  /** Atomically claim the job. Returns false if a browse of this
+    * connection is already running (in this process or, via the marker
+    * file, any other).
+    */
+  def tryStart(connectionUrl: String): Boolean = {
+    val prior = jobs.put(connectionUrl, Running)
+    if (prior == Running) false // lost the in-process race / already running
+    else {
+      val marker = markerFor(connectionUrl)
+      if (marker.createNewFile()) true
+      else {
+        // another process holds the marker — roll back the in-process claim
+        if (prior == null) jobs.remove(connectionUrl)
+        else jobs.put(connectionUrl, prior)
+        false
+      }
+    }
+  }
+
+  /** Mark success and release the marker. */
+  def complete(connectionUrl: String): Unit = {
+    markerFor(connectionUrl).delete()
+    jobs.put(connectionUrl, Completed)
+  }
+
+  /** Mark failure (kept queryable, as the reference surfaces job errors to
+    * the REST caller) and release the marker.
+    */
+  def fail(connectionUrl: String, error: String): Unit = {
+    markerFor(connectionUrl).delete()
+    jobs.put(connectionUrl, Failed(error))
+  }
+
+  def status(connectionUrl: String): Option[JobStatus] =
+    Option(jobs.get(connectionUrl))
+
+  /** Run `body` as the connection's browse job if no job is in flight;
+    * returns None when deduped away. Marker and status are always
+    * released/recorded, including on throw.
+    */
+  def run[T](connectionUrl: String)(body: => T): Option[T] =
+    if (!tryStart(connectionUrl)) None
+    else try {
+      val out = body
+      complete(connectionUrl)
+      Some(out)
+    } catch {
+      case e: Throwable =>
+        fail(connectionUrl, e.getMessage)
+        throw e
+    }
+}
+
+object BrowseJobRegistry {
+  sealed trait JobStatus
+  case object Running extends JobStatus
+  case object Completed extends JobStatus
+  final case class Failed(error: String) extends JobStatus
+}
