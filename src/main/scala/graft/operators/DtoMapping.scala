@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** K6 — REST DTO mapping (reference `Helpers/AutoMapperProfiles.cs:12-44`,
@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
   * through UTF-8 bytes + AES-256-CBC to the entity's `EncryptedPassword`.
   *
   * Spark-first re-expression: entities and DTOs are `Dataset`s, the 1:N
-  * flatten is a broadcast-join + `collect_list`, the reverse mapping is a
-  * `posexplode`, and the password leg is the codegen'd `aes_encrypt` /
-  * `aes_decrypt` + `encode`/`decode` built-ins — column ops end to end, so
-  * the mapping distributes and survives 100 TB of config rows (it is also
-  * exactly the shape used at any scale for entity⇄API-shape projection).
+  * flatten is a keyed join + `collect_list` (AQE picks broadcast when the
+  * folder side is small — no unconditional hint, so a huge folder table
+  * cannot OOM the driver), the reverse mapping is a `posexplode`, and the
+  * password leg is the codegen'd `aes_encrypt`/`aes_decrypt` built-ins
+  * called through the typed functions API with `lit(key)` — never
+  * string-interpolated into SQL, so a key containing quotes cannot break
+  * parsing and plan redaction (`spark.sql.redaction.string.regex`) can
+  * scrub it from explain output.
+  *
+  * Ciphertext compatibility note: Spark's CBC `aes_encrypt` prepends a
+  * random IV to the ciphertext, while the reference
+  * (`Services/OpcuaHelperService.cs:195-248`) uses a fixed stored IV with
+  * no prefix. The round-trip here is therefore internal (encrypt and
+  * decrypt both on the Spark side); reference-written blobs would need a
+  * one-time re-encryption migration, not byte-level reads.
   */
 object DtoMapping {
 
@@ -32,10 +42,11 @@ object DtoMapping {
       maxSearch: Int)
 
   /** Child entity row: `BrowseExclusionFolders` (1:N, FK cascade,
-    * `Migrations/ApplicationDbContextModelSnapshot.cs:62-93`).
+    * `Migrations/ApplicationDbContextModelSnapshot.cs:62-93`). Id is Long:
+    * synthetic keys are derived, not sequenced (see [[ChildIdStride]]).
     */
   final case class BrowseExclusionFolder(
-      id: Int,
+      id: Long,
       opcClientConnectionId: Int,
       exclusionFolder: String)
 
@@ -50,6 +61,15 @@ object DtoMapping {
       timeoutMs: Int,
       maxSearch: Int,
       browseExclusionFolders: Seq[String])
+
+  /** Child id = connectionId * stride + position. Collision-free for any
+    * Int connectionId as long as a connection has fewer than one million
+    * exclusion folders ([[toEntities]] fails loudly past the bound rather
+    * than silently colliding).
+    */
+  val ChildIdStride = 1000000L
+
+  private def aesKeyCol(aesKey: String): Column = lit(aesKey)
 
   /** entity ⋈ children → DTO. Folder lists are sorted so the DTO is a
     * deterministic function of the entity set (the reference preserves DB
@@ -66,10 +86,10 @@ object DtoMapping {
       .groupBy(col("opcClientConnectionId").as("id"))
       .agg(sort_array(collect_list(col("exclusionFolder"))).as("browseExclusionFolders"))
     entities.toDF()
-      .join(broadcast(folderLists), Seq("id"), "left_outer")
+      .join(folderLists, Seq("id"), "left_outer")
       .select(
         col("id"), col("url"), col("username"),
-        expr(s"decode(aes_decrypt(encryptedPassword, '$aesKey', 'CBC'), 'UTF-8')")
+        decode(aes_decrypt(col("encryptedPassword"), aesKeyCol(aesKey), lit("CBC")), "UTF-8")
           .as("password"),
         col("timeoutMs"), col("maxSearch"),
         coalesce(col("browseExclusionFolders"), array().cast("array<string>"))
@@ -78,9 +98,9 @@ object DtoMapping {
   }
 
   /** DTO → (entity, child rows). Child ids are deterministic
-    * (connectionId * 1000 + position), mirroring the reference's identity
-    * column only in shape — at scale synthetic keys must be derivable, not
-    * sequenced.
+    * (connectionId * [[ChildIdStride]] + position) and the stride bound is
+    * enforced: a DTO carrying ≥ stride folders raises rather than
+    * producing colliding FKs.
     */
   def toEntities(
       dtos: Dataset[ConnectionDto],
@@ -90,14 +110,18 @@ object DtoMapping {
     val entities = dtos.toDF()
       .select(
         col("id"), col("url"), col("username"),
-        expr(s"aes_encrypt(encode(password, 'UTF-8'), '$aesKey', 'CBC')")
+        aes_encrypt(encode(col("password"), "UTF-8"), aesKeyCol(aesKey), lit("CBC"))
           .as("encryptedPassword"),
         col("timeoutMs"), col("maxSearch"))
       .as[ConnectionEntity]
     val folders = dtos.toDF()
       .select(col("id").as("opcClientConnectionId"),
         posexplode(col("browseExclusionFolders")).as(Seq("pos", "exclusionFolder")))
-      .select((col("opcClientConnectionId") * 1000 + col("pos")).cast("int").as("id"),
+      .select(
+        when(col("pos") >= ChildIdStride,
+          raise_error(lit(s"connection exceeds $ChildIdStride exclusion folders")))
+          .otherwise(col("opcClientConnectionId").cast("long") * ChildIdStride + col("pos"))
+          .as("id"),
         col("opcClientConnectionId"), col("exclusionFolder"))
       .as[BrowseExclusionFolder]
     (entities, folders)
@@ -109,14 +133,13 @@ object DtoMapping {
     */
   def dtoProjection(entities: DataFrame, folders: DataFrame): DataFrame =
     entities
-      .join(broadcast(
+      .join(
         folders.groupBy("opcClientConnectionId")
           .agg(concat_ws(",", sort_array(collect_list(col("exclusionFolder"))))
             .as("folders"),
-            count(lit(1)).as("n_folders"))),
+            count(lit(1)).as("n_folders")),
         entities("id") === col("opcClientConnectionId"), "left_outer")
       .select(entities("id"), col("url"), col("username"),
-        encode(col("username"), "UTF-8").as("username_utf8"),
         coalesce(col("folders"), lit("")).as("folders"),
         coalesce(col("n_folders"), lit(0L)).as("n_folders"))
 }

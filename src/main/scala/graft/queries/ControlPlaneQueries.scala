@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 import graft.{QueryDef, Tables}
-import graft.operators.NodeTree
+import graft.operators.{DtoMapping, NodeTree}
 
 /** Control-plane / browse-path coverage (SURVEY.md §2.1 S5, §2.2 K5-K6,
   * §2.3 F7-F8, §2.7 C9/C11, §2.9 G1): the client-config include join, the
@@ -103,6 +103,29 @@ object ControlPlaneQueries {
       NodeTree.bfs(pruned)
         .select("id", "parent_id", "text", "depth", "path", "opened")
         .orderBy("id")
+    },
+
+    // K6 — the REST DTO projection (`Helpers/AutoMapperProfiles.cs:12-44`):
+    // connection entities joined to their 1:N exclusion-folder children,
+    // folder list flattened to a sorted join-stable string. nation plays
+    // OpcClientConnections, customer plays BrowseExclusionFolders.
+    QueryDef("q57_dto_mapping",
+      """SELECT n_nationkey AS id,
+        |       'opc.tcp://' || n_name AS url,
+        |       n_name AS username,
+        |       coalesce(string_agg(c_name, ',' ORDER BY c_name), '') AS folders,
+        |       COUNT(c_custkey) AS n_folders
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val entities = Tables.nation(s, dir).select(
+        col("n_nationkey").as("id"),
+        concat(lit("opc.tcp://"), col("n_name")).as("url"),
+        col("n_name").as("username"))
+      val folders = Tables.customer(s, dir).select(
+        col("c_nationkey").as("opcClientConnectionId"),
+        col("c_name").as("exclusionFolder"))
+      DtoMapping.dtoProjection(entities, folders).orderBy("id")
     }
   )
 }
