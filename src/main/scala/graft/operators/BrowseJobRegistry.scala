@@ -15,7 +15,8 @@ import java.util.concurrent.ConcurrentHashMap
   * file so independent driver processes sharing the output directory also
   * dedup (the reference's reason for the temp file).
   */
-final class BrowseJobRegistry(markerDir: File) {
+final class BrowseJobRegistry(markerDir: File,
+                              staleAfterMillis: Long = 10 * 60 * 1000L) {
 
   import BrowseJobRegistry._
 
@@ -23,27 +24,43 @@ final class BrowseJobRegistry(markerDir: File) {
 
   private val jobs = new ConcurrentHashMap[String, JobStatus]()
 
-  private def markerFor(connectionUrl: String): File =
-    // filename-safe key, same intent as the reference's sanitized temp name
+  private def markerFor(connectionUrl: String): File = {
+    // filename-safe key, same intent as the reference's sanitized temp
+    // name; the readable URL part is truncated so a long connection URL
+    // can't exceed filesystem name limits — the hash keeps it unique
+    val sanitized = connectionUrl.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
     new File(markerDir, "browse_" +
       java.lang.Integer.toHexString(connectionUrl.hashCode) + "_" +
-      connectionUrl.replaceAll("[^A-Za-z0-9._-]", "_") + ".inprogress")
+      sanitized + ".inprogress")
+  }
 
   /** Atomically claim the job. Returns false if a browse of this
     * connection is already running (in this process or, via the marker
-    * file, any other).
+    * file, any other). A marker older than `staleAfterMillis` is treated
+    * as leaked by a crashed process (it can never be released by its
+    * owner) and is reclaimed — without this, one kill -9 would block the
+    * connection's browses forever.
     */
   def tryStart(connectionUrl: String): Boolean = {
     val prior = jobs.put(connectionUrl, Running)
     if (prior == Running) false // lost the in-process race / already running
     else {
-      val marker = markerFor(connectionUrl)
-      if (marker.createNewFile()) true
-      else {
-        // another process holds the marker — roll back the in-process claim
+      def rollback(): Unit =
         if (prior == null) jobs.remove(connectionUrl)
         else jobs.put(connectionUrl, prior)
-        false
+      val marker = markerFor(connectionUrl)
+      try {
+        if (marker.createNewFile()) true
+        else {
+          val age = System.currentTimeMillis() - marker.lastModified()
+          // stale leak from a dead JVM: reclaim (delete + retry once)
+          if (age > staleAfterMillis && marker.delete() && marker.createNewFile()) true
+          else { rollback(); false }
+        }
+      } catch {
+        // e.g. IOException from the filesystem — don't leak the
+        // in-process Running claim
+        case e: Throwable => rollback(); throw e
       }
     }
   }
