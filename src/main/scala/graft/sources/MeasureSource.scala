@@ -38,7 +38,7 @@ import graft.streaming.MeasureStream
   */
 class MeasureSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MeasureStream.schema
+    MeasureStream.schemaWithSeq
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new MeasureTable(new CaseInsensitiveStringMap(properties))
@@ -46,7 +46,7 @@ class MeasureSourceProvider extends TableProvider {
 
 final class MeasureTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   override def name(): String = "measure_sim"
-  override def schema(): StructType = MeasureStream.schema
+  override def schema(): StructType = MeasureStream.schemaWithSeq
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -54,7 +54,7 @@ final class MeasureTable(options: CaseInsensitiveStringMap) extends Table with S
 }
 
 final class MeasureScan(options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = MeasureStream.schema
+  override def readSchema(): StructType = MeasureStream.schemaWithSeq
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MeasureMicroBatchStream(
       nDevices = options.getInt("nDevices", 10),
@@ -132,7 +132,9 @@ final class MeasureReader(r: MeasureRange) extends PartitionReader[InternalRow] 
   override def next(): Boolean = { i += 1; i < r.hi }
   override def get(): InternalRow = {
     val (dev, m, v, ts, ok) = feed.at(i)
-    InternalRow(UTF8String.fromString(dev), UTF8String.fromString(m), v, ts, ok)
+    // i IS the offset position: the dequeue sequence the sink uses as its
+    // within-batch LWW tiebreak (event_seq)
+    InternalRow(UTF8String.fromString(dev), UTF8String.fromString(m), v, ts, ok, i)
   }
   override def close(): Unit = ()
 }

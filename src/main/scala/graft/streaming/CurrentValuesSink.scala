@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import graft.operators.CurrentValues
 
 /** K2 — the keyed current-value upsert (reference
@@ -14,9 +14,19 @@ import graft.operators.CurrentValues
   * idempotent under epoch replay — the locks and retry loops disappear by
   * construction (SURVEY.md §4).
   *
-  * The sink is abstracted so tests run against an in-memory table and
-  * production targets Delta `MERGE INTO` / JDBC `INSERT .. ON CONFLICT`:
-  * the contract is exactly "apply these (key → row) pairs atomically".
+  * The write path is PARTITION-level: after the distributed per-key
+  * reduction, each partition of final rows is applied executor-side via
+  * `foreachPartition` — row data never funnels through the driver, so the
+  * sink scales with executors (at 100 TB / millions of keys a driver-side
+  * collect would be the bottleneck and an OOM risk). Keys are disjoint
+  * across partitions (the reduction shuffles by key), so concurrent
+  * partition writers never contend on a row.
+  *
+  * Control-plane operations (seed / offline reset / heartbeat) are
+  * SET-ORIENTED statements on the target — the reference's own
+  * `INSERT .. ON CONFLICT DO NOTHING` / `UPDATE .. WHERE` shapes
+  * (`Services/OpcSubscribeService.cs:656-713,717-739,332-378`) — never
+  * snapshot-the-table-and-rewrite driver logic.
   */
 object CurrentValuesSink {
 
@@ -31,35 +41,95 @@ object CurrentValuesSink {
       last_updated: String)
 
   /** Where MERGE lands. Implementations must be idempotent per epoch —
-    * replaying a batch with the same rows must yield the same table.
+    * replaying a batch with the same rows must yield the same table — and
+    * serializable: `upsertPartition` runs executor-side inside
+    * `foreachPartition` closures.
     */
-  trait UpsertTarget {
-    def upsert(rows: Seq[ModRow]): Unit
-    def snapshot: Seq[ModRow]
+  trait UpsertTarget extends Serializable {
+    /** Executor-side: apply one partition of final per-key rows. Callers
+      * guarantee keys are disjoint across partitions within a batch.
+      */
+    def upsertPartition(rows: Iterator[ModRow]): Unit
+
+    /** Driver-side convenience for small control-plane row sets (watchdog
+      * fan-out, test fixtures) — same semantics, same idempotence.
+      */
+    def upsert(rows: Seq[ModRow]): Unit = upsertPartition(rows.iterator)
+
+    /** K1 seed-if-missing: a zero row per key, existing keys untouched
+      * (`INSERT .. ON CONFLICT DO NOTHING`).
+      */
+    def seed(keys: Seq[(String, String)], nowS: String): Unit
+
+    /** K3 startup reset: zero every myPV_online row, stamp now. */
+    def offlineReset(nowS: String): Unit
+
+    /** K4 heartbeat: bump last_updated on every row of every currently
+      * online device.
+      */
+    def heartbeat(nowS: String): Unit
   }
 
-  /** Test/demo target; production would issue Delta MERGE or JDBC upsert
-    * with the same key.
+  /** Test/demo target. State lives in a companion-object registry keyed by
+    * instance id, so `upsertPartition` closures reach the SAME table after
+    * closure serialization in local mode (the same static-state trick as
+    * Spark's own memory sink). On a real cluster this target is driver-only
+    * by design — production uses [[JdbcUpsert.Target]].
     */
   final class InMemoryTarget extends UpsertTarget {
-    private val table = new ConcurrentHashMap[(String, String), ModRow]()
-    override def upsert(rows: Seq[ModRow]): Unit =
+    private val id = java.util.UUID.randomUUID().toString
+    InMemoryTarget.tables.putIfAbsent(id, new ConcurrentHashMap[(String, String), ModRow]())
+    private def table = InMemoryTarget.tables.get(id)
+
+    override def upsertPartition(rows: Iterator[ModRow]): Unit =
       rows.foreach(r => table.put((r.device, r.measure_name), r))
-    override def snapshot: Seq[ModRow] = table.values.asScala.toSeq
+
+    override def seed(keys: Seq[(String, String)], nowS: String): Unit =
+      keys.foreach { case (d, m) =>
+        table.putIfAbsent((d, m), ModRow(d, m, 0.0, 0.0, nowS))
+      }
+
+    override def offlineReset(nowS: String): Unit =
+      table.replaceAll { (_, r) =>
+        if (r.measure_name == CurrentValues.OnlineMeasure)
+          r.copy(tag_value = 0.0, measure_value = 0.0, last_updated = nowS)
+        else r
+      }
+
+    override def heartbeat(nowS: String): Unit = {
+      val online = table.values.asScala
+        .filter(r => r.measure_name == CurrentValues.OnlineMeasure && r.measure_value == 1.0)
+        .map(_.device).toSet
+      table.replaceAll { (_, r) =>
+        if (online(r.device)) r.copy(last_updated = nowS) else r
+      }
+    }
+
+    def snapshot: Seq[ModRow] = table.values.asScala.toSeq
+  }
+
+  object InMemoryTarget {
+    private[CurrentValuesSink] val tables =
+      new ConcurrentHashMap[String, ConcurrentHashMap[(String, String), ModRow]]()
   }
 
   /** Reduce one micro-batch to its final per-key rows (last writer wins
     * WITHIN the batch too — the reference applies values in dequeue order,
-    * so only the newest survives) and upsert. The batch is tiny relative to
-    * the table; the heavy dedup work is distributed, only the final
-    * per-key rows reach the driver-side target adapter.
+    * so only the newest survives) and apply them partition-by-partition on
+    * the executors. Same-timestamp ties break on the source's dequeue
+    * sequence (`event_seq`, emitted by the DSv2 source) so the outcome is
+    * deterministic and matches arrival order; a synthetic id is only the
+    * fallback for sources that carry no sequence.
     */
   def applyBatch(batch: DataFrame, target: UpsertTarget, scaleSlope: Double,
                  scaleOffset: Double): Unit = {
     import batch.sparkSession.implicits._
     if (batch.isEmpty) return
-    val latest = CurrentValues.lastValuePerKey(
-        batch.withColumn("event_id", monotonically_increasing_id()))
+    val withId =
+      if (batch.columns.contains("event_seq"))
+        batch.withColumn("event_id", col("event_seq"))
+      else batch.withColumn("event_id", monotonically_increasing_id())
+    val latest = CurrentValues.lastValuePerKey(withId)
       .withColumn("tag_value", bround(col("raw_value"), 3))
       .withColumn("measure_value",
         graft.functions.ScalarOps.scaleSlopeIntercept(col("raw_value"), scaleSlope, scaleOffset))
@@ -67,7 +137,7 @@ object CurrentValuesSink {
         graft.functions.ScalarOps.lastUpdatedString(col("source_ts")))
       .select("device", "measure_name", "tag_value", "measure_value", "last_updated")
       .as[ModRow]
-    target.upsert(latest.collect().toSeq)
+    latest.foreachPartition((rows: Iterator[ModRow]) => target.upsertPartition(rows))
   }
 
   /** Wire a gated measure stream into the sink via foreachBatch, 5 s
@@ -83,35 +153,24 @@ object CurrentValuesSink {
         applyBatch(batch, target, slope, offset)
       }
 
-  /** K1 seed + K3 startup reset against the target, batch-side
-    * (`Services/OpcSubscribeService.cs:656-713,717-739`): seed zero rows
-    * for unseen keys + one myPV_online row per device, all offline.
+  /** K1 seed + K3 startup reset (`Services/OpcSubscribeService.cs:656-713,
+    * 717-739`): seed zero rows for unseen keys + one myPV_online row per
+    * device, then zero every online flag. Both are single set-oriented
+    * statements on the target — no table snapshot, works identically on
+    * the in-memory and JDBC targets.
     */
   def seedAndReset(devicePoints: Seq[(String, String)], nowS: String,
                    target: UpsertTarget): Unit = {
-    val existing = target.snapshot.map(r => (r.device, r.measure_name)).toSet
     val online = devicePoints.map(_._1).distinct
       .map(d => (d, CurrentValues.OnlineMeasure))
-    val seeds = (devicePoints ++ online).distinct
-      .filterNot(existing)
-      .map { case (d, m) => ModRow(d, m, 0.0, 0.0, nowS) }
-    target.upsert(seeds)
-    // K3: zero every online flag regardless of prior state
-    val resets = target.snapshot
-      .filter(_.measure_name == CurrentValues.OnlineMeasure)
-      .map(_.copy(tag_value = 0.0, measure_value = 0.0, last_updated = nowS))
-    target.upsert(resets)
+    target.seed((devicePoints ++ online).distinct, nowS)
+    target.offlineReset(nowS)
   }
 
   /** K4 heartbeat (`Services/OpcSubscribeService.cs:332-378`): bump
     * last_updated for all rows of currently-online devices. Driven by a
-    * 60 s trigger in production; pure function here.
+    * 60 s trigger in production; one set-oriented statement on the target.
     */
-  def heartbeat(target: UpsertTarget, nowS: String): Unit = {
-    val snap = target.snapshot
-    val online = snap.filter(r =>
-      r.measure_name == CurrentValues.OnlineMeasure && r.measure_value == 1.0)
-      .map(_.device).toSet
-    target.upsert(snap.filter(r => online(r.device)).map(_.copy(last_updated = nowS)))
-  }
+  def heartbeat(target: UpsertTarget, nowS: String): Unit =
+    target.heartbeat(nowS)
 }

@@ -71,16 +71,24 @@ object IngestPipeline {
       .getOrElse(valueWriter).start()
 
     // liveness path: ALL events feed the state machine (bad status and
-    // silence both drive the flag to 0)
+    // silence both drive the flag to 0). The per-device reduction and the
+    // writes stay distributed — no driver collect on the event path.
     val livenessWriter = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
       .writeStream.outputMode("append").trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Liveness.OnlineEvent], _: Long) =>
-        val rows = batch.collect().toSeq
-          .groupBy(_.device).map { case (d, evs) => evs.maxBy(_.event_ts.getTime) }
-          .map(e => CurrentValuesSink.ModRow(
-            e.device, CurrentValues.OnlineMeasure, e.online, e.online,
-            formatTs(e.event_ts)))
-        target.upsert(rows.toSeq)
+        import batch.sparkSession.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("device").orderBy(col("event_ts").desc)
+        val rows = batch.toDF()
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("device"),
+            lit(CurrentValues.OnlineMeasure).as("measure_name"),
+            col("online").as("tag_value"),
+            col("online").as("measure_value"),
+            graft.functions.ScalarOps.lastUpdatedString(col("event_ts")).as("last_updated"))
+          .as[CurrentValuesSink.ModRow]
+        rows.foreachPartition(
+          (it: Iterator[CurrentValuesSink.ModRow]) => target.upsertPartition(it))
       }
       .queryName("graft-liveness")
     val livenessQuery = checkpointDir
@@ -115,21 +123,27 @@ object IngestPipeline {
     */
   def watchdogQuery(withServer: DataFrame, deviceDim: Seq[(String, String)],
                     target: UpsertTarget,
-                    trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
-    val dimByServer = deviceDim.groupBy(_._2)
+                    trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     ServerWatchdog.silenceEvents(withServer)
       .writeStream.outputMode("append").trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ServerWatchdog.SilenceEvent], _: Long) =>
-        val rows = batch.collect().toSeq.flatMap { ev =>
-          dimByServer.getOrElse(ev.server, Seq.empty).map { case (device, _) =>
-            CurrentValuesSink.ModRow(device, CurrentValues.OnlineMeasure,
-              0.0, 0.0, formatTs(ev.silent_since))
-          }
-        }
-        target.upsert(rows)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // broadcast the (device, server) dim against the silence events:
+        // the fan-out join and the writes run on the executors
+        val dim = deviceDim.toDF("device", "server")
+        val rows = batch.toDF()
+          .join(broadcast(dim), Seq("server"))
+          .select(col("device"),
+            lit(CurrentValues.OnlineMeasure).as("measure_name"),
+            lit(0.0).as("tag_value"),
+            lit(0.0).as("measure_value"),
+            graft.functions.ScalarOps.lastUpdatedString(col("silent_since")).as("last_updated"))
+          .as[CurrentValuesSink.ModRow]
+        rows.foreachPartition(
+          (it: Iterator[CurrentValuesSink.ModRow]) => target.upsertPartition(it))
       }
       .queryName("graft-watchdog").start()
-  }
 
   /** Convenience: open the simulated DataSource V2 source and run the full
     * pipeline against it (the shape a production OPC UA connector plugs

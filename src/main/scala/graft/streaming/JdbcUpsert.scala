@@ -1,19 +1,30 @@
 package graft.streaming
 
-import java.sql.{Connection, PreparedStatement}
+import java.sql.Connection
 import graft.streaming.CurrentValuesSink.{ModRow, UpsertTarget}
 
 /** Production K2 sink: the reference's per-value SELECT-FOR-UPDATE +
   * UPDATE transaction pair (`Services/OpcSubscribeService.cs:600-713`)
   * collapses to ONE set-oriented statement per micro-batch —
   * `INSERT .. ON CONFLICT (device, measure_name) DO UPDATE` — executed as
-  * a single JDBC batch. Single-writer micro-batches + the natural key make
-  * the statement idempotent, so epoch replay after failure is exactly-once
+  * JDBC batches. Single-writer micro-batches + the natural key make the
+  * statement idempotent, so epoch replay after failure is exactly-once
   * (no row locks, no retry loop).
   *
-  * The connection comes from a factory seam so tests capture the generated
-  * statements without a database; production passes
-  * `() => DriverManager.getConnection(url, props)`.
+  * The target is serializable and `upsertPartition` opens its connection
+  * EXECUTOR-side (one per partition, statements chunked), so value rows
+  * flow executors → database without a driver hop. The connection factory
+  * must therefore capture only serializable state (a URL + properties),
+  * e.g. `() => DriverManager.getConnection(url, props)`; tests pass a
+  * stub-capturing factory.
+  *
+  * Control-plane operations are the reference's own set-oriented SQL:
+  *   - seed      → `INSERT .. ON CONFLICT DO NOTHING`   (`:656-713`)
+  *   - reset     → `UPDATE .. WHERE measure_name = 'myPV_online'` (`:717-739`)
+  *   - heartbeat → `UPDATE .. WHERE device IN (online subquery)`  (`:332-378`)
+  * The heartbeat derives the online set in-database via a subquery rather
+  * than the reference's app-memory `ANY(array)` — one statement, no data
+  * pulled to the client, same rows updated.
   */
 object JdbcUpsert {
 
@@ -41,18 +52,51 @@ object JdbcUpsert {
        |  measure_value = EXCLUDED.measure_value,
        |  last_updated = EXCLUDED.last_updated""".stripMargin
 
-  /** UpsertTarget over a JDBC connection factory: one prepared-statement
-    * batch per upsert call, one transaction per micro-batch.
-    */
-  final class Target(connect: () => Connection) extends UpsertTarget {
+  /** K1 — seed-if-missing (`Services/OpcSubscribeService.cs:656-713`). */
+  val SeedSql: String =
+    s"""INSERT INTO $Table (device, measure_name, tag_value, measure_value, last_updated)
+       |VALUES (?, ?, 0, 0, ?)
+       |ON CONFLICT (device, measure_name) DO NOTHING""".stripMargin
 
-    override def upsert(rows: Seq[ModRow]): Unit = {
-      if (rows.isEmpty) return
+  /** K3 — startup offline reset (`Services/OpcSubscribeService.cs:717-739`). */
+  val OfflineResetSql: String =
+    s"""UPDATE $Table SET tag_value = 0, measure_value = 0, last_updated = ?
+       |WHERE measure_name = '${graft.operators.CurrentValues.OnlineMeasure}'""".stripMargin
+
+  /** K4 — heartbeat (`Services/OpcSubscribeService.cs:332-378`): the
+    * online-device set stays in the database (subquery), not app memory.
+    */
+  val HeartbeatSql: String =
+    s"""UPDATE $Table SET last_updated = ?
+       |WHERE device IN (SELECT device FROM $Table
+       |                 WHERE measure_name = '${graft.operators.CurrentValues.OnlineMeasure}'
+       |                   AND measure_value = 1)""".stripMargin
+
+  /** UpsertTarget over a JDBC connection factory. One connection and
+    * transaction per partition (value path) or per control-plane call;
+    * prepared-statement batches chunked at `batchSize` to bound executor
+    * memory regardless of partition size.
+    */
+  final class Target(connect: () => Connection, batchSize: Int = 500)
+      extends UpsertTarget {
+
+    private def withConnection(body: Connection => Unit): Unit = {
       val conn = connect()
       try {
         conn.setAutoCommit(false)
+        body(conn)
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.close()
+    }
+
+    override def upsertPartition(rows: Iterator[ModRow]): Unit = {
+      if (!rows.hasNext) return
+      withConnection { conn =>
         val st = conn.prepareStatement(UpsertSql)
         try {
+          var n = 0
           rows.foreach { r =>
             st.setString(1, r.device)
             st.setString(2, r.measure_name)
@@ -60,22 +104,41 @@ object JdbcUpsert {
             st.setDouble(4, r.measure_value)
             st.setString(5, r.last_updated)
             st.addBatch()
+            n += 1
+            if (n % batchSize == 0) st.executeBatch()
           }
-          st.executeBatch()
-          conn.commit()
+          if (n % batchSize != 0) st.executeBatch()
         } finally st.close()
-      } catch {
-        case e: Throwable => conn.rollback(); throw e
-      } finally conn.close()
+      }
     }
 
-    /** Snapshot reads go through SQL in production; not needed by the
-      * streaming write path (heartbeat/seed use dedicated statements at
-      * scale rather than a full-table pull).
-      */
-    override def snapshot: Seq[ModRow] =
-      throw new UnsupportedOperationException(
-        "JDBC target is write-side; read modvalues via SQL")
+    override def seed(keys: Seq[(String, String)], nowS: String): Unit = {
+      if (keys.isEmpty) return
+      withConnection { conn =>
+        val st = conn.prepareStatement(SeedSql)
+        try {
+          keys.foreach { case (device, measure) =>
+            st.setString(1, device)
+            st.setString(2, measure)
+            st.setString(3, nowS)
+            st.addBatch()
+          }
+          st.executeBatch()
+        } finally st.close()
+      }
+    }
+
+    override def offlineReset(nowS: String): Unit =
+      withConnection { conn =>
+        val st = conn.prepareStatement(OfflineResetSql)
+        try { st.setString(1, nowS); st.executeUpdate() } finally st.close()
+      }
+
+    override def heartbeat(nowS: String): Unit =
+      withConnection { conn =>
+        val st = conn.prepareStatement(HeartbeatSql)
+        try { st.setString(1, nowS); st.executeUpdate() } finally st.close()
+      }
   }
 
   def bootstrap(connect: () => Connection): Unit = {

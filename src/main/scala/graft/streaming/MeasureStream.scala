@@ -23,6 +23,17 @@ object MeasureStream {
     StructField("source_ts", TimestampType, nullable = false),
     StructField("status_ok", BooleanType, nullable = false)))
 
+  /** Schema carrying the source's dequeue sequence. The DSv2 source emits
+    * `event_seq` (its offset position) and the sink uses it as the
+    * within-batch last-writer-wins tiebreak — true arrival order, like the
+    * reference applying values in dequeue order
+    * (`Services/OpcSubscribeService.cs:540-580`). A partition-layout id
+    * (`monotonically_increasing_id`) would resolve same-timestamp ties
+    * nondeterministically.
+    */
+  val schemaWithSeq: StructType =
+    schema.add(StructField("event_seq", LongType, nullable = false))
+
   /** Typed view for the stateful operators. */
   def typed(df: DataFrame): Dataset[MeasureEvent] = {
     import df.sparkSession.implicits._

@@ -73,4 +73,44 @@ class JdbcUpsertSpec extends AnyFunSuite {
     assert(cap.lastSql.contains("CREATE TABLE IF NOT EXISTS modvalues"))
     assert(cap.lastSql.contains("PRIMARY KEY (device, measure_name)"))
   }
+
+  test("partition writes chunk the statement batch at batchSize (executor memory bound)") {
+    val cap = new Capture
+    val target = new JdbcUpsert.Target(() => cap.connection, batchSize = 2)
+    target.upsertPartition((1 to 5).iterator.map(i =>
+      ModRow(s"d$i", "temp", i.toDouble, i.toDouble, "T0")))
+    // 5 rows at chunk size 2 → 3 executeBatch calls, ONE commit, one conn
+    assert(cap.events == Seq("executeBatch", "executeBatch", "executeBatch",
+      "commit", "close"))
+    assert(cap.batches.size == 5)
+  }
+
+  test("K1 seed: INSERT .. ON CONFLICT DO NOTHING batch over the key set") {
+    val cap = new Capture
+    val target = new JdbcUpsert.Target(() => cap.connection)
+    target.seed(Seq(("d1", "temp"), ("d1", "myPV_online")), "T0")
+    assert(cap.lastSql.contains("ON CONFLICT (device, measure_name) DO NOTHING"))
+    assert(cap.batches == Seq(Seq("d1", "temp", "T0"), Seq("d1", "myPV_online", "T0")))
+    assert(cap.events == Seq("executeBatch", "commit", "close"))
+    // empty key set opens no connection
+    var opened = 0
+    new JdbcUpsert.Target(() => { opened += 1; null }).seed(Seq.empty, "T0")
+    assert(opened == 0)
+  }
+
+  test("K3 offline reset and K4 heartbeat are single set-oriented statements") {
+    val cap = new Capture
+    val target = new JdbcUpsert.Target(() => cap.connection)
+    target.offlineReset("T1")
+    assert(cap.lastSql.contains("SET tag_value = 0, measure_value = 0"))
+    assert(cap.lastSql.contains("WHERE measure_name = 'myPV_online'"))
+
+    target.heartbeat("T2")
+    // online set derived in-database (subquery), not shipped from the app
+    assert(cap.lastSql.contains("SET last_updated = ?"))
+    assert(cap.lastSql.contains("WHERE device IN (SELECT device FROM modvalues"))
+    assert(cap.lastSql.contains("measure_value = 1"))
+    // no snapshot involved anywhere: the JDBC target doesn't even have one
+    assert(cap.events == Seq("commit", "close", "commit", "close"))
+  }
 }

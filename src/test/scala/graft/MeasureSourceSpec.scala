@@ -78,7 +78,11 @@ class MeasureSourceSpec extends SparkSpec {
              System.currentTimeMillis() < deadline) Thread.sleep(200)
       val t = spark.table("measure_src_t")
       assert(t.schema.fieldNames.toSeq ==
-        Seq("device", "measure_name", "raw_value", "source_ts", "status_ok"))
+        Seq("device", "measure_name", "raw_value", "source_ts", "status_ok", "event_seq"))
+      // event_seq is the source's dequeue sequence: distinct per row
+      // (snapshot once — the stream keeps appending under the assertions)
+      val seqs = t.select("event_seq").collect().map(_.getLong(0)).toSeq
+      assert(seqs.distinct.size == seqs.size)
       assert(t.count() >= 6)
       val devices = t.select("device").distinct().collect().map(_.getString(0)).toSet
       assert(devices == Set("dev-0", "dev-1", "dev-2"))

@@ -117,6 +117,23 @@ class StreamingSpec extends SparkSpec {
     assert(target.snapshot.head.tag_value == 3.0)
   }
 
+  test("within-batch LWW tie on source_ts resolves by source sequence, deterministically") {
+    val t = ts("2024-01-01 00:00:05")
+    // two same-timestamp values for one key spread across partitions: the
+    // higher dequeue sequence must win regardless of partition layout
+    val batch = Seq(
+      ("d1", "temp", 1.0, t, true, 10L),
+      ("d1", "temp", 2.0, t, true, 11L))
+      .toDF("device", "measure_name", "raw_value", "source_ts", "status_ok", "event_seq")
+      .repartition(2)
+    (1 to 3).foreach { _ =>
+      val target = new InMemoryTarget
+      CurrentValuesSink.applyBatch(batch, target, 1.0, 0.0)
+      assert(target.snapshot == Seq(ModRow("d1", "temp", 2.0, 2.0,
+        "2024-01-01T00:00:05.000000")))
+    }
+  }
+
   test("seed + reset + heartbeat lifecycle (K1/K3/K4)") {
     val target = new InMemoryTarget
     CurrentValuesSink.seedAndReset(
