@@ -4,9 +4,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Each query executes twice: an untimed warmup pass (whole-stage codegen
+  * Each query warms up IMMEDIATELY before its timed pass (codegen
   * compilation + JIT are one-time constants, irrelevant to steady-state
-  * throughput at the 100 TB design point) and a timed pass reported below.
+  * throughput at the 100 TB design point). A single whole-suite warmup
+  * pass is not enough: the first timed query then absorbs the JIT/GC
+  * drift accumulated across the ~50 intervening warmups (q01 measured
+  * 0.47 s → 3.21 s between rounds with unchanged code that way).
+  *
+  * A failing query fails the bench loudly — swallowing the exception
+  * would record a -1-turned-fast time for a broken query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,12 +26,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     val results = queries.map { case (name, fn) =>
+      fn(spark, sfDir).count() // warm this query's codegen/JIT, untimed
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      fn(spark, sfDir).count()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
