@@ -12,7 +12,66 @@ import graft.operators.{DtoMapping, NodeTree}
   */
 object ControlPlaneQueries {
 
-  private val AesKey = "0123456789abcdef0123456789abcdef" // AES-256, as reference
+  // AES-256 key: env-pointed key file in production (reference
+  // `Services/OpcuaHelperService.cs:22-54`), literal fallback for tests
+  private val AesKey = graft.sources.ConfigFiles.aesKeyFromEnv()
+    .getOrElse("0123456789abcdef0123456789abcdef")
+
+  /** Deterministic config fixture (the reference's
+    * `sos_templates_opcua.json` / `site_devices.json` shapes,
+    * `Services/OpcSubscribeService.cs:472-480`) written fresh per call so
+    * q58 exercises the REAL file loader; the oracle is the equivalent
+    * VALUES list.
+    */
+  private[graft] def writeConfigFixture(): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_config_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    val templates =
+      """{
+        |  "inverter": {
+        |    "templA": [
+        |      {"unit": "kW", "name": "AC Power", "measure": "ac_power",
+        |       "autoScaling": {"scale_mode": "slope_intercept", "slope": 2.5, "offset": 1.5}},
+        |      {"unit": "V", "name": "DC Volts", "measure": "dc_volts",
+        |       "autoScaling": {"scale_mode": "point_slope", "value_min": 0, "value_max": 10,
+        |                        "target_min": 0, "target_max": 100}}
+        |    ]
+        |  },
+        |  "meter": {
+        |    "templB": [
+        |      {"unit": "kWh", "name": "Energy", "measure": "energy",
+        |       "autoScaling": {"scale_mode": "slope_intercept"}}
+        |    ]
+        |  }
+        |}""".stripMargin
+    val devices =
+      """{
+        |  "inverter": [
+        |    {"daq_name": "inv-1", "daq_template": "templA", "device_type": "inverter",
+        |     "monitored": true,
+        |     "network": {"params": {"protocol": "OPCUA", "prefix": "INV1.",
+        |                             "server": "opc.tcp://a:4840", "point_node": "ns=2;s=PV"}}},
+        |    {"daq_name": "inv-2", "daq_template": "templA", "device_type": "inverter",
+        |     "monitored": false,
+        |     "network": {"params": {"protocol": "OPCUA", "prefix": "INV2.",
+        |                             "server": "opc.tcp://a:4840", "point_node": "ns=2;s=PV"}}}
+        |  ],
+        |  "meter": [
+        |    {"daq_name": "met-1", "daq_template": "templB", "device_type": "meter",
+        |     "monitored": true,
+        |     "network": {"params": {"protocol": "OPCUA", "prefix": "MET1.",
+        |                             "server": "opc.tcp://b:4840", "point_node": "ns=2;s=GRID"}}},
+        |    {"daq_name": "met-2", "daq_template": "templB", "device_type": "meter",
+        |     "monitored": true,
+        |     "network": {"params": {"protocol": "MODBUS", "prefix": "MET2.",
+        |                             "server": "tcp://c:502", "point_node": ""}}}
+        |  ]
+        |}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("sos_templates_opcua.json"), templates)
+    java.nio.file.Files.writeString(dir.resolve("site_devices.json"), devices)
+    dir.toString
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -126,6 +185,34 @@ object ControlPlaneQueries {
         col("c_nationkey").as("opcClientConnectionId"),
         col("c_name").as("exclusionFolder"))
       DtoMapping.dtoProjection(entities, folders).orderBy("id")
+    },
+
+    // S3 — the real JSON config plane: templates + site-devices files
+    // loaded with explicit schemas (FAILFAST), exploded and joined into
+    // the device-point subscription dim with the reference's
+    // `{point_node}/{prefix}{tag_name}` node ids
+    // (`Services/OpcSubscribeService.cs:195-245,472-480`). Fixture is a
+    // deterministic literal, so the oracle is the equivalent VALUES list.
+    QueryDef("q58_config_explode",
+      """SELECT * FROM (VALUES
+        |  ('inv-1','inverter','templA','opc.tcp://a:4840','ac_power','AC Power','kW',
+        |   'slope_intercept', CAST(2.5 AS DOUBLE), CAST(1.5 AS DOUBLE), CAST(0 AS DOUBLE),
+        |   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), 'ns=2;s=PV/INV1.AC Power'),
+        |  ('inv-1','inverter','templA','opc.tcp://a:4840','dc_volts','DC Volts','V',
+        |   'point_slope', CAST(1 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |   CAST(10 AS DOUBLE), CAST(0 AS DOUBLE), CAST(100 AS DOUBLE), 'ns=2;s=PV/INV1.DC Volts'),
+        |  ('met-1','meter','templB','opc.tcp://b:4840','energy','Energy','kWh',
+        |   'slope_intercept', CAST(1 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), 'ns=2;s=GRID/MET1.Energy'))
+        |AS t(daq_name, device_type, daq_template, server, measure_name, tag_name, unit,
+        |     scale_mode, slope, "offset", value_min, value_max, target_min, target_max, node_id)
+        |ORDER BY daq_name, measure_name""".stripMargin) { (s, _) =>
+      import graft.sources.ConfigFiles
+      val dir = writeConfigFixture()
+      val templates = ConfigFiles.loadTemplates(s, s"$dir/sos_templates_opcua.json")
+      val devices = ConfigFiles.loadSiteDevices(s, s"$dir/site_devices.json")
+      ConfigFiles.devicePoints(devices, templates)
+        .orderBy("daq_name", "measure_name")
     }
   )
 }
