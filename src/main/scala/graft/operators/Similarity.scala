@@ -71,6 +71,51 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("bucket"), col("cosine"), col("rk"))
   }
 
+  /** Multi-table sign-LSH buckets: `tables` independent tables of
+    * `planesPerTable` hyperplanes each (global plane index
+    * t·planesPerTable + j keeps every table's planes distinct). One
+    * (vec_id, table, bucket) row per table — the classic recall lever:
+    * a single b-bit table keeps a neighbor with probability p^b, L
+    * tables keep it with 1−(1−p^b)^L. Still map-side only.
+    */
+  def lshBucketsMulti(embeddings: DataFrame, tables: Int = 8,
+                      planesPerTable: Int = 4): DataFrame =
+    embeddings
+      .withColumn("e", embD("embedding"))
+      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("j", explode(sequence(lit(0), lit(planesPerTable - 1))))
+      .withColumn("bitv",
+        when(VectorOps.planeDot(col("e"),
+          col("t") * planesPerTable + col("j"), Dim) > 0.0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+      .groupBy("vec_id", "t")
+      .agg(sum(col("bitv")).as("bucket"))
+
+  /** ANN via multi-table LSH: candidates are the union of same-bucket
+    * vectors over all tables (dedup'd per (q_id, vec_id) — one keyed
+    * aggregation), then ranked by cosine. The candidate join is an
+    * equi-join on (table, bucket); at 100 TB each table's buckets
+    * pre-partition the corpus exactly like the single-table layout.
+    */
+  def lshTopKMulti(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                   tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val buckets = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val withBucket = embeddings.join(buckets, Seq("vec_id"))
+    val q = withBucket.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("t"), col("bucket"))
+    val cand = withBucket.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .withColumn("cosine", NativeVectorOps.cosine(embD("q_emb"), embD("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))
+  }
+
   /** IVF coarse quantizer: cell = the centroid (vec_id ≡ 0 mod `step`,
     * a deterministic training-free seed pick — real IVF would k-means, but
     * the Spark plumbing is identical) with max cosine to the vector.

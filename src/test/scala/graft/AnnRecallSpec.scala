@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Similarity
+
+/** Recall@k of the approximate ANN paths (sign-LSH, IVF) against the
+  * brute-force ground truth on the sf0.001 embeddings corpus — the
+  * quality number that makes "approximate" a measured trade, not a hope.
+  * Floors are set below the measured values (see README) so a regression
+  * in the bucketing/probing logic fails the suite, while run-to-run
+  * stability (everything here is deterministic) keeps it exact.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private val QueryMaxId = 20L
+  private val K = 10
+
+  private def recallVs(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select("q_id", "n_id")
+    val hit = approx.select("q_id", "n_id").intersect(t).count().toDouble
+    hit / t.count()
+  }
+
+  test("LSH and IVF top-k recall vs brute force stays above the measured floor") {
+    val emb = Tables.embeddings(spark, SfDir).cache()
+    try {
+      val truth = Similarity.bruteForceTopK(emb, QueryMaxId, K).cache()
+      val lsh1 = recallVs(truth, Similarity.lshTopK(emb, QueryMaxId, K))
+      val lshM = recallVs(truth, Similarity.lshTopKMulti(emb, QueryMaxId, K))
+      val ivf = recallVs(truth, Similarity.ivfTopK(emb, QueryMaxId, K))
+      info(f"recall@$K vs brute force: lsh1=$lsh1%.3f lshMulti=$lshM%.3f ivf=$ivf%.3f")
+      // a single 8-plane table keeps a neighbor only when all 8 signs
+      // match — it exists as the bucketing primitive, not the prod path
+      assert(lsh1 >= 0.02, s"single-table LSH recall collapsed: $lsh1")
+      // 8 tables x 4 planes is the production path: 1-(1-p^4)^8
+      assert(lshM >= 0.50, s"multi-table LSH recall collapsed: $lshM")
+      assert(ivf >= 0.40, s"IVF recall collapsed: $ivf")
+      assert(lshM > lsh1, "multi-table must dominate single-table recall")
+      // both approximations must actually cut candidate work vs brute
+      // force — candidates are bounded by bucket/cell collisions
+      val lshCand = Similarity.lshTopK(emb, QueryMaxId, Int.MaxValue).count()
+      val n = emb.count()
+      assert(lshCand < n * QueryMaxId, "LSH candidate set degenerated to brute force")
+      truth.unpersist()
+    } finally emb.unpersist()
+  }
+}
