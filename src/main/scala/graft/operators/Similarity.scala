@@ -160,10 +160,36 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("cosine"), col("rk"))
   }
 
+  /** Embedding near-duplicates at corpus scale: pair only within
+    * multi-table LSH buckets (equi-join on (table, bucket) with exchange
+    * reuse — never all-pairs), dedup candidate pairs across tables, then
+    * score and threshold. Work is O(bucket collisions), and the recall of
+    * the candidate step is the multi-table 1−(1−p^b)^L (AnnRecallSpec);
+    * this is the production form of [[nearDupPairs]].
+    */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val buckets = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val a = buckets.select(col("vec_id").as("d1"), col("t"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("d2"), col("t"), col("bucket"))
+    // shuffle (not broadcast) self-join: both sides canonicalize to the
+    // same exchange → the bucket pipeline runs once (ReusedExchange)
+    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val e1 = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val e2 = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    pairs.join(e1, Seq("d1")).join(e2, Seq("d2"))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("e1"), embD("e2")))
+      .filter(col("cosine") >= threshold)
+      .select("d1", "d2", "cosine")
+  }
+
   /** Embedding near-duplicate pairs among vec_id < maxId: global top-k
     * pairs by cosine (deterministic tie-break). The pair generation is
-    * bounded by maxId² — at scale use lshBuckets first and only pair
-    * within buckets.
+    * bounded by maxId² — [[nearDupPairsLsh]] is the bucketed form that
+    * scales past it.
     */
   def nearDupPairs(embeddings: DataFrame, maxId: Long, topK: Int): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)

@@ -132,6 +132,31 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Embedding near-dup at corpus scale: candidate pairs ONLY within
+    // multi-table LSH buckets (dedup'd across tables), scored and kept at
+    // cosine >= 0.40 — the bucketed production form of q43.
+    QueryDef("q60_neardup_lsh",
+      eCte +
+        s""",
+        |bvm AS (SELECT vec_id, t, j,
+        |               CASE WHEN ${VectorOps.planeDotSql("emb", "(t * 4 + j)", 64)} > 0
+        |                    THEN (1::BIGINT << j) ELSE 0 END AS bitv
+        |        FROM e, (SELECT unnest(range(0, 8)) AS t) tt,
+        |                (SELECT unnest(range(0, 4)) AS j) jj),
+        |bkm AS (SELECT vec_id, t, CAST(SUM(bitv) AS BIGINT) AS bucket
+        |        FROM bvm GROUP BY vec_id, t),
+        |pairs AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |          FROM bkm a JOIN bkm b ON a.t = b.t AND a.bucket = b.bucket
+        |                                AND a.vec_id < b.vec_id),
+        |scored AS (SELECT p.d1, p.d2, ${cos("x.emb", "y.emb")} AS cosine
+        |           FROM pairs p JOIN e x ON x.vec_id = p.d1
+        |                        JOIN e y ON y.vec_id = p.d2)
+        |SELECT d1, d2, cosine FROM scored WHERE cosine >= 0.40
+        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, dir), 0.40)
+        .orderBy("d1", "d2")
+    },
+
     // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
     QueryDef("q43_embedding_neardup",
       eCte +

@@ -45,4 +45,23 @@ class AnnRecallSpec extends SparkSpec {
       truth.unpersist()
     } finally emb.unpersist()
   }
+
+  test("bucketed near-dup: no false positives, candidate recall above floor") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SfDir).cache()
+    try {
+      val th = 0.40
+      val n = emb.count()
+      // ground truth: the quadratic pair set at the same threshold
+      val truth = Similarity.nearDupPairs(emb, n, Int.MaxValue)
+        .filter(col("cosine") >= th).select("d1", "d2").cache()
+      val lsh = Similarity.nearDupPairsLsh(emb, th).select("d1", "d2").cache()
+      val nTruth = truth.count().toDouble
+      val hits = lsh.intersect(truth).count().toDouble
+      info(f"near-dup pairs: truth=${nTruth.toLong} lsh=${lsh.count()} recall=${hits / nTruth}%.3f")
+      assert(lsh.count() == hits, "bucketed near-dup produced a pair below threshold")
+      assert(hits / nTruth >= 0.40, s"candidate recall collapsed: ${hits / nTruth}")
+      truth.unpersist(); lsh.unpersist()
+    } finally emb.unpersist()
+  }
 }
