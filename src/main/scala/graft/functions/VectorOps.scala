@@ -55,6 +55,18 @@ object VectorOps {
     aggregate(products, lit(0.0), (acc, v) => acc + v)
   }
 
+  /** [[planeWeight]] evaluated driver-side with the same exact Long
+    * arithmetic — materializes a plane as a literal weight array so hot
+    * paths can take the native codegen dot against it instead of the
+    * interpreted higher-order [[planeDot]]. Bit-identical by construction.
+    */
+  def planeWeightValue(j: Int, d: Int, dim: Int): Double =
+    ((1103515245L * (j.toLong * dim + d) + 12345L) % 2147483648L).toDouble /
+      2147483648.0 - 0.5
+
+  def planeArray(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => planeWeightValue(j, d, dim))
+
   def planeDotSql(e: String, j: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $e[i] * ${planeWeightSql(j, "i", dim)}), (x, y) -> x + y)"
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,7 +22,18 @@ object Similarity {
   val Dim = 64
   val NumPlanes = 8
 
-  private def embD(c: String) = VectorOps.toDouble(col(c))
+  // float→double widening as a native array cast (codegen'd, exact) — the
+  // transform()-lambda form is interpreted per element
+  private def embD(c: String) = col(c).cast("array<double>")
+
+  /** Sign bit for one plane: the plane's weights are plan-time constants,
+    * so they ship as a literal array and the dot is the native codegen
+    * expression — bit-identical to the interpreted planeDot fold.
+    */
+  private def planeBit(e: Column, globalPlane: Int, bitPos: Int): Column =
+    when(NativeVectorOps.dot(e,
+      typedLit(VectorOps.planeArray(globalPlane, Dim))) > 0.0,
+      lit(1L << bitPos)).otherwise(lit(0L))
 
   /** Brute-force top-k cosine neighbors of each query vector (queries =
     * vec_id < queryMaxId), excluding self. Broadcast-nested-loop by
@@ -43,17 +54,17 @@ object Similarity {
 
   /** Sign-LSH bucket per vector: bit j = sign(v · w_j) over NumPlanes
     * deterministic pseudo-random hyperplanes (VectorOps.planeWeight).
-    * Output (vec_id, bucket). Map-side only — no shuffle.
+    * Output (vec_id, bucket). The planes are literal weight arrays + the
+    * native dot, summed per row — pure projection, zero shuffles, fully
+    * inside whole-stage codegen (the earlier explode + interpreted
+    * planeDot + groupBy formulation cost an exchange and the HOF fallback).
     */
-  def lshBuckets(embeddings: DataFrame): DataFrame =
-    embeddings
-      .withColumn("e", embD("embedding"))
-      .withColumn("j", explode(sequence(lit(0), lit(NumPlanes - 1))))
-      .withColumn("bitv",
-        when(VectorOps.planeDot(col("e"), col("j"), Dim) > 0.0,
-          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(col("bitv")).as("bucket"))
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val e = embD("embedding")
+    val bucket = (0 until NumPlanes).map(j => planeBit(e, j, j)).reduce(_ + _)
+    embeddings.select(col("vec_id"), bucket.as("bucket"))
+  }
 
   /** ANN via LSH: rank same-bucket candidates of each query by cosine.
     * The equi-join on bucket replaces the cross product.
@@ -79,17 +90,21 @@ object Similarity {
     * tables keep it with 1−(1−p^b)^L. Still map-side only.
     */
   def lshBucketsMulti(embeddings: DataFrame, tables: Int = 8,
-                      planesPerTable: Int = 4): DataFrame =
+                      planesPerTable: Int = 4): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val e = embD("embedding")
+    // every table's bucket is a per-row constant-plane projection; the
+    // only row multiplication is the final explode to (vec_id, t, bucket)
+    // — zero shuffles, fully codegen
+    val perTable = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable)
+        .map(j => planeBit(e, t * planesPerTable + j, j)).reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
     embeddings
-      .withColumn("e", embD("embedding"))
-      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("j", explode(sequence(lit(0), lit(planesPerTable - 1))))
-      .withColumn("bitv",
-        when(VectorOps.planeDot(col("e"),
-          col("t") * planesPerTable + col("j"), Dim) > 0.0,
-          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-      .groupBy("vec_id", "t")
-      .agg(sum(col("bitv")).as("bucket"))
+      .select(col("vec_id"), explode(array(perTable: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
 
   /** ANN via multi-table LSH: candidates are the union of same-bucket
     * vectors over all tables (dedup'd per (q_id, vec_id) — one keyed
@@ -178,10 +193,17 @@ object Similarity {
     val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val e1 = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"))
-    val e2 = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    // norms computed ONCE per vector and joined in — candidate pairs far
+    // outnumber vectors, so recomputing sqrt(dot(v,v)) per pair would
+    // triple the scoring work. Same IEEE values, so cosine is unchanged.
+    val e = embD("embedding")
+    val e1 = embeddings.select(col("vec_id").as("d1"), e.as("e1"),
+      sqrt(NativeVectorOps.dot(e, e)).as("n1"))
+    val e2 = embeddings.select(col("vec_id").as("d2"), e.as("e2"),
+      sqrt(NativeVectorOps.dot(e, e)).as("n2"))
     pairs.join(e1, Seq("d1")).join(e2, Seq("d2"))
-      .withColumn("cosine", NativeVectorOps.cosine(embD("e1"), embD("e2")))
+      .withColumn("cosine",
+        NativeVectorOps.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= threshold)
       .select("d1", "d2", "cosine")
   }
