@@ -27,6 +27,16 @@ object TextOps {
   def shingles3Sql(ws: String): String =
     s"list_transform(range(1, len($ws) - 1), i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])"
 
+  /** Word bigrams (empty when fewer than 2 words). */
+  def bigrams(wsCol: String): Column =
+    expr(s"CASE WHEN size($wsCol) >= 2 THEN transform(sequence(1, size($wsCol) - 1), " +
+      s"i -> concat_ws(' ', $wsCol[i-1], $wsCol[i])) " +
+      "ELSE array() END")
+
+  /** DuckDB twin of [[bigrams]] (1-based lists; empty range when <2). */
+  def bigramsSql(ws: String): String =
+    s"list_transform(range(1, len($ws)), i -> $ws[i] || ' ' || $ws[i+1])"
+
   /** Aggressive normalization for near-dup fingerprinting: lower, strip
     * non-alphanumerics, collapse whitespace.
     */

@@ -68,6 +68,58 @@ object TextAnalysis {
       .select("doc_id", "lang", "predicted_lang", "en_score", "label_match")
   }
 
+  /** TF-IDF term scoring with a LOG-FREE idf, (N+1)/(df+1): a log's last
+    * bits are libm-specific (JVM Math.log vs DuckDB's), while the plain
+    * ratio is one exact division — cross-engine exact, and for a fixed tf
+    * the ranking is identical (log is monotone in the ratio). Top-k terms
+    * per document by (score, term).
+    *
+    * Shuffle shape at scale: one shuffle to (doc, term) counts, one to the
+    * term dim (df), a keyed join back, and the per-doc window — the
+    * document-frequency table is the only global state and it's
+    * term-keyed, so 1000 executors shard it naturally.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) *
+          ((col("n_docs").cast(DoubleType) + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+  }
+
+  /** Repetition signals (the Gopher-style quality filters): duplicate-word
+    * fraction and most-frequent-bigram fraction. High values flag the
+    * boilerplate/spam documents a training pipeline drops. Two keyed
+    * aggregations per signal, no global state.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val wordStats = words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct"))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_words"))
+    val bigramCounts = docs
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), explode(TextOps.bigrams("ws")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val bigramStats = bigramCounts.groupBy("doc_id")
+      .agg(max(col("c")).as("top_bigram"), sum(col("c")).as("n_bigrams"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram").cast(DoubleType) / col("n_bigrams"))
+    wordStats.join(bigramStats, Seq("doc_id"))
+      .select("doc_id", "n_words", "n_distinct", "dup_word_ratio",
+        "top_bigram", "n_bigrams", "top_bigram_frac")
+  }
+
   /** Rolling polynomial fingerprint over normalized words:
     * h := (h*31 + md5_32(w) mod p) mod p, p = 1e9+7. Order-sensitive (true
     * rolling hash), left fold — reproduced exactly by the oracle's

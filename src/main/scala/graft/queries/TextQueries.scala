@@ -73,6 +73,47 @@ object TextQueries {
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // TF-IDF top-3 terms per document (log-free idf ratio — see
+    // TextAnalysis.tfidfTopK for the cross-engine exactness rationale).
+    QueryDef("q61_tfidf",
+      s"""WITH ws AS (SELECT doc_id, unnest($W) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ws GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0)
+        |                               / (CAST(df AS DOUBLE) + 1.0)) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, score,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS INT) AS rk
+        |FROM scored QUALIFY rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), 3).orderBy("doc_id", "rk")
+    },
+
+    // Repetition quality signals: duplicate-word fraction + top-bigram
+    // fraction (boilerplate/spam detectors for training-data curation).
+    QueryDef("q62_repetition",
+      s"""WITH ws AS (SELECT doc_id, unnest($W) AS w FROM documents),
+        |wstat AS (SELECT doc_id, COUNT(*) AS n_words,
+        |                 COUNT(DISTINCT w) AS n_distinct
+        |          FROM ws GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest(${TextOps.bigramsSql(W)}) AS bg
+        |       FROM documents),
+        |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+        |bstat AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+        |          FROM bgc GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct,
+        |       1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_ratio,
+        |       top_bigram, n_bigrams,
+        |       CAST(top_bigram AS DOUBLE) / n_bigrams AS top_bigram_frac
+        |FROM wstat JOIN bstat USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Multimodal plumbing: binary payload + deterministic metadata.
     QueryDef("q50_multimodal_meta",
       s"""SELECT doc_id AS media_id, 'image' AS modality,

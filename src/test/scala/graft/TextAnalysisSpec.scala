@@ -46,6 +46,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h.values.forall(v => v >= 0 && v < p))
   }
 
+  test("tfidf: rare terms outrank common ones; log-free idf ratio exact") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry date shared")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, 2)
+      .select("doc_id", "term", "score", "rk")
+      .as[(Long, String, Double, Int)].collect()
+    val byDoc = top.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // doc 1: apple tf=2 df=1 → score 2*(4/2)=4 beats everything
+    assert(byDoc(1L).head == "apple")
+    val appleScore = top.find(t => t._1 == 1L && t._2 == "apple").get._3
+    assert(appleScore == 4.0)
+    // 'shared' has df=3 → idf ratio 1.0, never a top term over rarer ones
+    assert(!byDoc(1L).contains("shared"))
+  }
+
+  test("repetition: duplicate-word and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),          // all duplicates, one bigram
+      (2L, "all words here are unique")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs)
+      .select("doc_id", "dup_word_ratio", "top_bigram_frac")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((0.75, 1.0)))  // 1 - 1/4; "spam spam" is every bigram
+    assert(r(2L) == ((0.0, 0.25))) // 5 unique words; 4 unique bigrams
+  }
+
   test("normalized strips punctuation and collapses whitespace") {
     val got = Seq(1).toDF("x")
       .select(TextOps.normalized(lit("  Hello,   WORLD!! 42  ")).as("r"))
