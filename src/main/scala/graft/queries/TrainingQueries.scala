@@ -29,6 +29,23 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic stratified sampling: per-language keep rates (basis
+    // points) over a hash of the KEY — sampleBy minus the RNG, so the
+    // downsample is reproducible and oracle-verifiable at any scale.
+    QueryDef("q63_stratified_sample",
+      s"""SELECT doc_id, lang
+        |FROM documents
+        |WHERE (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000) <
+        |      (CASE lang WHEN 'en' THEN 9000 WHEN 'zh' THEN 5000 ELSE 2500 END)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.stratified(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        keyCol = col("doc_id"), groupCol = col("lang"),
+        ratesBp = Map("en" -> 9000, "zh" -> 5000), defaultBp = 2500)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Text × embedding enrichment: token counts beside the vector norm
     // (via the native graft_dot expression) — the multimodal join every
     // curriculum/filtering stage starts from.
