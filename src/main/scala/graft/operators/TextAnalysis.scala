@@ -23,10 +23,11 @@ object TextAnalysis {
       size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_ws_tokens"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType).as("n_bpe_tokens"))
 
-  /** Quality features + a composite score. All ratios are single double
-    * divisions of exact integers (engine-reproducible).
+  /** Appends the quality feature columns, keeping the input's (so
+    * pipelines can chain more per-row stages without a join — see
+    * [[curate]]).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def withQualityFeatures(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
     val stopArr = array(Stopwords.map(lit): _*)
     docs
@@ -44,16 +45,23 @@ object TextAnalysis {
         col("stop_ratio") * 0.4 +
           when(col("n_words").between(50, 200), 1.0).otherwise(0.0) * 0.3 +
           (lit(1.0) - col("punct_ratio")) * 0.3)
+  }
+
+  /** Quality features + a composite score. All ratios are single double
+    * divisions of exact integers (engine-reproducible).
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQualityFeatures(docs)
       .select("doc_id", "n_chars_m", "n_words", "n_punct", "n_stop",
         "punct_ratio", "stop_ratio", "avg_word_len", "quality_score")
-  }
 
   /** Heuristic language ID: CJK codepoints ⇒ zh; else English stopword
     * density ⇒ en / unknown. (The fixture corpus is synthetic English-like
     * text with random `lang` labels, so accuracy is meaningless — the
     * operator shape and determinism are what is exercised.)
     */
-  def langId(docs: DataFrame): DataFrame = {
+  /** Appends `predicted_lang` (+ `en_score`) to the input — chainable. */
+  def withLangId(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
     val markers = array(Seq("the", "and", "a", "of").map(lit): _*)
     docs
@@ -64,9 +72,12 @@ object TextAnalysis {
         when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
           .when(col("en_score") >= 0.03, "en")
           .otherwise("unknown"))
+  }
+
+  def langId(docs: DataFrame): DataFrame =
+    withLangId(docs)
       .withColumn("label_match", (col("predicted_lang") === col("lang")).cast(IntegerType))
       .select("doc_id", "lang", "predicted_lang", "en_score", "label_match")
-  }
 
   /** TF-IDF term scoring with a LOG-FREE idf, (N+1)/(df+1): a log's last
     * bits are libm-specific (JVM Math.log vs DuckDB's), while the plain
@@ -118,6 +129,24 @@ object TextAnalysis {
     wordStats.join(bigramStats, Seq("doc_id"))
       .select("doc_id", "n_words", "n_distinct", "dup_word_ratio",
         "top_bigram", "n_bigrams", "top_bigram_frac")
+  }
+
+  /** The end-to-end curation pipeline a training corpus runs: quality
+    * gate → language filter → near-exact dedup, composed as ONE DataFrame
+    * chain. The per-row feature stages fuse into a single codegen'd pass
+    * over the scan (no joins between stages), the gates run BEFORE the
+    * dedup so only survivors shuffle, and the dedup's fingerprint window
+    * is the pipeline's single exchange.
+    */
+  def curate(docs: DataFrame, minQuality: Double, keepLang: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    withLangId(withQualityFeatures(docs))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang") === keepLang)
+      .withColumn("fp", md5(TextOps.normalized(col("text"))))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "lang", "n_words", "quality_score")
   }
 
   /** Rolling polynomial fingerprint over normalized words:

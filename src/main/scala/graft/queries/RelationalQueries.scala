@@ -236,6 +236,47 @@ object RelationalQueries {
         .sort(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
+    // CUBE over (returnflag, linestatus) with GROUPING markers — the
+    // full multi-dimensional aggregate beside q27's ROLLUP; grouping
+    // flags disambiguate subtotal rows from genuine NULL keys.
+    QueryDef("q65_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.ScalarOps.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .toDF("l_returnflag", "l_linestatus", "n", "sum_qty", "g_rf", "g_ls")
+        .sort(asc("g_rf"), asc("g_ls"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // GROUPING SETS — the general form: per-(flag,status), per-status,
+    // and grand total in one pass over the fact (one Expand, one shuffle —
+    // not a union of three scans).
+    QueryDef("q66_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
     // As-of join — each purchase event picks up the user's latest view at
     // or before it (AsOfJoin: union + running-last, ONE shuffle — see the
     // operator for why this beats a range join at scale). The oracle uses

@@ -73,6 +73,37 @@ object TextQueries {
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // The composed curation pipeline: quality gate -> language filter ->
+    // near-exact dedup, one chained DataFrame (gates before the dedup
+    // shuffle). Oracle composes the q46/q47/q31 fragments identically.
+    QueryDef("q64_curation_pipeline",
+      s"""WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(length(text) AS BIGINT) AS n_chars_m,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','and','a','of'], w))) AS BIGINT) AS n_en
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_words,
+        |         (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |           + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
+        |           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score,
+        |         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |              WHEN CAST(n_en AS DOUBLE) / n_words >= 0.03 THEN 'en'
+        |              ELSE 'unknown' END AS predicted_lang
+        |  FROM f),
+        |g AS (SELECT * FROM q WHERE quality_score >= 0.55 AND predicted_lang = 'en'),
+        |d AS (SELECT doc_id, lang, n_words, quality_score,
+        |             min(doc_id) OVER (PARTITION BY md5(${TextOps.normalizedSql})) AS canonical_id
+        |      FROM g)
+        |SELECT doc_id, lang, n_words, quality_score
+        |FROM d WHERE doc_id = canonical_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.curate(Tables.documents(s, dir), 0.55, "en").orderBy("doc_id")
+    },
+
     // TF-IDF top-3 terms per document (log-free idf ratio — see
     // TextAnalysis.tfidfTopK for the cross-engine exactness rationale).
     QueryDef("q61_tfidf",

@@ -74,6 +74,17 @@ class JdbcUpsertSpec extends AnyFunSuite {
     assert(cap.lastSql.contains("PRIMARY KEY (device, measure_name)"))
   }
 
+  test("target with a URL-capturing factory survives closure serialization (executor-side contract)") {
+    val url = "jdbc:postgresql://db:5432/modvalues"
+    val target = new JdbcUpsert.Target(
+      () => java.sql.DriverManager.getConnection(url))
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(target)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+    assert(back.isInstanceOf[JdbcUpsert.Target])
+  }
+
   test("partition writes chunk the statement batch at batchSize (executor memory bound)") {
     val cap = new Capture
     val target = new JdbcUpsert.Target(() => cap.connection, batchSize = 2)
