@@ -236,6 +236,26 @@ object RelationalQueries {
         .sort(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
+    // Exact interpolated percentiles per group (both engines use the
+    // (n-1)p rank + linear interpolation definition; quantity is integral
+    // so the interpolation arithmetic is exact). Exact percentile buffers
+    // sort per group — right for low-cardinality keys like these 3 flags;
+    // for high-cardinality groups at 100 TB use approx_percentile
+    // (t-digest, mergeable map-side) and accept the documented error.
+    QueryDef("q67_percentiles",
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // CUBE over (returnflag, linestatus) with GROUPING markers — the
     // full multi-dimensional aggregate beside q27's ROLLUP; grouping
     // flags disambiguate subtotal rows from genuine NULL keys.
