@@ -122,6 +122,17 @@ object IngestPipeline {
     * dimension batch-side and lands as myPV_online=0 upserts.
     */
   def watchdogQuery(withServer: DataFrame, deviceDim: Seq[(String, String)],
+                    target: UpsertTarget, trigger: Trigger): StreamingQuery = {
+    import withServer.sparkSession.implicits._
+    watchdogQuery(withServer, deviceDim.toDF("device", "server"), target, trigger)
+  }
+
+  /** The (device, server) dim as a DataFrame — the production form, fed
+    * directly by the config plane (`ConfigFiles.devicePoints(...)
+    * .select(col("daq_name").as("device"), col("server"))`) with no
+    * driver collect anywhere on the path.
+    */
+  def watchdogQuery(withServer: DataFrame, deviceDim: DataFrame,
                     target: UpsertTarget,
                     trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     ServerWatchdog.silenceEvents(withServer)
@@ -131,9 +142,8 @@ object IngestPipeline {
         import spark.implicits._
         // broadcast the (device, server) dim against the silence events:
         // the fan-out join and the writes run on the executors
-        val dim = deviceDim.toDF("device", "server")
         val rows = batch.toDF()
-          .join(broadcast(dim), Seq("server"))
+          .join(broadcast(deviceDim.select("device", "server")), Seq("server"))
           .select(col("device"),
             lit(CurrentValues.OnlineMeasure).as("measure_name"),
             lit(0.0).as("tag_value"),

@@ -74,4 +74,23 @@ class ControlPlaneSpec extends SparkSpec {
       assert(handle.currentQuery != null && handle.currentQuery.isActive)
     } finally handle.close()
   }
+
+  test("browse job under the registry: G1 BFS guarded by G2 admission, as in the reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val reg = new graft.operators.BrowseJobRegistry(
+      java.nio.file.Files.createTempDirectory("browse_g1g2").toFile)
+    val nodes = Seq(
+      ("r", null.asInstanceOf[String], "Root"),
+      ("a", "r", "Device A"), ("b", "r", "Device B"))
+      .toDF("id", "parent_id", "text")
+    val url = "opc.tcp://site:4840"
+    // the reference's BrowseService.run: browse executes iff admitted
+    val first = reg.run(url)(graft.operators.NodeTree.bfs(nodes).count())
+    assert(first.contains(3L))
+    assert(reg.status(url).contains(graft.operators.BrowseJobRegistry.Completed))
+    // a second browse of the same connection is admitted after completion
+    assert(reg.run(url)(graft.operators.NodeTree.bfs(nodes)
+      .filter(col("depth") === lit(1)).count()).contains(2L))
+  }
 }
