@@ -19,7 +19,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val targets = if (args.nonEmpty) args.toSeq else Seq(
       "q01_gates", "q07_current_values", "q20_pricing_summary", "q22_nation_revenue",
-      "q28_asof_view", "q32_minhash_signatures", "q35_jaccard_topk", "q42_ann_lsh_topk")
+      "q28_asof_view", "q32_minhash_signatures", "q35_jaccard_topk", "q42_ann_lsh_topk",
+      "q59_ann_lsh_multi", "q60_neardup_lsh", "q61_tfidf", "q64_curation_pipeline")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.explainString(
