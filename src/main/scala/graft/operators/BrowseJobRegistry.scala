@@ -27,11 +27,14 @@ final class BrowseJobRegistry(markerDir: File,
   private def markerFor(connectionUrl: String): File = {
     // filename-safe key, same intent as the reference's sanitized temp
     // name; the readable URL part is truncated so a long connection URL
-    // can't exceed filesystem name limits — the hash keeps it unique
-    val sanitized = connectionUrl.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
-    new File(markerDir, "browse_" +
-      java.lang.Integer.toHexString(connectionUrl.hashCode) + "_" +
-      sanitized + ".inprogress")
+    // can't exceed filesystem name limits — a FULL-WIDTH md5 of the url
+    // keeps the name collision-free (32-bit hashCode would let two
+    // distinct connections alias to one marker and block each other)
+    val sanitized = connectionUrl.replaceAll("[^A-Za-z0-9._-]", "_").take(48)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(connectionUrl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new File(markerDir, "browse_" + digest + "_" + sanitized + ".inprogress")
   }
 
   /** Atomically claim the job. Returns false if a browse of this
@@ -53,9 +56,20 @@ final class BrowseJobRegistry(markerDir: File,
         if (marker.createNewFile()) true
         else {
           val age = System.currentTimeMillis() - marker.lastModified()
-          // stale leak from a dead JVM: reclaim (delete + retry once)
-          if (age > staleAfterMillis && marker.delete() && marker.createNewFile()) true
-          else { rollback(); false }
+          // Stale leak from a dead JVM: reclaim ATOMICALLY by renaming the
+          // stale marker to a name unique to this claimant — rename is
+          // atomic on POSIX, so if two processes race the reclaim, only
+          // one renameTo succeeds and the loser rolls back (a bare
+          // delete+create pair would let both win). staleAfterMillis must
+          // exceed the worst-case browse duration, as the owner does not
+          // refresh the marker (reference temp-file semantics: browses
+          // are short).
+          val claim = new File(marker.getPath + "." +
+            java.util.UUID.randomUUID().toString + ".reclaim")
+          if (age > staleAfterMillis && marker.renameTo(claim)) {
+            claim.delete()
+            if (marker.createNewFile()) true else { rollback(); false }
+          } else { rollback(); false }
         }
       } catch {
         // e.g. IOException from the filesystem — don't leak the

@@ -116,16 +116,25 @@ object Similarity {
                    tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val buckets = lshBucketsMulti(embeddings, tables, planesPerTable)
-    val withBucket = embeddings.join(buckets, Seq("vec_id"))
-    val q = withBucket.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("t"), col("bucket"))
-    val cand = withBucket.join(broadcast(q), Seq("t", "bucket"))
+    // candidates carry BARE ids through the cross-table dedup — shuffling
+    // the 64-double embeddings through that exchange would dominate its
+    // cost at corpus scale; vectors and their once-computed norms join
+    // back afterwards (same shape as nearDupPairsLsh)
+    val q = buckets.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val cand = buckets.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .dropDuplicates("q_id", "vec_id")
-    val scored = cand
-      .withColumn("cosine", NativeVectorOps.cosine(embD("q_emb"), embD("embedding")))
+      .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    val e = embD("embedding")
+    val qe = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), e.as("q_emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("q_norm"))
+    val de = embeddings.select(col("vec_id"), e.as("d_emb"),
+      sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
+    val scored = cand.join(broadcast(qe), Seq("q_id")).join(de, Seq("vec_id"))
+      .withColumn("cosine",
+        NativeVectorOps.dot(col("q_emb"), col("d_emb")) /
+          (col("q_norm") * col("d_norm")))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))

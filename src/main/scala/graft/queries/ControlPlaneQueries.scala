@@ -19,14 +19,17 @@ object ControlPlaneQueries {
 
   /** Deterministic config fixture (the reference's
     * `sos_templates_opcua.json` / `site_devices.json` shapes,
-    * `Services/OpcSubscribeService.cs:472-480`) written fresh per call so
-    * q58 exercises the REAL file loader; the oracle is the equivalent
-    * VALUES list.
+    * `Services/OpcSubscribeService.cs:472-480`) so q58 exercises the REAL
+    * file loader; the oracle is the equivalent VALUES list. Written ONCE
+    * per JVM into a process-private temp dir — a fixed shared path would
+    * race concurrent graft processes (truncate-then-write is not atomic,
+    * and FAILFAST would abort the reader), and rewriting per call would
+    * put driver file IO inside the timed bench pass.
     */
-  private[graft] def writeConfigFixture(): String = {
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_config_fixture")
-    java.nio.file.Files.createDirectories(dir)
+  private[graft] lazy val configFixtureDir: String = writeConfigFixture()
+
+  private def writeConfigFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_config_fixture")
     val templates =
       """{
         |  "inverter": {
@@ -82,10 +85,14 @@ object ControlPlaneQueries {
     QueryDef("q16_aes_roundtrip",
       """SELECT s_suppkey, s_name AS roundtrip FROM supplier
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      // typed functions API with lit(key), never string-built expr(): the
+      // key is env-file-sourced (arbitrary content), so interpolation
+      // could break parsing or inject SQL — and lit keeps it redactable
       Tables.supplier(s, dir)
         .select(col("s_suppkey"),
-          expr(s"decode(aes_decrypt(aes_encrypt(encode(s_name, 'UTF-8'), " +
-            s"'$AesKey', 'CBC'), '$AesKey', 'CBC'), 'UTF-8')").as("roundtrip"))
+          decode(aes_decrypt(
+            aes_encrypt(encode(col("s_name"), "UTF-8"), lit(AesKey), lit("CBC")),
+            lit(AesKey), lit("CBC")), "UTF-8").as("roundtrip"))
         .orderBy("s_suppkey")
     },
 
@@ -208,7 +215,7 @@ object ControlPlaneQueries {
         |     scale_mode, slope, "offset", value_min, value_max, target_min, target_max, node_id)
         |ORDER BY daq_name, measure_name""".stripMargin) { (s, _) =>
       import graft.sources.ConfigFiles
-      val dir = writeConfigFixture()
+      val dir = configFixtureDir
       val templates = ConfigFiles.loadTemplates(s, s"$dir/sos_templates_opcua.json")
       val devices = ConfigFiles.loadSiteDevices(s, s"$dir/site_devices.json")
       ConfigFiles.devicePoints(devices, templates)

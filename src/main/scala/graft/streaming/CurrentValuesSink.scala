@@ -106,6 +106,11 @@ object CurrentValuesSink {
     }
 
     def snapshot: Seq[ModRow] = table.values.asScala.toSeq
+
+    /** Release this instance's table from the process-wide registry (the
+      * registry would otherwise retain it for the life of the JVM).
+      */
+    def close(): Unit = InMemoryTarget.tables.remove(id)
   }
 
   object InMemoryTarget {

@@ -87,7 +87,11 @@ object JdbcUpsert {
         body(conn)
         conn.commit()
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          // a rollback on a dead connection throws too — keep the ORIGINAL
+          // write failure as the propagated cause, not the rollback noise
+          try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
       } finally conn.close()
     }
 

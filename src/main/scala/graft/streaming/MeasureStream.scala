@@ -42,13 +42,19 @@ object MeasureStream {
   }
 
   /** T8 — late/duplicate handling (`SURVEY.md §2.8`): bound state with an
-    * event-time watermark, then drop duplicate notifications on the natural
-    * key within it. The reference relies on the OPC queue + staleness gate
+    * event-time watermark, then drop duplicate notifications within it.
+    * The dedup key includes the PAYLOAD (raw_value, status_ok), not just
+    * (device, measure, ts): a true duplicate is a redelivered notification
+    * with identical content, while two values sharing a timestamp are a
+    * correction — collapsing those here would pick an arbitrary survivor
+    * and defeat the sink's deterministic dequeue-order tiebreak
+    * (event_seq). The reference relies on the OPC queue + staleness gate
     * only; this is the streaming-native hardening.
     */
   def watermarkDedup(df: DataFrame, delay: String = "60 seconds"): DataFrame =
     df.withWatermark("source_ts", delay)
-      .dropDuplicatesWithinWatermark("device", "measure_name", "source_ts")
+      .dropDuplicatesWithinWatermark(
+        "device", "measure_name", "source_ts", "raw_value", "status_ok")
 
   /** F1/F2/F3 gates in streaming form. The staleness gate compares against
     * the ingest clock (`current_timestamp()`), matching the reference's

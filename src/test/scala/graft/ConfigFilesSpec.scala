@@ -10,7 +10,7 @@ import graft.sources.ConfigFiles
   */
 class ConfigFilesSpec extends SparkSpec {
 
-  private lazy val dir = graft.queries.ControlPlaneQueries.writeConfigFixture()
+  private lazy val dir = graft.queries.ControlPlaneQueries.configFixtureDir
 
   test("templates load with scaling defaults applied (S3)") {
     val t = ConfigFiles.loadTemplates(spark, s"$dir/sos_templates_opcua.json")

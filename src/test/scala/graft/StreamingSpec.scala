@@ -84,6 +84,11 @@ class StreamingSpec extends SparkSpec {
       input.addData(e)    // duplicate across batches, within watermark
       query.processAllAvailable()
       assert(spark.table("dedup_t").count() == 1)
+      // a same-timestamp CORRECTION (different value) is NOT a duplicate —
+      // it must survive to the sink, whose event_seq tiebreak orders it
+      input.addData(e.copy(raw_value = 2.0))
+      query.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 2)
     } finally query.stop()
   }
 
