@@ -36,6 +36,33 @@ object Storage {
   def readMeasureHistory(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact ONE day partition of the history: rewrite it as
+    * `targetFiles` files, rows sorted by (device, source_ts) within each
+    * file. Streaming appends leave a long tail of small files (one per
+    * micro-batch × partition) that dominates scan open-cost at 100 TB;
+    * compaction merges them and the device sort makes the parquet
+    * row-group min/max stats selective for per-device reads. The rewrite
+    * goes to a sibling temp dir first and swaps in via rename, so a
+    * failure mid-compact never corrupts the live partition.
+    */
+  def compactDay(spark: SparkSession, path: String, day: String,
+                 targetFiles: Int = 1): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dayDir = s"$path/day=$day"
+    val tmpDir = s"$path/.day=$day.compacting"
+    spark.read.parquet(dayDir)
+      .repartition(targetFiles)
+      .sortWithinPartitions("device", "source_ts")
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    val live = Paths.get(dayDir)
+    val stale = Paths.get(s"$path/.day=$day.old")
+    Files.move(live, stale, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmpDir), live, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the replaced files
+    Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
   /** Save a device-keyed table bucketed by device: co-located with every
     * other table written through this helper with the same bucket count,
     * so device-keyed joins/MERGEs between them are exchange-free.

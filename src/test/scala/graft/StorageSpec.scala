@@ -57,4 +57,32 @@ class StorageSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS devices_b")
     }
   }
+
+  test("compactDay merges the small-file tail into sorted files, preserving the data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val events = (1 to 400).map(i =>
+      (s"dev-${i % 7}", "temp", i.toDouble,
+        java.sql.Timestamp.valueOf(f"2024-03-01 10:${i % 60}%02d:00")))
+      .toDF("device", "measure_name", "raw_value", "source_ts")
+    // simulate the streaming small-file tail: 8 files in the partition
+    Storage.writeMeasureHistory(events.repartition(8), path)
+    def dayFiles = new java.io.File(s"$path/day=2024-03-01")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dayFiles.length == 8)
+    val before = Storage.readMeasureHistory(spark, path)
+      .orderBy("device", "source_ts", "raw_value").collect().toSeq
+
+    Storage.compactDay(spark, path, "2024-03-01", targetFiles = 1)
+    assert(dayFiles.length == 1)
+    val after = Storage.readMeasureHistory(spark, path)
+      .orderBy("device", "source_ts", "raw_value").collect().toSeq
+    assert(after == before) // lossless rewrite
+    // rows inside the compacted file are device-sorted (stats-selective)
+    val devices = spark.read.parquet(s"$path/day=2024-03-01")
+      .select("device").collect().map(_.getString(0)).toSeq
+    assert(devices == devices.sorted)
+    assert(!new java.io.File(path).listFiles().exists(_.getName.contains("compacting")))
+  }
 }
