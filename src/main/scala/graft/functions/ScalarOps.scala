@@ -31,6 +31,25 @@ object ScalarOps {
   def scalePointSlope(v: Column, vmin: Double, vmax: Double, tmin: Double, tmax: Double): Column =
     bround(lit((tmax - tmin) / (vmax - vmin)) * (v - lit(vmin)) + lit(tmin), 3)
 
+  /** Column-parameter form (bounds from a config dim row): same ratio-
+    * first association as the literal form and the reference.
+    */
+  def scalePointSlope(v: Column, vmin: Column, vmax: Column,
+                      tmin: Column, tmax: Column): Column =
+    bround((tmax - tmin) / (vmax - vmin) * (v - vmin) + tmin, 3)
+
+  /** Per-point auto-scaling dispatched on the template's scale_mode
+    * (reference `Services/OpcSubscribeService.cs:565-576`: SlopeIntercept
+    * or PointSlope per monitored point). Rows carry the mode and its
+    * parameters from the config dim; unknown/missing mode falls back to
+    * the identity (slope 1, offset 0), like the reference defaults.
+    */
+  def scaleByMode(v: Column, mode: Column, slope: Column, offset: Column,
+                  vmin: Column, vmax: Column, tmin: Column, tmax: Column): Column =
+    when(mode === "point_slope", scalePointSlope(v, vmin, vmax, tmin, tmax))
+      .otherwise(scaleSlopeIntercept(v,
+        coalesce(slope, lit(1.0)), coalesce(offset, lit(0.0))))
+
   /** C4 — the reference's `last_updated` text format
     * `yyyy-MM-ddTHH:mm:ss.ffffff` UTC (`Services/OpcSubscribeService.cs:555`).
     * Session TZ must be UTC (pinned in build.sbt / Verify).

@@ -127,7 +127,32 @@ object CurrentValuesSink {
     * fallback for sources that carry no sequence.
     */
   def applyBatch(batch: DataFrame, target: UpsertTarget, scaleSlope: Double,
-                 scaleOffset: Double): Unit = {
+                 scaleOffset: Double): Unit =
+    applyBatchWith(batch, target,
+      graft.functions.ScalarOps.scaleSlopeIntercept(col("raw_value"), scaleSlope, scaleOffset))
+
+  /** Per-POINT auto-scaling, the reference's actual semantics
+    * (`Services/OpcSubscribeService.cs:565-576`: each monitored point
+    * scales by its template's scale_mode + parameters). `scaling` is the
+    * config dim — e.g. `ConfigFiles.devicePoints(...)` with columns
+    * (device, measure_name, scale_mode, slope, offset, value_min,
+    * value_max, target_min, target_max) — broadcast-joined per batch;
+    * points with no config row fall back to the identity scale.
+    */
+  def applyBatchScaled(batch: DataFrame, target: UpsertTarget,
+                       scaling: DataFrame): Unit = {
+    val joined = batch.join(
+      broadcast(scaling.select("device", "measure_name", "scale_mode",
+        "slope", "offset", "value_min", "value_max", "target_min", "target_max")),
+      Seq("device", "measure_name"), "left_outer")
+    applyBatchWith(joined, target,
+      graft.functions.ScalarOps.scaleByMode(col("raw_value"), col("scale_mode"),
+        col("slope"), col("offset"), col("value_min"), col("value_max"),
+        col("target_min"), col("target_max")))
+  }
+
+  private def applyBatchWith(batch: DataFrame, target: UpsertTarget,
+                             measureValue: org.apache.spark.sql.Column): Unit = {
     import batch.sparkSession.implicits._
     if (batch.isEmpty) return
     val withId =
@@ -136,8 +161,7 @@ object CurrentValuesSink {
       else batch.withColumn("event_id", monotonically_increasing_id())
     val latest = CurrentValues.lastValuePerKey(withId)
       .withColumn("tag_value", bround(col("raw_value"), 3))
-      .withColumn("measure_value",
-        graft.functions.ScalarOps.scaleSlopeIntercept(col("raw_value"), scaleSlope, scaleOffset))
+      .withColumn("measure_value", measureValue)
       .withColumn("last_updated",
         graft.functions.ScalarOps.lastUpdatedString(col("source_ts")))
       .select("device", "measure_name", "tag_value", "measure_value", "last_updated")
@@ -156,6 +180,18 @@ object CurrentValuesSink {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, target, slope, offset)
+      }
+
+  /** Production writer: per-point scaling from the config dim (see
+    * [[applyBatchScaled]]), the full reference semantics.
+    */
+  def writerScaled(gated: DataFrame, target: UpsertTarget, scaling: DataFrame,
+                   trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
+    gated.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatchScaled(batch, target, scaling)
       }
 
   /** K1 seed + K3 startup reset (`Services/OpcSubscribeService.cs:656-713,

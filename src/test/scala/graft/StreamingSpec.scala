@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("per-point auto-scaling from the config dim (C1/C2 streaming parity)") {
+    val target = new InMemoryTarget
+    val scaling = Seq(
+      ("d1", "temp", "slope_intercept", 2.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      ("d1", "pct", "point_slope", 1.0, 0.0, 0.0, 10.0, 0.0, 100.0))
+      .toDF("device", "measure_name", "scale_mode", "slope", "offset",
+        "value_min", "value_max", "target_min", "target_max")
+    val t = ts("2024-01-01 00:00:01")
+    val batch = Seq(
+      ("d1", "temp", 4.0, t, true, 1L),
+      ("d1", "pct", 2.5, t, true, 2L),
+      ("d1", "unconfigured", 7.0, t, true, 3L))
+      .toDF("device", "measure_name", "raw_value", "source_ts", "status_ok", "event_seq")
+    CurrentValuesSink.applyBatchScaled(batch, target, scaling)
+    val byMeasure = target.snapshot.map(r => r.measure_name -> r.measure_value).toMap
+    assert(byMeasure("temp") == 9.0)  // C1: 4*2 + 1
+    assert(byMeasure("pct") == 25.0)  // C2: (100-0)/(10-0) * (2.5-0) + 0
+    assert(byMeasure("unconfigured") == 7.0) // no config row → identity
+  }
+
   test("seed + reset + heartbeat lifecycle (K1/K3/K4)") {
     val target = new InMemoryTarget
     CurrentValuesSink.seedAndReset(
