@@ -72,6 +72,41 @@ object ReferenceQueries {
         .orderBy("event_id")
     },
 
+    // C1+C2 — per-POINT scaling dispatched on the template's scale_mode
+    // (the reference scales each monitored point by its own config,
+    // `Services/OpcSubscribeService.cs:565-576`); unconfigured points
+    // fall back to the identity. Streaming twin: applyBatchScaled.
+    QueryDef("q68_scale_by_mode",
+      M + """, cfg AS (SELECT * FROM (VALUES
+        |  ('click', 'slope_intercept', CAST(0.1 AS DOUBLE), CAST(-2.0 AS DOUBLE),
+        |   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+        |  ('view', 'point_slope', CAST(1 AS DOUBLE), CAST(0 AS DOUBLE),
+        |   CAST(0 AS DOUBLE), CAST(200 AS DOUBLE), CAST(0 AS DOUBLE), CAST(100 AS DOUBLE)))
+        |  AS t(measure_name, scale_mode, slope, "offset", value_min, value_max,
+        |       target_min, target_max))
+        |SELECT event_id, device, measure_name,
+        |       CASE WHEN scale_mode = 'point_slope'
+        |            THEN round_even((target_max - target_min) / (value_max - value_min)
+        |                            * (raw_value - value_min) + target_min, 3)
+        |            ELSE round_even(raw_value * coalesce(slope, 1.0)
+        |                            + coalesce("offset", 0.0), 3) END AS measure_value
+        |FROM measures LEFT JOIN cfg USING (measure_name)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cfg = Seq(
+        ("click", "slope_intercept", 0.1, -2.0, 0.0, 0.0, 0.0, 0.0),
+        ("view", "point_slope", 1.0, 0.0, 0.0, 200.0, 0.0, 100.0))
+        .toDF("measure_name", "scale_mode", "slope", "offset",
+          "value_min", "value_max", "target_min", "target_max")
+      Tables.measures(s, dir)
+        .join(broadcast(cfg), Seq("measure_name"), "left_outer")
+        .select(col("event_id"), col("device"), col("measure_name"),
+          ScalarOps.scaleByMode(col("raw_value"), col("scale_mode"),
+            col("slope"), col("offset"), col("value_min"), col("value_max"),
+            col("target_min"), col("target_max")).as("measure_value"))
+        .orderBy("event_id")
+    },
+
     // A3 — last-value-per-key (the modvalues argmax).
     QueryDef("q05_last_value",
       M + s"""SELECT device, measure_name, raw_value AS tag_value, event_id,
