@@ -56,19 +56,30 @@ final class BrowseJobRegistry(markerDir: File,
         if (marker.createNewFile()) true
         else {
           val age = System.currentTimeMillis() - marker.lastModified()
-          // Stale leak from a dead JVM: reclaim ATOMICALLY by renaming the
-          // stale marker to a name unique to this claimant — rename is
-          // atomic on POSIX, so if two processes race the reclaim, only
-          // one renameTo succeeds and the loser rolls back (a bare
-          // delete+create pair would let both win). staleAfterMillis must
-          // exceed the worst-case browse duration, as the owner does not
-          // refresh the marker (reference temp-file semantics: browses
-          // are short).
+          // Stale leak from a dead JVM: reclaim by renaming the stale
+          // marker to a name unique to this claimant — the rename is
+          // exclusive (the source vanishes), so of the processes racing
+          // a reclaim only one wins the FILE. The age check is not atomic
+          // with the rename, though: a slow loser can rename the winner's
+          // FRESH replacement marker — so after winning the rename, check
+          // the claimed file's own mtime and hand it back if it turns out
+          // fresh. staleAfterMillis must exceed the worst-case browse
+          // duration, as the owner does not refresh the marker (reference
+          // temp-file semantics: browses are short).
+          sweepLeakedClaims()
           val claim = new File(marker.getPath + "." +
             java.util.UUID.randomUUID().toString + ".reclaim")
           if (age > staleAfterMillis && marker.renameTo(claim)) {
-            claim.delete()
-            if (marker.createNewFile()) true else { rollback(); false }
+            val claimedAge = System.currentTimeMillis() - claim.lastModified()
+            if (claimedAge <= staleAfterMillis) {
+              // we stole a live owner's marker in the race window above —
+              // restore it (or drop our copy if a newer one already exists)
+              if (!claim.renameTo(marker)) claim.delete()
+              rollback(); false
+            } else {
+              claim.delete()
+              if (marker.createNewFile()) true else { rollback(); false }
+            }
           } else { rollback(); false }
         }
       } catch {
@@ -78,6 +89,17 @@ final class BrowseJobRegistry(markerDir: File,
       }
     }
   }
+
+  /** A claimant that dies between rename and delete leaves its .reclaim
+    * file behind forever (nothing else generates that name) — sweep ones
+    * old enough that their owner is certainly gone.
+    */
+  private def sweepLeakedClaims(): Unit =
+    Option(markerDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.endsWith(".reclaim") &&
+        System.currentTimeMillis() - f.lastModified() > staleAfterMillis)
+        f.delete()
+    }
 
   /** Mark success and release the marker. */
   def complete(connectionUrl: String): Unit = {

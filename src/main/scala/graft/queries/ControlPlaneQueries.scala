@@ -30,6 +30,10 @@ object ControlPlaneQueries {
 
   private def writeConfigFixture(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_config_fixture")
+    // per-JVM dir: remove it on exit so repeated runs don't accumulate
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }))
     val templates =
       """{
         |  "inverter": {

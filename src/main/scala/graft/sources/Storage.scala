@@ -41,26 +41,44 @@ object Storage {
     * file. Streaming appends leave a long tail of small files (one per
     * micro-batch × partition) that dominates scan open-cost at 100 TB;
     * compaction merges them and the device sort makes the parquet
-    * row-group min/max stats selective for per-device reads. The rewrite
-    * goes to a sibling temp dir first and swaps in via rename, so a
-    * failure mid-compact never corrupts the live partition.
+    * row-group min/max stats selective for per-device reads.
+    *
+    * The rewrite lands in a sibling temp dir, then swaps in with two
+    * renames through the Hadoop FileSystem API (works on local, HDFS and
+    * object stores alike — never java.nio, which only exists on the
+    * driver's local disk). The swap itself is two renames, not one atomic
+    * operation: a crash between them leaves the partition moved aside,
+    * which the NEXT compactDay call detects and restores before doing
+    * anything else — so a crashed compaction is self-healing, but readers
+    * racing the swap can observe a brief empty window. Run compaction in
+    * a maintenance window, or use a table format (Delta/Iceberg) where
+    * the swap is a metadata commit, when readers can't be paused.
     */
   def compactDay(spark: SparkSession, path: String, day: String,
                  targetFiles: Int = 1): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dayDir = s"$path/day=$day"
-    val tmpDir = s"$path/.day=$day.compacting"
-    spark.read.parquet(dayDir)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new Path(s"$path/day=$day")
+    val tmp = new Path(s"$path/.day=$day.compacting")
+    val old = new Path(s"$path/.day=$day.old")
+    // recover from a previous crash: live moved aside, replacement never
+    // landed → put the original back; a leftover .old beside a live dir
+    // is a completed swap whose cleanup failed → just remove it
+    if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    else if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    spark.read.parquet(live.toString)
       .repartition(targetFiles)
       .sortWithinPartitions("device", "source_ts")
-      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
-    val live = Paths.get(dayDir)
-    val stale = Paths.get(s"$path/.day=$day.old")
-    Files.move(live, stale, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmpDir), live, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the replaced files
-    Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compactDay: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore before failing
+      throw new java.io.IOException(s"compactDay: cannot land $tmp")
+    }
+    fs.delete(old, true) // best-effort; next call cleans a leftover
   }
 
   /** Save a device-keyed table bucketed by device: co-located with every

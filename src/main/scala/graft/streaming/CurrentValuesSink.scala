@@ -134,32 +134,37 @@ object CurrentValuesSink {
   /** Per-POINT auto-scaling, the reference's actual semantics
     * (`Services/OpcSubscribeService.cs:565-576`: each monitored point
     * scales by its template's scale_mode + parameters). `scaling` is the
-    * config dim — e.g. `ConfigFiles.devicePoints(...)` with columns
-    * (device, measure_name, scale_mode, slope, offset, value_min,
-    * value_max, target_min, target_max) — broadcast-joined per batch;
-    * points with no config row fall back to the identity scale.
+    * config dim with columns (device|daq_name, measure_name, scale_mode,
+    * slope, offset, value_min, value_max, target_min, target_max) —
+    * `ConfigFiles.devicePoints(...)` output works as-is. It joins in
+    * AFTER the per-key reduction (one row per key, not per event), so
+    * the config columns never widen the reduction shuffle; points with
+    * no config row fall back to the identity scale.
     */
   def applyBatchScaled(batch: DataFrame, target: UpsertTarget,
                        scaling: DataFrame): Unit = {
-    val joined = batch.join(
-      broadcast(scaling.select("device", "measure_name", "scale_mode",
-        "slope", "offset", "value_min", "value_max", "target_min", "target_max")),
-      Seq("device", "measure_name"), "left_outer")
-    applyBatchWith(joined, target,
+    val named =
+      if (scaling.columns.contains("device")) scaling
+      else scaling.withColumnRenamed("daq_name", "device")
+    val dim = named.select("device", "measure_name", "scale_mode",
+      "slope", "offset", "value_min", "value_max", "target_min", "target_max")
+    applyBatchWith(batch, target,
       graft.functions.ScalarOps.scaleByMode(col("raw_value"), col("scale_mode"),
         col("slope"), col("offset"), col("value_min"), col("value_max"),
-        col("target_min"), col("target_max")))
+        col("target_min"), col("target_max")),
+      latest => latest.join(broadcast(dim), Seq("device", "measure_name"), "left_outer"))
   }
 
   private def applyBatchWith(batch: DataFrame, target: UpsertTarget,
-                             measureValue: org.apache.spark.sql.Column): Unit = {
+                             measureValue: org.apache.spark.sql.Column,
+                             enrich: DataFrame => DataFrame = identity): Unit = {
     import batch.sparkSession.implicits._
     if (batch.isEmpty) return
     val withId =
       if (batch.columns.contains("event_seq"))
         batch.withColumn("event_id", col("event_seq"))
       else batch.withColumn("event_id", monotonically_increasing_id())
-    val latest = CurrentValues.lastValuePerKey(withId)
+    val latest = enrich(CurrentValues.lastValuePerKey(withId))
       .withColumn("tag_value", bround(col("raw_value"), 3))
       .withColumn("measure_value", measureValue)
       .withColumn("last_updated",

@@ -133,9 +133,11 @@ class StreamingSpec extends SparkSpec {
       .repartition(2)
     (1 to 3).foreach { _ =>
       val target = new InMemoryTarget
-      CurrentValuesSink.applyBatch(batch, target, 1.0, 0.0)
-      assert(target.snapshot == Seq(ModRow("d1", "temp", 2.0, 2.0,
-        "2024-01-01T00:00:05.000000")))
+      try {
+        CurrentValuesSink.applyBatch(batch, target, 1.0, 0.0)
+        assert(target.snapshot == Seq(ModRow("d1", "temp", 2.0, 2.0,
+          "2024-01-01T00:00:05.000000")))
+      } finally target.close()
     }
   }
 
@@ -152,11 +154,18 @@ class StreamingSpec extends SparkSpec {
       ("d1", "pct", 2.5, t, true, 2L),
       ("d1", "unconfigured", 7.0, t, true, 3L))
       .toDF("device", "measure_name", "raw_value", "source_ts", "status_ok", "event_seq")
-    CurrentValuesSink.applyBatchScaled(batch, target, scaling)
-    val byMeasure = target.snapshot.map(r => r.measure_name -> r.measure_value).toMap
-    assert(byMeasure("temp") == 9.0)  // C1: 4*2 + 1
-    assert(byMeasure("pct") == 25.0)  // C2: (100-0)/(10-0) * (2.5-0) + 0
-    assert(byMeasure("unconfigured") == 7.0) // no config row → identity
+    try {
+      CurrentValuesSink.applyBatchScaled(batch, target, scaling)
+      val byMeasure = target.snapshot.map(r => r.measure_name -> r.measure_value).toMap
+      assert(byMeasure("temp") == 9.0)  // C1: 4*2 + 1
+      assert(byMeasure("pct") == 25.0)  // C2: (100-0)/(10-0) * (2.5-0) + 0
+      assert(byMeasure("unconfigured") == 7.0) // no config row → identity
+      // the devicePoints column shape (daq_name) is accepted as-is
+      CurrentValuesSink.applyBatchScaled(batch, target,
+        scaling.withColumnRenamed("device", "daq_name"))
+      assert(target.snapshot.map(r => r.measure_name -> r.measure_value)
+        .toMap.apply("temp") == 9.0)
+    } finally target.close()
   }
 
   test("seed + reset + heartbeat lifecycle (K1/K3/K4)") {
