@@ -107,6 +107,52 @@ object ReferenceQueries {
         .orderBy("event_id")
     },
 
+    // Rate-of-change per point: delta vs the previous value (lag over the
+    // key, event-time ordered) with a spike flag — the alarm shape a
+    // consumer of the current-value table runs downstream. One shuffle on
+    // the key, same partitioning as every other keyed op here.
+    QueryDef("q69_rate_of_change",
+      M + """SELECT event_id, device, measure_name,
+        |       raw_value - lag(raw_value) OVER
+        |         (PARTITION BY device, measure_name ORDER BY source_ts, event_id) AS delta,
+        |       CAST(abs(raw_value - lag(raw_value) OVER
+        |         (PARTITION BY device, measure_name ORDER BY source_ts, event_id)) > 100
+        |         AS INT) AS spike
+        |FROM measures
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("device", "measure_name").orderBy(col("source_ts"), col("event_id"))
+      Tables.measures(s, dir)
+        .select(col("event_id"), col("device"), col("measure_name"),
+          (col("raw_value") - lag(col("raw_value"), 1).over(w)).as("delta"))
+        .withColumn("spike", (abs(col("delta")) > 100).cast(IntegerType))
+        .orderBy("event_id")
+    },
+
+    // Time-RANGE sliding window: each event's trailing-1-hour mean per
+    // key (RANGE BETWEEN, not row counts — late-dense bursts weight
+    // correctly). Decimal sum / count keeps the mean engine-exact.
+    QueryDef("q70_sliding_hour_mean",
+      M + s"""SELECT event_id, device, measure_name,
+        |       CAST(SUM(CAST(raw_value AS DECIMAL(18,3))) OVER
+        |              (PARTITION BY device, measure_name ORDER BY epoch_us(source_ts)
+        |               RANGE BETWEEN $hourUs PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / COUNT(*) OVER
+        |              (PARTITION BY device, measure_name ORDER BY epoch_us(source_ts)
+        |               RANGE BETWEEN $hourUs PRECEDING AND CURRENT ROW) AS hour_mean
+        |FROM measures
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("device", "measure_name")
+        .orderBy(unix_micros(col("source_ts")))
+        .rangeBetween(-hourUs, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.measures(s, dir)
+        .select(col("event_id"), col("device"), col("measure_name"),
+          (sum(col("raw_value").cast(DecimalType(18, 3))).over(w).cast(DoubleType)
+            / count(lit(1)).over(w)).as("hour_mean"))
+        .orderBy("event_id")
+    },
+
     // A3 — last-value-per-key (the modvalues argmax).
     QueryDef("q05_last_value",
       M + s"""SELECT device, measure_name, raw_value AS tag_value, event_id,
