@@ -145,6 +145,36 @@ object TextQueries {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // Curriculum difficulty deciles: ntile(10) over the quality score
+    // (deterministic tie-break on doc_id). Exact global ntile needs one
+    // total order — the correctness baseline, like brute-force ANN; at
+    // 100 TB compute approx_percentile cutpoints and broadcast them
+    // instead (one pass, no single-partition window).
+    QueryDef("q71_quality_deciles",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars_m,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |        (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |          + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
+        |          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |      FROM f)
+        |SELECT doc_id, quality_score,
+        |       CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INT) AS decile
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(org.apache.spark.sql.functions.col("quality_score").desc,
+          org.apache.spark.sql.functions.col("doc_id"))
+      TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select("doc_id", "quality_score")
+        .withColumn("decile", org.apache.spark.sql.functions.ntile(10).over(w))
+        .orderBy("doc_id")
+    },
+
     // Multimodal plumbing: binary payload + deterministic metadata.
     QueryDef("q50_multimodal_meta",
       s"""SELECT doc_id AS media_id, 'image' AS modality,

@@ -70,10 +70,18 @@ object IngestPipeline {
       .map(d => valueWriter.option("checkpointLocation", s"$d/values"))
       .getOrElse(valueWriter).start()
 
-    // liveness path: ALL events feed the state machine (bad status and
-    // silence both drive the flag to 0). The per-device reduction and the
-    // writes stay distributed — no driver collect on the event path.
-    val livenessWriter = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
+    val livenessQuery = livenessWriter(g, target, trigger, checkpointDir).start()
+    Handle(valueQuery, livenessQuery)
+  }
+
+  /** The liveness path shared by [[start]] and [[startScaled]]: ALL events
+    * feed the state machine (bad status and silence both drive the flag to
+    * 0). The per-device reduction and the writes stay distributed — no
+    * driver collect on the event path.
+    */
+  private def livenessWriter(g: DataFrame, target: UpsertTarget, trigger: Trigger,
+                             checkpointDir: Option[String]) = {
+    val writer = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
       .writeStream.outputMode("append").trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Liveness.OnlineEvent], _: Long) =>
         import batch.sparkSession.implicits._
@@ -91,10 +99,27 @@ object IngestPipeline {
           (it: Iterator[CurrentValuesSink.ModRow]) => target.upsertPartition(it))
       }
       .queryName("graft-liveness")
-    val livenessQuery = checkpointDir
-      .map(d => livenessWriter.option("checkpointLocation", s"$d/liveness"))
-      .getOrElse(livenessWriter).start()
+    checkpointDir
+      .map(d => writer.option("checkpointLocation", s"$d/liveness"))
+      .getOrElse(writer)
+  }
 
+  /** [[start]] with per-POINT auto-scaling from the config dim (the
+    * reference's actual semantics — each monitored point scales by its
+    * template's scale_mode): the value path goes through
+    * [[CurrentValuesSink.writerScaled]], everything else is identical.
+    */
+  def startScaled(raw: DataFrame, target: UpsertTarget, scaling: DataFrame,
+                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                  checkpointDir: Option[String] = None): Handle = {
+    val g = gated(raw)
+    val valueWriter = CurrentValuesSink
+      .writerScaled(Gates.qualityGate(g), target, scaling, trigger)
+      .queryName("graft-values")
+    val valueQuery = checkpointDir
+      .map(d => valueWriter.option("checkpointLocation", s"$d/values"))
+      .getOrElse(valueWriter).start()
+    val livenessQuery = livenessWriter(g, target, trigger, checkpointDir).start()
     Handle(valueQuery, livenessQuery)
   }
 

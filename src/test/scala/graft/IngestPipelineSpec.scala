@@ -45,6 +45,29 @@ class IngestPipelineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("startScaled: per-point scale_mode scaling end-to-end through the pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MeasureEvent]
+    val target = new InMemoryTarget
+    val scaling = Seq(
+      ("d1", "temp", "slope_intercept", 2.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      ("d1", "pct", "point_slope", 1.0, 0.0, 0.0, 10.0, 0.0, 100.0))
+      .toDF("device", "measure_name", "scale_mode", "slope", "offset",
+        "value_min", "value_max", "target_min", "target_max")
+    val handle = IngestPipeline.startScaled(input.toDF(), target, scaling,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    try {
+      input.addData(
+        MeasureEvent("d1", "temp", 4.0, ts("2024-01-01 00:00:01"), status_ok = true),
+        MeasureEvent("d1", "pct", 2.5, ts("2024-01-01 00:00:01"), status_ok = true))
+      handle.processAllAvailable()
+      val byMeasure = target.snapshot
+        .map(r => r.measure_name -> r.measure_value).toMap
+      assert(byMeasure("temp") == 9.0)   // C1 per-point: 4*2 + 1
+      assert(byMeasure("pct") == 25.0)   // C2 per-point: 10x range remap
+    } finally { handle.stop(); target.close() }
+  }
+
   test("heartbeat query bumps last_updated only for online devices (K4/T1)") {
     import graft.streaming.CurrentValuesSink.ModRow
     val target = new InMemoryTarget
