@@ -1,8 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Materialization: each query is written to the `noop` datasource, which
+  * consumes every output row in full. Timing `.count()` (rounds 1–3) let
+  * Catalyst prune the projections under test — map-only queries (scaling
+  * arithmetic, regexes, hashes) degenerated to a row-count scan and the
+  * bench was blind to regressions in exactly the per-row operators the
+  * engine exists to run. Round-4 numbers are therefore NOT comparable to
+  * earlier rounds (methodology break, see README).
   *
   * Each query warms up IMMEDIATELY before its timed pass (codegen
   * compilation + JIT are one-time constants, irrelevant to steady-state
@@ -11,10 +19,15 @@ import org.apache.spark.sql.SparkSession
   * drift accumulated across the ~50 intervening warmups (q01 measured
   * 0.47 s → 3.21 s between rounds with unchanged code that way).
   *
-  * A failing query fails the bench loudly — swallowing the exception
-  * would record a -1-turned-fast time for a broken query.
+  * A failing query still fails the bench (non-zero exit) but only after
+  * the JSON line is emitted with the error recorded — a broken query
+  * must leave a diagnosable artifact, not abort the whole run silently.
   */
 object Bench {
+  /** Force full materialization of every output column. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,16 +39,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = queries.map { case (name, fn) =>
-      fn(spark, sfDir).count() // warm this query's codegen/JIT, untimed
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      name -> (System.nanoTime() - t0) / 1e9
+    val times = Vector.newBuilder[(String, Double)]
+    val errors = Vector.newBuilder[(String, String)]
+    queries.foreach { case (name, fn) =>
+      try {
+        materialize(fn(spark, sfDir)) // warm this query's codegen/JIT, untimed
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        times += name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Exception =>
+          errors += name -> e.toString.take(300).replaceAll("[\"\\\\\\n]", " ")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ts = times.result()
+    val es = errors.result()
+    val qs = ts.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = es.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = ts.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (es.nonEmpty) sys.exit(1)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.TextAnalysis
 
 /** Throwaway profiling harness (not part of the library surface). */
 object Scratch {
@@ -14,29 +14,27 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def t(name: String)(f: => Long): Unit = {
-      val s = System.nanoTime(); val n = f
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - s) / 1e9}%8.2f s  ($n rows)")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val scored = TextAnalysis.qualityScore(Tables.documents(spark, dir))
+        .select("doc_id", "quality_score").filter(!col("doc_id").isin(1L, 2L, 3L))
+      val n = scored.count()
+      val ps = (1 to 9).map(_ / 10.0)
+      val cuts = scored
+        .agg(percentile_approx(col("quality_score"),
+          typedLit(ps.toArray), lit(1000000)).as("cuts"))
+        .head().getSeq[Double](0)
+      val sorted = scored.orderBy("quality_score").select("quality_score")
+        .collect().map(_.getDouble(0))
+      println(s"[scratch] dir=$dir n=$n")
+      ps.zip(cuts).foreach { case (p, c) =>
+        // 1-based ranks of this cutpoint value in the asc-sorted corpus
+        val lo = sorted.indexWhere(_ == c) + 1
+        val hi = sorted.lastIndexWhere(_ == c) + 1
+        println(f"[scratch] p=$p%.1f cut=$c%.17g rankRange=[$lo,$hi] " +
+          f"ceil(p*n)=${math.ceil(p * n).toLong} floor(p*n)=${math.floor(p * n).toLong} " +
+          f"ceil(p*(n+1))=${math.ceil(p * (n + 1)).toLong} round(p*n)=${math.round(p * n)}")
+      }
     }
-    val docs = Tables.documents(spark, dir)
-    t("docs.count")(docs.count())
-    t("words+shingles3 no distinct") {
-      docs.withColumn("ws", graft.functions.TextOps.words(col("text")))
-        .withColumn("shingle", explode(graft.functions.TextOps.shingles3("ws")))
-        .count()
-    }
-    t("shingles (distinct)")(Dedup.shingles(docs).count())
-    t("shingles again")(Dedup.shingles(docs).count())
-    t("sizes")(Dedup.shingles(docs).groupBy("doc_id").count().count())
-    t("jaccardTopK full")(Dedup.jaccardTopK(docs, 10L, 5).count())
-    t("jaccardTopK again")(Dedup.jaccardTopK(docs, 10L, 5).count())
-    t("minhashWide")(Dedup.minhashWide(docs, 16).count())
-    t("q32 signatures")(Dedup.minhashSignatures(docs, 16).orderBy("doc_id", "perm").count())
-    t("q32 again")(Dedup.minhashSignatures(docs, 16).orderBy("doc_id", "perm").count())
-    t("lsh pairs")(Dedup.lshCandidatePairs(Dedup.minhashWide(docs, 16), 2, 16).count())
-    t("lsh pairs again")(Dedup.lshCandidatePairs(Dedup.minhashWide(docs, 16), 2, 16).count())
-    Dedup.lshCandidatePairs(Dedup.minhashWide(docs, 16), 2, 16).explain("formatted")
     spark.stop()
   }
 }

@@ -43,10 +43,16 @@ object ScalarOps {
     * or PointSlope per monitored point). Rows carry the mode and its
     * parameters from the config dim; unknown/missing mode falls back to
     * the identity (slope 1, offset 0), like the reference defaults.
+    *
+    * A point_slope row with a degenerate range (value_max = value_min,
+    * incl. both NULL/missing coalesced to 0 by ConfigFiles) would divide
+    * by zero and write NaN/Infinity into the current-values table — such
+    * malformed config rows fall back to the identity path instead.
     */
   def scaleByMode(v: Column, mode: Column, slope: Column, offset: Column,
                   vmin: Column, vmax: Column, tmin: Column, tmax: Column): Column =
-    when(mode === "point_slope", scalePointSlope(v, vmin, vmax, tmin, tmax))
+    when(mode === "point_slope" && vmax =!= vmin,
+      scalePointSlope(v, vmin, vmax, tmin, tmax))
       .otherwise(scaleSlopeIntercept(v,
         coalesce(slope, lit(1.0)), coalesce(offset, lit(0.0))))
 

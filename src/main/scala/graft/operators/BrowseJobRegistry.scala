@@ -24,6 +24,27 @@ final class BrowseJobRegistry(markerDir: File,
 
   private val jobs = new ConcurrentHashMap[String, JobStatus]()
 
+  // Owner token per in-flight claim: the marker FILE carries the claimant's
+  // UUID, and release/reclaim verify it before deleting — so a process that
+  // stalls past staleAfterMillis (its marker reclaimed and re-created by
+  // another claimant) cannot delete the NEW owner's marker on its way out.
+  // Mutual exclusion across processes remains BEST-EFFORT after a crash:
+  // the age check and the token write are not atomic with marker creation,
+  // so a reclaim racing a fresh claim can still double-admit for one window
+  // — size staleAfterMillis well above the worst-case browse duration (the
+  // reference's temp-file marker has the same contract,
+  // `Helpers/OpcuaBrowse.cs:162-173`).
+  private val ownerTokens = new ConcurrentHashMap[String, String]()
+
+  private def writeToken(f: File, token: String): Unit =
+    java.nio.file.Files.write(f.toPath,
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readToken(f: File): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => None }
+
   private def markerFor(connectionUrl: String): File = {
     // filename-safe key, same intent as the reference's sanitized temp
     // name; the readable URL part is truncated so a long connection URL
@@ -52,8 +73,14 @@ final class BrowseJobRegistry(markerDir: File,
         if (prior == null) jobs.remove(connectionUrl)
         else jobs.put(connectionUrl, prior)
       val marker = markerFor(connectionUrl)
+      val token = java.util.UUID.randomUUID().toString
+      def claimed(): Boolean = { // marker created by us — stamp ownership
+        writeToken(marker, token)
+        ownerTokens.put(connectionUrl, token)
+        true
+      }
       try {
-        if (marker.createNewFile()) true
+        if (marker.createNewFile()) claimed()
         else {
           val age = System.currentTimeMillis() - marker.lastModified()
           // Stale leak from a dead JVM: reclaim by renaming the stale
@@ -78,7 +105,7 @@ final class BrowseJobRegistry(markerDir: File,
               rollback(); false
             } else {
               claim.delete()
-              if (marker.createNewFile()) true else { rollback(); false }
+              if (marker.createNewFile()) claimed() else { rollback(); false }
             }
           } else { rollback(); false }
         }
@@ -101,17 +128,27 @@ final class BrowseJobRegistry(markerDir: File,
         f.delete()
     }
 
-  /** Mark success and release the marker. */
+  /** Delete the marker only if this registry's claim still owns it — a
+    * reclaimed-and-recreated marker (we overran staleAfterMillis) belongs
+    * to the new claimant and must survive our release.
+    */
+  private def releaseMarker(connectionUrl: String): Unit = {
+    val marker = markerFor(connectionUrl)
+    val ours = Option(ownerTokens.remove(connectionUrl))
+    if (ours.isDefined && readToken(marker) == ours) marker.delete()
+  }
+
+  /** Mark success and release the marker (if still ours). */
   def complete(connectionUrl: String): Unit = {
-    markerFor(connectionUrl).delete()
+    releaseMarker(connectionUrl)
     jobs.put(connectionUrl, Completed)
   }
 
   /** Mark failure (kept queryable, as the reference surfaces job errors to
-    * the REST caller) and release the marker.
+    * the REST caller) and release the marker (if still ours).
     */
   def fail(connectionUrl: String, error: String): Unit = {
-    markerFor(connectionUrl).delete()
+    releaseMarker(connectionUrl)
     jobs.put(connectionUrl, Failed(error))
   }
 

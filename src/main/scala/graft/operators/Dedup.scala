@@ -147,13 +147,15 @@ object Dedup {
       .join(broadcast(q), Seq("shingle"))
       .filter(col("d_id") =!= col("q_id"))
       .groupBy("q_id", "d_id").agg(count(lit(1)).as("common"))
-    // Size lookups: the query-side sizes are tiny; the corpus-side sizes
-    // are one row per doc — broadcast at test SF. (At 100 TB the d_id join
-    // falls back to a shuffle hash join; it is keyed and partial-agg'd.)
+    // Size lookups: the query-side sizes are tiny and broadcast; the
+    // corpus-side sizes are one row per doc, so that join carries NO hint —
+    // AQE broadcasts it while it fits and falls back to a shuffle hash
+    // join at corpus scale (a forced broadcast() would ship the full dim
+    // to every executor or OOM — it never falls back).
     val joined = inter
       .join(broadcast(sizes.filter(col("doc_id") < queryMaxId)
         .select(col("doc_id").as("q_id"), col("sz").as("sz_q"))), Seq("q_id"))
-      .join(broadcast(sizes.select(col("doc_id").as("d_id"), col("sz").as("sz_d"))), Seq("d_id"))
+      .join(sizes.select(col("doc_id").as("d_id"), col("sz").as("sz_d")), Seq("d_id"))
       .withColumn("jaccard",
         col("common").cast(DoubleType) / (col("sz_q") + col("sz_d") - col("common")))
       .select("q_id", "d_id", "jaccard")

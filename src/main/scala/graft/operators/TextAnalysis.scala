@@ -149,6 +149,35 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_words", "quality_score")
   }
 
+  /** Curriculum quality deciles, the SCALE form (q71's exact global
+    * `ntile` is the small-SF correctness twin, like brute-force ANN beside
+    * LSH): decile cutpoints come from ONE `percentile_approx` aggregation
+    * — a GK sketch that partial-aggregates map-side, so the only exchange
+    * is sketch-sized — broadcast back as a 9-element array, then a single
+    * codegen'd pass assigns `decile = buckets − #{cutpoints below score}`.
+    * No global sort, no single-partition window, corpus never re-shuffles.
+    *
+    * Exactness contract: with `accuracy ≥ n` the sketch retains every
+    * sample (compression needs g_i+g_{i+1}+δ < 2·n/accuracy < 2, and every
+    * g ≥ 1), so each cutpoint is exactly the order statistic at ascending
+    * rank `ceil(p·n)` — measured against Spark 4.1 and reproduced by the
+    * q72 oracle. At 100 TB, accuracy bounds the cutpoint rank error to
+    * n/accuracy rows — the deciles stay correct to a vanishing fraction.
+    */
+  def qualityDecilesApprox(docs: DataFrame, buckets: Int = 10,
+                           accuracy: Int = 1000000): DataFrame = {
+    val scored = qualityScore(docs).select("doc_id", "quality_score")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = scored.agg(percentile_approx(col("quality_score"),
+      typedLit(ps.toArray), lit(accuracy)).as("cuts"))
+    val below = (0 until buckets - 1)
+      .map(i => when(col("quality_score") > col("cuts").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", (lit(buckets) - below).cast(IntegerType))
+      .select("doc_id", "quality_score", "decile")
+  }
+
   /** Rolling polynomial fingerprint over normalized words:
     * h := (h*31 + md5_32(w) mod p) mod p, p = 1e9+7. Order-sensitive (true
     * rolling hash), left fold — reproduced exactly by the oracle's

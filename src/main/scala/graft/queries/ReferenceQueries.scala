@@ -85,7 +85,7 @@ object ReferenceQueries {
         |  AS t(measure_name, scale_mode, slope, "offset", value_min, value_max,
         |       target_min, target_max))
         |SELECT event_id, device, measure_name,
-        |       CASE WHEN scale_mode = 'point_slope'
+        |       CASE WHEN scale_mode = 'point_slope' AND value_max <> value_min
         |            THEN round_even((target_max - target_min) / (value_max - value_min)
         |                            * (raw_value - value_min) + target_min, 3)
         |            ELSE round_even(raw_value * coalesce(slope, 1.0)

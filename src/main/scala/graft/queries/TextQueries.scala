@@ -134,7 +134,8 @@ object TextQueries {
         |bg AS (SELECT doc_id, unnest(${TextOps.bigramsSql(W)}) AS bg
         |       FROM documents),
         |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
-        |bstat AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+        |bstat AS (SELECT doc_id, MAX(c) AS top_bigram,
+        |                 CAST(SUM(c) AS BIGINT) AS n_bigrams
         |          FROM bgc GROUP BY doc_id)
         |SELECT doc_id, n_words, n_distinct,
         |       1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_ratio,
@@ -173,6 +174,40 @@ object TextQueries {
         .select("doc_id", "quality_score")
         .withColumn("decile", org.apache.spark.sql.functions.ntile(10).over(w))
         .orderBy("doc_id")
+    },
+
+    // The SCALE form of q71: cutpoint deciles from one percentile_approx
+    // aggregation (broadcast back; no global sort / single-partition
+    // window). In the accuracy ≥ n regime the sketch is exact and each
+    // cutpoint is the order statistic at asc rank ceil(p*n) — which is
+    // what the oracle computes via row_number (measured: floor/round/
+    // ceil(p*(n+1)) variants are each refuted by some corpus size).
+    QueryDef("q72_deciles_scalable",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars_m,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |        (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |          + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
+        |          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |      FROM f),
+        |r AS (SELECT quality_score,
+        |             row_number() OVER (ORDER BY quality_score) AS rn,
+        |             COUNT(*) OVER () AS n
+        |      FROM q),
+        |cuts AS (SELECT r.quality_score AS cut
+        |         FROM (SELECT unnest(range(1, 10)) AS i) i
+        |         JOIN r ON r.rn = CAST(ceil((i.i / 10.0) * r.n) AS BIGINT))
+        |SELECT q.doc_id, q.quality_score,
+        |       CAST(10 - SUM(CASE WHEN q.quality_score > c.cut THEN 1 ELSE 0 END) AS INT) AS decile
+        |FROM q CROSS JOIN cuts c
+        |GROUP BY q.doc_id, q.quality_score
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityDecilesApprox(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Multimodal plumbing: binary payload + deterministic metadata.

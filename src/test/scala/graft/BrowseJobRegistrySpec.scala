@@ -88,6 +88,28 @@ class BrowseJobRegistrySpec extends AnyFunSuite {
     assert(!dir.listFiles().exists(_.getName.endsWith(".inprogress")))
   }
 
+  test("a stalled owner's release cannot delete the reclaiming claimant's marker") {
+    val dir = tmpDir()
+    val url = "opc.tcp://slow:4840"
+    val slow = new BrowseJobRegistry(dir, staleAfterMillis = 60 * 1000L)
+    assert(slow.tryStart(url)) // then overruns staleAfterMillis...
+
+    val marker = dir.listFiles().find(_.getName.endsWith(".inprogress")).get
+    assert(marker.setLastModified(System.currentTimeMillis() - 2 * 60 * 1000L))
+    val reclaimer = new BrowseJobRegistry(dir, staleAfterMillis = 60 * 1000L)
+    assert(reclaimer.tryStart(url)) // reclaims the "leaked" marker
+
+    // ...and finally finishes: its owner token no longer matches, so the
+    // reclaimer's marker must survive and keep excluding other claimants
+    slow.complete(url)
+    assert(dir.listFiles().exists(_.getName.endsWith(".inprogress")))
+    val third = new BrowseJobRegistry(dir, staleAfterMillis = 60 * 1000L)
+    assert(!third.tryStart(url))
+    reclaimer.complete(url) // the true owner's release does delete it
+    assert(!dir.listFiles().exists(_.getName.endsWith(".inprogress")))
+    assert(third.tryStart(url))
+  }
+
   test("very long connection URLs produce filesystem-safe marker names") {
     val dir = tmpDir()
     val reg = new BrowseJobRegistry(dir)

@@ -30,6 +30,20 @@ class ScalarOpsSpec extends SparkSpec {
     assert(eval1(ScalarOps.scalePointSlope(lit(100.0), 0, 100, -1, 1)) == 1.0)
   }
 
+  test("scaleByMode: degenerate point_slope range falls back to identity, not NaN") {
+    def byMode(v: Double, mode: String, vmin: Double, vmax: Double): Double =
+      eval1(ScalarOps.scaleByMode(lit(v), lit(mode), lit(null).cast("double"),
+        lit(null).cast("double"), lit(vmin), lit(vmax), lit(0.0), lit(100.0)))
+        .asInstanceOf[Double]
+    // healthy range scales normally
+    assert(byMode(100.0, "point_slope", 0.0, 200.0) == 50.0)
+    // vmax == vmin (incl. ConfigFiles' missing-bounds 0.0 coalesce) would
+    // divide by zero — malformed config rows write the identity instead
+    assert(byMode(7.125, "point_slope", 0.0, 0.0) == 7.125)
+    assert(byMode(7.125, "point_slope", 3.0, 3.0) == 7.125)
+    assert(!byMode(7.125, "point_slope", 0.0, 0.0).isNaN)
+  }
+
   test("lastUpdatedString: microsecond ISO text, UTC (C4)") {
     val s = eval1(ScalarOps.lastUpdatedString(
       to_timestamp(lit("2024-08-07 01:02:03.123456"))))
