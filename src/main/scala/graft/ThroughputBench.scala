@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.MeasureSourceProvider
-import graft.streaming.{CurrentValuesSink, IngestPipeline}
+import graft.streaming.{CurrentValuesSink, IngestPipeline, JdbcUpsert}
 
 /** Streaming ingest throughput: events/second through the FULL pipeline
   * (source → gates → watermark dedup → value sink + liveness state
@@ -11,11 +11,56 @@ import graft.streaming.{CurrentValuesSink, IngestPipeline}
   * transactions per value on one connection (BASELINE.md "write
   * amplification") — this measures the Spark rebuild's equivalent
   * end-to-end number on the same single node. Prints one JSON line.
+  *
+  * SPARK_GRAFT_TPUT_TARGET selects the sink:
+  *  - memory (default): [[CurrentValuesSink.InMemoryTarget]]
+  *  - jdbc_stub: the production [[JdbcUpsert.Target]] — real prepared
+  *    statements, batching and transaction discipline, executor-side —
+  *    against a no-op JDBC endpoint, i.e. everything but the database's
+  *    own round-trip latency (no DB server ships in this container; the
+  *    prod target is Postgres). The number is the pipeline+sink-code
+  *    ceiling: a real database can only lower it, and the reference's
+  *    per-value-transaction design is bound at ~2 round-trips/value
+  *    regardless of its server's speed.
   */
 object ThroughputBench {
+
+  /** No-op JDBC endpoint (reflective proxies, same technique as
+    * JdbcUpsertSpec): swallows writes, counts batched rows.
+    */
+  object NoOpJdbc {
+    val rowsWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def stub[T](clazz: Class[T])(pf: PartialFunction[String, AnyRef]): T =
+      java.lang.reflect.Proxy.newProxyInstance(clazz.getClassLoader, Array(clazz),
+        (_, m, _) => {
+          if (pf.isDefinedAt(m.getName)) pf(m.getName)
+          else m.getReturnType match {
+            case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+            case java.lang.Integer.TYPE => Integer.valueOf(0)
+            case _ => null
+          }
+        }).asInstanceOf[T]
+
+    def connection(): java.sql.Connection = {
+      val prepared = stub(classOf[java.sql.PreparedStatement]) {
+        case "addBatch" => rowsWritten.incrementAndGet(); null
+        case "executeBatch" => Array.empty[Int]
+        case "executeUpdate" => Integer.valueOf(0)
+      }
+      stub(classOf[java.sql.Connection]) {
+        case "prepareStatement" => prepared
+        case "createStatement" => stub(classOf[java.sql.Statement]) {
+          case "execute" => java.lang.Boolean.TRUE
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val seconds = sys.env.getOrElse("SPARK_GRAFT_TPUT_SECONDS", "20").toInt
+    val targetMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_TARGET", "memory")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,7 +78,10 @@ object ThroughputBench {
         if (e.progress.id == valueQueryId) inputRows.addAndGet(e.progress.numInputRows)
     })
 
-    val target = new CurrentValuesSink.InMemoryTarget
+    val target: CurrentValuesSink.UpsertTarget = targetMode match {
+      case "jdbc_stub" => new JdbcUpsert.Target(() => NoOpJdbc.connection())
+      case _ => new CurrentValuesSink.InMemoryTarget
+    }
     val raw = spark.readStream
       .format(classOf[MeasureSourceProvider].getName)
       .option("nDevices", 1000).option("nMeasures", 10)
@@ -51,7 +99,11 @@ object ThroughputBench {
       handle.stop()
       val rows = inputRows.get()
       val eps = rows / elapsed
-      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"table_rows":${target.snapshot.size}}""")
+      val sinkRows = target match {
+        case m: CurrentValuesSink.InMemoryTarget => m.snapshot.size.toLong
+        case _ => NoOpJdbc.rowsWritten.get()
+      }
+      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","sink_rows":$sinkRows}""")
     }
     spark.stop()
   }
