@@ -1,0 +1,186 @@
+package graft.control
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{BrowseJobRegistry, DtoMapping}
+import graft.operators.DtoMapping.{BrowseExclusionFolder, ConnectionDto, ConnectionEntity}
+
+/** The reference's client-config control plane
+  * (`Controllers/ClientController.cs:22-87`) as a thin service over the
+  * already-verified parts: [[DtoMapping]] (K6) maps DTOs ⇄ entity rows
+  * incl. the AES-256-CBC password leg, the entity/folder tables persist
+  * as JSON files in the sos-config directory, and — because
+  * [[graft.streaming.ConfigReload]] watches that directory — every
+  * successful mutation IS the reference's `ReloadPolling()`: the file
+  * write trips the watcher, which stops and relaunches the subscription
+  * from freshly-read config (`Services/OpcSubscribeService.cs:79-98`).
+  *
+  * Driver-side by design, like the K5 browse sink: client-connection sets
+  * are control-plane sized (tens of rows), while the mapping itself runs
+  * through Spark so the AES/flatten semantics are exactly the oracled
+  * q57 path.
+  */
+final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
+                         registry: BrowseJobRegistry,
+                         browseJob: String => Unit = _ => ()) {
+
+  import ControlPlane._
+
+  configDir.mkdirs()
+  private val entitiesFile = new File(configDir, "connections.json")
+  private val foldersFile = new File(configDir, "exclusion_folders.json")
+
+  // ---- persistence: the two EF-shaped tables as JSON lines ----
+
+  private def readFile(f: File): Seq[String] =
+    if (!f.exists()) Seq.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+
+  /** Atomic replace (temp + move): the ConfigReload watcher and any
+    * concurrent reader see either the old or the new config, never a
+    * torn write.
+    */
+  private def writeFile(f: File, lines: Seq[String]): Unit = {
+    val tmp = File.createTempFile(f.getName, ".tmp", configDir)
+    Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def entities(): Dataset[ConnectionEntity] = {
+    import spark.implicits._
+    val lines = readFile(entitiesFile)
+    if (lines.isEmpty) spark.emptyDataset[ConnectionEntity]
+    else spark.read.schema(StoredEntitySchema).option("mode", "FAILFAST")
+      .json(spark.createDataset(lines))
+      .withColumn("encryptedPassword", unbase64(col("encryptedPassword")))
+      .as[ConnectionEntity]
+  }
+
+  private def folders(): Dataset[BrowseExclusionFolder] = {
+    import spark.implicits._
+    val lines = readFile(foldersFile)
+    if (lines.isEmpty) spark.emptyDataset[BrowseExclusionFolder]
+    else spark.read.schema(FolderSchema).option("mode", "FAILFAST")
+      .json(spark.createDataset(lines)).as[BrowseExclusionFolder]
+  }
+
+  private def persist(dtos: Seq[ConnectionDto]): Unit = {
+    import spark.implicits._
+    val (ents, flds) = DtoMapping.toEntities(spark.createDataset(dtos), aesKey)
+    writeFile(entitiesFile,
+      ents.toDF().withColumn("encryptedPassword", base64(col("encryptedPassword")))
+        .orderBy("id").toJSON.collect().toSeq)
+    writeFile(foldersFile, flds.toDF().orderBy("id").toJSON.collect().toSeq)
+  }
+
+  // ---- ClientController surface ----
+
+  /** GET config/get: entity rows joined + flattened back to DTOs with the
+    * password decrypted (`ClientController.cs:70-87`).
+    */
+  def list(): Seq[ConnectionDto] =
+    DtoMapping.toDto(entities(), folders(), aesKey).collect().toSeq
+      .sortBy(_.id)
+
+  /** POST config/add: false (→ 400) when the id is already taken. */
+  def add(dto: ConnectionDto): Boolean = {
+    val current = list()
+    if (current.exists(_.id == dto.id)) false
+    else { persist(current :+ dto); true }
+  }
+
+  /** PATCH config/update: false (→ 400) when the id does not exist. */
+  def update(dto: ConnectionDto): Boolean = {
+    val current = list()
+    if (!current.exists(_.id == dto.id)) false
+    else { persist(current.map(c => if (c.id == dto.id) dto else c)); true }
+  }
+
+  /** DELETE config/delete/{connectionName}: the reference keys deletion on
+    * the connection name; the K6 entity's handles are its numeric id and
+    * its url, so either is accepted (an all-digits name is an id — urls
+    * contain `://` and can never be all digits). False (→ 400) when
+    * nothing matched.
+    */
+  def delete(connectionName: String): Boolean = {
+    val current = list()
+    val remaining =
+      if (connectionName.forall(_.isDigit) && connectionName.nonEmpty)
+        current.filterNot(_.id == connectionName.toInt)
+      else current.filterNot(_.url == connectionName)
+    if (remaining.size == current.size) false
+    else { persist(remaining); true }
+  }
+
+  // ---- BrowseController surface ----
+
+  /** GET startBrowseJob/{connectionId}: launch the browse as a background
+    * job behind the G2 registry (`BrowseController.cs:18-25` +
+    * `Services/BrowseService.cs:14-41`). Returns whether THIS call was
+    * admitted (the reference always returns Ok; surfacing the dedup is
+    * strictly more informative and the registry still records status).
+    */
+  def startBrowseJob(connectionId: String): Boolean =
+    if (!registry.tryStart(connectionId)) false
+    else {
+      val t = new Thread(() => {
+        try { browseJob(connectionId); registry.complete(connectionId) }
+        catch { case e: Throwable =>
+          registry.fail(connectionId, Option(e.getMessage).getOrElse(e.toString)) }
+      }, s"browse-job-$connectionId")
+      t.setDaemon(true)
+      t.start()
+      true
+    }
+
+  def browseStatus(connectionId: String): Option[BrowseJobRegistry.JobStatus] =
+    registry.status(connectionId)
+
+  // ---- DTO JSON codec (via Spark, FAILFAST like the S3 loaders) ----
+
+  /** Parse one request body; None → malformed (→ 400). */
+  def parseDto(body: String): Option[ConnectionDto] = {
+    import spark.implicits._
+    try {
+      val ds = spark.read.schema(DtoSchema).option("mode", "FAILFAST")
+        .json(spark.createDataset(Seq(body)))
+        .withColumn("browseExclusionFolders",
+          coalesce(col("browseExclusionFolders"), array().cast("array<string>")))
+        .as[ConnectionDto]
+      ds.collect().headOption.filter(d => d.url != null && d.username != null)
+    } catch { case _: Exception => None }
+  }
+
+  def renderDtos(dtos: Seq[ConnectionDto]): String = {
+    import spark.implicits._
+    spark.createDataset(dtos).orderBy("id").toJSON.collect()
+      .mkString("[", ",", "]")
+  }
+}
+
+object ControlPlane {
+
+  /** Entity rows as stored on disk (binary password base64-rendered). */
+  private val StoredEntitySchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("url", StringType),
+    StructField("username", StringType),
+    StructField("encryptedPassword", StringType),
+    StructField("timeoutMs", IntegerType), StructField("maxSearch", IntegerType)))
+
+  private val FolderSchema = StructType(Seq(
+    StructField("id", LongType), StructField("opcClientConnectionId", IntegerType),
+    StructField("exclusionFolder", StringType)))
+
+  private val DtoSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("url", StringType),
+    StructField("username", StringType), StructField("password", StringType),
+    StructField("timeoutMs", IntegerType), StructField("maxSearch", IntegerType),
+    StructField("browseExclusionFolders", ArrayType(StringType))))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+import graft.control.{ControlPlane, ControlPlaneHttp}
+import graft.operators.BrowseJobRegistry
+import graft.operators.BrowseJobRegistry.{Completed, Running}
+import graft.streaming.ConfigReload
+
+/** End-to-end control plane over real HTTP: the reference's
+  * ClientController add/update/delete/get flow (DTO ⇄ AES-encrypted
+  * entities on the config-file plane), the implicit ReloadPolling (every
+  * mutation trips a live ConfigReload watcher), and the BrowseController
+  * job start deduped by the G2 registry — all composed, as the r3 verdict
+  * asked ("thin HTTP shim over the control plane").
+  */
+class ControlPlaneHttpSpec extends SparkSpec {
+
+  private val AesKey = "0123456789abcdef0123456789abcdef" // 32-byte AES-256 key
+
+  private def dtoJson(id: Int, url: String, password: String,
+                      timeoutMs: Int, folders: Seq[String]): String =
+    s"""{"id":$id,"url":"$url","username":"svc","password":"$password",
+       |"timeoutMs":$timeoutMs,"maxSearch":100,
+       |"browseExclusionFolders":[${folders.map("\"" + _ + "\"").mkString(",")}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("HTTP: add/update/get/delete with AES round-trip, watcher reload, browse dedup") {
+    val configDir = Files.createTempDirectory("graft-ctrl-cfg").toFile
+    val registry = new BrowseJobRegistry(Files.createTempDirectory("graft-ctrl-mark").toFile)
+    val browseGate = new CountDownLatch(1)
+    val service = new ControlPlane(spark, configDir, AesKey, registry,
+      _ => browseGate.await())
+    val http = new ControlPlaneHttp(service).start()
+    @volatile var launches = 0
+    val watcher = ConfigReload.watch(configDir, pollMs = 100L) { () =>
+      launches += 1
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop").start()
+    }
+    val client = HttpClient.newHttpClient()
+    val base = s"http://127.0.0.1:${http.boundPort}"
+    def send(method: String, path: String, body: String = ""): HttpResponse[String] = {
+      val pub = if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+                else HttpRequest.BodyPublishers.ofString(body)
+      client.send(HttpRequest.newBuilder(URI.create(base + path)).method(method, pub).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // --- ClientController.cs:52-68 add (+ duplicate → 400) ---
+      assert(send("POST", "/api/client/config/add",
+        dtoJson(1, "opc.tcp://plant-a:4840", "s3cret!", 5000, Seq("Views", "Types"))).statusCode == 200)
+      assert(send("POST", "/api/client/config/add",
+        dtoJson(1, "opc.tcp://dup:4840", "x", 1, Nil)).statusCode == 400)
+      assert(send("POST", "/api/client/config/add",
+        dtoJson(2, "opc.tcp://plant-b:4840", "hunter2", 3000, Nil)).statusCode == 200)
+      // malformed body → 400 (FAILFAST parse, S3 loud-failure parity)
+      assert(send("POST", "/api/client/config/add", "{nope").statusCode == 400)
+
+      // --- ClientController.cs:70-87 get: password decrypted, folders flattened ---
+      val got = send("GET", "/api/client/config/get")
+      assert(got.statusCode == 200)
+      assert(got.body.contains("\"password\":\"s3cret!\""))
+      assert(got.body.contains("\"password\":\"hunter2\""))
+      assert(got.body.contains("\"browseExclusionFolders\":[\"Types\",\"Views\"]"))
+      // the stored file holds only ciphertext (the whole point of the AES leg)
+      val stored = new String(Files.readAllBytes(
+        new java.io.File(configDir, "connections.json").toPath))
+      assert(!stored.contains("s3cret!") && !stored.contains("hunter2"))
+
+      // --- ClientController.cs:36-50 update (+ unknown id → 400) ---
+      assert(send("PATCH", "/api/client/config/update",
+        dtoJson(2, "opc.tcp://plant-b:4840", "rotated", 9000, Seq("Secret"))).statusCode == 200)
+      assert(send("PATCH", "/api/client/config/update",
+        dtoJson(99, "opc.tcp://ghost:4840", "x", 1, Nil)).statusCode == 400)
+      val after = send("GET", "/api/client/config/get").body
+      assert(after.contains("\"password\":\"rotated\"") && after.contains("\"timeoutMs\":9000"))
+
+      // --- ClientController.cs:23-34 delete by id-or-name (+ repeat → 400) ---
+      assert(send("DELETE", "/api/client/config/delete/2").statusCode == 200)
+      assert(send("DELETE", "/api/client/config/delete/2").statusCode == 400)
+      assert(!send("GET", "/api/client/config/get").body.contains("plant-b"))
+
+      // --- implicit ReloadPolling: mutations trip the live watcher ---
+      val deadline = System.currentTimeMillis() + 15000
+      while (launches < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(launches >= 2, s"config mutations never relaunched the pipeline ($launches)")
+
+      // --- BrowseController.cs:18-25 + G2 dedup over HTTP ---
+      val b1 = send("GET", "/api/browse/startBrowseJob/conn-1")
+      val b2 = send("GET", "/api/browse/startBrowseJob/conn-1")
+      assert(b1.statusCode == 200 && b2.statusCode == 200)
+      assert(Seq(b1, b2).count(_.body.contains("\"started\":true")) == 1)
+      assert(service.browseStatus("conn-1").contains(Running))
+      browseGate.countDown()
+      val d2 = System.currentTimeMillis() + 10000
+      while (!service.browseStatus("conn-1").contains(Completed) &&
+        System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(service.browseStatus("conn-1").contains(Completed))
+      // job finished → marker released → a new browse is admitted
+      assert(send("GET", "/api/browse/startBrowseJob/conn-1").body.contains("\"started\":true"))
+
+      assert(send("GET", "/api/nope").statusCode == 404)
+    } finally {
+      watcher.close()
+      http.stop()
+    }
+  }
+}
