@@ -131,6 +131,50 @@ object Dedup {
       .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (transitive closure: if
+    * A≈B and B≈C, all three are one duplicate group with one canonical
+    * survivor). Iterative min-label propagation, the standard
+    * large-scale formulation: each round is one keyed join + a
+    * partial-aggregated min per vertex — no global structure, shuffles
+    * keyed by vertex id — and rounds ≈ component diameter, which for
+    * near-dup graphs is small. The driver loop is a bounded fixpoint;
+    * `localCheckpoint` truncates the growing lineage each round so plan
+    * depth (and re-execution on the convergence count) stays constant.
+    * Labels converge to each component's minimum member id, which
+    * doubles as the cluster's canonical document id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("src"), col("label")), Seq("src"))
+        .groupBy("dst").agg(min("label").as("nbr_min"))
+        .select(col("dst").as("v"), col("nbr_min"))
+      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("v"), col("label").as("prev")), Seq("v"))
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds the cap")
+    labels.select(col("v"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard of a small query set (queryPred over doc_id)
     * against the corpus; top-k most similar docs per query. The ratio is a
     * single double division of exact integers — engine-reproducible.

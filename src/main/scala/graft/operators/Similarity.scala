@@ -244,6 +244,24 @@ object Similarity {
       .select("d1", "d2", "cosine")
   }
 
+  /** Near-dup CLUSTERS: the pairs from [[nearDupPairsLsh]] closed
+    * transitively into duplicate groups ([[Dedup.connectedComponents]])
+    * — what a dedup pipeline actually consumes, since keeping "one of
+    * each pair" over-deletes when A≈B≈C. Output one row per clustered
+    * vector: (vec_id, cluster_id = min member id = the canonical
+    * survivor, cluster_size). Vectors with no near-dup are trivially
+    * their own singleton and are omitted.
+    */
+  def nearDupClusters(embeddings: DataFrame, threshold: Double,
+                      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    val pairs = nearDupPairsLsh(embeddings, threshold, tables, planesPerTable)
+      .select("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("v").as("vec_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Embedding near-duplicate pairs among vec_id < maxId: global top-k
     * pairs by cosine (deterministic tie-break). The pair generation is
     * bounded by maxId² — [[nearDupPairsLsh]] is the bucketed form that

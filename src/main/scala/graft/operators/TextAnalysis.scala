@@ -149,6 +149,36 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_words", "quality_score")
   }
 
+  /** Train/eval contamination detection — the decontamination pass every
+    * training pipeline runs before reporting benchmark numbers: an eval
+    * document sharing word-shingles with the train split has leaked. The
+    * split is the q53 deterministic hash split (never random()), overlap
+    * is a shingle-keyed LEFT SEMI join against the distinct train-shingle
+    * dim — both sides shuffle once on the shingle key with map-side
+    * partial aggregation, so 1000 executors shard the train vocabulary
+    * naturally; no broadcast of anything corpus-sized. One row per eval
+    * doc with ≥1 shingle: shared/total shingle counts, the contamination
+    * ratio, and the flag.
+    */
+  def contamination(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    val sh = Dedup.shingles(docs)
+      .withColumn("split",
+        when(TextOps.hash32(col("doc_id").cast(StringType)) % 100 < trainPct, "train")
+          .otherwise("val"))
+    val trainShingles = sh.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val evalShingles = sh.filter(col("split") === "val").select("doc_id", "shingle")
+    val totals = evalShingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = evalShingles.join(trainShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast(DoubleType) / col("n_shingles"))
+          .as("contamination"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast(IntegerType).as("is_contaminated"))
+  }
+
   /** Curriculum quality deciles, the SCALE form (q71's exact global
     * `ntile` is the small-SF correctness twin, like brute-force ANN beside
     * LSH): decile cutpoints come from ONE `percentile_approx` aggregation
@@ -166,7 +196,11 @@ object TextAnalysis {
     */
   def qualityDecilesApprox(docs: DataFrame, buckets: Int = 10,
                            accuracy: Int = 1000000): DataFrame = {
-    val scored = qualityScore(docs).select("doc_id", "quality_score")
+    // both the cutpoint aggregation and the assignment pass consume the
+    // scores — persist the (doc_id, score) projection (16 bytes/row, two
+    // longs next to the corpus) so the regex-heavy feature extraction
+    // scans the documents ONCE, not once per branch
+    val scored = qualityScore(docs).select("doc_id", "quality_score").persist()
     val ps = (1 until buckets).map(_.toDouble / buckets)
     val cuts = scored.agg(percentile_approx(col("quality_score"),
       typedLit(ps.toArray), lit(accuracy)).as("cuts"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.TextOps
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Dedup operator queries over `documents`, each with a DuckDB oracle that
   * reproduces the exact hash arithmetic (md5-32) and fold order.
@@ -112,6 +112,31 @@ object DedupQueries {
         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       Dedup.jaccardTopK(Tables.documents(s, dir), 10L, 5)
         .orderBy("q_id", "rk")
+    },
+
+    // Train/eval contamination: eval docs (q53's deterministic hash
+    // split) sharing any word-shingle with the train split — the
+    // decontamination pass run before reporting benchmark numbers.
+    QueryDef("q74_contamination",
+      shinglesCte +
+        s""",
+        |sp AS (SELECT doc_id, shingle,
+        |              CASE WHEN (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100) < 90
+        |                   THEN 'train' ELSE 'val' END AS split
+        |       FROM sh),
+        |tr AS (SELECT DISTINCT shingle FROM sp WHERE split = 'train'),
+        |te AS (SELECT doc_id, shingle FROM sp WHERE split = 'val'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM te GROUP BY doc_id),
+        |shr AS (SELECT doc_id, COUNT(*) AS n_shared
+        |        FROM te SEMI JOIN tr USING (shingle)
+        |        GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |       CAST(COALESCE(shr.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(COALESCE(shr.n_shared, 0) AS DOUBLE) / tot.n_shingles AS contamination,
+        |       CAST(COALESCE(shr.n_shared, 0) > 0 AS INT) AS is_contaminated
+        |FROM tot LEFT JOIN shr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.contamination(Tables.documents(s, dir), 90).orderBy("doc_id")
     }
   )
 }

@@ -157,6 +157,43 @@ object SimilarityQueries {
         .orderBy("d1", "d2")
     },
 
+    // Near-dup CLUSTERS: q60's bucketed pairs closed transitively into
+    // duplicate groups (min-label connected components) — cluster_id is
+    // the canonical survivor. Oracle walks the same graph with a
+    // recursive CTE (min reachable id ≡ min propagated label).
+    QueryDef("q73_neardup_clusters",
+      eCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        s""",
+        |bvm AS (SELECT vec_id, t, j,
+        |               CASE WHEN ${VectorOps.planeDotSql("emb", "(t * 4 + j)", 64)} > 0
+        |                    THEN (1::BIGINT << j) ELSE 0 END AS bitv
+        |        FROM e, (SELECT unnest(range(0, 8)) AS t) tt,
+        |                (SELECT unnest(range(0, 4)) AS j) jj),
+        |bkm AS (SELECT vec_id, t, CAST(SUM(bitv) AS BIGINT) AS bucket
+        |        FROM bvm GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |         FROM bkm a JOIN bkm b ON a.t = b.t AND a.bucket = b.bucket
+        |                               AND a.vec_id < b.vec_id),
+        |nd AS (SELECT c.d1, c.d2
+        |       FROM cand c JOIN e x ON x.vec_id = c.d1
+        |                   JOIN e y ON y.vec_id = c.d2
+        |       WHERE ${cos("x.emb", "y.emb")} >= 0.40),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |          UNION SELECT d2, d1 FROM nd),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |r(v, label) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT e2.dst, r.label FROM r JOIN edges e2 ON e2.src = r.v),
+        |cc AS (SELECT v, min(label) AS cluster_id FROM r GROUP BY v),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT cc.v AS vec_id, cc.cluster_id, cs.cluster_size
+        |FROM cc JOIN cs USING (cluster_id)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.nearDupClusters(Tables.embeddings(s, dir), 0.40)
+        .orderBy("vec_id")
+    },
+
     // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
     QueryDef("q43_embedding_neardup",
       eCte +

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Dedup family invariants on a tiny hand-built corpus. */
 class DedupSpec extends SparkSpec {
@@ -64,6 +64,34 @@ class DedupSpec extends SparkSpec {
     assert(h(1L) == h(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(h(1L), h(5L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("connectedComponents: transitive closure to min-id labels; disjoint stay disjoint") {
+    // chain 1-2-3-4-5 (diameter 4, needs several propagation rounds),
+    // pair 10-11, and 3-1 closing a cycle — still one component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (3L, 1L))
+      .toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc.size == 7) // vertices with no edges never appear
+  }
+
+  test("contamination: flags are consistent and exact duplicates across the split leak") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextAnalysis.contamination(docs, 90)
+      .select("doc_id", "n_shingles", "n_shared", "contamination", "is_contaminated")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, total, shared, ratio, flag) =>
+      assert(shared >= 0L && shared <= total)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(flag == (if (shared > 0) 1 else 0))
+    }
+    // the fixture corpus has exact duplicate texts (q30), so with a 90/10
+    // split some eval doc shares shingles with train
+    assert(got.exists(_._5 == 1))
   }
 
   test("jaccardTopK: near-dup ranks first for the query, bounded by k") {
