@@ -14,6 +14,25 @@ object TrainingQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Sequence packing: chunk the doc_id-ordered token stream into
+    // 2048-token training sequences via the TWO-PHASE prefix sum
+    // (per-bucket totals -> tiny offset dim -> within-bucket cumsum) —
+    // no corpus-sized single-partition window. The oracle is the naive
+    // global-window formulation: identical integer arithmetic.
+    QueryDef("q75_sequence_packing",
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running_tokens
+        |      FROM t)
+        |SELECT doc_id, n_tokens, running_tokens,
+        |       (running_tokens - 1) // 2048 AS seq_id
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.SequencePack.pack(Tables.documents(s, dir), 2048L)
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val split: bucket = md5-hash of the KEY (never
     // random()), so membership is stable across runs, engines, and
     // re-partitioning — the property that makes a 100 TB split reproducible.

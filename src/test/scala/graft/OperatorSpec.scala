@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, NodeTree, Similarity}
+import graft.operators.{AsOfJoin, NodeTree, SequencePack, Similarity}
 
 /** Specs for the graph/as-of/IVF extension operators. */
 class OperatorSpec extends SparkSpec {
@@ -79,5 +79,29 @@ class OperatorSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
       assert(rows.length <= 5)
     }
+  }
+
+  test("SequencePack: two-phase prefix sum equals the naive global window, bucketSize-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("running_tokens", sum("n_tokens").over(w))
+      .withColumn("seq_id", expr("(running_tokens - 1) div 2048"))
+      .select("doc_id", "n_tokens", "running_tokens", "seq_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val twoPhase = SequencePack.pack(docs, 2048L, bucketSize = 7L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val coarse = SequencePack.pack(docs, 2048L, bucketSize = 100000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(twoPhase == naive)   // exact same integer arithmetic
+    assert(coarse == naive)     // bucket boundaries are invisible
+    // packing invariants: running total strictly increases, seq ids are
+    // non-decreasing and start at 0
+    assert(twoPhase.head._4 == 0L)
+    assert(twoPhase.sliding(2).forall { case Seq(a, b) =>
+      b._3 > a._3 && b._4 >= a._4; case _ => true })
   }
 }
