@@ -11,7 +11,9 @@ package graft.sources
   * `Helpers/OpcuaHelperFunctions.cs:72-136`). No OPC UA library ships in
   * this environment, so [[SimulatedFeed]] is the deterministic stand-in;
   * the Spark-side plumbing (offsets, partitions, admission) is real and is
-  * what the DataSource V2 contract exercises.
+  * what the DataSource V2 contract exercises. The connection LIFECYCLE —
+  * sockets, handshake, drops, backoff reconnect, idempotent resume — is
+  * real too: see [[FeedTransport.SocketMeasureFeed]].
   */
 trait MeasureFeed extends Serializable {
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FeedTransport, SimulatedFeed}
+import graft.sources.FeedTransport.{FeedServer, SocketMeasureFeed}
+
+/** The networked feed transport, end-to-end over real sockets: handshake,
+  * request/response pulls, batch range pulls, and — the part that matters
+  * — connection drops mid-stream answered by backoff reconnect and an
+  * idempotent retry that resumes at the same sequence with no loss and no
+  * duplicates (the transport-level half of S2/T4/T5; the OPC UA wire
+  * format itself remains the documented library gap).
+  */
+class FeedTransportSpec extends AnyFunSuite {
+
+  private def withServer(f: (FeedServer, SimulatedFeed) => Unit): Unit = {
+    val feed = new SimulatedFeed(nDevices = 3, nMeasures = 2,
+      startMicros = 1704067200000000L, intervalMicros = 5000000L, clockTicks = 10L)
+    val server = new FeedServer(feed)
+    try f(server, feed) finally server.close()
+  }
+
+  test("socket pull equals the direct feed: latest, point reads, range reads") {
+    withServer { (server, feed) =>
+      val client = new SocketMeasureFeed("127.0.0.1", server.boundPort)
+      try {
+        assert(client.latest() == feed.latest())
+        (0L until feed.latest()).foreach(i => assert(client.at(i) == feed.at(i)))
+        val direct = (12L until 41L).map(feed.at)
+        assert(client.fetchRange(12L, 41L) == direct)
+        // the log grows (new ticks) and the client sees it without reconnect
+        feed.clockTicks += 5
+        assert(client.latest() == feed.latest())
+      } finally client.close()
+    }
+  }
+
+  test("requests before the HEL handshake are rejected by the server") {
+    withServer { (server, _) =>
+      val raw = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val out = new java.io.PrintWriter(raw.getOutputStream, true)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(raw.getInputStream))
+        out.println("LATEST")
+        assert(in.readLine().startsWith("ERR"))
+        out.println("HEL late")
+        assert(in.readLine() == "ACK")
+        out.println("LATEST")
+        assert(in.readLine().startsWith("SEQ "))
+      } finally raw.close()
+    }
+  }
+
+  test("connection drop: backoff reconnect, idempotent retry, exact resume (T4/T5)") {
+    withServer { (server, feed) =>
+      val client = new SocketMeasureFeed("127.0.0.1", server.boundPort,
+        sleeper = _ => ()) // recorded, not slept
+      try {
+        val before = client.fetchRange(0L, 10L)
+        server.killConnections() // the "server restart"
+        // next pull hits the dead socket, reconnects, retries — same rows
+        val after = client.fetchRange(10L, 20L)
+        assert(after == (10L until 20L).map(feed.at))
+        assert(client.delays.size() >= 1) // at least one backoff delay taken
+        assert(client.delays.get(0) == graft.sources.RetryPolicy.BaseDelaySeconds)
+        // and the union is the contiguous gapless, duplicate-free log
+        val all = before ++ after
+        assert(all == (0L until 20L).map(feed.at))
+      } finally client.close()
+    }
+  }
+
+  test("unreachable server fails loudly after bounded attempts") {
+    val dead = new java.net.ServerSocket(0)
+    val port = dead.getLocalPort
+    dead.close() // nothing listens here any more
+    val client = new SocketMeasureFeed("127.0.0.1", port,
+      maxAttempts = 3, sleeper = _ => ())
+    val e = intercept[java.io.IOException](client.latest())
+    assert(e.getMessage.contains("after 3 attempts"))
+    assert(client.delays.size() == 2) // attempts − 1 sleeps before giving up
+  }
+}
