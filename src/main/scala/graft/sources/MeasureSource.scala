@@ -64,7 +64,11 @@ final class MeasureScan(options: CaseInsensitiveStringMap) extends Scan {
       ticksPerBatch = options.getLong("ticksPerBatch", 1L),
       maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", Long.MaxValue),
       queueCapacity = options.getLong("queueCapacity", 10L),           // T6 QueueSize
-      numPartitions = options.getInt("numPartitions", 4))
+      numPartitions = options.getInt("numPartitions", 4),
+      // socket transport: feed served by a FeedTransport.FeedServer; the
+      // driver polls LATEST, each partition RANGE-pulls its slice
+      feedHost = Option(options.get("feedHost")),
+      feedPort = options.getInt("feedPort", 0))
 }
 
 final case class SeqOffset(seq: Long) extends Offset {
@@ -74,20 +78,26 @@ final case class SeqOffset(seq: Long) extends Offset {
 final class MeasureMicroBatchStream(
     nDevices: Int, nMeasures: Int, startMicros: Long, intervalMicros: Long,
     ticksPerBatch: Long, maxRowsPerTrigger: Long, queueCapacity: Long,
-    numPartitions: Int) extends MicroBatchStream {
+    numPartitions: Int, feedHost: Option[String] = None, feedPort: Int = 0)
+  extends MicroBatchStream {
 
   private val feed = new SimulatedFeed(nDevices, nMeasures, startMicros, intervalMicros, 0L)
+  // socket mode: the SERVER owns the clock; the driver's connection only
+  // polls LATEST (and reconnects through the same backoff as any client)
+  private lazy val remote = feedHost.map(h => new FeedTransport.SocketMeasureFeed(h, feedPort))
   private val perItemRows = nDevices.toLong * nMeasures
 
   override def initialOffset(): Offset = SeqOffset(0L)
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = remote.foreach(_.close())
 
-  override def latestOffset(): Offset = {
-    // each trigger the simulated server produces `ticksPerBatch` more ticks
-    feed.clockTicks += ticksPerBatch
-    SeqOffset(feed.latest())
+  override def latestOffset(): Offset = remote match {
+    case Some(r) => SeqOffset(r.latest())
+    case None =>
+      // each trigger the simulated server produces `ticksPerBatch` more ticks
+      feed.clockTicks += ticksPerBatch
+      SeqOffset(feed.latest())
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -106,7 +116,8 @@ final class MeasureMicroBatchStream(
     (0 until n).flatMap { p =>
       val lo = startSeq + span * p / n
       val hi = startSeq + span * (p + 1) / n
-      if (hi > lo) Some(MeasureRange(lo, hi, nDevices, nMeasures, startMicros, intervalMicros))
+      if (hi > lo) Some(MeasureRange(lo, hi, nDevices, nMeasures, startMicros,
+        intervalMicros, feedHost, feedPort))
       else None
     }.toArray
   }
@@ -114,13 +125,17 @@ final class MeasureMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val r = partition.asInstanceOf[MeasureRange]
-      new MeasureReader(r)
+      r.feedHost match {
+        case Some(h) => new SocketRangeReader(r, h)
+        case None => new MeasureReader(r)
+      }
     }
 }
 
 final case class MeasureRange(
     lo: Long, hi: Long, nDevices: Int, nMeasures: Int,
-    startMicros: Long, intervalMicros: Long) extends InputPartition
+    startMicros: Long, intervalMicros: Long,
+    feedHost: Option[String] = None, feedPort: Int = 0) extends InputPartition
 
 /** Executor-side reader: regenerates its [lo, hi) slice from the pure feed
   * function. A real OPC connector would instead drain a per-executor
@@ -137,4 +152,26 @@ final class MeasureReader(r: MeasureRange) extends PartitionReader[InternalRow] 
     InternalRow(UTF8String.fromString(dev), UTF8String.fromString(m), v, ts, ok, i)
   }
   override def close(): Unit = ()
+}
+
+/** Executor-side reader over the socket transport: ONE RANGE round-trip
+  * pulls the partition's whole [lo, hi) slice (with the client's backoff
+  * reconnect + idempotent retry underneath) — the fetch shape a real
+  * networked connector uses, N partitions = N independent connections.
+  */
+final class SocketRangeReader(r: MeasureRange, host: String)
+    extends PartitionReader[InternalRow] {
+  private val client = new FeedTransport.SocketMeasureFeed(host, r.feedPort)
+  private val rows = client.fetchRange(r.lo, r.hi).iterator
+  private var seq = r.lo - 1
+  private var row: (String, String, Double, Long, Boolean) = _
+  override def next(): Boolean = {
+    if (!rows.hasNext) false
+    else { row = rows.next(); seq += 1; true }
+  }
+  override def get(): InternalRow = {
+    val (dev, m, v, ts, ok) = row
+    InternalRow(UTF8String.fromString(dev), UTF8String.fromString(m), v, ts, ok, seq)
+  }
+  override def close(): Unit = client.close()
 }
