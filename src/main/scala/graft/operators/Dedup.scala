@@ -160,14 +160,17 @@ object Dedup {
         .join(labels.select(col("v").as("src"), col("label")), Seq("src"))
         .groupBy("dst").agg(min("label").as("nbr_min"))
         .select(col("dst").as("v"), col("nbr_min"))
-      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+      // carry the previous label THROUGH the checkpoint so the
+      // convergence count is a scan of the materialized blocks, not a
+      // second corpus-keyed join per round
+      val next = labels.select(col("v"), col("label").as("prev"))
+        .join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("label"),
+          col("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("v"), col("label").as("prev")), Seq("v"))
-        .filter(col("label") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("v", "label")
       i += 1
     }
     require(changed == 0,
