@@ -381,6 +381,23 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
+    },
+
+    // Hot-key aggregation via two-phase salting (SkewTools): splits each
+    // key into 16 salted sub-keys for the partial aggregate, bounding any
+    // one reduce task's volume, then combines. Decimal sums are
+    // associative, so the salted result is EXACTLY the direct GROUP BY —
+    // which is the oracle (salting must be semantics-invariant).
+    QueryDef("q76_salted_agg",
+      """SELECT user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("v_dec", col("value").cast(DecimalType(18, 2)))
+      graft.operators.SkewTools
+        .saltedSum(ev, Seq("user_id"), "v_dec", spread = col("event_id"), buckets = 16)
+        .select(col("user_id"), col("sum_v_dec").cast(DoubleType).as("sum_value"))
+        .orderBy("user_id")
     }
   )
 }
