@@ -82,13 +82,31 @@ object ThroughputBench {
       case "jdbc_stub" => new JdbcUpsert.Target(() => NoOpJdbc.connection())
       case _ => new CurrentValuesSink.InMemoryTarget
     }
-    val raw = spark.readStream
+    // SPARK_GRAFT_TPUT_FEED=socket: the feed lives behind the FeedTransport
+    // server (a ticker advances its clock wall-clock-style) and every
+    // partition RANGE-pulls over its own TCP connection — measures the
+    // full networked-source path, text protocol and all.
+    val feedMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_FEED", "local")
+    val socketServer = if (feedMode != "socket") None else {
+      val feed = new graft.sources.SimulatedFeed(1000, 10,
+        startMicros = 1704067200000000L, intervalMicros = 1000L, clockTicks = 0L)
+      val ticker = new Thread(() => {
+        while (true) { Thread.sleep(100); feed.clockTicks += 2 } // 200k rows/s offered
+      }, "feed-ticker")
+      ticker.setDaemon(true)
+      ticker.start()
+      Some(new graft.sources.FeedTransport.FeedServer(feed))
+    }
+    val rawBase = spark.readStream
       .format(classOf[MeasureSourceProvider].getName)
       .option("nDevices", 1000).option("nMeasures", 10)
       .option("intervalMicros", 1000L)        // 1 ms ticks: heavy offered load
       .option("ticksPerBatch", 20L)           // 200k rows offered per trigger
       .option("queueCapacity", 1000L)
       .option("numPartitions", cpus)
+    val raw = socketServer
+      .map(s => rawBase.option("feedHost", "127.0.0.1").option("feedPort", s.boundPort))
+      .getOrElse(rawBase)
       .load()
     val handle = IngestPipeline.start(raw, target,
       trigger = Trigger.ProcessingTime("0 seconds"))
@@ -103,8 +121,9 @@ object ThroughputBench {
         case m: CurrentValuesSink.InMemoryTarget => m.snapshot.size.toLong
         case _ => NoOpJdbc.rowsWritten.get()
       }
-      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","sink_rows":$sinkRows}""")
+      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","sink_rows":$sinkRows}""")
     }
+    socketServer.foreach(_.close())
     spark.stop()
   }
 }

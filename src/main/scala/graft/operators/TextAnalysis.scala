@@ -212,6 +212,28 @@ object TextAnalysis {
       .select("doc_id", "quality_score", "decile")
   }
 
+  /** Per-group quality quantile cutoffs — the per-domain/per-language
+    * curation thresholds a corpus pipeline applies ("keep the top quartile
+    * of each language", not one global bar that empties low-scoring
+    * domains). One `percentile_approx` aggregation GROUPED by the key:
+    * sketches partial-aggregate map-side and merge per group, so the
+    * exchange carries one sketch per group, never rows. Same exactness
+    * contract as [[qualityDecilesApprox]]: at accuracy ≥ max group size
+    * each cutoff is the group's order statistic at asc rank ceil(p·n_g).
+    */
+  def groupedQuantiles(docs: DataFrame, groupCol: String, probs: Seq[Double],
+                       accuracy: Int = 1000000): DataFrame = {
+    val scored = withQualityFeatures(docs).select(col(groupCol), col("quality_score"))
+    scored.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("quality_score"),
+          typedLit(probs.toArray), lit(accuracy)).as("cuts"))
+      .select(col(groupCol) +: col("n_docs") +:
+        probs.zipWithIndex.map { case (p, i) =>
+          col("cuts").getItem(i).as(s"p${(p * 100).round}")
+        }: _*)
+  }
+
   /** Rolling polynomial fingerprint over normalized words:
     * h := (h*31 + md5_32(w) mod p) mod p, p = 1e9+7. Order-sensitive (true
     * rolling hash), left fold — reproduced exactly by the oracle's

@@ -210,6 +210,37 @@ object TextQueries {
       TextAnalysis.qualityDecilesApprox(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // Per-language quality quartiles (the per-domain curation thresholds):
+    // grouped percentile_approx — one sketch per group crosses the
+    // exchange. Oracle: the group's order statistic at asc rank
+    // ceil(p*n_g), the measured exact-regime semantics (see q72).
+    QueryDef("q77_grouped_quantiles",
+      s"""WITH f AS (
+        |  SELECT doc_id, lang,
+        |         CAST(length(text) AS BIGINT) AS n_chars_m,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |          + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
+        |          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |      FROM f),
+        |r AS (SELECT lang, quality_score,
+        |             row_number() OVER (PARTITION BY lang ORDER BY quality_score) AS rn,
+        |             COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM q)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |       min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN quality_score END) AS p25,
+        |       min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN quality_score END) AS p50,
+        |       min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN quality_score END) AS p75
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.groupedQuantiles(Tables.documents(s, dir), "lang",
+        Seq(0.25, 0.5, 0.75)).orderBy("lang")
+    },
+
     // Multimodal plumbing: binary payload + deterministic metadata.
     QueryDef("q50_multimodal_meta",
       s"""SELECT doc_id AS media_id, 'image' AS modality,
