@@ -49,7 +49,9 @@ object Bench {
         times += name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Exception =>
-          errors += name -> e.toString.take(300).replaceAll("[\"\\\\\\n]", " ")
+          // strip ALL JSON-illegal chars (quotes, backslash, and every
+          // control char incl. \t \r) or the emitted line won't parse
+          errors += name -> e.toString.take(300).replaceAll("[\\x00-\\x1f\"\\\\]", " ")
       }
     }
     val ts = times.result()

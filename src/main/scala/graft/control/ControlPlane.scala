@@ -89,15 +89,21 @@ final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
     DtoMapping.toDto(entities(), folders(), aesKey).collect().toSeq
       .sortBy(_.id)
 
-  /** POST config/add: false (→ 400) when the id is already taken. */
-  def add(dto: ConnectionDto): Boolean = {
+  /** POST config/add: false (→ 400) when the id is already taken.
+    * Mutations serialize on the service instance: each is a read-modify-
+    * write over the shared config files, so concurrent unsynchronized
+    * calls could both pass the duplicate check and lose one write (the
+    * JDK HttpServer's default executor is single-threaded, but the
+    * service must not depend on its caller's threading).
+    */
+  def add(dto: ConnectionDto): Boolean = synchronized {
     val current = list()
     if (current.exists(_.id == dto.id)) false
     else { persist(current :+ dto); true }
   }
 
   /** PATCH config/update: false (→ 400) when the id does not exist. */
-  def update(dto: ConnectionDto): Boolean = {
+  def update(dto: ConnectionDto): Boolean = synchronized {
     val current = list()
     if (!current.exists(_.id == dto.id)) false
     else { persist(current.map(c => if (c.id == dto.id) dto else c)); true }
@@ -109,12 +115,14 @@ final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
     * contain `://` and can never be all digits). False (→ 400) when
     * nothing matched.
     */
-  def delete(connectionName: String): Boolean = {
+  def delete(connectionName: String): Boolean = synchronized {
     val current = list()
-    val remaining =
-      if (connectionName.forall(_.isDigit) && connectionName.nonEmpty)
-        current.filterNot(_.id == connectionName.toInt)
-      else current.filterNot(_.url == connectionName)
+    // toIntOption, not toInt: an all-digit name past Int range must fall
+    // through to the url match (→ 400 when absent), not throw (→ 500)
+    val remaining = connectionName.toIntOption match {
+      case Some(id) => current.filterNot(_.id == id)
+      case None => current.filterNot(_.url == connectionName)
+    }
     if (remaining.size == current.size) false
     else { persist(remaining); true }
   }

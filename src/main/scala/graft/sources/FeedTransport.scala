@@ -43,11 +43,18 @@ object FeedTransport {
 
     private def serve(sock: Socket): Unit = {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-      val out = new PrintWriter(sock.getOutputStream, true)
+      // NO autoflush: a RANGE must not flush per row (one syscall per value
+      // caps throughput); each response flushes once, a range at its END.
+      // PrintWriter swallows IOException, so checkError() is the only
+      // dead-client signal — poll it inside long ranges to stop serving
+      // millions of rows to a closed socket.
+      val out = new PrintWriter(
+        new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8), 1 << 16))
       var helloed = false
       try {
         var line = in.readLine()
-        while (line != null) {
+        while (line != null && !out.checkError()) {
           val parts = line.trim.split("\\s+")
           parts(0) match {
             case "HEL" => helloed = true; out.println("ACK")
@@ -57,10 +64,16 @@ object FeedTransport {
             case "RANGE" =>
               val (lo, hi) = (parts(1).toLong, parts(2).toLong)
               var i = lo
-              while (i < hi) { out.println(renderVal(i)); i += 1 }
-              out.println("END")
+              var dead = false
+              while (i < hi && !dead) {
+                out.println(renderVal(i))
+                i += 1
+                if ((i & 0xFFFF) == 0) dead = out.checkError() // flushes too
+              }
+              if (!dead) out.println("END")
             case _ => out.println("ERR unknown command")
           }
+          out.flush()
           line = in.readLine()
         }
       } catch { case _: java.io.IOException => () } // dropped client
@@ -80,7 +93,12 @@ object FeedTransport {
           val t = new Thread(() => serve(sock), s"feed-conn-${sock.getPort}")
           t.setDaemon(true)
           t.start()
-        } catch { case _: SocketException => () } // closed
+        } catch {
+          // a transient accept failure (e.g. EMFILE under fd pressure) must
+          // not kill the acceptor — only a closed server ends the loop
+          case _: SocketException => ()
+          case _: java.io.IOException => if (running) Thread.sleep(50)
+        }
       }
     }, "feed-server-accept")
     acceptor.setDaemon(true)
@@ -97,17 +115,28 @@ object FeedTransport {
     }
   }
 
+  /** The server answered but rejected the request (ERR …): a DETERMINISTIC
+    * failure — retrying it through reconnect/backoff would burn minutes
+    * resending a doomed request, so it deliberately does NOT extend
+    * IOException and fails the caller immediately with the server's text.
+    */
+  final class FeedProtocolException(msg: String) extends RuntimeException(msg)
+
   /** [[MeasureFeed]] over the wire, with the reference's reconnect
     * discipline: on any I/O failure the connection is torn down, the
     * two-leg TCP backoff ([[RetryPolicy.Backoff]]) delays the re-connect +
     * re-handshake, and the in-flight request is RETRIED — idempotent by
     * the append-only-log contract, so a retried pull returns exactly the
-    * rows the failed one would have. `sleeper` is injected so tests drive
-    * the backoff without wall-clock sleeps; production passes
-    * Thread.sleep.
+    * rows the failed one would have. Connect AND read carry `timeoutMs`
+    * (reference DTO timeout): a hung-but-open server surfaces as a
+    * SocketTimeoutException and enters the same reconnect path — without
+    * it the retry machinery would be unreachable and the stream would
+    * wedge forever. `sleeper` is injected so tests drive the backoff
+    * without wall-clock sleeps; production passes Thread.sleep.
     */
   final class SocketMeasureFeed(host: String, port: Int,
                                 maxAttempts: Int = 8,
+                                timeoutMs: Int = 30000,
                                 sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong))
       extends MeasureFeed with AutoCloseable {
 
@@ -124,7 +153,9 @@ object FeedTransport {
     }
 
     private def connect(): Unit = {
-      sock = new Socket(host, port)
+      sock = new Socket()
+      sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      sock.setSoTimeout(timeoutMs)
       in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
       out = new PrintWriter(sock.getOutputStream, true)
       out.println("HEL graft")
@@ -160,7 +191,7 @@ object FeedTransport {
       out.println(line)
       val resp = in.readLine()
       if (resp == null) throw new java.io.IOException("connection closed by server")
-      if (resp.startsWith("ERR")) throw new java.io.IOException(resp)
+      if (resp.startsWith("ERR")) throw new FeedProtocolException(resp)
       resp
     }
 
@@ -178,7 +209,7 @@ object FeedTransport {
         val rows = Vector.newBuilder[(String, String, Double, Long, Boolean)]
         var line = in.readLine()
         while (line != null && line != "END") {
-          if (line.startsWith("ERR")) throw new java.io.IOException(line)
+          if (line.startsWith("ERR")) throw new FeedProtocolException(line)
           rows += parseVal(line)
           line = in.readLine()
         }

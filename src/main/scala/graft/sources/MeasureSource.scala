@@ -154,18 +154,30 @@ final class MeasureReader(r: MeasureRange) extends PartitionReader[InternalRow] 
   override def close(): Unit = ()
 }
 
-/** Executor-side reader over the socket transport: ONE RANGE round-trip
-  * pulls the partition's whole [lo, hi) slice (with the client's backoff
-  * reconnect + idempotent retry underneath) — the fetch shape a real
-  * networked connector uses, N partitions = N independent connections.
+/** Executor-side reader over the socket transport: RANGE round-trips pull
+  * the partition's [lo, hi) slice in bounded CHUNKS (with the client's
+  * backoff reconnect + idempotent retry underneath) — the fetch shape a
+  * real networked connector uses, N partitions = N independent
+  * connections. Chunking bounds executor memory (a discard-oldest backlog
+  * can plan millions of rows into one partition — buffering the whole
+  * slice would OOM where the local reader streams) and bounds the retry
+  * unit: a connection drop re-pulls at most one chunk, resuming from the
+  * next unserved sequence.
   */
-final class SocketRangeReader(r: MeasureRange, host: String)
+final class SocketRangeReader(r: MeasureRange, host: String,
+                              chunkRows: Long = 65536L)
     extends PartitionReader[InternalRow] {
   private val client = new FeedTransport.SocketMeasureFeed(host, r.feedPort)
-  private val rows = client.fetchRange(r.lo, r.hi).iterator
+  private var chunkStart = r.lo
+  private var rows: Iterator[(String, String, Double, Long, Boolean)] = Iterator.empty
   private var seq = r.lo - 1
   private var row: (String, String, Double, Long, Boolean) = _
   override def next(): Boolean = {
+    while (!rows.hasNext && chunkStart < r.hi) {
+      val chunkEnd = math.min(chunkStart + chunkRows, r.hi)
+      rows = client.fetchRange(chunkStart, chunkEnd).iterator
+      chunkStart = chunkEnd
+    }
     if (!rows.hasNext) false
     else { row = rows.next(); seq += 1; true }
   }

@@ -104,6 +104,37 @@ class FeedTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("protocol ERR fails fast — no teardown/backoff retry of a doomed request") {
+    // a fake server that handshakes, then rejects everything (version skew)
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val s = srv.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream))
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      in.readLine(); out.println("ACK")
+      var line = in.readLine()
+      while (line != null) { out.println("ERR nope"); line = in.readLine() }
+    })
+    t.setDaemon(true); t.start()
+    val client = new SocketMeasureFeed("127.0.0.1", srv.getLocalPort, sleeper = _ => ())
+    try {
+      val e = intercept[FeedTransport.FeedProtocolException](client.latest())
+      assert(e.getMessage == "ERR nope")
+      assert(client.delays.isEmpty) // deterministic failure took zero backoff
+    } finally { client.close(); srv.close() }
+  }
+
+  test("a hung (open but silent) server trips the read timeout into the reconnect path") {
+    val srv = new java.net.ServerSocket(0) // accepts, never speaks
+    val client = new SocketMeasureFeed("127.0.0.1", srv.getLocalPort,
+      maxAttempts = 2, timeoutMs = 150, sleeper = _ => ())
+    try {
+      val e = intercept[java.io.IOException](client.latest())
+      assert(e.getMessage.contains("after 2 attempts"))
+      assert(client.delays.size() == 1) // timeout → teardown → backoff, not a wedge
+    } finally { client.close(); srv.close() }
+  }
+
   test("unreachable server fails loudly after bounded attempts") {
     val dead = new java.net.ServerSocket(0)
     val port = dead.getLocalPort
