@@ -75,7 +75,13 @@ final class BrowseJobRegistry(markerDir: File,
       val marker = markerFor(connectionUrl)
       val token = java.util.UUID.randomUUID().toString
       def claimed(): Boolean = { // marker created by us — stamp ownership
-        writeToken(marker, token)
+        try writeToken(marker, token)
+        catch {
+          // a failed stamp (disk full, permissions) must not leave an
+          // ownerless fresh marker blocking the connection until the
+          // staleness bound — remove our own creation before propagating
+          case e: Throwable => marker.delete(); throw e
+        }
         ownerTokens.put(connectionUrl, token)
         true
       }
@@ -130,7 +136,12 @@ final class BrowseJobRegistry(markerDir: File,
 
   /** Delete the marker only if this registry's claim still owns it — a
     * reclaimed-and-recreated marker (we overran staleAfterMillis) belongs
-    * to the new claimant and must survive our release.
+    * to the new claimant and must survive our release. The read-then-
+    * delete is NOT atomic (plain-filesystem files have no compare-and-
+    * delete), so a reclaim landing exactly between the two can still lose
+    * its marker — the token check narrows the window from the whole
+    * overrun to microseconds; eliminating it outright needs a lock
+    * service. Best-effort after a crash, per the class contract.
     */
   private def releaseMarker(connectionUrl: String): Unit = {
     val marker = markerFor(connectionUrl)

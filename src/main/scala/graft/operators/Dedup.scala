@@ -139,20 +139,27 @@ object Dedup {
     * partial-aggregated min per vertex — no global structure, shuffles
     * keyed by vertex id — and rounds ≈ component diameter, which for
     * near-dup graphs is small. The driver loop is a bounded fixpoint;
-    * `localCheckpoint` truncates the growing lineage each round so plan
+    * checkpointing truncates the growing lineage each round so plan
     * depth (and re-execution on the convergence count) stays constant.
-    * Labels converge to each component's minimum member id, which
-    * doubles as the cluster's canonical document id.
+    * When the session has a RELIABLE checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`), rounds checkpoint there —
+    * executor loss mid-loop recovers from storage; without one it falls
+    * back to `localCheckpoint`, whose executor-local blocks are fast but
+    * die with their executor (fine on local[n]; set a checkpoint dir for
+    * long cluster runs or dynamic allocation). Labels converge to each
+    * component's minimum member id, which doubles as the cluster's
+    * canonical document id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = truncate(pairs
       .select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint()
+      .distinct())
+    var labels = truncate(edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -163,12 +170,11 @@ object Dedup {
       // carry the previous label THROUGH the checkpoint so the
       // convergence count is a scan of the materialized blocks, not a
       // second corpus-keyed join per round
-      val next = labels.select(col("v"), col("label").as("prev"))
+      val next = truncate(labels.select(col("v"), col("label").as("prev"))
         .join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("label"),
-          col("prev"))
-        .localCheckpoint()
+          col("prev")))
       changed = next.filter(col("label") < col("prev")).count()
       labels = next.select("v", "label")
       i += 1

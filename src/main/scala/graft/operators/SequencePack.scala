@@ -24,23 +24,34 @@ import org.apache.spark.sql.types._
   * Identical arithmetic to the naive global window (integer sums), so the
   * output is exact, bucketSize-invariant, and oracle-verifiable against
   * the single-window formulation.
+  *
+  * Sizing contract: the bucket dim is corpus/bucketSize rows and passes
+  * through one window task, so choose bucketSize ≈ corpus/10⁵–10⁶ at
+  * scale (10¹¹ docs → bucketSize 10⁶, offset dim 10⁵ rows). The
+  * offsets join carries no broadcast hint — AQE broadcasts the dim while
+  * it fits and falls back to a keyed shuffle join when it doesn't (a
+  * forced hint would OOM instead of falling back). For a corpus where
+  * even corpus/bucketSize won't window on one task, apply the same
+  * two-phase trick recursively over super-buckets.
   */
 object SequencePack {
 
   def pack(docs: DataFrame, maxTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    // (doc_id, n_tokens, bucket) — three longs/row — persisted so the
+    // regex tokenization scans the document text ONCE, not once per
+    // consuming branch (offsets aggregation + final join)
     val toks = docs.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
       expr(s"doc_id div $bucketSize").as("bucket"))
+      .persist()
     val wBuckets = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // the bucket dim: one row per bucketSize docs; its global window is
-    // over corpus/bucketSize rows — driver-scale, not corpus-scale
     val offsets = toks.groupBy("bucket").agg(sum("n_tokens").as("bucket_total"))
       .withColumn("offset", coalesce(sum("bucket_total").over(wBuckets), lit(0L)))
       .select("bucket", "offset")
     val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    toks.join(broadcast(offsets), Seq("bucket"))
+    toks.join(offsets, Seq("bucket"))
       .withColumn("running_tokens", sum("n_tokens").over(wInBucket) + col("offset"))
       .withColumn("seq_id", expr(s"(running_tokens - 1) div $maxTokens"))
       .select("doc_id", "n_tokens", "running_tokens", "seq_id")

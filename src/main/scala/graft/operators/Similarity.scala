@@ -172,6 +172,15 @@ object Similarity {
     * for the documented 100 TB layout where cells are written as a bucketed
     * table at ingest time and probes are shuffle-free. (vec_id, cell) is
     * two longs per vector, so the cache is negligible next to the corpus.
+    *
+    * Lifecycle: the returned DataFrame IS the release handle — call
+    * `.unpersist()` to evict (cache entries otherwise live for the
+    * session; under memory pressure MEMORY_AND_DISK spills rather than
+    * recomputes). Cross-call reuse keys on the canonicalized logical
+    * plan: probes over the same source reuse the entry, while a
+    * differently-built input plan (another path/session) builds its own —
+    * when index reuse must be guaranteed across jobs, write the cells as
+    * the bucketed table instead.
     */
   def ivfIndex(embeddings: DataFrame, step: Long = 100L): DataFrame =
     ivfCells(embeddings, step).persist()
@@ -253,10 +262,14 @@ object Similarity {
     * their own singleton and are omitted.
     */
   def nearDupClusters(embeddings: DataFrame, threshold: Double,
-                      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+                      tables: Int = 8, planesPerTable: Int = 4,
+                      maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairsLsh(embeddings, threshold, tables, planesPerTable)
       .select("d1", "d2")
-    val cc = Dedup.connectedComponents(pairs)
+    // maxIter passes through: boilerplate corpora form LONG near-dup
+    // chains (A≈B≈C≈… with dissimilar ends), and a diameter past the cap
+    // must be the caller's knob, not a dead end
+    val cc = Dedup.connectedComponents(pairs, maxIter)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("cluster_id"))
       .select(col("v").as("vec_id"), col("cluster_id"), col("cluster_size"))

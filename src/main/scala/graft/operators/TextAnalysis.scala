@@ -38,9 +38,21 @@ object TextAnalysis {
       .withColumn("n_stop", size(filter(ws, w => array_contains(stopArr, w))).cast(LongType))
       .withColumn("sum_word_len",
         aggregate(transform(ws, w => length(w).cast(LongType)), lit(0L), (acc, x) => acc + x))
-      .withColumn("punct_ratio", col("n_punct").cast(DoubleType) / col("n_chars_m"))
-      .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_words"))
-      .withColumn("avg_word_len", col("sum_word_len").cast(DoubleType) / col("n_words"))
+      // TOTAL ratios: an empty document divides 0/0, which Spark renders
+      // NULL but DuckDB (IEEE) renders NaN — NULL scores would silently
+      // fall out of percentile sketches and windows while NaN sorts last,
+      // so the two engines would disagree on every downstream rank. Zero
+      // denominators are pinned to 0.0 (an empty doc scores the floor),
+      // mirrored in every oracle via CASE WHEN.
+      .withColumn("punct_ratio",
+        when(col("n_chars_m") > 0, col("n_punct").cast(DoubleType) / col("n_chars_m"))
+          .otherwise(0.0))
+      .withColumn("stop_ratio",
+        when(col("n_words") > 0, col("n_stop").cast(DoubleType) / col("n_words"))
+          .otherwise(0.0))
+      .withColumn("avg_word_len",
+        when(col("n_words") > 0, col("sum_word_len").cast(DoubleType) / col("n_words"))
+          .otherwise(0.0))
       .withColumn("quality_score",
         col("stop_ratio") * 0.4 +
           when(col("n_words").between(50, 200), 1.0).otherwise(0.0) * 0.3 +
@@ -67,7 +79,10 @@ object TextAnalysis {
     docs
       .withColumn("n_words", size(ws).cast(LongType))
       .withColumn("n_en", size(filter(ws, w => array_contains(markers, w))).cast(LongType))
-      .withColumn("en_score", col("n_en").cast(DoubleType) / col("n_words"))
+      // total for wordless docs (same NULL-vs-NaN hazard as the quality ratios)
+      .withColumn("en_score",
+        when(col("n_words") > 0, col("n_en").cast(DoubleType) / col("n_words"))
+          .otherwise(0.0))
       .withColumn("predicted_lang",
         when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
           .when(col("en_score") >= 0.03, "en")

@@ -31,12 +31,12 @@ object TextQueries {
         |         list_reduce(list_transform($W, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) AS sum_word_len
         |  FROM documents)
         |SELECT doc_id, n_chars_m, n_words, n_punct, n_stop,
-        |       CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
-        |       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
-        |       CAST(sum_word_len AS DOUBLE) / n_words AS avg_word_len,
-        |       (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |       CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_ratio,
+        |       CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+        |       CASE WHEN n_words > 0 THEN CAST(sum_word_len AS DOUBLE) / n_words ELSE 0.0 END AS avg_word_len,
+        |       (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 0.4
         |         + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
-        |         + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |         + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3 AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
     },
@@ -50,11 +50,11 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang,
         |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-        |            WHEN CAST(n_en AS DOUBLE) / n_words >= 0.03 THEN 'en'
+        |            WHEN (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) >= 0.03 THEN 'en'
         |            ELSE 'unknown' END AS predicted_lang,
-        |       CAST(n_en AS DOUBLE) / n_words AS en_score,
+        |       (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) AS en_score,
         |       CAST(lang = (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-        |            WHEN CAST(n_en AS DOUBLE) / n_words >= 0.03 THEN 'en'
+        |            WHEN (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) >= 0.03 THEN 'en'
         |            ELSE 'unknown' END) AS INT) AS label_match
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir))
@@ -87,11 +87,11 @@ object TextQueries {
         |  FROM documents),
         |q AS (
         |  SELECT doc_id, lang, text, n_words,
-        |         (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |         (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 0.4
         |           + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
-        |           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score,
+        |           + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3 AS quality_score,
         |         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-        |              WHEN CAST(n_en AS DOUBLE) / n_words >= 0.03 THEN 'en'
+        |              WHEN (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) >= 0.03 THEN 'en'
         |              ELSE 'unknown' END AS predicted_lang
         |  FROM f),
         |g AS (SELECT * FROM q WHERE quality_score >= 0.55 AND predicted_lang = 'en'),
@@ -160,9 +160,9 @@ object TextQueries {
         |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
         |  FROM documents),
         |q AS (SELECT doc_id,
-        |        (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |        (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 0.4
         |          + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
-        |          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |          + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3 AS quality_score
         |      FROM f)
         |SELECT doc_id, quality_score,
         |       CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INT) AS decile
@@ -191,9 +191,9 @@ object TextQueries {
         |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
         |  FROM documents),
         |q AS (SELECT doc_id,
-        |        (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |        (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 0.4
         |          + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
-        |          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |          + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3 AS quality_score
         |      FROM f),
         |r AS (SELECT quality_score,
         |             row_number() OVER (ORDER BY quality_score) AS rn,
@@ -223,9 +223,9 @@ object TextQueries {
         |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop
         |  FROM documents),
         |q AS (SELECT doc_id, lang,
-        |        (CAST(n_stop AS DOUBLE) / n_words) * 0.4
+        |        (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 0.4
         |          + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
-        |          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS quality_score
+        |          + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3 AS quality_score
         |      FROM f),
         |r AS (SELECT lang, quality_score,
         |             row_number() OVER (PARTITION BY lang ORDER BY quality_score) AS rn,

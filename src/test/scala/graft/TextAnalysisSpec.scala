@@ -17,6 +17,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bpe == 7)
   }
 
+  test("degenerate docs (empty / wordless) score TOTAL values, never NULL or NaN") {
+    // empty text divides 0/0 — Spark would render NULL (silently dropped
+    // by sketches/windows) while DuckDB renders NaN (sorts last), so the
+    // ratios pin zero denominators to 0.0 in both engines
+    val docs = Seq(
+      (1L, "", "en"), (2L, "!!!", "en"), (3L, "the cat sat on the mat", "en"))
+      .toDF("doc_id", "text", "lang")
+    val q = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "punct_ratio", "stop_ratio", "avg_word_len", "quality_score")
+      .collect()
+    q.foreach { r =>
+      (1 until 5).foreach(i => assert(!r.isNullAt(i), s"NULL in row $r"))
+      assert(!r.getDouble(4).isNaN)
+    }
+    // empty doc: all ratios 0 → score = 0.4*0 + 0.3*0 + 0.3*(1-0) = 0.3
+    assert(q.find(_.getLong(0) == 1L).get.getDouble(4) == 0.3)
+    val lang = TextAnalysis.langId(docs).select("doc_id", "en_score", "predicted_lang")
+      .collect()
+    lang.foreach(r => assert(!r.isNullAt(1) && !r.getDouble(1).isNaN))
+    assert(lang.find(_.getLong(0) == 1L).get.getString(2) == "unknown")
+    // and the decile assignment stays total (every doc lands in a bucket)
+    val dec = TextAnalysis.qualityDecilesApprox(docs).collect()
+    assert(dec.length == 3)
+    dec.foreach(r => assert(!r.isNullAt(2)))
+  }
+
   test("qualityScore: ratios are exact fractions of counted features") {
     val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScore(docs).head()
