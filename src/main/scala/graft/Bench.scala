@@ -12,12 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * engine exists to run. Round-4 numbers are therefore NOT comparable to
   * earlier rounds (methodology break, see README).
   *
-  * Each query warms up IMMEDIATELY before its timed pass (codegen
+  * Each query warms up IMMEDIATELY before its timed passes (codegen
   * compilation + JIT are one-time constants, irrelevant to steady-state
   * throughput at the 100 TB design point). A single whole-suite warmup
   * pass is not enough: the first timed query then absorbs the JIT/GC
   * drift accumulated across the ~50 intervening warmups (q01 measured
   * 0.47 s → 3.21 s between rounds with unchanged code that way).
+  *
+  * Each query reports the MEDIAN of three timed passes: single passes
+  * varied ±20% run-to-run under machine-load noise, which is the same
+  * order as the regressions the bench exists to catch.
   *
   * A failing query still fails the bench (non-zero exit) but only after
   * the JSON line is emitted with the error recorded — a broken query
@@ -44,9 +48,12 @@ object Bench {
     queries.foreach { case (name, fn) =>
       try {
         materialize(fn(spark, sfDir)) // warm this query's codegen/JIT, untimed
-        val t0 = System.nanoTime()
-        materialize(fn(spark, sfDir))
-        times += name -> (System.nanoTime() - t0) / 1e9
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        times += name -> samples.sorted.apply(1) // median of 3
       } catch {
         case e: Exception =>
           // strip ALL JSON-illegal chars (quotes, backslash, and every
