@@ -275,6 +275,39 @@ object Similarity {
       .select(col("v").as("vec_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Per-language embedding-centroid outliers — the curation pass that
+    * drops documents whose embedding sits far from their language's
+    * center (mislabeled, garbled, or off-distribution text). Centroids
+    * accumulate in FIXED-POINT: each component quantizes to
+    * round_even(v·2²⁰) and sums as integers — exact and associative, so
+    * the mean is identical across partitionings and engines (a plain
+    * double sum would depend on partial-aggregation order). The
+    * per-dimension aggregation is (lang, dim)-keyed — shards over
+    * executors, never collects the corpus — and the finished centroid dim
+    * (|langs|·dim doubles) broadcasts back for one map-side scoring pass.
+    * Output: the k lowest-cosine (most-outlying) vectors per language.
+    */
+  def centroidOutliers(embeddings: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val labeled = embeddings
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .select(col("vec_id"), col("lang"), embD("embedding").as("emb"))
+    val comp = labeled
+      .select(col("lang"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .withColumn("q", bround(col("v") * (1L << 20), 0).cast(LongType))
+      .groupBy("lang", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast(DoubleType) / lit(1048576.0) / col("n"))
+    val centroids = comp.groupBy("lang")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    val w = Window.partitionBy("lang").orderBy(col("centroid_cosine"), col("vec_id"))
+    labeled.join(broadcast(centroids), Seq("lang"))
+      .withColumn("centroid_cosine", NativeVectorOps.cosine(col("emb"), col("centroid")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("lang"), col("vec_id"), col("centroid_cosine"), col("rk"))
+  }
+
   /** Embedding near-duplicate pairs among vec_id < maxId: global top-k
     * pairs by cosine (deterministic tie-break). The pair generation is
     * bounded by maxId² — [[nearDupPairsLsh]] is the bucketed form that

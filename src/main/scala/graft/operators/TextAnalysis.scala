@@ -227,6 +227,39 @@ object TextAnalysis {
       .select("doc_id", "quality_score", "decile")
   }
 
+  /** Corpus-LM likelihood proxy — the CCNet-style "does this read like
+    * the corpus" quality signal: score each document by how much corpus
+    * bigram mass its own bigrams carry, against a bigram model built from
+    * the corpus itself. Per doc: Σ c(w1 w2) / Σ c(w1 ·) over its bigram
+    * OCCURRENCES (with multiplicity) — both sums are INTEGER (exact,
+    * associative, engine-reproducible) with one double division at the
+    * end; a per-bigram averaged probability would sum doubles in
+    * partition order and lose cross-engine exactness.
+    *
+    * Shuffle shape at scale: the bigram-count and context-count dims are
+    * bigram-/word-keyed (they shard over executors like the TF-IDF df
+    * table); doc bigrams join them by key and reduce per doc. Nothing
+    * corpus-sized broadcasts.
+    */
+  def bigramLikelihood(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), explode(TextOps.bigrams("ws")).as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = bg
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    bg.join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctxCounts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_bg")).as("sum_bigram_count"),
+        sum(col("c_ctx")).as("sum_context_count"))
+      .withColumn("likelihood",
+        col("sum_bigram_count").cast(DoubleType) / col("sum_context_count"))
+  }
+
   /** Per-group quality quantile cutoffs — the per-domain/per-language
     * curation thresholds a corpus pipeline applies ("keep the top quartile
     * of each language", not one global bar that empties low-scoring

@@ -194,6 +194,34 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Per-language centroid outliers: fixed-point (round_even(v*2^20)
+    // integer-sum) centroids make the mean exact across partitionings
+    // and engines; bottom-5 cosines per language are the outliers.
+    QueryDef("q79_centroid_outliers",
+      eCte +
+        s""",
+        |l AS (SELECT e.vec_id, d.lang, emb
+        |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |comp AS (SELECT lang, pos,
+        |                CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
+        |                COUNT(*) AS n
+        |         FROM l, (SELECT unnest(range(1, ${D + 1})) AS pos) p
+        |         GROUP BY lang, pos),
+        |cent AS (SELECT lang,
+        |                list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS centroid
+        |         FROM comp GROUP BY lang),
+        |scored AS (SELECT l.lang, l.vec_id,
+        |                  ${cos("l.emb", "cent.centroid")} AS centroid_cosine
+        |           FROM l JOIN cent USING (lang))
+        |SELECT lang, vec_id, centroid_cosine,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |            ORDER BY centroid_cosine, vec_id) AS INT) AS rk
+        |FROM scored QUALIFY rk <= 5
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir),
+        Tables.documents(s, dir), 5).orderBy("lang", "rk")
+    },
+
     // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
     QueryDef("q43_embedding_neardup",
       eCte +

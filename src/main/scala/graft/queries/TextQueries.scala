@@ -210,6 +210,26 @@ object TextQueries {
       TextAnalysis.qualityDecilesApprox(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // Corpus-LM likelihood proxy (CCNet-style): per-doc bigram mass vs
+    // the corpus bigram model — integer sums, one double division.
+    QueryDef("q78_bigram_likelihood",
+      s"""WITH t AS (SELECT doc_id, $W AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(${TextOps.bigramsSql("ws")}) AS bg FROM t),
+        |cb AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+        |cc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_ctx
+        |       FROM bg GROUP BY 1),
+        |j AS (SELECT b.doc_id, cb.c_bg, cc.c_ctx
+        |      FROM bg b JOIN cb USING (bg)
+        |                JOIN cc ON cc.w1 = split_part(b.bg, ' ', 1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(c_bg) AS BIGINT) AS sum_bigram_count,
+        |       CAST(SUM(c_ctx) AS BIGINT) AS sum_context_count,
+        |       CAST(CAST(SUM(c_bg) AS BIGINT) AS DOUBLE)
+        |         / CAST(SUM(c_ctx) AS BIGINT) AS likelihood
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramLikelihood(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Per-language quality quartiles (the per-domain curation thresholds):
     // grouped percentile_approx — one sketch per group crosses the
     // exchange. Oracle: the group's order statistic at asc rank
