@@ -83,11 +83,15 @@ final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
   // ---- ClientController surface ----
 
   /** GET config/get: entity rows joined + flattened back to DTOs with the
-    * password decrypted (`ClientController.cs:70-87`).
+    * password decrypted (`ClientController.cs:70-87`). Synchronized with
+    * the mutations: persist() replaces TWO files sequentially, and an
+    * unsynchronized read between the writes would pair new connections
+    * with old folder rows.
     */
-  def list(): Seq[ConnectionDto] =
+  def list(): Seq[ConnectionDto] = synchronized {
     DtoMapping.toDto(entities(), folders(), aesKey).collect().toSeq
       .sortBy(_.id)
+  }
 
   /** POST config/add: false (→ 400) when the id is already taken.
     * Mutations serialize on the service instance: each is a read-modify-
@@ -117,12 +121,17 @@ final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
     */
   def delete(connectionName: String): Boolean = synchronized {
     val current = list()
-    // toIntOption, not toInt: an all-digit name past Int range must fall
-    // through to the url match (→ 400 when absent), not throw (→ 500)
-    val remaining = connectionName.toIntOption match {
-      case Some(id) => current.filterNot(_.id == id)
-      case None => current.filterNot(_.url == connectionName)
-    }
+    // the id branch is gated on ALL-DIGITS (not toIntOption alone, which
+    // would also parse signed forms like '+5'/'-5' and silently widen the
+    // contract); within it, toIntOption guards overflow — an all-digit
+    // name past Int range matches no id (→ 400), it does not throw (→ 500)
+    val remaining =
+      if (connectionName.nonEmpty && connectionName.forall(_.isDigit))
+        connectionName.toIntOption match {
+          case Some(id) => current.filterNot(_.id == id)
+          case None => current
+        }
+      else current.filterNot(_.url == connectionName)
     if (remaining.size == current.size) false
     else { persist(remaining); true }
   }

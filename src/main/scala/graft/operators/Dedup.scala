@@ -142,23 +142,46 @@ object Dedup {
     * checkpointing truncates the growing lineage each round so plan
     * depth (and re-execution on the convergence count) stays constant.
     * When the session has a RELIABLE checkpoint dir configured
-    * (`sparkContext.setCheckpointDir`), rounds checkpoint there —
-    * executor loss mid-loop recovers from storage; without one it falls
-    * back to `localCheckpoint`, whose executor-local blocks are fast but
-    * die with their executor (fine on local[n]; set a checkpoint dir for
-    * long cluster runs or dynamic allocation). Labels converge to each
-    * component's minimum member id, which doubles as the cluster's
-    * canonical document id.
+    * (`sparkContext.setCheckpointDir`), rounds snapshot there as parquet
+    * — executor loss mid-loop recovers from storage, and each round
+    * DELETES the previous round's snapshot (Spark's own `checkpoint()`
+    * never reclaims files unless `cleanCheckpoints` GC kicks in, so a
+    * long loop would leak corpus-scale snapshots per round). The final
+    * round's snapshot backs the returned DataFrame; callers that write
+    * the result onward may remove the working dir. Without a checkpoint
+    * dir it falls back to `localCheckpoint`, whose executor-local blocks
+    * are fast but die with their executor (fine on local[n]; set a
+    * checkpoint dir for long cluster runs or dynamic allocation). Labels
+    * converge to each component's minimum member id, which doubles as
+    * the cluster's canonical document id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    val edges = truncate(pairs
+    val spark = pairs.sparkSession
+    val reliableBase = spark.sparkContext.getCheckpointDir
+      .map(_ + "/graft-cc-" + java.util.UUID.randomUUID())
+    var step = 0
+    def snapshot(df: DataFrame): DataFrame = reliableBase match {
+      case Some(base) =>
+        val path = s"$base/step-$step"
+        step += 1
+        df.write.parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+    def reclaim(df: DataFrame): Unit = reliableBase.foreach { _ =>
+      // a superseded LABEL snapshot is referenced by nothing once the next
+      // round materialized — delete it now, not at session end (edges'
+      // snapshot is NOT reclaimed: every round joins it)
+      df.inputFiles.headOption.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f).getParent
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+    val edges = snapshot(pairs
       .select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct())
-    var labels = truncate(edges.select(col("src").as("v")).distinct()
+    var labels = snapshot(edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")))
     var changed = 1L
     var i = 0
@@ -170,12 +193,13 @@ object Dedup {
       // carry the previous label THROUGH the checkpoint so the
       // convergence count is a scan of the materialized blocks, not a
       // second corpus-keyed join per round
-      val next = truncate(labels.select(col("v"), col("label").as("prev"))
+      val next = snapshot(labels.select(col("v"), col("label").as("prev"))
         .join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("label"),
           col("prev")))
       changed = next.filter(col("label") < col("prev")).count()
+      reclaim(labels) // superseded round — next is materialized
       labels = next.select("v", "label")
       i += 1
     }

@@ -39,7 +39,11 @@ object SequencePack {
   def pack(docs: DataFrame, maxTokens: Long, bucketSize: Long = 1000L): DataFrame = {
     // (doc_id, n_tokens, bucket) — three longs/row — persisted so the
     // regex tokenization scans the document text ONCE, not once per
-    // consuming branch (offsets aggregation + final join)
+    // consuming branch (offsets aggregation + final join). Session-scoped
+    // and evictable like ivfIndex; the entry cannot be unpersisted before
+    // the returned (lazy) DataFrame is consumed, so callers batching many
+    // corpora through one session reclaim via spark.catalog.clearCache
+    // between batches.
     val toks = docs.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
       expr(s"doc_id div $bucketSize").as("bucket"))

@@ -289,9 +289,15 @@ object Similarity {
     */
   def centroidOutliers(embeddings: DataFrame, docs: DataFrame, k: Int): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
+    // the centroid aggregation AND the scoring pass both consume this
+    // join+cast — persisted so the corpus-side join and the per-row
+    // float→double widening run once (512 B/row at dim 64; MEMORY_AND_
+    // DISK spills rather than recomputes; at extreme scale callers can
+    // trade the cache for a second scan by unpersisting)
     val labeled = embeddings
       .join(docs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
       .select(col("vec_id"), col("lang"), embD("embedding").as("emb"))
+      .persist()
     val comp = labeled
       .select(col("lang"), posexplode(col("emb")).as(Seq("pos", "v")))
       .withColumn("q", bround(col("v") * (1L << 20), 0).cast(LongType))

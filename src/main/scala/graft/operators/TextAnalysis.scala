@@ -242,9 +242,14 @@ object TextAnalysis {
     * corpus-sized broadcasts.
     */
   def bigramLikelihood(docs: DataFrame): DataFrame = {
+    // three consumers (bigram counts, context counts, the final join)
+    // derive from this projection — persisted so the regex tokenization
+    // scans the document text once, not three times (two small strings
+    // per row; evictable MEMORY_AND_DISK, session-scoped like ivfIndex)
     val bg = docs
       .withColumn("ws", TextOps.words(col("text")))
       .select(col("doc_id"), explode(TextOps.bigrams("ws")).as("bg"))
+      .persist()
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val ctxCounts = bg
       .withColumn("w1", substring_index(col("bg"), " ", 1))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
-import java.net.{ServerSocket, Socket, SocketException}
+import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.CopyOnWriteArrayList
 import scala.jdk.CollectionConverters._
@@ -90,13 +90,19 @@ object FeedTransport {
         try {
           val sock = server.accept()
           live.add(sock)
-          val t = new Thread(() => serve(sock), s"feed-conn-${sock.getPort}")
-          t.setDaemon(true)
-          t.start()
+          if (!running) { // raced close(): its killConnections snapshot
+            live.remove(sock) // may predate our add — close here instead
+            try sock.close() catch { case _: Exception => () }
+          } else {
+            val t = new Thread(() => serve(sock), s"feed-conn-${sock.getPort}")
+            t.setDaemon(true)
+            t.start()
+          }
         } catch {
-          // a transient accept failure (e.g. EMFILE under fd pressure) must
-          // not kill the acceptor — only a closed server ends the loop
-          case _: SocketException => ()
+          // a transient accept failure (EMFILE under fd pressure — which
+          // some JDKs surface as SocketException, so no separate quiet
+          // arm) must not kill the acceptor and must not busy-spin; the
+          // loop condition ends it once close() flips `running`
           case _: java.io.IOException => if (running) Thread.sleep(50)
         }
       }

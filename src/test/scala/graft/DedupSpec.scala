@@ -78,6 +78,24 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 7) // vertices with no edges never appear
   }
 
+  test("connectedComponents: reliable-checkpoint mode reclaims superseded rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L) && cc(11L) == 10L)
+    // SparkContext nests a UUID dir under the configured path
+    val ccDirs = dir.listFiles().flatMap(d =>
+      if (d.getName.startsWith("graft-cc-")) Array(d)
+      else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("graft-cc-")))
+    assert(ccDirs.length == 1)
+    // only the edges snapshot and the FINAL labels round survive — every
+    // superseded round was deleted as soon as its successor materialized
+    val steps = ccDirs.head.listFiles().map(_.getName).filter(_.startsWith("step-"))
+    assert(steps.length == 2, s"leaked round snapshots: ${steps.mkString(",")}")
+  }
+
   test("contamination: flags are consistent and exact duplicates across the split leak") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = TextAnalysis.contamination(docs, 90)
