@@ -1,0 +1,39 @@
+package graft
+
+/** Plan-shape regression guard over EVERY SparkEntry query: builds each
+  * physical plan at sf0.001 and rejects unexpected cartesian products /
+  * nested-loop joins — the class of regression (a dropped join key, a
+  * lost broadcast) that stays silently correct at test SF and detonates
+  * at corpus scale. The allowlist names the queries whose nested-loop is
+  * the DESIGN (brute-force baselines cross-joining a broadcast query/
+  * centroid set); anything else fails the suite with its plan.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  // crossJoin(broadcast(...)) against a deliberately tiny set IS the
+  // documented shape for these: q40/q43 brute-force ANN baselines,
+  // q44/q72/q77-style broadcast of a one-row/sketch aggregate, IVF
+  // centroid scoring, TF-IDF's corpus-count scalar.
+  private val NestedLoopByDesign = Set(
+    "q40_ann_bruteforce", "q43_embedding_neardup", "q44_ann_ivf",
+    "q61_tfidf", "q64_curation_pipeline", "q72_deciles_scalable",
+    "q51_frame_sample",
+    // the reference pipeline's batch "now" (max source_ts) joins in as a
+    // ONE-ROW broadcast aggregate — the scalar-subquery shape
+    "q02_staleness", "q06_liveness", "q07_current_values",
+    "q10_heartbeat", "q11_offline_reset", "q15_ts_age")
+
+  test("no query plan contains an unexpected cartesian or nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val cartesian = plan.contains("CartesianProduct")
+      val nestedLoop = plan.contains("BroadcastNestedLoopJoin")
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (nestedLoop && !NestedLoopByDesign(name)) Some(s"$name: BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
+  }
+}
