@@ -56,6 +56,13 @@ object Dedup {
     * arithmetic is exact in both engines.
     */
   val MinhashMod = 2147483647L // 2^31 − 1
+
+  /** Edge-count bound under which [[connectedComponents]] solves on the
+    * driver (one collect + BFS) instead of the iterative join loop —
+    * ~32 MB of (long, long) rows, far below any driver heap, and orders
+    * of magnitude faster than per-round job scheduling for small graphs.
+    */
+  val SmallGraphEdges = 2000000L
   def permA(j: Int): Long = (2654435761L * (2L * j + 1)) % MinhashMod
   def permB(j: Int): Long = (40503L * j + 1) % MinhashMod
 
@@ -155,7 +162,8 @@ object Dedup {
     * converge to each component's minimum member id, which doubles as
     * the cluster's canonical document id.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val spark = pairs.sparkSession
     val reliableBase = spark.sparkContext.getCheckpointDir
       .map(_ + "/graft-cc-" + java.util.UUID.randomUUID())
@@ -181,6 +189,35 @@ object Dedup {
       .select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct())
+    // Hybrid: a SMALL edge set (near-dup graphs usually are — pairs
+    // survive an LSH bucket AND a cosine threshold) solves driver-side
+    // in one collect instead of paying multi-round distributed-join
+    // latency; the distributed loop below is the path for graphs that
+    // don't fit a driver. Same labels either way (min member id).
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphEdges) {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      edges.select("src", "dst").collect().foreach { r =>
+        val (s, d) = (r.getLong(0), r.getLong(1))
+        adj(s) = d :: adj.getOrElse(s, Nil)
+      }
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { root =>
+        if (!label.contains(root)) { // BFS this component; root is its min
+          var frontier = List(root)
+          label(root) = root
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj(_))
+              .filter(v => !label.contains(v))
+              .distinct
+            frontier.foreach(label(_) = root)
+          }
+        }
+      }
+      val spark2 = pairs.sparkSession
+      import spark2.implicits._
+      return label.toSeq.sortBy(_._1).toDF("v", "cluster_id")
+    }
     var labels = snapshot(edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")))
     var changed = 1L

@@ -71,8 +71,13 @@ class DedupSpec extends SparkSpec {
     // pair 10-11, and 3-1 closing a cycle — still one component
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (3L, 1L))
       .toDF("d1", "d2")
-    val cc = Dedup.connectedComponents(pairs)
+    // both the driver (small-graph) and distributed paths must agree
+    val driver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
+    val distributed = Dedup.connectedComponents(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == distributed)
+    val cc = driver
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L))
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc.size == 7) // vertices with no edges never appear
@@ -82,7 +87,10 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toFile
     spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
-    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop (the driver path
+    // would solve this graph in one collect and snapshot nothing)
+    val cc = Dedup.connectedComponents(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L) && cc(11L) == 10L)
     // SparkContext nests a UUID dir under the configured path
     val ccDirs = dir.listFiles().flatMap(d =>
