@@ -79,6 +79,10 @@ class ControlPlaneHttpSpec extends SparkSpec {
       assert(after.contains("\"password\":\"rotated\"") && after.contains("\"timeoutMs\":9000"))
 
       // --- ClientController.cs:23-34 delete by id-or-name (+ repeat → 400) ---
+      // over-Int digit strings and signed forms are NOT ids: 400, not 500,
+      // and '+1' must never silently delete connection 1
+      assert(send("DELETE", "/api/client/config/delete/99999999999").statusCode == 400)
+      assert(send("DELETE", "/api/client/config/delete/%2B1").statusCode == 400)
       assert(send("DELETE", "/api/client/config/delete/2").statusCode == 200)
       assert(send("DELETE", "/api/client/config/delete/2").statusCode == 400)
       assert(!send("GET", "/api/client/config/get").body.contains("plant-b"))
