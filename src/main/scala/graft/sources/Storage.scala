@@ -92,4 +92,22 @@ object Storage {
       .bucketBy(buckets, "device")
       .sortBy("device")
       .saveAsTable(tableName)
+
+  /** The IVF index as a TABLE: embeddings joined with their cell
+    * assignment ([[graft.operators.Similarity.ivfCells]]), bucketed by
+    * cell — the documented 100 TB layout where the per-query probe
+    * (`cand JOIN corpus ON cell`) reads only the probed cells' buckets
+    * and, between tables written with the same bucket count, joins with
+    * no exchange on the corpus side. Build once at ingest; every ANN
+    * probe amortizes it.
+    */
+  def writeIvfBucketed(embeddings: DataFrame, cells: DataFrame,
+                       tableName: String, path: String,
+                       buckets: Int = 32): Unit =
+    embeddings.join(cells, Seq("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(tableName)
 }

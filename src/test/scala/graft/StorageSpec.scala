@@ -58,6 +58,23 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("IVF cells persist as a cell-bucketed table; per-cell work runs exchange-free") {
+    val base = Files.createTempDirectory("graft-ivf")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cells = graft.operators.Similarity.ivfCells(emb, step = 100L)
+    Storage.writeIvfBucketed(emb, cells, "ivf_b", s"$base/ivf", buckets = 4)
+    try {
+      // lossless: every vector lands exactly once with its assignment
+      assert(spark.table("ivf_b").count() == emb.count())
+      // the probe-side shape: per-cell aggregation (and any cell-keyed
+      // join against a co-bucketed table) needs NO shuffle of the corpus
+      val perCell = spark.table("ivf_b").groupBy("cell").count()
+      val plan = perCell.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free bucketed aggregation, got:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_b")
+  }
+
   test("compactDay merges the small-file tail into sorted files, preserving the data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
