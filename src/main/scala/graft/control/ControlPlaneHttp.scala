@@ -52,13 +52,14 @@ final class ControlPlaneHttp(service: ControlPlane, port: Int = 0) {
           okOrBad(ex, service.parseDto(bodyOf(ex)).exists(service.add))
         case ("PATCH", "/api/client/config/update") =>
           okOrBad(ex, service.parseDto(bodyOf(ex)).exists(service.update))
+        // getRequestURI.getPath is ALREADY percent-decoded — decoding a
+        // second time with URLDecoder would additionally turn '+' into a
+        // space (form-encoding semantics) and corrupt names containing
+        // '+' or literal percent-escapes
         case ("DELETE", p) if p.startsWith("/api/client/config/delete/") =>
-          val name = java.net.URLDecoder.decode(
-            p.stripPrefix("/api/client/config/delete/"), "UTF-8")
-          okOrBad(ex, service.delete(name))
+          okOrBad(ex, service.delete(p.stripPrefix("/api/client/config/delete/")))
         case ("GET", p) if p.startsWith("/api/browse/startBrowseJob/") =>
-          val id = java.net.URLDecoder.decode(
-            p.stripPrefix("/api/browse/startBrowseJob/"), "UTF-8")
+          val id = p.stripPrefix("/api/browse/startBrowseJob/")
           val started = service.startBrowseJob(id)
           val msg = if (started) "Long-running process started."
                     else "Browse already in progress."

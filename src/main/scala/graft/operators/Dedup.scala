@@ -58,11 +58,14 @@ object Dedup {
   val MinhashMod = 2147483647L // 2^31 − 1
 
   /** Edge-count bound under which [[connectedComponents]] solves on the
-    * driver (one collect + BFS) instead of the iterative join loop —
-    * ~32 MB of (long, long) rows, far below any driver heap, and orders
-    * of magnitude faster than per-round job scheduling for small graphs.
+    * driver (one collect + BFS) instead of the iterative join loop.
+    * Sized for JVM reality, not raw primitives: 200k collected tuples
+    * plus the boxed adjacency/label maps cost tens of MB — comfortably
+    * inside even a default 1g driver — while still covering any plausible
+    * post-threshold near-dup graph. Orders of magnitude faster than
+    * per-round job scheduling at that size.
     */
-  val SmallGraphEdges = 2000000L
+  val SmallGraphEdges = 200000L
   def permA(j: Int): Long = (2654435761L * (2L * j + 1)) % MinhashMod
   def permB(j: Int): Long = (40503L * j + 1) % MinhashMod
 
@@ -185,22 +188,26 @@ object Dedup {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
-    val edges = snapshot(pairs
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct())
-    // Hybrid: a SMALL edge set (near-dup graphs usually are — pairs
-    // survive an LSH bucket AND a cosine threshold) solves driver-side
-    // in one collect instead of paying multi-round distributed-join
+    // Hybrid decision: count the symmetrized edge set from a CACHE, not a
+    // snapshot — the fast path must not pay (or leak) a parquet round
+    // trip it will never use. A SMALL edge set (near-dup graphs usually
+    // are — pairs survive an LSH bucket AND a cosine threshold) solves
+    // driver-side in one collect instead of multi-round distributed-join
     // latency; the distributed loop below is the path for graphs that
     // don't fit a driver. Same labels either way (min member id).
-    val edgeCount = edges.count()
+    val cached = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    val edgeCount = cached.count()
     if (edgeCount <= smallGraphEdges) {
       val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
-      edges.select("src", "dst").collect().foreach { r =>
+      cached.select("src", "dst").collect().foreach { r =>
         val (s, d) = (r.getLong(0), r.getLong(1))
         adj(s) = d :: adj.getOrElse(s, Nil)
       }
+      cached.unpersist()
       val label = scala.collection.mutable.Map.empty[Long, Long]
       adj.keys.toSeq.sorted.foreach { root =>
         if (!label.contains(root)) { // BFS this component; root is its min
@@ -214,10 +221,11 @@ object Dedup {
           }
         }
       }
-      val spark2 = pairs.sparkSession
-      import spark2.implicits._
+      import spark.implicits._
       return label.toSeq.sortBy(_._1).toDF("v", "cluster_id")
     }
+    val edges = snapshot(cached)
+    cached.unpersist()
     var labels = snapshot(edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")))
     var changed = 1L

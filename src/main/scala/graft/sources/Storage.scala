@@ -103,11 +103,18 @@ object Storage {
     */
   def writeIvfBucketed(embeddings: DataFrame, cells: DataFrame,
                        tableName: String, path: String,
-                       buckets: Int = 32): Unit =
-    embeddings.join(cells, Seq("vec_id"))
-      .write.mode(SaveMode.Overwrite)
+                       buckets: Int = 32): Unit = {
+    val joined = embeddings.join(cells, Seq("vec_id"))
+    // an index build that silently DROPS vectors (assignment missing for
+    // some ids — e.g. a degenerate centroid pick) would make every later
+    // probe quietly return partial results; fail the build loudly instead
+    val (nIn, nOut) = (embeddings.count(), joined.count())
+    require(nOut == nIn,
+      s"IVF index build lost ${nIn - nOut} of $nIn vectors (cell assignment incomplete)")
+    joined.write.mode(SaveMode.Overwrite)
       .option("path", path)
       .bucketBy(buckets, "cell")
       .sortBy("cell")
       .saveAsTable(tableName)
+  }
 }

@@ -80,9 +80,12 @@ class ControlPlaneHttpSpec extends SparkSpec {
 
       // --- ClientController.cs:23-34 delete by id-or-name (+ repeat → 400) ---
       // over-Int digit strings and signed forms are NOT ids: 400, not 500,
-      // and '+1' must never silently delete connection 1
+      // and '+1' (percent-encoded %2B1 on the wire; the handler decodes
+      // exactly once, so the service sees the literal '+1') must never
+      // silently delete connection 1
       assert(send("DELETE", "/api/client/config/delete/99999999999").statusCode == 400)
       assert(send("DELETE", "/api/client/config/delete/%2B1").statusCode == 400)
+      assert(send("GET", "/api/client/config/get").body.contains("\"id\":1"))
       assert(send("DELETE", "/api/client/config/delete/2").statusCode == 200)
       assert(send("DELETE", "/api/client/config/delete/2").statusCode == 400)
       assert(!send("GET", "/api/client/config/get").body.contains("plant-b"))
