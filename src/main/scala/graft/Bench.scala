@@ -42,7 +42,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional args = query-name filter (local iteration; driver passes none)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val times = Vector.newBuilder[(String, Double)]
     val errors = Vector.newBuilder[(String, String)]
     queries.foreach { case (name, fn) =>
@@ -68,7 +70,15 @@ object Bench {
     val errJson = es.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ts.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver's stdout capture truncates long
+    // lines (q01–q16 were lost from BENCH_r03/r04), so the file is the
+    // complete record.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (es.nonEmpty) sys.exit(1)
   }
