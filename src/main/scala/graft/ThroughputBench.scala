@@ -85,13 +85,19 @@ object ThroughputBench {
     // SPARK_GRAFT_TPUT_FEED=socket: the feed lives behind the FeedTransport
     // server (a ticker advances its clock wall-clock-style) and every
     // partition RANGE-pulls over its own TCP connection — measures the
-    // full networked-source path, text protocol and all.
+    // full networked-source path over OPC UA Part 6 binary frames.
+    // SPARK_GRAFT_TPUT_OFFERED sets the offered load in events/s (each
+    // tick = 10k events, ticker fires 10×/s); SPARK_GRAFT_TPUT_CHUNK_ROWS
+    // sets the per-round-trip RANGE size for chunk-size sensitivity runs.
     val feedMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_FEED", "local")
+    val offered = sys.env.getOrElse("SPARK_GRAFT_TPUT_OFFERED", "200000").toLong
+    val chunkRows = sys.env.getOrElse("SPARK_GRAFT_TPUT_CHUNK_ROWS", "65536").toLong
     val socketServer = if (feedMode != "socket") None else {
       val feed = new graft.sources.SimulatedFeed(1000, 10,
         startMicros = 1704067200000000L, intervalMicros = 1000L, clockTicks = 0L)
+      val ticksPerFire = math.max(1L, offered / 100000L) // 10 fires/s × 10k events/tick
       val ticker = new Thread(() => {
-        while (true) { Thread.sleep(100); feed.clockTicks += 2 } // 200k rows/s offered
+        while (true) { Thread.sleep(100); feed.clockTicks += ticksPerFire }
       }, "feed-ticker")
       ticker.setDaemon(true)
       ticker.start()
@@ -105,7 +111,8 @@ object ThroughputBench {
       .option("queueCapacity", 1000L)
       .option("numPartitions", cpus)
     val raw = socketServer
-      .map(s => rawBase.option("feedHost", "127.0.0.1").option("feedPort", s.boundPort))
+      .map(s => rawBase.option("feedHost", "127.0.0.1").option("feedPort", s.boundPort)
+        .option("chunkRows", chunkRows))
       .getOrElse(rawBase)
       .load()
     val handle = IngestPipeline.start(raw, target,
@@ -121,7 +128,7 @@ object ThroughputBench {
         case m: CurrentValuesSink.InMemoryTarget => m.snapshot.size.toLong
         case _ => NoOpJdbc.rowsWritten.get()
       }
-      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","sink_rows":$sinkRows}""")
+      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","offered":$offered,"chunk_rows":$chunkRows,"sink_rows":$sinkRows}""")
     }
     socketServer.foreach(_.close())
     spark.stop()

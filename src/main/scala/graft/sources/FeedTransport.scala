@@ -1,26 +1,30 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
 import java.net.{ServerSocket, Socket}
-import java.nio.charset.StandardCharsets
 import java.util.concurrent.CopyOnWriteArrayList
 import scala.jdk.CollectionConverters._
 
+import OpcuaFraming._
+
 /** A real networked transport for the [[MeasureFeed]] protocol boundary —
-  * as much of the reference's OPC UA client (S2/T4/T5,
+  * the reference's OPC UA client connection (S2/T4/T5,
   * `Helpers/OpcuaHelperFunctions.cs:72-136`,
-  * `Services/OpcSubscribeService.cs:848-957`) as this environment can
-  * honestly exercise: the OPC UA *wire format* still needs a client
-  * library that does not ship here, but the connection LIFECYCLE — TCP
-  * connect, hello/ack session handshake, request/response pulls, broken
-  * connections, backoff reconnect, and resume-at-same-sequence — is real
-  * socket I/O, driven end-to-end by FeedTransportSpec.
+  * `Services/OpcSubscribeService.cs:848-957`) down to the wire format:
+  * frames are OPC UA Part 6 binary ([[OpcuaFraming]]) — HEL/ACK limit
+  * negotiation, size-prefixed little-endian chunked MSG conversation with
+  * sequence discipline, ERR frames — over real TCP, driven end-to-end by
+  * FeedTransportSpec. The remaining gap to a full OPC UA stack is the
+  * OPN/CLO secure-channel + session services (the crypto layer), not the
+  * framing: see the [[OpcuaFraming]] scaladoc.
   *
-  * Line protocol (newline-delimited UTF-8, request → response):
-  *   HEL <client>   → ACK                 session handshake
-  *   LATEST         → SEQ <n>             newest sequence (exclusive)
-  *   GET <i>        → VAL <i> <dev> <m> <value> <micros> <ok>
-  *   RANGE <lo> <hi>→ VAL … × (hi−lo), then END    executor-side batch pull
+  * Application payload inside MSG bodies (§5.2 built-in encodings), the
+  * read service of the feed log:
+  *   LATEST (op 1)            → Int64 newest sequence (exclusive)
+  *   GET (op 2; Int64 i)      → one value record
+  *   RANGE (op 3; Int64 lo, hi) → Int32 count + records  (chunked body)
+  * A value record is String device, String measure, Double value,
+  * Int64 sourceMicros, Boolean statusOk.
   *
   * The feed is an append-only log fully determined by the sequence
   * number, so every request is idempotent — which is what makes the
@@ -29,60 +33,84 @@ import scala.jdk.CollectionConverters._
   */
 object FeedTransport {
 
-  /** In-process server bridging any [[MeasureFeed]] onto the line
-    * protocol. `killConnections()` hard-drops every live connection — the
+  private val OpLatest = 1L
+  private val OpGet = 2L
+  private val OpRange = 3L
+
+  private def writeRecord(mw: MessageWriter, row: (String, String, Double, Long, Boolean)): Unit =
+    mw.str(row._1).str(row._2).f64(row._3).i64(row._4).bool(row._5)
+
+  private def readRecord(r: BufReader): (String, String, Double, Long, Boolean) =
+    (r.str(), r.str(), r.f64(), r.i64(), r.bool())
+
+  /** In-process server bridging any [[MeasureFeed]] onto the Part 6
+    * transport. `killConnections()` hard-drops every live connection — the
     * test lever for the reconnect path (a "server restart" from the
-    * client's point of view).
+    * client's point of view). `limits` are the server's own transport
+    * limits before negotiation (tests shrink them to force chunking).
     */
-  final class FeedServer(feed: MeasureFeed, port: Int = 0) extends AutoCloseable {
+  final class FeedServer(feed: MeasureFeed, port: Int = 0,
+                         limits: Limits = DefaultLimits) extends AutoCloseable {
     private val server = new ServerSocket(port, 50, java.net.InetAddress.getByName("127.0.0.1"))
     private val live = new CopyOnWriteArrayList[Socket]()
     @volatile private var running = true
 
     def boundPort: Int = server.getLocalPort
 
-    private def serve(sock: Socket): Unit = {
-      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-      // NO autoflush: a RANGE must not flush per row (one syscall per value
-      // caps throughput); each response flushes once, a range at its END.
-      // PrintWriter swallows IOException, so checkError() is the only
-      // dead-client signal — poll it inside long ranges to stop serving
-      // millions of rows to a closed socket.
-      val out = new PrintWriter(
-        new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8), 1 << 16))
-      var helloed = false
-      try {
-        var line = in.readLine()
-        while (line != null && !out.checkError()) {
-          val parts = line.trim.split("\\s+")
-          parts(0) match {
-            case "HEL" => helloed = true; out.println("ACK")
-            case _ if !helloed => out.println("ERR handshake required")
-            case "LATEST" => out.println(s"SEQ ${feed.latest()}")
-            case "GET" => out.println(renderVal(parts(1).toLong))
-            case "RANGE" =>
-              val (lo, hi) = (parts(1).toLong, parts(2).toLong)
-              var i = lo
-              var dead = false
-              while (i < hi && !dead) {
-                out.println(renderVal(i))
-                i += 1
-                if ((i & 0xFFFF) == 0) dead = out.checkError() // flushes too
-              }
-              if (!dead) out.println("END")
-            case _ => out.println("ERR unknown command")
-          }
-          out.flush()
-          line = in.readLine()
-        }
-      } catch { case _: java.io.IOException => () } // dropped client
-      finally { live.remove(sock); try sock.close() catch { case _: Exception => () } }
+    private def sendErr(out: OutputStream, code: Long, reason: String): Unit = {
+      writeFrame(out, "ERR", 'F', encodeError(code, reason))
+      out.flush()
     }
 
-    private def renderVal(i: Long): String = {
-      val (dev, m, v, micros, ok) = feed.at(i)
-      s"VAL $i $dev $m $v $micros $ok"
+    private def serve(sock: Socket): Unit = {
+      val in = new BufferedInputStream(sock.getInputStream, 1 << 16)
+      val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+      try {
+        // ---- handshake: first frame must be HEL (Part 6 §7.1.2.3)
+        val (tpe, _, helBody) = readFrame(in, limits.receiveBufferSize)
+        if (tpe != "HEL") { sendErr(out, BadTcpMessageTypeInvalid, s"expected HEL, got $tpe"); return }
+        val hello =
+          try decodeHello(helBody)
+          catch { case e: OpcuaError => sendErr(out, e.code, e.reason); return }
+        if (hello.protocolVersion != ProtocolVersion) {
+          sendErr(out, BadProtocolVersionUnsupported, s"version ${hello.protocolVersion}"); return
+        }
+        val neg = negotiate(limits, hello.limits)
+        writeFrame(out, "ACK", 'F', encodeAck(neg))
+        out.flush()
+        // chunk ceilings per direction: the client sends chunks up to the
+        // revised receive buffer; we send up to neg.sendBufferSize (the
+        // client's receive buffer after revision).
+        val clientSeq = new SeqState // chunks the client sends
+        val serverSeq = new SeqState // chunks we send
+        // ---- conversation
+        while (running) {
+          val (rid, body) = readMessage(in, clientSeq, neg)
+          val r = new BufReader(body)
+          val mw = new MessageWriter(out, serverSeq, rid, neg.sendBufferSize, neg.maxChunkCount)
+          r.u32() match {
+            case OpLatest =>
+              mw.i64(feed.latest()); mw.finish()
+            case OpGet =>
+              writeRecord(mw, feed.at(r.i64())); mw.finish()
+            case OpRange =>
+              val (lo, hi) = (r.i64(), r.i64())
+              if (hi < lo || hi - lo > Int.MaxValue) {
+                sendErr(out, BadTcpMessageTooLarge, s"range [$lo, $hi) too large"); return
+              }
+              mw.i32((hi - lo).toInt)
+              var i = lo
+              while (i < hi) { writeRecord(mw, feed.at(i)); i += 1 }
+              mw.finish()
+            case op =>
+              // Part 6 makes ERR fatal: report and drop the connection
+              sendErr(out, BadServiceUnsupported, s"unknown service $op"); return
+          }
+        }
+      } catch {
+        case _: java.io.IOException => () // dropped client (EOF, reset, framing)
+        case e: OpcuaError => try sendErr(out, e.code, e.reason) catch { case _: Exception => () }
+      } finally { live.remove(sock); try sock.close() catch { case _: Exception => () } }
     }
 
     private val acceptor = new Thread(() => {
@@ -121,14 +149,15 @@ object FeedTransport {
     }
   }
 
-  /** The server answered but rejected the request (ERR …): a DETERMINISTIC
-    * failure — retrying it through reconnect/backoff would burn minutes
-    * resending a doomed request, so it deliberately does NOT extend
-    * IOException and fails the caller immediately with the server's text.
+  /** The server answered but rejected the request (an ERR frame): a
+    * DETERMINISTIC failure — retrying it through reconnect/backoff would
+    * burn minutes resending a doomed request, so it deliberately does NOT
+    * extend IOException and fails the caller immediately with the
+    * server's status code and reason.
     */
   final class FeedProtocolException(msg: String) extends RuntimeException(msg)
 
-  /** [[MeasureFeed]] over the wire, with the reference's reconnect
+  /** [[MeasureFeed]] over the Part 6 wire, with the reference's reconnect
     * discipline: on any I/O failure the connection is torn down, the
     * two-leg TCP backoff ([[RetryPolicy.Backoff]]) delays the re-connect +
     * re-handshake, and the in-flight request is RETRIED — idempotent by
@@ -143,16 +172,23 @@ object FeedTransport {
   final class SocketMeasureFeed(host: String, port: Int,
                                 maxAttempts: Int = 8,
                                 timeoutMs: Int = 30000,
+                                limits: Limits = DefaultLimits,
                                 sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong))
       extends MeasureFeed with AutoCloseable {
 
     private val backoff = new RetryPolicy.Backoff
     @transient private var sock: Socket = _
-    @transient private var in: BufferedReader = _
-    @transient private var out: PrintWriter = _
+    @transient private var in: InputStream = _
+    @transient private var out: OutputStream = _
+    @transient private var negotiated: Limits = _
+    @transient private var sendSeq: SeqState = _
+    @transient private var recvSeq: SeqState = _
+    private var requestId = 0L
 
     /** Delays observed by `sleeper` (exposed for the spec's assertions). */
     val delays = new CopyOnWriteArrayList[Double]()
+    /** MSG chunks received (exposed so the spec can assert real chunking). */
+    @volatile var chunksRead: Long = 0L
 
     private def teardown(): Unit = {
       if (sock != null) { try sock.close() catch { case _: Exception => () }; sock = null }
@@ -162,11 +198,21 @@ object FeedTransport {
       sock = new Socket()
       sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
       sock.setSoTimeout(timeoutMs)
-      in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-      out = new PrintWriter(sock.getOutputStream, true)
-      out.println("HEL graft")
-      val resp = in.readLine()
-      if (resp != "ACK") throw new java.io.IOException(s"handshake rejected: $resp")
+      in = new BufferedInputStream(sock.getInputStream, 1 << 16)
+      out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+      writeFrame(out, "HEL", 'F',
+        encodeHello(Hello(ProtocolVersion, limits, s"opc.tcp://$host:$port/graft")))
+      out.flush()
+      val (tpe, _, body) = readFrame(in, limits.receiveBufferSize)
+      tpe match {
+        case "ACK" => negotiated = decodeAck(body)
+        case "ERR" =>
+          throw new java.io.IOException(s"handshake rejected: ${decodeError(body).getMessage}")
+        case other => throw new FramingViolation(s"expected ACK, got $other")
+      }
+      sendSeq = new SeqState
+      recvSeq = new SeqState
+      requestId = 0L
       backoff.tcpDropped() // connected: reset the backoff legs
     }
 
@@ -193,40 +239,45 @@ object FeedTransport {
       throw new IllegalStateException("unreachable")
     }
 
-    private def request(line: String): String = withSession {
-      out.println(line)
-      val resp = in.readLine()
-      if (resp == null) throw new java.io.IOException("connection closed by server")
-      if (resp.startsWith("ERR")) throw new FeedProtocolException(resp)
-      resp
-    }
+    /** One MSG round-trip: encode the request, reassemble the response,
+      * correlate by RequestId. An ERR frame tears the connection down
+      * (the spec makes ERR fatal) and fails fast as
+      * [[FeedProtocolException]] — no backoff, no retry.
+      */
+    private def call[T](encode: MessageWriter => Unit)(decode: BufReader => T): T =
+      withSession {
+        requestId += 1
+        val mw = new MessageWriter(out, sendSeq, requestId,
+          negotiated.receiveBufferSize, negotiated.maxChunkCount)
+        encode(mw)
+        mw.finish()
+        val readLimits = negotiated.copy(receiveBufferSize = negotiated.sendBufferSize)
+        val before = recvSeq.next
+        val (rid, body) =
+          try readMessage(in, recvSeq, readLimits)
+          catch { case e: OpcuaError => teardown(); throw new FeedProtocolException(e.getMessage) }
+        chunksRead += recvSeq.next - before
+        if (rid != requestId)
+          throw new FramingViolation(s"response for request $rid, expected $requestId")
+        decode(new BufReader(body))
+      }
 
-    override def latest(): Long = request("LATEST").split("\\s+")(1).toLong
+    override def latest(): Long = call(_.u32(OpLatest))(_.i64())
 
     override def at(i: Long): (String, String, Double, Long, Boolean) =
-      parseVal(request(s"GET $i"))
+      call(mw => { mw.u32(OpGet); mw.i64(i) })(readRecord)
 
     /** Executor-side batch pull: one round-trip for a partition's whole
       * [lo, hi) slice. Retried as a unit on connection loss (idempotent).
       */
     def fetchRange(lo: Long, hi: Long): Seq[(String, String, Double, Long, Boolean)] =
-      withSession {
-        out.println(s"RANGE $lo $hi")
+      call(mw => { mw.u32(OpRange); mw.i64(lo); mw.i64(hi) }) { r =>
+        val n = r.i32()
         val rows = Vector.newBuilder[(String, String, Double, Long, Boolean)]
-        var line = in.readLine()
-        while (line != null && line != "END") {
-          if (line.startsWith("ERR")) throw new FeedProtocolException(line)
-          rows += parseVal(line)
-          line = in.readLine()
-        }
-        if (line == null) throw new java.io.IOException("connection closed mid-range")
+        var i = 0
+        while (i < n) { rows += readRecord(r); i += 1 }
         rows.result()
       }
-
-    private def parseVal(line: String): (String, String, Double, Long, Boolean) = {
-      val p = line.split("\\s+")
-      (p(2), p(3), p(4).toDouble, p(5).toLong, p(6).toBoolean)
-    }
 
     override def close(): Unit = teardown()
   }

@@ -68,7 +68,8 @@ final class MeasureScan(options: CaseInsensitiveStringMap) extends Scan {
       // socket transport: feed served by a FeedTransport.FeedServer; the
       // driver polls LATEST, each partition RANGE-pulls its slice
       feedHost = Option(options.get("feedHost")),
-      feedPort = options.getInt("feedPort", 0))
+      feedPort = options.getInt("feedPort", 0),
+      chunkRows = options.getLong("chunkRows", 65536L))
 }
 
 final case class SeqOffset(seq: Long) extends Offset {
@@ -78,7 +79,8 @@ final case class SeqOffset(seq: Long) extends Offset {
 final class MeasureMicroBatchStream(
     nDevices: Int, nMeasures: Int, startMicros: Long, intervalMicros: Long,
     ticksPerBatch: Long, maxRowsPerTrigger: Long, queueCapacity: Long,
-    numPartitions: Int, feedHost: Option[String] = None, feedPort: Int = 0)
+    numPartitions: Int, feedHost: Option[String] = None, feedPort: Int = 0,
+    chunkRows: Long = 65536L)
   extends MicroBatchStream {
 
   private val feed = new SimulatedFeed(nDevices, nMeasures, startMicros, intervalMicros, 0L)
@@ -117,7 +119,7 @@ final class MeasureMicroBatchStream(
       val lo = startSeq + span * p / n
       val hi = startSeq + span * (p + 1) / n
       if (hi > lo) Some(MeasureRange(lo, hi, nDevices, nMeasures, startMicros,
-        intervalMicros, feedHost, feedPort))
+        intervalMicros, feedHost, feedPort, chunkRows))
       else None
     }.toArray
   }
@@ -126,7 +128,7 @@ final class MeasureMicroBatchStream(
     (partition: InputPartition) => {
       val r = partition.asInstanceOf[MeasureRange]
       r.feedHost match {
-        case Some(h) => new SocketRangeReader(r, h)
+        case Some(h) => new SocketRangeReader(r, h, r.chunkRows)
         case None => new MeasureReader(r)
       }
     }
@@ -135,7 +137,8 @@ final class MeasureMicroBatchStream(
 final case class MeasureRange(
     lo: Long, hi: Long, nDevices: Int, nMeasures: Int,
     startMicros: Long, intervalMicros: Long,
-    feedHost: Option[String] = None, feedPort: Int = 0) extends InputPartition
+    feedHost: Option[String] = None, feedPort: Int = 0,
+    chunkRows: Long = 65536L) extends InputPartition
 
 /** Executor-side reader: regenerates its [lo, hi) slice from the pure feed
   * function. A real OPC connector would instead drain a per-executor

@@ -1,0 +1,346 @@
+package graft.sources
+
+import java.io.{EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+/** OPC UA Part 6 (Mappings) TCP transport framing — the public wire
+  * specification the reference's client library speaks underneath
+  * (`Helpers/OpcuaHelperFunctions.cs:72-136` opens the session whose bytes
+  * this layer produces/consumes). Everything here is from the published
+  * spec, no library required:
+  *
+  *  - §7.1.2.2 message header: 3-byte ASCII type (`HEL`/`ACK`/`ERR`/`MSG`)
+  *    + 1-byte IsFinal (`F` final, `C` intermediate chunk, `A` abort) +
+  *    UInt32 little-endian MessageSize counting the 8-byte header itself.
+  *  - §7.1.2.3–7.1.2.5 HEL/ACK/ERR bodies (five UInt32 transport limits +
+  *    length-prefixed EndpointUrl; UInt32 status code + Reason string).
+  *  - §6.7.2 secure-conversation chunks: each MSG chunk carries
+  *    SecureChannelId, a symmetric security header (TokenId) and a
+  *    sequence header (SequenceNumber, RequestId); large bodies split at
+  *    arbitrary byte boundaries into `C`…`C`,`F` chunks, sequence numbers
+  *    strictly consecutive per direction, all chunks of one message under
+  *    one RequestId.
+  *  - §5.2 built-in type encodings: all integers little-endian, IEEE-754
+  *    Double, String = Int32 byte length (−1 = null) + UTF-8 bytes,
+  *    Boolean = single byte.
+  *
+  * Deliberately out of scope (documented gap, not an approximation): the
+  * OPN/CLO secure-channel handshake and its crypto (Part 6 §6.7.4, Part 4
+  * services). This layer frames with SecurityPolicy-None semantics:
+  * SecureChannelId and TokenId are fixed at 0, which is exactly what the
+  * chunks of an unencrypted channel carry after open. Everything a
+  * network sees — headers, limits negotiation, chunking, sequence
+  * discipline, error frames — is real Part 6 binary.
+  */
+object OpcuaFraming {
+
+  val ProtocolVersion = 0
+  /** Part 6 §7.1.2.3: buffer sizes below 8192 shall be rejected. */
+  val MinBufferSize = 8192
+  /** Per-chunk overhead: 8B message header + 4B SecureChannelId + 4B
+    * TokenId + 4B SequenceNumber + 4B RequestId.
+    */
+  val ChunkOverhead = 24
+
+  // OPC UA status codes (public StatusCode CSV, Part 6 Table 55 error cases)
+  val GoodStatus = 0x00000000L
+  val BadTcpMessageTypeInvalid = 0x807E0000L
+  val BadTcpMessageTooLarge = 0x80800000L
+  val BadTcpInternalError = 0x80820000L
+  val BadTcpEndpointUrlInvalid = 0x80830000L
+  val BadProtocolVersionUnsupported = 0x80BE0000L
+  val BadSequenceNumberInvalid = 0x80880000L
+  val BadServiceUnsupported = 0x800B0000L
+
+  /** The four transport limits negotiated by HEL/ACK (Part 6 §7.1.2.3):
+    * `receiveBufferSize`/`sendBufferSize` bound single chunks (a sender
+    * may not send a chunk larger than the RECEIVER's receive buffer),
+    * `maxMessageSize` bounds a reassembled message body, `maxChunkCount`
+    * bounds chunks per message; 0 = no limit for the latter two.
+    */
+  final case class Limits(receiveBufferSize: Int, sendBufferSize: Int,
+                          maxMessageSize: Long, maxChunkCount: Long) {
+    require(receiveBufferSize >= MinBufferSize && sendBufferSize >= MinBufferSize,
+      s"Part 6 buffer sizes must be >= $MinBufferSize")
+  }
+  val DefaultLimits: Limits = Limits(65536, 65536, 64L * 1024 * 1024, 0L)
+
+  final case class Hello(protocolVersion: Long, limits: Limits, endpointUrl: String)
+
+  /** Server answered with an ERR message (Part 6 §7.1.2.5) — a
+    * deterministic rejection; the connection is dead afterwards (the spec
+    * makes ERR fatal) but the REQUEST must not be blindly retried.
+    */
+  final class OpcuaError(val code: Long, val reason: String)
+    extends RuntimeException(f"ERR 0x$code%08X: $reason")
+
+  /** The peer violated the framing contract (bad type, size, sequence…) —
+    * indistinguishable from stream corruption, so callers treat it like
+    * any I/O failure (teardown + reconnect).
+    */
+  final class FramingViolation(msg: String) extends java.io.IOException(msg)
+
+  // ---------------------------------------------------------------- bytes
+
+  /** Growable little-endian scratch buffer for §5.2 built-in encodings. */
+  final class BufWriter(initial: Int = 256) {
+    private var buf = new Array[Byte](math.max(16, initial))
+    private var n = 0
+    private def ensure(k: Int): Unit =
+      if (n + k > buf.length) {
+        val grown = new Array[Byte](math.max(buf.length * 2, n + k))
+        System.arraycopy(buf, 0, grown, 0, n)
+        buf = grown
+      }
+    def u8(v: Int): this.type = { ensure(1); buf(n) = v.toByte; n += 1; this }
+    def u32(v: Long): this.type = {
+      ensure(4)
+      buf(n) = v.toByte; buf(n + 1) = (v >>> 8).toByte
+      buf(n + 2) = (v >>> 16).toByte; buf(n + 3) = (v >>> 24).toByte
+      n += 4; this
+    }
+    def i32(v: Int): this.type = u32(v.toLong & 0xFFFFFFFFL)
+    def i64(v: Long): this.type = { u32(v & 0xFFFFFFFFL); u32(v >>> 32) }
+    def f64(v: Double): this.type = i64(java.lang.Double.doubleToLongBits(v))
+    def bool(v: Boolean): this.type = u8(if (v) 1 else 0)
+    def str(s: String): this.type =
+      if (s == null) i32(-1)
+      else { val b = s.getBytes(StandardCharsets.UTF_8); i32(b.length); raw(b) }
+    def raw(b: Array[Byte]): this.type = { ensure(b.length); System.arraycopy(b, 0, buf, n, b.length); n += b.length; this }
+    def length: Int = n
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Little-endian reader over one reassembled body. */
+  final class BufReader(b: Array[Byte]) {
+    private var p = 0
+    private def need(k: Int): Unit =
+      if (p + k > b.length) throw new FramingViolation(
+        s"truncated body: need $k bytes at offset $p of ${b.length}")
+    def u8(): Int = { need(1); val v = b(p) & 0xFF; p += 1; v }
+    def u32(): Long = {
+      need(4)
+      val v = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      p += 4; v
+    }
+    def i32(): Int = u32().toInt
+    def i64(): Long = { val lo = u32(); val hi = u32(); (hi << 32) | lo }
+    def f64(): Double = java.lang.Double.longBitsToDouble(i64())
+    def bool(): Boolean = u8() != 0
+    def str(): String = {
+      val len = i32()
+      if (len < 0) null
+      else { need(len); val s = new String(b, p, len, StandardCharsets.UTF_8); p += len; s }
+    }
+    def remaining: Int = b.length - p
+  }
+
+  // --------------------------------------------------------------- frames
+
+  private def readFully(in: InputStream, dst: Array[Byte], off: Int, len: Int): Unit = {
+    var got = 0
+    while (got < len) {
+      val k = in.read(dst, off + got, len - got)
+      if (k < 0) throw new EOFException("connection closed by peer")
+      got += k
+    }
+  }
+
+  /** One raw frame: (3-char type, IsFinal byte, body after the header). */
+  def readFrame(in: InputStream, maxFrameSize: Int): (String, Char, Array[Byte]) = {
+    val hdr = new Array[Byte](8)
+    readFully(in, hdr, 0, 8)
+    val tpe = new String(hdr, 0, 3, StandardCharsets.US_ASCII)
+    val fin = (hdr(3) & 0xFF).toChar
+    val size = (hdr(4) & 0xFFL) | ((hdr(5) & 0xFFL) << 8) |
+      ((hdr(6) & 0xFFL) << 16) | ((hdr(7) & 0xFFL) << 24)
+    if (size < 8 || size > maxFrameSize)
+      throw new FramingViolation(s"frame size $size outside [8, $maxFrameSize]")
+    val body = new Array[Byte](size.toInt - 8)
+    readFully(in, body, 0, body.length)
+    (tpe, fin, body)
+  }
+
+  def writeFrame(out: OutputStream, tpe: String, fin: Char, body: Array[Byte]): Unit = {
+    require(tpe.length == 3)
+    val w = new BufWriter(8 + body.length)
+    w.raw(tpe.getBytes(StandardCharsets.US_ASCII)).u8(fin).u32(8L + body.length).raw(body)
+    out.write(w.result())
+  }
+
+  // ------------------------------------------------- connection messages
+
+  def encodeHello(h: Hello): Array[Byte] =
+    new BufWriter(64)
+      .u32(h.protocolVersion)
+      .u32(h.limits.receiveBufferSize).u32(h.limits.sendBufferSize)
+      .u32(h.limits.maxMessageSize).u32(h.limits.maxChunkCount)
+      .str(h.endpointUrl)
+      .result()
+
+  def decodeHello(body: Array[Byte]): Hello = {
+    val r = new BufReader(body)
+    val ver = r.u32()
+    val recv = r.u32(); val send = r.u32(); val maxMsg = r.u32(); val maxChunks = r.u32()
+    val url = r.str()
+    if (recv < MinBufferSize || send < MinBufferSize)
+      throw new FramingViolation(s"HEL buffer sizes ($recv/$send) below Part 6 minimum")
+    if (url != null && url.length > 4096)
+      throw new OpcuaError(BadTcpEndpointUrlInvalid, "EndpointUrl exceeds 4096 bytes")
+    Hello(ver, Limits(recv.toInt, send.toInt, maxMsg, maxChunks), url)
+  }
+
+  def encodeAck(l: Limits): Array[Byte] =
+    new BufWriter(20)
+      .u32(ProtocolVersion)
+      .u32(l.receiveBufferSize).u32(l.sendBufferSize)
+      .u32(l.maxMessageSize).u32(l.maxChunkCount)
+      .result()
+
+  def decodeAck(body: Array[Byte]): Limits = {
+    val r = new BufReader(body)
+    r.u32() // server protocol version
+    val recv = r.u32(); val send = r.u32(); val maxMsg = r.u32(); val maxChunks = r.u32()
+    if (recv < MinBufferSize || send < MinBufferSize)
+      throw new FramingViolation(s"ACK buffer sizes ($recv/$send) below Part 6 minimum")
+    Limits(recv.toInt, send.toInt, maxMsg, maxChunks)
+  }
+
+  def encodeError(code: Long, reason: String): Array[Byte] =
+    new BufWriter(32).u32(code).str(reason).result()
+
+  def decodeError(body: Array[Byte]): OpcuaError = {
+    val r = new BufReader(body)
+    new OpcuaError(r.u32(), Option(r.str()).getOrElse(""))
+  }
+
+  /** Part 6 §7.1.2.4 negotiation: the ACK revises each limit down to what
+    * the server supports; a side's send ceiling is the OTHER side's
+    * receive buffer, so the revised receive pairs with the hello's send
+    * and vice versa. 0 stays "no limit" only if both sides say so.
+    */
+  def negotiate(server: Limits, hello: Limits): Limits = {
+    def minLimit(a: Long, b: Long): Long =
+      if (a == 0) b else if (b == 0) a else math.min(a, b)
+    Limits(
+      receiveBufferSize = math.min(server.receiveBufferSize, hello.sendBufferSize),
+      sendBufferSize = math.min(server.sendBufferSize, hello.receiveBufferSize),
+      maxMessageSize = minLimit(server.maxMessageSize, hello.maxMessageSize),
+      maxChunkCount = minLimit(server.maxChunkCount, hello.maxChunkCount))
+  }
+
+  // ------------------------------------------------------ chunked MSG I/O
+
+  /** Per-direction sequence-number state (Part 6 §6.7.2: strictly
+    * consecutive across all chunks a side sends on one connection).
+    */
+  final class SeqState { var next: Long = 1L }
+
+  /** Streaming chunk writer for one MSG message: primitives encode
+    * directly into the chunk buffer; when a write would overflow the
+    * negotiated chunk size the buffer flushes as an intermediate `C`
+    * chunk and the write continues into the next one. `finish()` emits
+    * the final `F` chunk (always, even when empty — the receiver needs
+    * the final marker). Enforces the peer's receive-buffer chunk bound
+    * and the negotiated per-message chunk count.
+    */
+  final class MessageWriter(out: OutputStream, seq: SeqState, requestId: Long,
+                            peerReceiveBufferSize: Int, maxChunkCount: Long) {
+    private val cap = peerReceiveBufferSize - ChunkOverhead
+    require(cap > 0)
+    private val chunk = new Array[Byte](peerReceiveBufferSize)
+    private var n = 0 // payload bytes in the current chunk
+    private var chunks = 0L
+
+    private def flush(fin: Char): Unit = {
+      chunks += 1
+      if (maxChunkCount != 0 && chunks > maxChunkCount)
+        throw new FramingViolation(s"message exceeds negotiated MaxChunkCount=$maxChunkCount")
+      val w = new BufWriter(ChunkOverhead + n)
+      w.raw("MSG".getBytes(StandardCharsets.US_ASCII)).u8(fin).u32(ChunkOverhead.toLong + n)
+      w.u32(0L) // SecureChannelId (SecurityPolicy None, no OPN — see header)
+      w.u32(0L) // TokenId
+      w.u32(seq.next); seq.next += 1
+      w.u32(requestId)
+      out.write(w.result())
+      out.write(chunk, 0, n)
+      n = 0
+    }
+    private def room(k: Int): Unit = if (n + k > cap) flush('C')
+    def u8(v: Int): this.type = { room(1); chunk(n) = v.toByte; n += 1; this }
+    def u32(v: Long): this.type = {
+      room(4)
+      chunk(n) = v.toByte; chunk(n + 1) = (v >>> 8).toByte
+      chunk(n + 2) = (v >>> 16).toByte; chunk(n + 3) = (v >>> 24).toByte
+      n += 4; this
+    }
+    def i32(v: Int): this.type = u32(v.toLong & 0xFFFFFFFFL)
+    def i64(v: Long): this.type = { u32(v & 0xFFFFFFFFL); u32(v >>> 32) }
+    def f64(v: Double): this.type = i64(java.lang.Double.doubleToLongBits(v))
+    def bool(v: Boolean): this.type = u8(if (v) 1 else 0)
+    def str(s: String): this.type =
+      if (s == null) i32(-1)
+      else { val b = s.getBytes(StandardCharsets.UTF_8); i32(b.length); raw(b) }
+    /** Opaque bytes; may straddle chunk boundaries (§6.7.2 splits the byte
+      * stream, not the value stream).
+      */
+    def raw(b: Array[Byte]): this.type = {
+      var off = 0
+      while (off < b.length) {
+        if (n == cap) flush('C')
+        val k = math.min(cap - n, b.length - off)
+        System.arraycopy(b, off, chunk, n, k)
+        n += k; off += k
+      }
+      this
+    }
+    def finish(): Unit = { flush('F'); out.flush() }
+  }
+
+  /** Read and reassemble one chunked MSG into (requestId, body bytes).
+    * Verifies the §6.7.2 discipline: MSG type, per-chunk size within our
+    * receive buffer, channel/token = 0, sequence numbers consecutive,
+    * one RequestId per message, chunk count and reassembled size within
+    * the negotiated limits. An `A` chunk aborts the message (its body is
+    * an ERR payload); an ERR frame raises [[OpcuaError]].
+    */
+  def readMessage(in: InputStream, seq: SeqState, limits: Limits): (Long, Array[Byte]) = {
+    val body = new java.io.ByteArrayOutputStream(1024)
+    var requestId = -1L
+    var chunks = 0L
+    while (true) {
+      val (tpe, fin, frame) = readFrame(in, limits.receiveBufferSize)
+      tpe match {
+        case "ERR" => throw decodeError(frame)
+        case "MSG" =>
+          val r = new BufReader(frame)
+          val channel = r.u32(); val token = r.u32()
+          if (channel != 0 || token != 0)
+            throw new FramingViolation(s"unknown secure channel $channel/$token (no OPN exchanged)")
+          val sn = r.u32()
+          if (sn != seq.next)
+            throw new FramingViolation(s"sequence number $sn, expected ${seq.next}")
+          seq.next += 1
+          val rid = r.u32()
+          if (requestId == -1L) requestId = rid
+          else if (rid != requestId)
+            throw new FramingViolation(s"request id $rid mid-message, expected $requestId")
+          chunks += 1
+          if (limits.maxChunkCount != 0 && chunks > limits.maxChunkCount)
+            throw new FramingViolation(s"message exceeds MaxChunkCount=${limits.maxChunkCount}")
+          fin match {
+            case 'A' => throw decodeError(frame.drop(16)) // abort carries ERR payload
+            case 'C' | 'F' =>
+              body.write(frame, 16, frame.length - 16)
+              if (limits.maxMessageSize != 0 && body.size() > limits.maxMessageSize)
+                throw new FramingViolation(s"message exceeds MaxMessageSize=${limits.maxMessageSize}")
+              if (fin == 'F') return (requestId, body.toByteArray)
+            case other => throw new FramingViolation(s"IsFinal byte '$other'")
+          }
+        case other => throw new FramingViolation(s"unexpected message type '$other'")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

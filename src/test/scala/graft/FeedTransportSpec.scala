@@ -4,14 +4,18 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{FeedTransport, SimulatedFeed}
 import graft.sources.FeedTransport.{FeedServer, SocketMeasureFeed}
 
-/** The networked feed transport, end-to-end over real sockets: handshake,
-  * request/response pulls, batch range pulls, and — the part that matters
-  * — connection drops mid-stream answered by backoff reconnect and an
+/** The networked feed transport, end-to-end over real sockets speaking
+  * OPC UA Part 6 binary frames: HEL/ACK negotiation, chunked MSG
+  * request/response pulls, ERR frames, and — the part that matters —
+  * connection drops mid-stream answered by backoff reconnect and an
   * idempotent retry that resumes at the same sequence with no loss and no
-  * duplicates (the transport-level half of S2/T4/T5; the OPC UA wire
-  * format itself remains the documented library gap).
+  * duplicates (S2/T4/T5; the OPN/CLO secure-channel crypto is the one
+  * remaining documented gap — see OpcuaFraming's scaladoc). Frame-level
+  * byte pins live in OpcuaFramingSpec.
   */
 class FeedTransportSpec extends AnyFunSuite {
+  import graft.sources.OpcuaFraming
+  import graft.sources.OpcuaFraming._
 
   private def withServer(f: (FeedServer, SimulatedFeed) => Unit): Unit = {
     val feed = new SimulatedFeed(nDevices = 3, nMeasures = 2,
@@ -35,21 +39,39 @@ class FeedTransportSpec extends AnyFunSuite {
     }
   }
 
-  test("requests before the HEL handshake are rejected by the server") {
-    withServer { (server, _) =>
+  test("a MSG before the HEL handshake draws an ERR frame and a closed connection") {
+    withServer { (server, feed) =>
       val raw = new java.net.Socket("127.0.0.1", server.boundPort)
       try {
-        val out = new java.io.PrintWriter(raw.getOutputStream, true)
-        val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(raw.getInputStream))
-        out.println("LATEST")
-        assert(in.readLine().startsWith("ERR"))
-        out.println("HEL late")
-        assert(in.readLine() == "ACK")
-        out.println("LATEST")
-        assert(in.readLine().startsWith("SEQ "))
+        val out = raw.getOutputStream
+        // send a LATEST request without ever saying hello
+        val mw = new MessageWriter(out, new SeqState, 1L, 65536, 0L)
+        mw.u32(1L); mw.finish()
+        val (tpe, _, body) = OpcuaFraming.readFrame(raw.getInputStream, 65536)
+        assert(tpe == "ERR")
+        val err = OpcuaFraming.decodeError(body)
+        assert(err.code == BadTcpMessageTypeInvalid) // Part 6: ERR is fatal
+        assert(raw.getInputStream.read() == -1)      // server closed on us
       } finally raw.close()
+      // a fresh, well-behaved connection still handshakes and works
+      val client = new SocketMeasureFeed("127.0.0.1", server.boundPort)
+      try assert(client.latest() == feed.latest()) finally client.close()
     }
+  }
+
+  test("negotiated 8k buffers force multi-chunk RANGE responses, reassembled losslessly") {
+    val feed = new SimulatedFeed(nDevices = 5, nMeasures = 4,
+      startMicros = 1704067200000000L, intervalMicros = 5000000L, clockTicks = 200L)
+    // server only grants the Part 6 minimum buffers → every response chunk ≤ 8192
+    val server = new FeedServer(feed, limits = Limits(8192, 8192, 0L, 0L))
+    val client = new SocketMeasureFeed("127.0.0.1", server.boundPort)
+    try {
+      val before = client.chunksRead
+      val rows = client.fetchRange(0L, 4000L) // ~40 B/record ≫ one 8 KiB chunk
+      assert(rows == (0L until 4000L).map(feed.at))
+      assert(client.chunksRead - before > 10,
+        s"expected a chunked body, got ${client.chunksRead - before} chunk(s)")
+    } finally { client.close(); server.close() }
   }
 
   test("connection drop: backoff reconnect, idempotent retry, exact resume (T4/T5)") {
@@ -105,21 +127,24 @@ class FeedTransportSpec extends AnyFunSuite {
   }
 
   test("protocol ERR fails fast — no teardown/backoff retry of a doomed request") {
-    // a fake server that handshakes, then rejects everything (version skew)
+    // a fake server that ACKs the handshake, then ERRs every service call
     val srv = new java.net.ServerSocket(0)
     val t = new Thread(() => {
       val s = srv.accept()
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream))
-      val out = new java.io.PrintWriter(s.getOutputStream, true)
-      in.readLine(); out.println("ACK")
-      var line = in.readLine()
-      while (line != null) { out.println("ERR nope"); line = in.readLine() }
+      val in = s.getInputStream; val out = s.getOutputStream
+      val (tpe, _, _) = OpcuaFraming.readFrame(in, 65536)
+      assert(tpe == "HEL")
+      OpcuaFraming.writeFrame(out, "ACK", 'F', encodeAck(DefaultLimits)); out.flush()
+      OpcuaFraming.readMessage(in, new SeqState, DefaultLimits) // the doomed request
+      OpcuaFraming.writeFrame(out, "ERR", 'F',
+        encodeError(BadServiceUnsupported, "nope")); out.flush()
+      s.close()
     })
     t.setDaemon(true); t.start()
     val client = new SocketMeasureFeed("127.0.0.1", srv.getLocalPort, sleeper = _ => ())
     try {
       val e = intercept[FeedTransport.FeedProtocolException](client.latest())
-      assert(e.getMessage == "ERR nope")
+      assert(e.getMessage == "ERR 0x800B0000: nope")
       assert(client.delays.isEmpty) // deterministic failure took zero backoff
     } finally { client.close(); srv.close() }
   }
