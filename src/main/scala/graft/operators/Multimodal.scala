@@ -9,12 +9,13 @@ import graft.functions.ScalarOps
   * columns plus typed metadata, with decode/feature-extraction staged as
   * per-partition batch operators.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * bytes. The Spark-side contract is real — schema, batch shape,
-  * partition-parallel execution — so swapping in a real decoder (e.g. a
-  * JNI-backed mapPartitions, or `mapInPandas`+PIL on PySpark) changes one
-  * function.
+  * Three image formats decode FOR REAL, pure JVM: 24-bit uncompressed BMP
+  * and binary PPM (P6) via [[ImageCodecs]] (hand-written against the
+  * public format layouts, golden-byte-pinned and cross-checked against
+  * `javax.imageio` in MultimodalSpec), and PNG via the JDK's built-in
+  * ImageIO reader. Formats with no JVM decoder here (JPEG-XL, video,
+  * audio) fall through to `decodeStub`'s deterministic byte features —
+  * the honest boundary, now an edge case rather than the whole operator.
   *
   * Scale: binaries ride in parquet as BYTE_ARRAY; select only metadata
   * columns when features suffice (column pruning skips the blobs);
@@ -89,4 +90,253 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("meta.frame_count") - 1, lit(stride))))
       .select("media_id", "modality", "frame_idx")
+
+  /** Hand-written codecs for the two bounded image formats a JVM can
+    * decode with no dependency: 24-bit uncompressed BMP (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER, little-endian, BGR byte order, 4-byte-padded
+    * rows stored bottom-up — or top-down when height is negative) and
+    * binary PPM `P6` (ASCII header, RGB bytes top-down). Layouts are
+    * public format documentation; MultimodalSpec pins golden bytes and
+    * cross-checks both directions against `javax.imageio`.
+    */
+  object ImageCodecs {
+
+    /** Decoded image presented as a row-major accessor: `rgb(x, y)` is
+      * 0xRRGGBB at logical position (x, y), y = 0 the TOP row regardless
+      * of the storage order — orientation bugs show up in the row-0
+      * features, which is why [[decodeMedia]] emits them.
+      */
+    final case class Decoded(width: Int, height: Int, rgb: (Int, Int) => Int)
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+    def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+    def isPpm(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+    /** 24-bit BI_RGB BMP encoder; `rgb(x, y)` gives 0xRRGGBB, y=0 = top. */
+    def encodeBmp(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val size = 54 + stride * h
+      val out = new Array[Byte](size)
+      def pu16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+      def pu32(o: Int, v: Long): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      pu32(2, size); pu32(10, 54)              // file size, pixel-data offset
+      pu32(14, 40); pu32(18, w); pu32(22, h)   // BITMAPINFOHEADER, +h = bottom-up
+      pu16(26, 1); pu16(28, 24)                // planes, bpp
+      pu32(30, 0); pu32(34, stride.toLong * h) // BI_RGB, image size
+      pu32(38, 2835); pu32(42, 2835)           // 72 dpi
+      var yStored = 0
+      while (yStored < h) {
+        val y = h - 1 - yStored // bottom-up storage
+        val rowOff = 54 + yStored * stride
+        var x = 0
+        while (x < w) {
+          val p = rgb(x, y)
+          out(rowOff + 3 * x) = p.toByte              // B
+          out(rowOff + 3 * x + 1) = (p >> 8).toByte   // G
+          out(rowOff + 3 * x + 2) = (p >> 16).toByte  // R
+          x += 1
+        }
+        yStored += 1
+      }
+      out
+    }
+
+    def decodeBmp(b: Array[Byte]): Decoded = {
+      require(isBmp(b) && b.length >= 54, "not a BMP")
+      val dataOffset = u32(b, 10).toInt
+      require(u32(b, 14) >= 40, s"unsupported header size ${u32(b, 14)}")
+      val w = u32(b, 18).toInt
+      val hRaw = u32(b, 22).toInt // negative = top-down storage
+      val h = math.abs(hRaw)
+      require(u16(b, 26) == 1, "planes != 1")
+      require(u16(b, 28) == 24, s"unsupported bpp ${u16(b, 28)} (24-bit only)")
+      require(u32(b, 30) == 0, "compressed BMP unsupported (BI_RGB only)")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(b.length >= dataOffset + stride * h, "truncated pixel data")
+      Decoded(w, h, (x, y) => {
+        val yStored = if (hRaw > 0) h - 1 - y else y
+        val o = dataOffset + yStored * stride + 3 * x
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 1) & 0xFF) << 8) | (b(o) & 0xFF)
+      })
+    }
+
+    /** Binary PPM (`P6`) encoder: minimal header, maxval 255, RGB top-down. */
+    def encodePpm(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 3 * w * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = header.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = rgb(x, y)
+          out(i) = (p >> 16).toByte; out(i + 1) = (p >> 8).toByte; out(i + 2) = p.toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decodePpm(b: Array[Byte]): Decoded = {
+      require(isPpm(b), "not a P6 PPM")
+      // header = 4 whitespace-separated ASCII tokens ('#' comments allowed),
+      // then exactly ONE whitespace byte before the raw RGB samples
+      var pos = 2
+      def token(): Int = {
+        while (pos < b.length &&
+          (Character.isWhitespace(b(pos)) || b(pos) == '#'.toByte)) {
+          if (b(pos) == '#'.toByte) while (pos < b.length && b(pos) != '\n'.toByte) pos += 1
+          else pos += 1
+        }
+        var v = 0
+        while (pos < b.length && !Character.isWhitespace(b(pos))) {
+          require(b(pos) >= '0'.toByte && b(pos) <= '9'.toByte, "bad PPM header")
+          v = v * 10 + (b(pos) - '0'.toByte); pos += 1
+        }
+        v
+      }
+      val w = token(); val h = token(); val maxval = token()
+      require(maxval == 255, s"unsupported maxval $maxval")
+      pos += 1 // the single whitespace after maxval
+      require(b.length >= pos + 3 * w * h, "truncated pixel data")
+      val base = pos
+      Decoded(w, h, (x, y) => {
+        val o = base + 3 * (y * w + x)
+        ((b(o) & 0xFF) << 16) | ((b(o + 1) & 0xFF) << 8) | (b(o + 2) & 0xFF)
+      })
+    }
+
+    /** PNG via the JDK's own ImageIO reader (no external dependency). */
+    def decodePng(b: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      require(img != null, "ImageIO could not decode PNG bytes")
+      Decoded(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y) & 0xFFFFFF)
+    }
+
+    def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** The deterministic test-pattern pixel function: channel values are
+    * closed-form in (doc_id, pixel index), so the DuckDB oracle can
+    * recompute every decoded feature without decoding anything — the
+    * cross-engine check that makes the REAL decode path oracle-verifiable
+    * (q80). Kept int-small: seed < 9973, i < w·h ≤ 432.
+    */
+  object TestPattern {
+    def width(id: Long): Int = (8 + id % 17).toInt
+    def height(id: Long): Int = (8 + id % 11).toInt
+    def rgb(id: Long)(x: Int, y: Int): Int = {
+      val seed = (id % 9973).toInt
+      val i = y * width(id) + x
+      val r = (seed + 3 * i) % 256
+      val g = (seed + 5 * i + 7) % 256
+      val b = (seed + 11 * i + 13) % 256
+      (r << 16) | (g << 8) | b
+    }
+  }
+
+  /** Synthesize REAL image bytes (BMP / PPM / PNG round-robin by id) with
+    * [[TestPattern]] pixels — the fixture generator for the real decode
+    * path. Executor-side mapPartitions, same batch shape as the decoder.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("bytes", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h, px) = (TestPattern.width(id), TestPattern.height(id), TestPattern.rgb(id) _)
+        val bytes = (id % 3) match {
+          case 0 => ImageCodecs.encodeBmp(w, h, px)
+          case 1 => ImageCodecs.encodePpm(w, h, px)
+          case _ => ImageCodecs.encodePng(w, h, px)
+        }
+        Row(id, "image", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL decode: sniffs the magic bytes and decodes BMP/PPM/PNG into
+    * width/height plus exact per-channel pixel sums, channel means, and
+    * the top-row sums (orientation-sensitive — a bottom-up/top-down mixup
+    * changes them while leaving whole-image means untouched). Unknown
+    * formats yield format='opaque' with null features: the stub boundary,
+    * now only for formats without a JVM decoder. Executor-side
+    * mapPartitions, one decode per row, no driver involvement.
+    */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("row0_sum_r", LongType), StructField("row0_sum_g", LongType),
+      StructField("row0_sum_b", LongType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val decoded: Option[(String, ImageCodecs.Decoded)] =
+          if (ImageCodecs.isBmp(bytes)) Some("bmp" -> ImageCodecs.decodeBmp(bytes))
+          else if (ImageCodecs.isPpm(bytes)) Some("ppm" -> ImageCodecs.decodePpm(bytes))
+          else if (ImageCodecs.isPng(bytes)) Some("png" -> ImageCodecs.decodePng(bytes))
+          else None
+        decoded match {
+          case Some((fmt, img)) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var (r0r, r0g, r0b) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val p = img.rgb(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                if (y == 0) { r0r += (p >> 16) & 0xFF; r0g += (p >> 8) & 0xFF; r0b += p & 0xFF }
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.width.toLong * img.height
+            Row(id, fmt, img.width, img.height, sr, sg, sb, r0r, r0g, r0b,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          case None =>
+            Row(id, "opaque", null, null, null, null, null, null, null, null,
+              null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

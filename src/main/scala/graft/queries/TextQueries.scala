@@ -305,6 +305,43 @@ object TextQueries {
         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.decodeStub(Multimodal.attachBinary(Tables.documents(s, dir)))
         .orderBy("media_id")
+    },
+
+    // REAL image decode: BMP/PPM/PNG bytes are synthesized executor-side
+    // from the closed-form TestPattern, decoded by the hand-written codecs
+    // (+ JDK ImageIO for PNG), and every decoded feature — dimensions,
+    // exact channel sums, means, orientation-sensitive top-row sums — is
+    // recomputed by the oracle from the formula alone. 432 = max w·h of
+    // the pattern (24×18), so the fixed-range cross join covers every
+    // pixel (q51's bounded-unnest idiom).
+    QueryDef("q80_image_decode",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 17 AS INT) AS w,
+        |         CAST(8 + doc_id % 11 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h, gi.i,
+        |         (seed + 3*i) % 256 AS r,
+        |         (seed + 5*i + 7) % 256 AS g,
+        |         (seed + 11*i + 13) % 256 AS b
+        |  FROM m, (SELECT unnest(range(0, 432)) AS i) gi
+        |  WHERE gi.i < m.w * m.h)
+        |SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS format,
+        |       w AS width, h AS height,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r,
+        |       CAST(SUM(g) AS BIGINT) AS sum_g,
+        |       CAST(SUM(b) AS BIGINT) AS sum_b,
+        |       CAST(SUM(CASE WHEN i < w THEN r END) AS BIGINT) AS row0_sum_r,
+        |       CAST(SUM(CASE WHEN i < w THEN g END) AS BIGINT) AS row0_sum_g,
+        |       CAST(SUM(CASE WHEN i < w THEN b END) AS BIGINT) AS row0_sum_b,
+        |       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+        |       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+        |       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeMedia(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")
     }
   )
 }
