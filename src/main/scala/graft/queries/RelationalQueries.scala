@@ -383,6 +383,29 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // The sketch's ERROR is oracle-verifiable even though its value isn't:
+    // Spark computes approx and exact side by side and emits the 5%
+    // relative-error verdict; the oracle computes the exact count and
+    // asserts the verdict is TRUE for every group. A sketch drifting past
+    // the bound turns a green row red — q29 stops being the one entry
+    // with no quantitative check. rsd=0.02 (measured rel-err 0.4% at
+    // sf0.1, 0 at sf0.01; the default 0.05 measured 6.7% at sf0.1).
+    QueryDef("q81_approx_error",
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            .cast(DoubleType) / col("exact_users") <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    },
+
     // Hot-key aggregation via two-phase salting (SkewTools): splits each
     // key into 16 salted sub-keys for the partial aggregate, bounding any
     // one reduce task's volume, then combines. Decimal sums are
