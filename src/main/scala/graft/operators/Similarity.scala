@@ -125,6 +125,15 @@ object Similarity {
     val cand = buckets.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    rankCandidates(embeddings, cand, queryMaxId, k)
+  }
+
+  /** Exact-cosine ranking of bare-id candidate pairs, top-k per query —
+    * the shared tail of the multi-table and multi-probe paths. Vectors
+    * and their once-computed norms join back AFTER the candidate dedup.
+    */
+  private def rankCandidates(embeddings: DataFrame, cand: DataFrame,
+                             queryMaxId: Long, k: Int): DataFrame = {
     val e = embD("embedding")
     val qe = embeddings.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), e.as("q_emb"),
@@ -138,6 +147,53 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))
+  }
+
+  /** MULTI-PROBE multi-table LSH (Lv et al., VLDB'07): each query probes,
+    * per table, its own bucket PLUS the `probes` Hamming-1 buckets whose
+    * flipped plane has the smallest |margin| (the planes the vector sits
+    * closest to — the buckets a near neighbor most likely fell into).
+    * Candidate work grows by at most ×(1+probes) while recall rises
+    * steeply (measured: 0.57 → see AnnRecallSpec floor). The probe
+    * expansion happens on the QUERY side only — the corpus bucketing and
+    * the (t, bucket) equi-join shape are identical to [[lshTopKMulti]],
+    * so the 100 TB layout (corpus pre-bucketed by (t, bucket)) carries
+    * over unchanged and probing more buckets never reshuffles the corpus.
+    */
+  def lshTopKMultiProbe(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                        tables: Int = 8, planesPerTable: Int = 4,
+                        probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= planesPerTable)
+    NativeVectorOps.register(embeddings.sparkSession)
+    val corpus = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val e = embD("embedding")
+    // per table: base bucket + the `probes` lowest-|margin| single-bit
+    // flips, all plan-time-constant plane projections on the (small,
+    // broadcast) query side
+    val qStructs = (0 until tables).flatMap { t =>
+      val dots = (0 until planesPerTable).map(j =>
+        NativeVectorOps.dot(e, typedLit(VectorOps.planeArray(t * planesPerTable + j, Dim))))
+      val base = dots.zipWithIndex
+        .map { case (d, j) => when(d > 0.0, lit(1L << j)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      // flip order: |margin| asc, plane index as the deterministic tie-break
+      val order = array_sort(array(dots.zipWithIndex.map { case (d, j) =>
+        struct(abs(d).as("m"), lit(j).as("j")) }: _*))
+      val flips = (1 to probes).map { i =>
+        val j = element_at(order, i).getField("j")
+        val bit = (0 until planesPerTable)
+          .foldLeft(lit(0L))((acc, b) => when(j === lit(b), lit(1L << b)).otherwise(acc))
+        base.bitwiseXOR(bit)
+      }
+      (base +: flips).map(bk => struct(lit(t).as("t"), bk.as("bucket")))
+    }
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), explode(array(qStructs: _*)).as("tb"))
+      .select(col("q_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = corpus.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").dropDuplicates("q_id", "vec_id")
+    rankCandidates(embeddings, cand, queryMaxId, k)
   }
 
   /** IVF coarse quantizer: cell = the centroid (vec_id ≡ 0 mod `step`,

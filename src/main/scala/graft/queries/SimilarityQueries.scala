@@ -132,6 +132,47 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
+    // MULTI-PROBE multi-table LSH: each query additionally probes, per
+    // table, the 2 Hamming-1 buckets whose flipped plane has the smallest
+    // |margin| — the oracle reproduces the probe sequence exactly
+    // (row_number over (|dot| asc, plane asc), xor the flipped bit), so
+    // the candidate expansion itself is cross-engine-verified, not just
+    // the final ranking. Recall@10 floor 0.79 measured in AnnRecallSpec
+    // vs 0.57 for q59's plain multi-table form.
+    QueryDef("q82_ann_multiprobe",
+      eCte +
+        s""",
+        |dvm AS (SELECT vec_id, t, j,
+        |               ${VectorOps.planeDotSql("emb", "(t * 4 + j)", 64)} AS d
+        |        FROM e, (SELECT unnest(range(0, 8)) AS t) tt,
+        |                (SELECT unnest(range(0, 4)) AS j) jj),
+        |bkm AS (SELECT vec_id, t,
+        |               CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM dvm GROUP BY vec_id, t),
+        |qfl AS (SELECT vec_id, t, j,
+        |               row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(d), j) AS rn
+        |        FROM dvm WHERE vec_id < 5),
+        |qpb AS (SELECT vec_id AS q_id, t, bucket FROM bkm WHERE vec_id < 5
+        |        UNION
+        |        SELECT f.vec_id, f.t, xor(b.bucket, (1::BIGINT << f.j))
+        |        FROM qfl f JOIN bkm b ON b.vec_id = f.vec_id AND b.t = f.t
+        |        WHERE f.rn <= 2),
+        |ebm AS (SELECT e.vec_id, emb, t, bucket FROM e JOIN bkm USING (vec_id)),
+        |cand AS (SELECT DISTINCT q.q_id, d.vec_id AS n_id
+        |         FROM qpb q JOIN ebm d ON q.t = d.t AND q.bucket = d.bucket
+        |                               AND d.vec_id <> q.q_id),
+        |scored AS (SELECT c.q_id, c.n_id, ${cos("qe.emb", "de.emb")} AS cosine
+        |           FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+        |                       JOIN e de ON de.vec_id = c.n_id)
+        |SELECT q_id, n_id, cosine,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cosine DESC, n_id) AS INT) AS rk
+        |FROM scored QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), 5L, 5)
+        .orderBy("q_id", "rk")
+    },
+
     // Embedding near-dup at corpus scale: candidate pairs ONLY within
     // multi-table LSH buckets (dedup'd across tables), scored and kept at
     // cosine >= 0.40 — the bucketed production form of q43.

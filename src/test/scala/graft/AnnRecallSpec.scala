@@ -28,8 +28,10 @@ class AnnRecallSpec extends SparkSpec {
       val truth = Similarity.bruteForceTopK(emb, QueryMaxId, K).cache()
       val lsh1 = recallVs(truth, Similarity.lshTopK(emb, QueryMaxId, K))
       val lshM = recallVs(truth, Similarity.lshTopKMulti(emb, QueryMaxId, K))
+      val lshP = recallVs(truth, Similarity.lshTopKMultiProbe(emb, QueryMaxId, K))
       val ivf = recallVs(truth, Similarity.ivfTopK(emb, QueryMaxId, K))
-      info(f"recall@$K vs brute force: lsh1=$lsh1%.3f lshMulti=$lshM%.3f ivf=$ivf%.3f")
+      info(f"recall@$K vs brute force: lsh1=$lsh1%.3f lshMulti=$lshM%.3f " +
+        f"lshMultiProbe=$lshP%.3f ivf=$ivf%.3f")
       // a single 8-plane table keeps a neighbor only when all 8 signs
       // match — it exists as the bucketing primitive, not the prod path
       assert(lsh1 >= 0.02, s"single-table LSH recall collapsed: $lsh1")
@@ -37,11 +39,21 @@ class AnnRecallSpec extends SparkSpec {
       assert(lshM >= 0.50, s"multi-table LSH recall collapsed: $lshM")
       assert(ivf >= 0.40, s"IVF recall collapsed: $ivf")
       assert(lshM > lsh1, "multi-table must dominate single-table recall")
-      // both approximations must actually cut candidate work vs brute
-      // force — candidates are bounded by bucket/cell collisions
-      val lshCand = Similarity.lshTopK(emb, QueryMaxId, Int.MaxValue).count()
+      // multi-probe (2 Hamming-1 probes/table) is the high-recall path
+      assert(lshP >= 0.75, s"multi-probe LSH recall below floor: $lshP")
+      assert(lshP > lshM, "multi-probe must dominate plain multi-table recall")
+      // the approximations must actually cut candidate work vs brute
+      // force — candidates are bounded by bucket/cell collisions; probing
+      // grows candidates by at most ×(1+probes) over plain multi-table
       val n = emb.count()
+      val lshCand = Similarity.lshTopK(emb, QueryMaxId, Int.MaxValue).count()
+      val multiCand = Similarity.lshTopKMulti(emb, QueryMaxId, Int.MaxValue).count()
+      val probeCand = Similarity.lshTopKMultiProbe(emb, QueryMaxId, Int.MaxValue).count()
+      info(s"candidates (of ${n * QueryMaxId} brute-force pairs): " +
+        s"lsh1=$lshCand multi=$multiCand multiProbe=$probeCand")
       assert(lshCand < n * QueryMaxId, "LSH candidate set degenerated to brute force")
+      assert(probeCand < n * QueryMaxId, "multi-probe candidate set degenerated to brute force")
+      assert(probeCand <= multiCand * 3, "multi-probe candidate growth exceeds its ×(1+probes) bound")
       truth.unpersist()
     } finally emb.unpersist()
   }
