@@ -141,36 +141,21 @@ object Dedup {
       .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
 
-  /** Connected components over an undirected pair list — the step that
-    * turns near-dup PAIRS into dedup CLUSTERS (transitive closure: if
-    * A≈B and B≈C, all three are one duplicate group with one canonical
-    * survivor). Iterative min-label propagation, the standard
-    * large-scale formulation: each round is one keyed join + a
-    * partial-aggregated min per vertex — no global structure, shuffles
-    * keyed by vertex id — and rounds ≈ component diameter, which for
-    * near-dup graphs is small. The driver loop is a bounded fixpoint;
-    * checkpointing truncates the growing lineage each round so plan
-    * depth (and re-execution on the convergence count) stays constant.
-    * When the session has a RELIABLE checkpoint dir configured
-    * (`sparkContext.setCheckpointDir`), rounds snapshot there as parquet
-    * — executor loss mid-loop recovers from storage, and each round
-    * DELETES the previous round's snapshot (Spark's own `checkpoint()`
-    * never reclaims files unless `cleanCheckpoints` GC kicks in, so a
-    * long loop would leak corpus-scale snapshots per round). The final
-    * round's snapshot backs the returned DataFrame; callers that write
-    * the result onward may remove the working dir. Without a checkpoint
-    * dir it falls back to `localCheckpoint`, whose executor-local blocks
-    * are fast but die with their executor (fine on local[n]; set a
-    * checkpoint dir for long cluster runs or dynamic allocation). Labels
-    * converge to each component's minimum member id, which doubles as
-    * the cluster's canonical document id.
+  /** Per-round snapshot/reclaim for the iterative CC loops. With a
+    * RELIABLE checkpoint dir (`sparkContext.setCheckpointDir`) rounds
+    * snapshot as parquet — executor loss mid-loop recovers from storage —
+    * and each superseded round's snapshot is DELETED as soon as its
+    * successor materializes (Spark's own `checkpoint()` never reclaims,
+    * so a long loop would leak corpus-scale snapshots per round). Without
+    * one it falls back to `localCheckpoint` (fast, executor-local, fine
+    * on local[n]; set a checkpoint dir for long cluster runs or dynamic
+    * allocation). Either way the checkpoint truncates the per-round
+    * lineage so plan depth stays constant across rounds.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
-    val spark = pairs.sparkSession
-    val reliableBase = spark.sparkContext.getCheckpointDir
+  private final class RoundSnapshots(spark: org.apache.spark.sql.SparkSession) {
+    private val reliableBase = spark.sparkContext.getCheckpointDir
       .map(_ + "/graft-cc-" + java.util.UUID.randomUUID())
-    var step = 0
+    private var step = 0
     def snapshot(df: DataFrame): DataFrame = reliableBase match {
       case Some(base) =>
         val path = s"$base/step-$step"
@@ -180,21 +165,32 @@ object Dedup {
       case None => df.localCheckpoint()
     }
     def reclaim(df: DataFrame): Unit = reliableBase.foreach { _ =>
-      // a superseded LABEL snapshot is referenced by nothing once the next
-      // round materialized — delete it now, not at session end (edges'
-      // snapshot is NOT reclaimed: every round joins it)
       df.inputFiles.headOption.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f).getParent
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
+  }
+
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (transitive closure: if
+    * A≈B and B≈C, all three are one duplicate group with one canonical
+    * survivor). Labels converge to each component's minimum member id,
+    * which doubles as the cluster's canonical document id.
+    *
+    * Hybrid: a SMALL edge set (near-dup graphs usually are — pairs
+    * survive an LSH bucket AND a cosine threshold) solves driver-side in
+    * one collect+BFS instead of multi-round distributed-join latency; a
+    * graph past `smallGraphEdges` runs the distributed
+    * [[connectedComponentsStars]] alternation, which converges in
+    * O(log n) rounds. Same labels either way.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+    val spark = pairs.sparkSession
     // Hybrid decision: count the symmetrized edge set from a CACHE, not a
     // snapshot — the fast path must not pay (or leak) a parquet round
-    // trip it will never use. A SMALL edge set (near-dup graphs usually
-    // are — pairs survive an LSH bucket AND a cosine threshold) solves
-    // driver-side in one collect instead of multi-round distributed-join
-    // latency; the distributed loop below is the path for graphs that
-    // don't fit a driver. Same labels either way (min member id).
+    // trip it will never use.
     val cached = pairs
       .select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -224,9 +220,97 @@ object Dedup {
       import spark.implicits._
       return label.toSeq.sortBy(_._1).toDF("v", "cluster_id")
     }
-    val edges = snapshot(cached)
+    val result = starsWithRounds(cached, maxIter)._1
     cached.unpersist()
-    var labels = snapshot(edges.select(col("src").as("v")).distinct()
+    result
+  }
+
+  /** Distributed CC by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each phase is one vertex-keyed aggregation + one keyed join over the
+    * current edge set — the same shuffle primitives as min-label
+    * propagation — but the edge set contracts toward a star forest in
+    * O(log n) rounds instead of Θ(diameter), which is what makes
+    * high-diameter graphs (boilerplate near-dup CHAINS) tractable: a
+    * 1000-vertex chain converges in ≤10 rounds where min-label needs
+    * ≈1000. Convergence is exact, not probabilistic: the edge set is a
+    * star forest iff no vertex is both a source and a target (checked
+    * with one join per round), and a star forest is a fixpoint of both
+    * phases with every center the component minimum.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+    starsWithRounds(sym, maxIter)._1
+  }
+
+  /** [[connectedComponentsStars]] plus the round count it took — the spec
+    * pins the O(log n) behavior with it. `sym` must be the symmetrized,
+    * self-loop-free edge set.
+    */
+  private[graft] def starsWithRounds(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val snaps = new RoundSnapshots(sym.sparkSession)
+    // orient larger→smaller: the small-star invariant both phases preserve
+    var edges = snaps.snapshot(
+      sym.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct())
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: per vertex u over its full neighborhood Γ(u)∪{u},
+      // connect every neighbor v > u to m = min(Γ(u)∪{u})
+      val symE = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = symE.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val afterLarge = symE
+        .filter(col("dst") > col("src"))
+        .join(minsL, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR: per vertex u over its SMALLER neighbors N(u)∪{u},
+      // connect everything to m = min N(u) (all dsts < u, so m < u)
+      val minsS = afterLarge.groupBy("src").agg(min(col("dst")).as("m"))
+      val next = snaps.snapshot(
+        afterLarge.join(minsS, Seq("src"))
+          .filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(minsS.select(col("src"), col("m").as("dst")))
+          .distinct())
+      rounds += 1
+      // star forest ⇔ sources and targets are disjoint vertex sets
+      converged = next.select(col("src").as("x")).distinct()
+        .join(next.select(col("dst").as("x")).distinct(), Seq("x"))
+        .isEmpty
+      snaps.reclaim(edges)
+      edges = next
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge in $maxIter rounds")
+    val labels = edges.select(col("src").as("v"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst").as("v"), col("dst").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** Min-label propagation CC — Θ(diameter) rounds of one keyed join +
+    * partial-aggregated min per vertex. Kept as the oracle twin of
+    * [[connectedComponentsStars]] (DedupSpec property-tests label
+    * equivalence): the stars alternation is the production path, this is
+    * the independently-simple formulation results are checked against.
+    */
+  def connectedComponentsMinLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val snaps = new RoundSnapshots(spark)
+    val edges = snaps.snapshot(pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct())
+    var labels = snaps.snapshot(edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")))
     var changed = 1L
     var i = 0
@@ -238,13 +322,13 @@ object Dedup {
       // carry the previous label THROUGH the checkpoint so the
       // convergence count is a scan of the materialized blocks, not a
       // second corpus-keyed join per round
-      val next = snapshot(labels.select(col("v"), col("label").as("prev"))
+      val next = snaps.snapshot(labels.select(col("v"), col("label").as("prev"))
         .join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("label"),
           col("prev")))
       changed = next.filter(col("label") < col("prev")).count()
-      reclaim(labels) // superseded round — next is materialized
+      snaps.reclaim(labels) // superseded round — next is materialized
       labels = next.select("v", "label")
       i += 1
     }

@@ -72,12 +72,76 @@ object JdbcUpsert {
        |                 WHERE measure_name = '${graft.operators.CurrentValues.OnlineMeasure}'
        |                   AND measure_value = 1)""".stripMargin
 
+  /** The two statement dialects for the keyed-upsert legs. [[Postgres]]
+    * is the production target (the reference's database,
+    * `ON CONFLICT .. DO UPDATE/NOTHING`); [[AnsiMerge]] expresses the
+    * SAME semantics as standard `MERGE` (Postgres 15+, Derby, H2, …) and
+    * exists so the full Target — batching, transactions, rollback, the
+    * heartbeat subquery — can be exercised against a LIVE embedded engine
+    * (Apache Derby ships with Spark; see JdbcDerbySpec). No live
+    * PG-dialect engine is resolvable in this environment, so the
+    * `ON CONFLICT` literal syntax itself is verified by statement-capture
+    * only (JdbcUpsertSpec) — the one remaining dialect-drift risk.
+    * UPDATE-leg statements (reset, heartbeat) are ANSI and shared.
+    */
+  sealed trait Dialect {
+    def upsertSql: String
+    def seedSql: String
+    def bindUpsert(st: java.sql.PreparedStatement, r: ModRow): Unit
+    def bindSeed(st: java.sql.PreparedStatement, device: String, measure: String, nowS: String): Unit
+  }
+  case object Postgres extends Dialect {
+    val upsertSql: String = UpsertSql
+    val seedSql: String = SeedSql
+    def bindUpsert(st: java.sql.PreparedStatement, r: ModRow): Unit = {
+      st.setString(1, r.device); st.setString(2, r.measure_name)
+      st.setDouble(3, r.tag_value); st.setDouble(4, r.measure_value)
+      st.setString(5, r.last_updated)
+    }
+    def bindSeed(st: java.sql.PreparedStatement, device: String, measure: String, nowS: String): Unit = {
+      st.setString(1, device); st.setString(2, measure); st.setString(3, nowS)
+    }
+  }
+  case object AnsiMerge extends Dialect {
+    // Derby's MERGE source must be a base table or table function — the
+    // one-row SYSIBM.SYSDUMMY1 with the key parameters in the ON clause
+    // is the standard single-row-upsert form
+    val upsertSql: String =
+      s"""MERGE INTO $Table t
+         |USING SYSIBM.SYSDUMMY1 s
+         |ON t.device = ? AND t.measure_name = ?
+         |WHEN MATCHED THEN UPDATE SET
+         |  tag_value = ?, measure_value = ?, last_updated = ?
+         |WHEN NOT MATCHED THEN INSERT (device, measure_name, tag_value, measure_value, last_updated)
+         |VALUES (?, ?, ?, ?, ?)""".stripMargin
+    // WHEN NOT MATCHED only = ON CONFLICT DO NOTHING
+    val seedSql: String =
+      s"""MERGE INTO $Table t
+         |USING SYSIBM.SYSDUMMY1 s
+         |ON t.device = ? AND t.measure_name = ?
+         |WHEN NOT MATCHED THEN INSERT (device, measure_name, tag_value, measure_value, last_updated)
+         |VALUES (?, ?, 0, 0, ?)""".stripMargin
+    def bindUpsert(st: java.sql.PreparedStatement, r: ModRow): Unit = {
+      st.setString(1, r.device); st.setString(2, r.measure_name)
+      st.setDouble(3, r.tag_value); st.setDouble(4, r.measure_value)
+      st.setString(5, r.last_updated)
+      st.setString(6, r.device); st.setString(7, r.measure_name)
+      st.setDouble(8, r.tag_value); st.setDouble(9, r.measure_value)
+      st.setString(10, r.last_updated)
+    }
+    def bindSeed(st: java.sql.PreparedStatement, device: String, measure: String, nowS: String): Unit = {
+      st.setString(1, device); st.setString(2, measure)
+      st.setString(3, device); st.setString(4, measure); st.setString(5, nowS)
+    }
+  }
+
   /** UpsertTarget over a JDBC connection factory. One connection and
     * transaction per partition (value path) or per control-plane call;
     * prepared-statement batches chunked at `batchSize` to bound executor
     * memory regardless of partition size.
     */
-  final class Target(connect: () => Connection, batchSize: Int = 500)
+  final class Target(connect: () => Connection, batchSize: Int = 500,
+                     dialect: Dialect = Postgres)
       extends UpsertTarget {
 
     private def withConnection(body: Connection => Unit): Unit = {
@@ -98,15 +162,11 @@ object JdbcUpsert {
     override def upsertPartition(rows: Iterator[ModRow]): Unit = {
       if (!rows.hasNext) return
       withConnection { conn =>
-        val st = conn.prepareStatement(UpsertSql)
+        val st = conn.prepareStatement(dialect.upsertSql)
         try {
           var n = 0
           rows.foreach { r =>
-            st.setString(1, r.device)
-            st.setString(2, r.measure_name)
-            st.setDouble(3, r.tag_value)
-            st.setDouble(4, r.measure_value)
-            st.setString(5, r.last_updated)
+            dialect.bindUpsert(st, r)
             st.addBatch()
             n += 1
             if (n % batchSize == 0) st.executeBatch()
@@ -119,12 +179,10 @@ object JdbcUpsert {
     override def seed(keys: Seq[(String, String)], nowS: String): Unit = {
       if (keys.isEmpty) return
       withConnection { conn =>
-        val st = conn.prepareStatement(SeedSql)
+        val st = conn.prepareStatement(dialect.seedSql)
         try {
           keys.foreach { case (device, measure) =>
-            st.setString(1, device)
-            st.setString(2, measure)
-            st.setString(3, nowS)
+            dialect.bindSeed(st, device, measure, nowS)
             st.addBatch()
           }
           st.executeBatch()

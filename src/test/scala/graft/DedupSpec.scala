@@ -98,10 +98,41 @@ class DedupSpec extends SparkSpec {
       else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.startsWith("graft-cc-")))
     assert(ccDirs.length == 1)
-    // only the edges snapshot and the FINAL labels round survive — every
-    // superseded round was deleted as soon as its successor materialized
+    // only the FINAL round's edge snapshot survives (it backs the
+    // returned labels) — every superseded round, including the initial
+    // oriented edge set, was deleted as soon as its successor materialized
     val steps = ccDirs.head.listFiles().map(_.getName).filter(_.startsWith("step-"))
-    assert(steps.length == 2, s"leaked round snapshots: ${steps.mkString(",")}")
+    assert(steps.length == 1, s"leaked round snapshots: ${steps.mkString(",")}")
+  }
+
+  test("stars CC ≡ min-label CC ≡ driver BFS on random graphs (property)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val pairs = (1 to 120)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2).toDF("d1", "d2")
+      val stars = Dedup.connectedComponentsStars(pairs)
+        .as[(Long, Long)].collect().toMap
+      val minLabel = Dedup.connectedComponentsMinLabel(pairs, maxIter = 100)
+        .as[(Long, Long)].collect().toMap
+      val bfs = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      assert(stars == minLabel, s"trial $trial: stars disagree with min-label")
+      assert(stars == bfs, s"trial $trial: stars disagree with driver BFS")
+    }
+  }
+
+  test("stars CC: 1000-vertex chain (diameter 999) converges in O(log n) rounds") {
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val sym = pairs.select($"d1".as("src"), $"d2".as("dst"))
+      .union(pairs.select($"d2".as("src"), $"d1".as("dst"))).distinct()
+    val (labels, rounds) = Dedup.starsWithRounds(sym, maxIter = 30)
+    info(s"1000-chain converged in $rounds rounds")
+    assert(rounds <= 10, s"expected O(log n) rounds, took $rounds")
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size == 1000 && m.values.forall(_ == 0L),
+      "every chain vertex must label to the minimum id 0")
+    // min-label would need ≈999 rounds here — it is the oracle twin, not
+    // the production path (connectedComponents routes large graphs to stars)
   }
 
   test("contamination: flags are consistent and exact duplicates across the split leak") {
