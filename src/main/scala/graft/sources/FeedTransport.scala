@@ -12,11 +12,13 @@ import OpcuaFraming._
   * `Helpers/OpcuaHelperFunctions.cs:72-136`,
   * `Services/OpcSubscribeService.cs:848-957`) down to the wire format:
   * frames are OPC UA Part 6 binary ([[OpcuaFraming]]) — HEL/ACK limit
-  * negotiation, size-prefixed little-endian chunked MSG conversation with
-  * sequence discipline, ERR frames — over real TCP, driven end-to-end by
+  * negotiation, the OPN/CLO OpenSecureChannel lifecycle (SecurityPolicy
+  * None; every MSG chunk carries the issued channel/token ids),
+  * size-prefixed little-endian chunked MSG conversation with sequence
+  * discipline, ERR frames — over real TCP, driven end-to-end by
   * FeedTransportSpec. The remaining gap to a full OPC UA stack is the
-  * OPN/CLO secure-channel + session services (the crypto layer), not the
-  * framing: see the [[OpcuaFraming]] scaladoc.
+  * Sign/SignAndEncrypt crypto modes and the Part 4 session services: see
+  * the [[OpcuaFraming]] scaladoc.
   *
   * Application payload inside MSG bodies (§5.2 built-in encodings), the
   * read service of the feed log:
@@ -50,9 +52,12 @@ object FeedTransport {
     * limits before negotiation (tests shrink them to force chunking).
     */
   final class FeedServer(feed: MeasureFeed, port: Int = 0,
-                         limits: Limits = DefaultLimits) extends AutoCloseable {
+                         limits: Limits = DefaultLimits,
+                         clock: () => Long = () => System.currentTimeMillis())
+      extends AutoCloseable {
     private val server = new ServerSocket(port, 50, java.net.InetAddress.getByName("127.0.0.1"))
     private val live = new CopyOnWriteArrayList[Socket]()
+    private val nextChannelId = new java.util.concurrent.atomic.AtomicLong(1L)
     @volatile private var running = true
 
     def boundPort: Int = server.getLocalPort
@@ -83,11 +88,24 @@ object FeedTransport {
         // client's receive buffer after revision).
         val clientSeq = new SeqState // chunks the client sends
         val serverSeq = new SeqState // chunks we send
-        // ---- conversation
+        // ---- secure channel: OpenSecureChannel(Issue, SecurityPolicy
+        // None) — plaintext chunks, no nonce/signature; a non-None policy
+        // is refused (the crypto modes are the documented gap)
+        val (opnRid, opnReq) = readOpenRequest(in, clientSeq, neg.receiveBufferSize)
+        if (opnReq.securityMode != SecurityModeNone || opnReq.requestType != RequestTypeIssue) {
+          sendErr(out, BadSecurityChecksFailed,
+            s"only Issue/None supported (got ${opnReq.requestType}/${opnReq.securityMode})")
+          return
+        }
+        val token = ChannelToken(nextChannelId.getAndIncrement(), tokenId = 1L,
+          createdAtMillis = clock(), lifetimeMs = math.max(60000L, opnReq.requestedLifetimeMs))
+        writeOpenResponse(out, serverSeq, opnRid, clock(), token)
+        // ---- conversation (symmetric headers carry the issued ids now)
         while (running) {
-          val (rid, body) = readMessage(in, clientSeq, neg)
+          val (rid, body) = readMessage(in, clientSeq, neg, token.channelId, token.tokenId)
           val r = new BufReader(body)
-          val mw = new MessageWriter(out, serverSeq, rid, neg.sendBufferSize, neg.maxChunkCount)
+          val mw = new MessageWriter(out, serverSeq, rid, neg.sendBufferSize,
+            neg.maxChunkCount, token.channelId, token.tokenId)
           r.u32() match {
             case OpLatest =>
               mw.i64(feed.latest()); mw.finish()
@@ -181,6 +199,7 @@ object FeedTransport {
     @transient private var in: InputStream = _
     @transient private var out: OutputStream = _
     @transient private var negotiated: Limits = _
+    @transient private var channel: ChannelToken = _
     @transient private var sendSeq: SeqState = _
     @transient private var recvSeq: SeqState = _
     private var requestId = 0L
@@ -213,6 +232,12 @@ object FeedTransport {
       sendSeq = new SeqState
       recvSeq = new SeqState
       requestId = 0L
+      // OpenSecureChannel(Issue, None): the crypto-free leg of the
+      // secure-channel state machine; the issued (channelId, tokenId)
+      // ride every subsequent symmetric header
+      requestId += 1
+      writeOpenRequest(out, sendSeq, requestId, System.currentTimeMillis(), 3600000L)
+      channel = readOpenResponse(in, recvSeq, limits.receiveBufferSize)
       backoff.tcpDropped() // connected: reset the backoff legs
     }
 
@@ -248,13 +273,14 @@ object FeedTransport {
       withSession {
         requestId += 1
         val mw = new MessageWriter(out, sendSeq, requestId,
-          negotiated.receiveBufferSize, negotiated.maxChunkCount)
+          negotiated.receiveBufferSize, negotiated.maxChunkCount,
+          channel.channelId, channel.tokenId)
         encode(mw)
         mw.finish()
         val readLimits = negotiated.copy(receiveBufferSize = negotiated.sendBufferSize)
         val before = recvSeq.next
         val (rid, body) =
-          try readMessage(in, recvSeq, readLimits)
+          try readMessage(in, recvSeq, readLimits, channel.channelId, channel.tokenId)
           catch { case e: OpcuaError => teardown(); throw new FeedProtocolException(e.getMessage) }
         chunksRead += recvSeq.next - before
         if (rid != requestId)
@@ -279,6 +305,16 @@ object FeedTransport {
         rows.result()
       }
 
-    override def close(): Unit = teardown()
+    override def close(): Unit = {
+      // best-effort CLO (the spec's orderly shutdown); failures fall back
+      // to the plain TCP close
+      if (sock != null && channel != null) {
+        try {
+          requestId += 1
+          writeCloseRequest(out, channel, sendSeq, requestId, System.currentTimeMillis())
+        } catch { case _: Exception => () }
+      }
+      teardown()
+    }
   }
 }

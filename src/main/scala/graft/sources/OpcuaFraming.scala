@@ -24,13 +24,22 @@ import java.nio.charset.StandardCharsets
   *    Double, String = Int32 byte length (−1 = null) + UTF-8 bytes,
   *    Boolean = single byte.
   *
+  *  - §6.7 OPN/CLO secure-channel lifecycle with SecurityPolicy None:
+  *    OpenSecureChannel(Issue) request/response — asymmetric security
+  *    header (policy URI, null certificate/thumbprint), the Part 4
+  *    Request/ResponseHeader structs, four-byte ns-0 NodeIds of the
+  *    binary-encoded service types (i=446/449/452), FILETIME DateTimes —
+  *    issuing the (SecureChannelId, TokenId) every subsequent MSG chunk
+  *    carries; CLO for orderly shutdown.
+  *
   * Deliberately out of scope (documented gap, not an approximation): the
-  * OPN/CLO secure-channel handshake and its crypto (Part 6 §6.7.4, Part 4
-  * services). This layer frames with SecurityPolicy-None semantics:
-  * SecureChannelId and TokenId are fixed at 0, which is exactly what the
-  * chunks of an unencrypted channel carry after open. Everything a
-  * network sees — headers, limits negotiation, chunking, sequence
-  * discipline, error frames — is real Part 6 binary.
+  * Sign / SignAndEncrypt security modes (certificates, nonces, chunk
+  * signatures — the actual cryptography) and the Part 4 session services
+  * above the channel (CreateSession/ActivateSession, browse, monitored
+  * items). With SecurityPolicy None the chunk stream is plaintext, which
+  * is why this layer is implementable from the public spec alone;
+  * everything a network sees — headers, negotiation, the OPN handshake,
+  * chunking, sequence discipline, error frames — is real Part 6 binary.
   */
 object OpcuaFraming {
 
@@ -51,6 +60,8 @@ object OpcuaFraming {
   val BadProtocolVersionUnsupported = 0x80BE0000L
   val BadSequenceNumberInvalid = 0x80880000L
   val BadServiceUnsupported = 0x800B0000L
+  val BadSecurityChecksFailed = 0x80130000L
+  val BadSecureChannelIdInvalid = 0x80220000L
 
   /** The four transport limits negotiated by HEL/ACK (Part 6 §7.1.2.3):
     * `receiveBufferSize`/`sendBufferSize` bound single chunks (a sender
@@ -230,6 +241,180 @@ object OpcuaFraming {
       maxChunkCount = minLimit(server.maxChunkCount, hello.maxChunkCount))
   }
 
+  // ------------------------------------- OPN / CLO (SecurityPolicy None)
+
+  val SecurityPolicyNoneUri = "http://opcfoundation.org/UA/SecurityPolicy#None"
+  /** MessageSecurityMode enumeration (Part 4): None = 1. */
+  val SecurityModeNone = 1L
+  /** SecurityTokenRequestType: Issue = 0. */
+  val RequestTypeIssue = 0L
+  // ns-0 numeric NodeIds of the binary-encoded service structs (Part 6 Annex A)
+  val OpenSecureChannelRequestId = 446
+  val OpenSecureChannelResponseId = 449
+  val CloseSecureChannelRequestId = 452
+
+  /** DateTime (Part 6 §5.2.2.5): 100 ns ticks since 1601-01-01 UTC. */
+  def toFiletime(epochMillis: Long): Long = (epochMillis + 11644473600000L) * 10000L
+
+  /** Four-byte ns-0 numeric NodeId (encoding mask 0x01, u8 ns, u16 id). */
+  private def nodeId(w: BufWriter, id: Int): BufWriter =
+    w.u8(0x01).u8(0).u8(id & 0xFF).u8((id >> 8) & 0xFF)
+  private def readNodeId(r: BufReader): Int = r.u8() match {
+    case 0x00 => r.u8() // two-byte form
+    case 0x01 => r.u8(); r.u8() | (r.u8() << 8) // four-byte form
+    case m => throw new FramingViolation(f"unsupported NodeId encoding 0x$m%02x")
+  }
+
+  /** Common RequestHeader (Part 4 §7.33): null auth token, timestamp,
+    * handle, no diagnostics, null audit id, timeout, null extension.
+    */
+  private def requestHeader(w: BufWriter, epochMillis: Long, handle: Long): BufWriter = {
+    w.u8(0x00).u8(0x00)       // AuthenticationToken: null two-byte NodeId
+    w.i64(toFiletime(epochMillis))
+    w.u32(handle)             // RequestHandle
+    w.u32(0L)                 // ReturnDiagnostics
+    w.str(null)               // AuditEntryId
+    w.u32(0L)                 // TimeoutHint
+    w.u8(0x00).u8(0x00).u8(0x00) // AdditionalHeader: null NodeId + encoding 0
+  }
+  private def skipRequestHeader(r: BufReader): Long = {
+    readNodeId(r); r.i64()
+    val handle = r.u32()
+    r.u32(); r.str(); r.u32(); readNodeId(r); r.u8()
+    handle
+  }
+
+  final case class OpenSecureChannelRequest(requestHandle: Long, clientProtocolVersion: Long,
+                                            requestType: Long, securityMode: Long,
+                                            requestedLifetimeMs: Long)
+  final case class ChannelToken(channelId: Long, tokenId: Long,
+                                createdAtMillis: Long, lifetimeMs: Long)
+
+  /** The asymmetric security header an unencrypted OPN carries (Part 6
+    * §6.7.2.3): policy URI string, null sender certificate, null receiver
+    * thumbprint. With SecurityPolicy None the chunk body is plaintext and
+    * there is no signature — which is exactly why this layer is
+    * implementable without a crypto stack; Sign/SignAndEncrypt modes are
+    * the remaining out-of-scope surface.
+    */
+  private def asymHeader(w: BufWriter): BufWriter =
+    w.str(SecurityPolicyNoneUri).i32(-1).i32(-1)
+  private def readAsymHeader(r: BufReader): String = {
+    val uri = r.str()
+    val certLen = r.i32(); if (certLen > 0) throw new FramingViolation("unexpected certificate on a None-policy channel")
+    val thumbLen = r.i32(); if (thumbLen > 0) throw new FramingViolation("unexpected thumbprint on a None-policy channel")
+    uri
+  }
+
+  /** OPN request frame: OpenSecureChannel(Issue, None) — single chunk. */
+  def writeOpenRequest(out: OutputStream, seq: SeqState, requestId: Long,
+                       epochMillis: Long, requestedLifetimeMs: Long): Unit = {
+    val w = new BufWriter(160)
+    w.u32(0L) // SecureChannelId: 0 until issued
+    asymHeader(w)
+    w.u32(seq.next); seq.next += 1
+    w.u32(requestId)
+    nodeId(w, OpenSecureChannelRequestId)
+    requestHeader(w, epochMillis, requestId)
+    w.u32(ProtocolVersion) // ClientProtocolVersion
+    w.u32(RequestTypeIssue)
+    w.u32(SecurityModeNone)
+    w.i32(-1)              // ClientNonce: null ByteString
+    w.u32(requestedLifetimeMs)
+    writeFrame(out, "OPN", 'F', w.result())
+    out.flush()
+  }
+
+  def readOpenRequest(in: InputStream, seq: SeqState, maxFrame: Int): (Long, OpenSecureChannelRequest) = {
+    val (tpe, fin, body) = readFrame(in, maxFrame)
+    if (tpe == "ERR") throw decodeError(body)
+    if (tpe != "OPN" || fin != 'F') throw new FramingViolation(s"expected final OPN, got $tpe/$fin")
+    val r = new BufReader(body)
+    if (r.u32() != 0L) throw new FramingViolation("OPN request must carry SecureChannelId 0")
+    val uri = readAsymHeader(r)
+    if (uri != SecurityPolicyNoneUri)
+      throw new OpcuaError(BadSecurityChecksFailed, s"unsupported policy $uri")
+    val sn = r.u32()
+    if (sn != seq.next) throw new FramingViolation(s"sequence number $sn, expected ${seq.next}")
+    seq.next += 1
+    val requestId = r.u32()
+    if (readNodeId(r) != OpenSecureChannelRequestId)
+      throw new FramingViolation("OPN body is not an OpenSecureChannelRequest")
+    val handle = skipRequestHeader(r)
+    val ver = r.u32(); val reqType = r.u32(); val mode = r.u32()
+    val nonceLen = r.i32(); if (nonceLen > 0) throw new FramingViolation("unexpected nonce on a None-policy channel")
+    val lifetime = r.u32()
+    (requestId, OpenSecureChannelRequest(handle, ver, reqType, mode, lifetime))
+  }
+
+  /** OPN response frame: the issued channel security token. */
+  def writeOpenResponse(out: OutputStream, seq: SeqState, requestId: Long,
+                        epochMillis: Long, token: ChannelToken): Unit = {
+    val w = new BufWriter(160)
+    w.u32(token.channelId)
+    asymHeader(w)
+    w.u32(seq.next); seq.next += 1
+    w.u32(requestId)
+    nodeId(w, OpenSecureChannelResponseId)
+    // ResponseHeader (Part 4 §7.34): timestamp, handle, Good, no
+    // diagnostics, empty string table, null extension
+    w.i64(toFiletime(epochMillis))
+    w.u32(requestId)
+    w.u32(GoodStatus)
+    w.u8(0x00)               // ServiceDiagnostics: null DiagnosticInfo
+    w.i32(-1)                // StringTable: null array
+    w.u8(0x00).u8(0x00).u8(0x00) // AdditionalHeader
+    w.u32(ProtocolVersion)   // ServerProtocolVersion
+    w.u32(token.channelId)
+    w.u32(token.tokenId)
+    w.i64(toFiletime(token.createdAtMillis))
+    w.u32(token.lifetimeMs)
+    w.i32(-1)                // ServerNonce: null ByteString
+    writeFrame(out, "OPN", 'F', w.result())
+    out.flush()
+  }
+
+  def readOpenResponse(in: InputStream, seq: SeqState, maxFrame: Int): ChannelToken = {
+    val (tpe, fin, body) = readFrame(in, maxFrame)
+    if (tpe == "ERR") throw decodeError(body)
+    if (tpe != "OPN" || fin != 'F') throw new FramingViolation(s"expected final OPN, got $tpe/$fin")
+    val r = new BufReader(body)
+    val frameChannel = r.u32()
+    readAsymHeader(r)
+    val sn = r.u32()
+    if (sn != seq.next) throw new FramingViolation(s"sequence number $sn, expected ${seq.next}")
+    seq.next += 1
+    r.u32() // requestId (client correlates by being the only in-flight request)
+    if (readNodeId(r) != OpenSecureChannelResponseId)
+      throw new FramingViolation("OPN body is not an OpenSecureChannelResponse")
+    r.i64() // response timestamp
+    r.u32() // request handle
+    val status = r.u32()
+    if (status != GoodStatus) throw new OpcuaError(status, "OpenSecureChannel failed")
+    r.u8(); r.i32(); readNodeId(r); r.u8() // diagnostics, string table, additional header
+    r.u32() // server protocol version
+    val channelId = r.u32(); val tokenId = r.u32()
+    val createdAt = r.i64(); val lifetime = r.u32()
+    r.i32() // server nonce
+    if (channelId != frameChannel)
+      throw new FramingViolation(s"token channel $channelId != frame channel $frameChannel")
+    ChannelToken(channelId, tokenId, createdAt / 10000L - 11644473600000L, lifetime)
+  }
+
+  /** CLO frame: CloseSecureChannelRequest on the symmetric header. */
+  def writeCloseRequest(out: OutputStream, channel: ChannelToken, seq: SeqState,
+                        requestId: Long, epochMillis: Long): Unit = {
+    val w = new BufWriter(64)
+    w.u32(channel.channelId)
+    w.u32(channel.tokenId)
+    w.u32(seq.next); seq.next += 1
+    w.u32(requestId)
+    nodeId(w, CloseSecureChannelRequestId)
+    requestHeader(w, epochMillis, requestId)
+    writeFrame(out, "CLO", 'F', w.result())
+    out.flush()
+  }
+
   // ------------------------------------------------------ chunked MSG I/O
 
   /** Per-direction sequence-number state (Part 6 §6.7.2: strictly
@@ -246,7 +431,8 @@ object OpcuaFraming {
     * and the negotiated per-message chunk count.
     */
   final class MessageWriter(out: OutputStream, seq: SeqState, requestId: Long,
-                            peerReceiveBufferSize: Int, maxChunkCount: Long) {
+                            peerReceiveBufferSize: Int, maxChunkCount: Long,
+                            channelId: Long = 0L, tokenId: Long = 0L) {
     private val cap = peerReceiveBufferSize - ChunkOverhead
     require(cap > 0)
     private val chunk = new Array[Byte](peerReceiveBufferSize)
@@ -259,8 +445,8 @@ object OpcuaFraming {
         throw new FramingViolation(s"message exceeds negotiated MaxChunkCount=$maxChunkCount")
       val w = new BufWriter(ChunkOverhead + n)
       w.raw("MSG".getBytes(StandardCharsets.US_ASCII)).u8(fin).u32(ChunkOverhead.toLong + n)
-      w.u32(0L) // SecureChannelId (SecurityPolicy None, no OPN — see header)
-      w.u32(0L) // TokenId
+      w.u32(channelId) // the OPN-issued secure channel (0 before open)
+      w.u32(tokenId)
       w.u32(seq.next); seq.next += 1
       w.u32(requestId)
       out.write(w.result())
@@ -305,7 +491,8 @@ object OpcuaFraming {
     * the negotiated limits. An `A` chunk aborts the message (its body is
     * an ERR payload); an ERR frame raises [[OpcuaError]].
     */
-  def readMessage(in: InputStream, seq: SeqState, limits: Limits): (Long, Array[Byte]) = {
+  def readMessage(in: InputStream, seq: SeqState, limits: Limits,
+                  channelId: Long = 0L, tokenId: Long = 0L): (Long, Array[Byte]) = {
     val body = new java.io.ByteArrayOutputStream(1024)
     var requestId = -1L
     var chunks = 0L
@@ -313,11 +500,13 @@ object OpcuaFraming {
       val (tpe, fin, frame) = readFrame(in, limits.receiveBufferSize)
       tpe match {
         case "ERR" => throw decodeError(frame)
+        case "CLO" => throw new EOFException("secure channel closed by peer")
         case "MSG" =>
           val r = new BufReader(frame)
           val channel = r.u32(); val token = r.u32()
-          if (channel != 0 || token != 0)
-            throw new FramingViolation(s"unknown secure channel $channel/$token (no OPN exchanged)")
+          if (channel != channelId || token != tokenId)
+            throw new OpcuaError(BadSecureChannelIdInvalid,
+              s"chunk on channel $channel/$token, expected $channelId/$tokenId")
           val sn = r.u32()
           if (sn != seq.next)
             throw new FramingViolation(s"sequence number $sn, expected ${seq.next}")

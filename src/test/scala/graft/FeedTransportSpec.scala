@@ -127,7 +127,8 @@ class FeedTransportSpec extends AnyFunSuite {
   }
 
   test("protocol ERR fails fast — no teardown/backoff retry of a doomed request") {
-    // a fake server that ACKs the handshake, then ERRs every service call
+    // a fake server that ACKs the handshake and issues the channel, then
+    // ERRs every service call
     val srv = new java.net.ServerSocket(0)
     val t = new Thread(() => {
       val s = srv.accept()
@@ -135,7 +136,10 @@ class FeedTransportSpec extends AnyFunSuite {
       val (tpe, _, _) = OpcuaFraming.readFrame(in, 65536)
       assert(tpe == "HEL")
       OpcuaFraming.writeFrame(out, "ACK", 'F', encodeAck(DefaultLimits)); out.flush()
-      OpcuaFraming.readMessage(in, new SeqState, DefaultLimits) // the doomed request
+      val clientSeq = new SeqState; val srvSeq = new SeqState
+      val (orid, _) = OpcuaFraming.readOpenRequest(in, clientSeq, 65536)
+      OpcuaFraming.writeOpenResponse(out, srvSeq, orid, 0L, ChannelToken(1L, 1L, 0L, 60000L))
+      OpcuaFraming.readMessage(in, clientSeq, DefaultLimits, 1L, 1L) // the doomed request
       OpcuaFraming.writeFrame(out, "ERR", 'F',
         encodeError(BadServiceUnsupported, "nope")); out.flush()
       s.close()

@@ -151,6 +151,65 @@ class OpcuaFramingSpec extends AnyFunSuite {
     assert(e.getMessage == "ERR 0x800B0000: unknown service 9")
   }
 
+  test("golden OPN request frame: OpenSecureChannel(Issue, None), hex-pinned") {
+    val out = new ByteArrayOutputStream()
+    // fixed clock 2024-01-01T00:00:00Z, requestId 1, fresh sequence
+    writeOpenRequest(out, new SeqState, 1L, 1704067200000L, 3600000L)
+    val got = out.toByteArray
+    val uri = SecurityPolicyNoneUri.getBytes("US-ASCII")
+    assert(uri.length == 47)
+    // 8 hdr + 4 channel + 51 uri + 4+4 null cert/thumb + 8 seq/rid +
+    // 4 NodeId + 29 RequestHeader + 20 request fields = 132
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + (4 + 47) + 4 + 4 + 8 + 4 + 29 + 20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OPN".getBytes("US-ASCII")).put('F'.toByte).putInt(0) // size patched below
+    bb.putInt(0)                        // SecureChannelId (0 until issued)
+    bb.putInt(47).put(uri)              // SecurityPolicyUri
+    bb.putInt(-1).putInt(-1)            // null certificate, null thumbprint
+    bb.putInt(1).putInt(1)              // SequenceNumber, RequestId
+    bb.put(0x01.toByte).put(0.toByte).putShort(446.toShort) // NodeId i=446
+    bb.put(0.toByte).put(0.toByte)      // RequestHeader: null auth token
+    bb.putLong((1704067200000L + 11644473600000L) * 10000L)  // Timestamp (FILETIME)
+    bb.putInt(1)                        // RequestHandle
+    bb.putInt(0)                        // ReturnDiagnostics
+    bb.putInt(-1)                       // AuditEntryId null
+    bb.putInt(0)                        // TimeoutHint
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // AdditionalHeader
+    bb.putInt(0)                        // ClientProtocolVersion
+    bb.putInt(0)                        // RequestType Issue
+    bb.putInt(1)                        // SecurityMode None
+    bb.putInt(-1)                       // ClientNonce null
+    bb.putInt(3600000)                  // RequestedLifetime
+    val want = bb.array()
+    // patch the real size into the header
+    java.nio.ByteBuffer.wrap(want, 4, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(want.length)
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    assert(got.sameElements(want))
+    // and the decoder reads back exactly what was asked
+    val (rid, req) = readOpenRequest(new ByteArrayInputStream(got), new SeqState, 65536)
+    assert(rid == 1L && req.requestType == RequestTypeIssue &&
+      req.securityMode == SecurityModeNone && req.requestedLifetimeMs == 3600000L)
+  }
+
+  test("OPN round-trip issues a token; MSG chunks on the wrong channel/token are rejected") {
+    val out = new ByteArrayOutputStream()
+    val token = ChannelToken(channelId = 7L, tokenId = 3L,
+      createdAtMillis = 1704067200000L, lifetimeMs = 60000L)
+    writeOpenResponse(out, new SeqState, 1L, 1704067200000L, token)
+    val back = readOpenResponse(new ByteArrayInputStream(out.toByteArray), new SeqState, 65536)
+    assert(back == token)
+    // a chunk stamped with a stale/foreign token fails loudly
+    val msg = new ByteArrayOutputStream()
+    val mw = new MessageWriter(msg, new SeqState, 1L, 65536, 0L, channelId = 5L, tokenId = 9L)
+    mw.u32(1L); mw.finish()
+    val e = intercept[OpcuaError] {
+      readMessage(new ByteArrayInputStream(msg.toByteArray), new SeqState, DefaultLimits,
+        channelId = 7L, tokenId = 3L)
+    }
+    assert(e.code == BadSecureChannelIdInvalid)
+  }
+
   test("negotiation: each side's send ceiling is the peer's receive buffer; 0 = unlimited") {
     val server = Limits(100000, 90000, 0L, 64L)
     val hello = Limits(16384, 32768, 1000000L, 0L)
