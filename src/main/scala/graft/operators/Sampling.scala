@@ -37,4 +37,47 @@ object Sampling {
         coalesce(col("__sampling_rate_bp"), lit(defaultBp)))
       .drop("__sampling_group", "__sampling_rate_bp")
   }
+
+  /** Per-row WEIGHTED (importance) sampling: keep iff
+    * hash(key) < weight·[[Modulus]], `weight` any per-row expression in
+    * [0, 1] (a quality score, a length ramp, an upsample factor). The
+    * deterministic analogue of `rand() < weight` with the same
+    * reproducibility contract as [[stratified]]; map-side only, no
+    * shuffle, filter pushes toward the scan.
+    */
+  def weighted(df: DataFrame, keyCol: Column, weight: Column): DataFrame =
+    df.filter(sampleHash(keyCol) < weight * Modulus)
+
+  /** Data-MIXTURE rebalancing — resample a corpus to target group
+    * proportions (the static mixture step of training-data pipelines:
+    * "40 % en, 15 % each of de/es/fr/zh"). The binding group fixes the
+    * total (T = min_g count_g / share_g, keeping ALL of the scarcest
+    * group and downsampling the rest), per-group quotas are
+    * floor(share·T), and membership is EXACT and deterministic: rows
+    * rank by (hash(key), key) within their group and the top quota
+    * survive. Groups without a target share are dropped.
+    *
+    * Scale: counts and quotas are one keyed aggregation + a tiny
+    * broadcast dim; exact quotas cost a per-group window sort — when an
+    * approximate rate suffices at extreme scale, [[stratified]] with
+    * rate_bp = quota/count is the sort-free form.
+    */
+  def mixture(df: DataFrame, keyCol: Column, groupCol: Column,
+              targetShares: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toSeq.toDF("__mix_group", "__mix_share")
+    val counts = df.groupBy(groupCol.as("__mix_group")).agg(count(lit(1)).as("__mix_n"))
+      .join(broadcast(shares), Seq("__mix_group"))
+    val total = counts.agg(min(col("__mix_n") / col("__mix_share")).as("__mix_total"))
+    val quota = counts.crossJoin(broadcast(total))
+      .select(col("__mix_group"),
+        floor(col("__mix_share") * col("__mix_total")).cast("long").as("__mix_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(sampleHash(keyCol), keyCol)
+    df.join(broadcast(quota), groupCol === col("__mix_group"))
+      .withColumn("__mix_rk", row_number().over(w))
+      .filter(col("__mix_rk") <= col("__mix_quota"))
+      .drop("__mix_group", "__mix_quota", "__mix_rk")
+  }
 }

@@ -176,6 +176,54 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_words", "quality_score")
   }
 
+  /** Cross-document duplicated-SPAN removal — the exact-substring dedup
+    * step of modern training pipelines (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): any word 3-gram
+    * appearing in ≥ `minDocs` distinct documents is boilerplate, and
+    * every token it covers is cut from every document, preserving the
+    * order of what survives. Distinct from doc-level dedup (q30/q73 keep
+    * one COPY; this removes the repeated SPAN everywhere) and from
+    * contamination (which only flags).
+    *
+    * Shuffle shape at scale: shingles partial-aggregate to a
+    * shingle-keyed frequency dim (the only global state — sharded like
+    * contamination's train dim, never broadcast by force), covered
+    * positions come from one shingle-keyed join + a 3-way position
+    * explode, and the surviving tokens re-assemble per document with one
+    * doc-keyed aggregation. Everything is integer/string arithmetic —
+    * engine-exact, no tolerance needed.
+    */
+  def dropFrequentSpans(docs: DataFrame, minDocs: Long): DataFrame = {
+    val withWs = docs.withColumn("ws", TextOps.words(col("text")))
+    // 1-based token and shingle-start positions (matches the SQL twin)
+    val toks = withWs.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+    val sh = withWs.select(col("doc_id"),
+      posexplode(TextOps.shingles3("ws")).as(Seq("sp0", "shingle")))
+      .select(col("doc_id"), (col("sp0") + 1).as("sp"), col("shingle"))
+    val frequent = sh.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("shingle")
+    val covered = sh.join(frequent, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(array(col("sp"), col("sp") + 1, col("sp") + 2)).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w"))).as("cleaned_text"))
+    withWs.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Train/eval contamination detection — the decontamination pass every
     * training pipeline runs before reporting benchmark numbers: an eval
     * document sharing word-shingles with the train split has leaked. The

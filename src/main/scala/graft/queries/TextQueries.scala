@@ -342,6 +342,36 @@ object TextQueries {
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.decodeMedia(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .orderBy("media_id")
+    },
+
+    // Cross-document duplicated-span removal (Lee et al. exact-substring
+    // dedup): word 3-grams in >= 5 docs are boilerplate; every token they
+    // cover is cut everywhere, order preserved. Integer/string only —
+    // engine-exact including the rebuilt text.
+    QueryDef("q83_drop_frequent_spans",
+      s"""WITH w AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |         FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM w)),
+        |sh AS (SELECT doc_id, i AS sp, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM w)
+        |       WHERE i <= len(ws) - 2),
+        |f AS (SELECT shingle FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+        |                           FROM sh GROUP BY shingle) WHERE nd >= 5),
+        |cov AS (SELECT DISTINCT s.doc_id, s.sp + o.o AS pos
+        |        FROM sh s JOIN f USING (shingle), (VALUES (0), (1), (2)) o(o)),
+        |kept AS (SELECT t.* FROM toks t ANTI JOIN cov c
+        |         ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |               string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |       CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(len(w.ws) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped,
+        |       COALESCE(reb.cleaned_text, '') AS cleaned_text
+        |FROM w LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.dropFrequentSpans(Tables.documents(s, dir), 5L)
+        .orderBy("doc_id")
     }
   )
 }

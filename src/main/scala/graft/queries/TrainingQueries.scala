@@ -65,6 +65,49 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted (importance) sampling: keep-probability ramps with length
+    // (short docs downsampled), membership a pure function of the key —
+    // the deterministic analogue of rand() < weight.
+    QueryDef("q84_weighted_sample",
+      s"""SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000) <
+        |      least(1.0, n_chars / 400.0) * 10000
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.weighted(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        keyCol = col("doc_id"),
+        weight = least(lit(1.0), col("n_chars") / lit(400.0)))
+        .orderBy("doc_id")
+    },
+
+    // Data-mixture rebalancing to target language proportions: the
+    // scarcest group binds the total (fr keeps all rows), quotas are
+    // floor(share·T), membership exact via per-group (hash, key) rank.
+    QueryDef("q85_lang_mixture",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT * FROM (VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |                            ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |                            ('zh', CAST(0.15 AS DOUBLE))) t(lang, share)),
+        |t AS (SELECT MIN(n / share) AS total FROM c JOIN s USING (lang)),
+        |q AS (SELECT c.lang, CAST(floor(s.share * t.total) AS BIGINT) AS quota
+        |      FROM c JOIN s USING (lang), t),
+        |r AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |             row_number() OVER (PARTITION BY d.lang
+        |                 ORDER BY ${TextOps.hash32Sql("CAST(d.doc_id AS VARCHAR)")} % 10000,
+        |                          d.doc_id) AS rk
+        |      FROM documents d)
+        |SELECT r.doc_id, r.lang, r.source, r.n_chars
+        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.mixture(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        keyCol = col("doc_id"), groupCol = col("lang"),
+        targetShares = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.15))
+        .orderBy("doc_id")
+    },
+
     // Text × embedding enrichment: token counts beside the vector norm
     // (via the native graft_dot expression) — the multimodal join every
     // curriculum/filtering stage starts from.

@@ -18,6 +18,8 @@ class PlanGuardSpec extends SparkSpec {
     "q40_ann_bruteforce", "q43_embedding_neardup", "q44_ann_ivf",
     "q61_tfidf", "q64_curation_pipeline", "q72_deciles_scalable",
     "q51_frame_sample",
+    // mixture total T = min(count/share) is a ONE-ROW broadcast aggregate
+    "q85_lang_mixture",
     // the reference pipeline's batch "now" (max source_ts) joins in as a
     // ONE-ROW broadcast aggregate — the scalar-subquery shape
     "q02_staleness", "q06_liveness", "q07_current_values",
