@@ -234,10 +234,16 @@ object FeedTransport {
       requestId = 0L
       // OpenSecureChannel(Issue, None): the crypto-free leg of the
       // secure-channel state machine; the issued (channelId, tokenId)
-      // ride every subsequent symmetric header
+      // ride every subsequent symmetric header. An ERR here is a
+      // handshake rejection — same bounded-retry path as a refused HEL
+      // (the server may be restarting), not the request-level fail-fast.
       requestId += 1
       writeOpenRequest(out, sendSeq, requestId, System.currentTimeMillis(), 3600000L)
-      channel = readOpenResponse(in, recvSeq, limits.receiveBufferSize)
+      channel =
+        try readOpenResponse(in, recvSeq, limits.receiveBufferSize)
+        catch { case e: OpcuaError =>
+          throw new java.io.IOException(s"secure channel rejected: ${e.getMessage}")
+        }
       backoff.tcpDropped() // connected: reset the backoff legs
     }
 
