@@ -92,10 +92,14 @@ object ThroughputBench {
     val feedMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_FEED", "local")
     val offered = sys.env.getOrElse("SPARK_GRAFT_TPUT_OFFERED", "200000").toLong
     val chunkRows = sys.env.getOrElse("SPARK_GRAFT_TPUT_CHUNK_ROWS", "65536").toLong
+    // tick granularity is 100k ev/s (10 fires/s × 10k events/tick): the
+    // ACTUAL offered load is the rounded value and is what the JSON
+    // reports — a 150k request must not be attributed to a 100k run
+    val ticksPerFire = math.max(1L, offered / 100000L)
+    val actualOffered = if (feedMode == "socket") ticksPerFire * 100000L else offered
     val socketServer = if (feedMode != "socket") None else {
       val feed = new graft.sources.SimulatedFeed(1000, 10,
         startMicros = 1704067200000000L, intervalMicros = 1000L, clockTicks = 0L)
-      val ticksPerFire = math.max(1L, offered / 100000L) // 10 fires/s × 10k events/tick
       val ticker = new Thread(() => {
         while (true) { Thread.sleep(100); feed.clockTicks += ticksPerFire }
       }, "feed-ticker")
@@ -128,7 +132,7 @@ object ThroughputBench {
         case m: CurrentValuesSink.InMemoryTarget => m.snapshot.size.toLong
         case _ => NoOpJdbc.rowsWritten.get()
       }
-      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","offered":$offered,"chunk_rows":$chunkRows,"sink_rows":$sinkRows}""")
+      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","offered":$actualOffered,"chunk_rows":$chunkRows,"sink_rows":$sinkRows}""")
     }
     socketServer.foreach(_.close())
     spark.stop()

@@ -282,8 +282,20 @@ object Dedup {
           .union(minsS.select(col("src"), col("m").as("dst")))
           .distinct())
       rounds += 1
-      // star forest ⇔ sources and targets are disjoint vertex sets
-      converged = next.select(col("src").as("x")).distinct()
+      // star forest ⇔ sources and targets are disjoint vertex sets AND
+      // every source has exactly one outgoing edge. Disjointness alone is
+      // NOT sufficient: {(1,4),(5,0),(4,2),(5,2)} reaches, after one
+      // round, {(2,1),(4,1),(2,0),(5,0)} — sources {2,4,5} and targets
+      // {0,1} disjoint, yet vertex 2 still points at TWO would-be
+      // centers; stopping there would split one component into two
+      // clusters and emit conflicting labels for 2. The out-degree-1
+      // condition rules exactly that state out: together they mean the
+      // edge set is a disjoint union of stars, which both phases then
+      // fix (centers are each star's — and by connectivity preservation
+      // each component's — minimum).
+      val multiOut = next.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") > 1).isEmpty
+      converged = multiOut && next.select(col("src").as("x")).distinct()
         .join(next.select(col("dst").as("x")).distinct(), Seq("x"))
         .isEmpty
       snaps.reclaim(edges)

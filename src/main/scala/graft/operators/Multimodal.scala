@@ -162,11 +162,17 @@ object Multimodal {
       val w = u32(b, 18).toInt
       val hRaw = u32(b, 22).toInt // negative = top-down storage
       val h = math.abs(hRaw)
+      // dimension sanity BEFORE any size arithmetic: a crafted header
+      // (w=2^25, h=2^9) would overflow stride*h in Int and sneak past the
+      // truncation require into an out-of-bounds pixel read — all bounds
+      // math is Long and fails as the promised IllegalArgumentException
+      require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20), s"implausible dimensions ${w}x$hRaw")
+      require(dataOffset >= 54 && dataOffset <= b.length, s"bad pixel-data offset $dataOffset")
       require(u16(b, 26) == 1, "planes != 1")
       require(u16(b, 28) == 24, s"unsupported bpp ${u16(b, 28)} (24-bit only)")
       require(u32(b, 30) == 0, "compressed BMP unsupported (BI_RGB only)")
       val stride = ((w * 3 + 3) / 4) * 4
-      require(b.length >= dataOffset + stride * h, "truncated pixel data")
+      require(b.length.toLong >= dataOffset.toLong + stride.toLong * h, "truncated pixel data")
       Decoded(w, h, (x, y) => {
         val yStored = if (hRaw > 0) h - 1 - y else y
         val o = dataOffset + yStored * stride + 3 * x
@@ -213,8 +219,15 @@ object Multimodal {
       }
       val w = token(); val h = token(); val maxval = token()
       require(maxval == 255, s"unsupported maxval $maxval")
-      pos += 1 // the single whitespace after maxval
-      require(b.length >= pos + 3 * w * h, "truncated pixel data")
+      require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20), s"implausible dimensions ${w}x$h")
+      // exactly one whitespace byte separates maxval from the raster —
+      // validated, with the common CRLF-writer deviation handled
+      // explicitly (skipping only the '\r' would shift every sample one
+      // byte and rotate the channels silently)
+      require(pos < b.length && Character.isWhitespace(b(pos)), "missing raster separator")
+      if (b(pos) == '\r'.toByte && pos + 1 < b.length && b(pos + 1) == '\n'.toByte) pos += 2
+      else pos += 1
+      require(b.length.toLong >= pos.toLong + 3L * w * h, "truncated pixel data")
       val base = pos
       Decoded(w, h, (x, y) => {
         val o = base + 3 * (y * w + x)
@@ -308,13 +321,18 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
+        // corrupt media is EXPECTED input at corpus scale: a decode
+        // failure yields a 'corrupt' row, it must not fail the task (and
+        // with it the whole job) four retries later
         val decoded: Option[(String, ImageCodecs.Decoded)] =
-          if (ImageCodecs.isBmp(bytes)) Some("bmp" -> ImageCodecs.decodeBmp(bytes))
-          else if (ImageCodecs.isPpm(bytes)) Some("ppm" -> ImageCodecs.decodePpm(bytes))
-          else if (ImageCodecs.isPng(bytes)) Some("png" -> ImageCodecs.decodePng(bytes))
-          else None
+          try {
+            if (ImageCodecs.isBmp(bytes)) Some("bmp" -> ImageCodecs.decodeBmp(bytes))
+            else if (ImageCodecs.isPpm(bytes)) Some("ppm" -> ImageCodecs.decodePpm(bytes))
+            else if (ImageCodecs.isPng(bytes)) Some("png" -> ImageCodecs.decodePng(bytes))
+            else None
+          } catch { case _: IllegalArgumentException | _: java.io.IOException => Some("corrupt" -> null) }
         decoded match {
-          case Some((fmt, img)) =>
+          case Some((fmt, img)) if img != null =>
             var (sr, sg, sb) = (0L, 0L, 0L)
             var (r0r, r0g, r0b) = (0L, 0L, 0L)
             var y = 0
@@ -331,9 +349,9 @@ object Multimodal {
             val n = img.width.toLong * img.height
             Row(id, fmt, img.width, img.height, sr, sg, sb, r0r, r0g, r0b,
               sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
-          case None =>
-            Row(id, "opaque", null, null, null, null, null, null, null, null,
-              null, null, null)
+          case other =>
+            Row(id, other.map(_._1).getOrElse("opaque"),
+              null, null, null, null, null, null, null, null, null, null, null)
         }
       }
     }

@@ -113,7 +113,9 @@ object FeedTransport {
               writeRecord(mw, feed.at(r.i64())); mw.finish()
             case OpRange =>
               val (lo, hi) = (r.i64(), r.i64())
-              if (hi < lo || hi - lo > Int.MaxValue) {
+              // hi - lo can overflow Long (lo = Long.MinValue) — the
+              // negative-difference arm catches the wrapped value too
+              if (hi < lo || hi - lo < 0 || hi - lo > Int.MaxValue) {
                 sendErr(out, BadTcpMessageTooLarge, s"range [$lo, $hi) too large"); return
               }
               mw.i32((hi - lo).toInt)

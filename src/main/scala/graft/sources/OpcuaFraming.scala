@@ -197,7 +197,9 @@ object OpcuaFraming {
     val url = r.str()
     if (recv < MinBufferSize || send < MinBufferSize)
       throw new FramingViolation(s"HEL buffer sizes ($recv/$send) below Part 6 minimum")
-    if (url != null && url.length > 4096)
+    // the Part 6 limit is 4096 BYTES — measure UTF-8 bytes, not UTF-16
+    // chars (3000 CJK chars ≈ 9000 bytes would pass a char-count check)
+    if (url != null && url.getBytes(StandardCharsets.UTF_8).length > 4096)
       throw new OpcuaError(BadTcpEndpointUrlInvalid, "EndpointUrl exceeds 4096 bytes")
     Hello(ver, Limits(recv.toInt, send.toInt, maxMsg, maxChunks), url)
   }

@@ -105,6 +105,21 @@ class DedupSpec extends SparkSpec {
     assert(steps.length == 1, s"leaked round snapshots: ${steps.mkString(",")}")
   }
 
+  test("stars CC: premature-convergence counterexample labels correctly (regression)") {
+    // after one large+small round these edges reach {(2,1),(4,1),(2,0),
+    // (5,0)}: sources and targets disjoint, but vertex 2 points at two
+    // would-be centers — the src/dst-disjoint check ALONE declared
+    // convergence here and split one component into clusters {1,2,4} and
+    // {0,2,5} with conflicting labels for 2 (found in review; the
+    // out-degree-1 condition now forces further rounds)
+    val pairs = Seq((1L, 4L), (5L, 0L), (4L, 2L), (5L, 2L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponentsStars(pairs).as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length, "conflicting labels for one vertex")
+    val m = got.toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L, 5L -> 0L),
+      s"one component, min id 0; got $m")
+  }
+
   test("stars CC ≡ min-label CC ≡ driver BFS on random graphs (property)") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {

@@ -126,6 +126,19 @@ class FeedTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("overflowing RANGE bounds draw an ERR, not a runaway server loop (regression)") {
+    withServer { (server, _) =>
+      val client = new SocketMeasureFeed("127.0.0.1", server.boundPort, sleeper = _ => ())
+      try {
+        // hi - lo wraps negative for lo = Long.MinValue — the old guard
+        // passed it through and the serve thread span ~2^63 iterations
+        val e = intercept[FeedTransport.FeedProtocolException](
+          client.fetchRange(Long.MinValue, 1L))
+        assert(e.getMessage.contains("too large"))
+      } finally client.close()
+    }
+  }
+
   test("protocol ERR fails fast — no teardown/backoff retry of a doomed request") {
     // a fake server that ACKs the handshake and issues the channel, then
     // ERRs every service call

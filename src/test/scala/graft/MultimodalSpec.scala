@@ -100,6 +100,40 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // PPM maxval 65535 unsupported
       ImageCodecs.decodePpm("P6\n2 2\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](24))
     }
+    // crafted header whose stride*h overflows Int: the Long bounds math
+    // must reject it cleanly, not index out of bounds (regression)
+    intercept[IllegalArgumentException] {
+      val b = ImageCodecs.encodeBmp(2, 2, (_, _) => 0)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, 0x2000000); bb.putInt(22, 0x200)
+      ImageCodecs.decodeBmp(b)
+    }
+  }
+
+  test("CRLF-separated PPM raster decodes unshifted (regression)") {
+    // a Windows-style writer emits '255\r\n' before the raster; skipping
+    // only the '\r' shifted every sample one byte and rotated channels
+    val body = Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0, -1, -1, -1, -1)
+    val wire = "P6\n2 2\n255\r\n".getBytes("US-ASCII") ++ body
+    val d = ImageCodecs.decodePpm(wire)
+    assert(d.width == 2 && d.rgb(0, 0) == 0xFF0000 && d.rgb(1, 1) == 0xFFFFFF)
+  }
+
+  test("corrupt-but-magic-matching media yields a 'corrupt' row, not a failed job") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val good = ImageCodecs.encodeBmp(3, 3, TestPattern.rgb(1L))
+    val truncated = good.dropRight(8) // magic matches, pixel data short
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, good),
+        org.apache.spark.sql.Row(2L, truncated)), schema)
+    val out = Multimodal.decodeMedia(media).orderBy("media_id").collect()
+    assert(out(0).getString(1) == "bmp" && out(0).getInt(2) == 3)
+    assert(out(1).getString(1) == "corrupt" && out(1).isNullAt(2))
   }
 
   test("distributed decode of synthesized media matches driver recomputation (all 3 formats)") {
