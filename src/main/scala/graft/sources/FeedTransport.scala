@@ -16,9 +16,10 @@ import OpcuaFraming._
   * None; every MSG chunk carries the issued channel/token ids),
   * size-prefixed little-endian chunked MSG conversation with sequence
   * discipline, ERR frames — over real TCP, driven end-to-end by
-  * FeedTransportSpec. The remaining gap to a full OPC UA stack is the
-  * Sign/SignAndEncrypt crypto modes and the Part 4 session services: see
-  * the [[OpcuaFraming]] scaladoc.
+  * FeedTransportSpec; the Part 4 session/Read/subscription services ride
+  * the same channel ([[OpcuaSession]], OpcuaSessionSpec). The remaining
+  * gap to a full OPC UA stack is the Sign/SignAndEncrypt crypto modes:
+  * see the [[OpcuaFraming]] scaladoc.
   *
   * Application payload inside MSG bodies (§5.2 built-in encodings), the
   * read service of the feed log:
@@ -100,7 +101,13 @@ object FeedTransport {
         val token = ChannelToken(nextChannelId.getAndIncrement(), tokenId = 1L,
           createdAtMillis = clock(), lifetimeMs = math.max(60000L, opnReq.requestedLifetimeMs))
         writeOpenResponse(out, serverSeq, opnRid, clock(), token)
-        // ---- conversation (symmetric headers carry the issued ids now)
+        // ---- conversation (symmetric headers carry the issued ids now).
+        // Two body addressings share the channel: the bulk-read extension
+        // ops (small leading u32 — LATEST/GET/RANGE, the replayable-pull
+        // service Spark's offset contract needs) and TypeId-addressed
+        // Part 4 services (leading four-byte NodeId, whose u32 image is
+        // far outside the opcode range) dispatched to SessionServices.
+        val services = new OpcuaSession.SessionServices(feed, clock)
         while (running) {
           val (rid, body) = readMessage(in, clientSeq, neg, token.channelId, token.tokenId)
           val r = new BufReader(body)
@@ -122,9 +129,20 @@ object FeedTransport {
               var i = lo
               while (i < hi) { writeRecord(mw, feed.at(i)); i += 1 }
               mw.finish()
-            case op =>
-              // Part 6 makes ERR fatal: report and drop the connection
-              sendErr(out, BadServiceUnsupported, s"unknown service $op"); return
+            case _ =>
+              val r2 = new BufReader(body)
+              val typeId = OpcuaSession.readNodeIdT(r2).numeric.toInt
+              // a service-level failure answers as a ServiceFault and
+              // leaves the channel OPEN — unlike a Part 6 ERR frame
+              val respBody =
+                try {
+                  val w = new BufWriter(256)
+                  services.handle(typeId, r2, w)
+                  w.result()
+                } catch {
+                  case e: OpcuaError => OpcuaSession.serviceFaultBody(clock(), e.code)
+                }
+              mw.raw(respBody); mw.finish()
           }
         }
       } catch {

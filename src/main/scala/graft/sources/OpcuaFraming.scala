@@ -32,14 +32,16 @@ import java.nio.charset.StandardCharsets
   *    issuing the (SecureChannelId, TokenId) every subsequent MSG chunk
   *    carries; CLO for orderly shutdown.
   *
-  * Deliberately out of scope (documented gap, not an approximation): the
-  * Sign / SignAndEncrypt security modes (certificates, nonces, chunk
-  * signatures — the actual cryptography) and the Part 4 session services
-  * above the channel (CreateSession/ActivateSession, browse, monitored
-  * items). With SecurityPolicy None the chunk stream is plaintext, which
-  * is why this layer is implementable from the public spec alone;
-  * everything a network sees — headers, negotiation, the OPN handshake,
-  * chunking, sequence discipline, error frames — is real Part 6 binary.
+  * The Part 4 service layer above this channel — sessions, Read,
+  * subscriptions with monitored items and Publish — lives in
+  * [[OpcuaSession]]. Deliberately out of scope (documented gap, not an
+  * approximation): the Sign / SignAndEncrypt security modes
+  * (certificates, nonces, chunk signatures — the actual cryptography).
+  * With SecurityPolicy None the chunk stream is plaintext, which is why
+  * this stack is implementable from the public spec alone; everything a
+  * network sees — headers, negotiation, the OPN handshake, chunking,
+  * sequence discipline, error frames, service structs — is real spec
+  * binary.
   */
 object OpcuaFraming {
 
