@@ -130,17 +130,27 @@ object FeedTransport {
               while (i < hi) { writeRecord(mw, feed.at(i)); i += 1 }
               mw.finish()
             case _ =>
-              val r2 = new BufReader(body)
-              val typeId = OpcuaSession.readNodeIdT(r2).numeric.toInt
               // a service-level failure answers as a ServiceFault and
-              // leaves the channel OPEN — unlike a Part 6 ERR frame
+              // leaves the channel OPEN — unlike a Part 6 ERR frame; a
+              // body that can't even be DECODED (not a NodeId, truncated
+              // service struct) is indistinguishable from stream
+              // corruption and answers ERR + close, the Part 6 rule — the
+              // peer always gets a diagnostic, never a silent drop
               val respBody =
                 try {
-                  val w = new BufWriter(256)
-                  services.handle(typeId, r2, w)
-                  w.result()
+                  val r2 = new BufReader(body)
+                  val typeId = OpcuaSession.readNodeIdT(r2).numeric.toInt
+                  try {
+                    val w = new BufWriter(256)
+                    services.handle(typeId, r2, w)
+                    w.result()
+                  } catch {
+                    case e: OpcuaError => OpcuaSession.serviceFaultBody(clock(), e.code)
+                  }
                 } catch {
-                  case e: OpcuaError => OpcuaSession.serviceFaultBody(clock(), e.code)
+                  case e: FramingViolation =>
+                    sendErr(out, BadDecodingError, s"undecodable request body: ${e.getMessage}")
+                    return
                 }
               mw.raw(respBody); mw.finish()
           }
@@ -239,31 +249,22 @@ object FeedTransport {
       sock.setSoTimeout(timeoutMs)
       in = new BufferedInputStream(sock.getInputStream, 1 << 16)
       out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
-      writeFrame(out, "HEL", 'F',
-        encodeHello(Hello(ProtocolVersion, limits, s"opc.tcp://$host:$port/graft")))
-      out.flush()
-      val (tpe, _, body) = readFrame(in, limits.receiveBufferSize)
-      tpe match {
-        case "ACK" => negotiated = decodeAck(body)
-        case "ERR" =>
-          throw new java.io.IOException(s"handshake rejected: ${decodeError(body).getMessage}")
-        case other => throw new FramingViolation(s"expected ACK, got $other")
-      }
-      sendSeq = new SeqState
-      recvSeq = new SeqState
-      requestId = 0L
-      // OpenSecureChannel(Issue, None): the crypto-free leg of the
-      // secure-channel state machine; the issued (channelId, tokenId)
-      // ride every subsequent symmetric header. An ERR here is a
-      // handshake rejection — same bounded-retry path as a refused HEL
-      // (the server may be restarting), not the request-level fail-fast.
-      requestId += 1
-      writeOpenRequest(out, sendSeq, requestId, System.currentTimeMillis(), 3600000L)
-      channel =
-        try readOpenResponse(in, recvSeq, limits.receiveBufferSize)
+      // HEL/ACK + OpenSecureChannel(Issue, None) — shared client half
+      // ([[OpcuaFraming.openClientChannel]]). An ERR on either leg is a
+      // handshake rejection: same bounded-retry path as a refused TCP
+      // connect (the server may be restarting), not the request-level
+      // fail-fast an in-conversation ERR gets.
+      val ch =
+        try openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
+          System.currentTimeMillis())
         catch { case e: OpcuaError =>
-          throw new java.io.IOException(s"secure channel rejected: ${e.getMessage}")
+          throw new java.io.IOException(s"handshake rejected: ${e.getMessage}")
         }
+      negotiated = ch.negotiated
+      channel = ch.token
+      sendSeq = ch.sendSeq
+      recvSeq = ch.recvSeq
+      requestId = 1L // the OPN consumed RequestId 1
       backoff.tcpDropped() // connected: reset the backoff legs
     }
 

@@ -64,6 +64,7 @@ object OpcuaFraming {
   val BadServiceUnsupported = 0x800B0000L
   val BadSecurityChecksFailed = 0x80130000L
   val BadSecureChannelIdInvalid = 0x80220000L
+  val BadDecodingError = 0x80070000L
 
   /** The four transport limits negotiated by HEL/ACK (Part 6 §7.1.2.3):
     * `receiveBufferSize`/`sendBufferSize` bound single chunks (a sender
@@ -417,6 +418,46 @@ object OpcuaFraming {
     requestHeader(w, epochMillis, requestId)
     writeFrame(out, "CLO", 'F', w.result())
     out.flush()
+  }
+
+  /** A client-side channel after the full HEL → ACK → OPN handshake: the
+    * revised limits, the issued token, and the per-direction sequence
+    * states the symmetric conversation continues from. The OPN consumed
+    * RequestId 1 — callers continue their request counter from there.
+    */
+  final case class ClientChannel(negotiated: Limits, token: ChannelToken,
+                                 sendSeq: SeqState, recvSeq: SeqState) {
+    /** Limits for READING responses: the peer's chunks are bounded by the
+      * revised `sendBufferSize` (OUR receive buffer from its side of the
+      * negotiation), so the reader must accept up to that — not our own
+      * pre-revision receive buffer.
+      */
+    def readLimits: Limits = negotiated.copy(receiveBufferSize = negotiated.sendBufferSize)
+  }
+
+  /** The client half of the connection handshake over established streams:
+    * HEL, ACK (limits revision), OpenSecureChannel(Issue, None). Shared by
+    * the bulk-pull feed client and the Part 4 session client so the
+    * subtle parts — the read-limit swap, ERR handling, sequence-state
+    * birth — exist once. Throws [[OpcuaError]] when the server answers
+    * ERR and [[FramingViolation]] on a contract break; callers own the
+    * socket and must close it on failure.
+    */
+  def openClientChannel(in: InputStream, out: OutputStream, limits: Limits,
+                        endpointUrl: String, epochMillis: Long,
+                        requestedLifetimeMs: Long = 3600000L): ClientChannel = {
+    writeFrame(out, "HEL", 'F', encodeHello(Hello(ProtocolVersion, limits, endpointUrl)))
+    out.flush()
+    val negotiated = readFrame(in, limits.receiveBufferSize) match {
+      case ("ACK", _, body) => decodeAck(body)
+      case ("ERR", _, body) => throw decodeError(body)
+      case (t, _, _) => throw new FramingViolation(s"expected ACK, got $t")
+    }
+    val sendSeq = new SeqState
+    val recvSeq = new SeqState
+    writeOpenRequest(out, sendSeq, requestId = 1L, epochMillis, requestedLifetimeMs)
+    val token = readOpenResponse(in, recvSeq, limits.receiveBufferSize)
+    ClientChannel(negotiated, token, sendSeq, recvSeq)
   }
 
   // ------------------------------------------------------ chunked MSG I/O

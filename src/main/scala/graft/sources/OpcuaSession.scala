@@ -56,6 +56,15 @@ object OpcuaSession {
 
   val AttributeValue = 13L // AttributeId of the Value attribute
   val VariantDouble = 0x0B // built-in type id of Double
+
+  /** Server-revised ceiling on a monitored item's queue. The wire carries
+    * QueueSize as UInt32 and clients conventionally send 0xFFFFFFFF for
+    * "max" — the server revises it down (Part 4 allows this, and the
+    * revised size goes back in the CreateMonitoredItems result) so the
+    * per-item queue stays a sane in-memory bound and the Int arithmetic
+    * below can never wrap negative.
+    */
+  val MaxQueueSize = 65536L
   val BadSessionIdInvalid = 0x80250000L
   val BadSubscriptionIdInvalid = 0x80280000L
   val BadNodeIdUnknown = 0x80340000L
@@ -204,18 +213,44 @@ object OpcuaSession {
       if (sessionToken == null || tok != sessionToken || !activated)
         throw new OpcuaError(BadSessionIdInvalid, "no activated session for this token")
 
-    /** Latest value of one point, scanning the append-only log backwards
-      * (bounded — the bridge serves protocol fidelity, not bulk read;
-      * bulk transfer is the RANGE service).
+    /** The feed log IS the address space: the set of points that ever
+      * produced a value, each with its latest value. Maintained as an
+      * incremental index — one forward scan catches up from the last
+      * indexed position, so existence checks and Reads are O(1) after the
+      * first touch and O(new rows) thereafter, with memory bounded by the
+      * number of DISTINCT points (not log length). Built lazily: the bulk
+      * LATEST/GET/RANGE path never pays for it.
       */
-    private def latestOf(device: String, measure: String): Option[WireValue] = {
+    private val latestIdx = scala.collection.mutable.Map.empty[(String, String), WireValue]
+    private var indexedTo = 0L
+    private def refreshIndex(): Unit = {
       val hi = feed.latest()
-      val lo = math.max(0L, hi - 100000L)
-      var i = hi - 1
-      while (i >= lo) {
-        val (d, m, v, micros, ok) = feed.at(i)
-        if (d == device && m == measure) return Some(WireValue(v, ok, micros))
-        i -= 1
+      while (indexedTo < hi) {
+        val (d, m, v, micros, ok) = feed.at(indexedTo)
+        latestIdx((d, m)) = WireValue(v, ok, micros)
+        indexedTo += 1
+      }
+    }
+
+    private def latestOf(device: String, measure: String): Option[WireValue] = {
+      refreshIndex()
+      latestIdx.get((device, measure))
+    }
+
+    /** Resolve a point NodeId string `<device>/<measure>` against the
+      * address space. Device names may themselves contain '/', so every
+      * split position is tried left-to-right and the first one naming an
+      * EXISTING point wins — a pure prefix split would make any point
+      * under a slashed device name unresolvable.
+      */
+    private def resolvePoint(s: String): Option[(String, String)] = {
+      refreshIndex()
+      var i = s.indexOf('/')
+      while (i >= 0) {
+        val d = s.substring(0, i)
+        val m = s.substring(i + 1)
+        if (latestIdx.contains((d, m))) return Some((d, m))
+        i = s.indexOf('/', i + 1)
       }
       None
     }
@@ -287,14 +322,21 @@ object OpcuaSession {
         writeResponseHeader(w, clock(), handle, GoodStatus)
         w.i32(nodes.length)
         nodes.foreach { case (nid, attr) =>
-          val v = if (attr != AttributeValue || !nid.isString) None
-          else nid.string.split("/", 2) match {
-            case Array(d, m) => latestOf(d, m)
-            case _ => None
-          }
-          v match {
-            case Some(wv) => writeDataValue(w, wv)
-            case None => w.u8(0x02).u32(BadNodeIdUnknown) // status-only DataValue
+          // only the Value attribute is served — any other attribute id
+          // answers BadAttributeIdInvalid (the node may well exist);
+          // BadNodeIdUnknown is reserved for nodes the address space
+          // genuinely lacks, so a conforming client can tell the cases
+          // apart and retry with the right attribute
+          if (attr != AttributeValue) {
+            w.u8(0x02).u32(BadAttributeIdInvalid) // status-only DataValue
+          } else {
+            val v =
+              if (!nid.isString) None
+              else resolvePoint(nid.string).flatMap { case (d, m) => latestOf(d, m) }
+            v match {
+              case Some(wv) => writeDataValue(w, wv)
+              case None => w.u8(0x02).u32(BadNodeIdUnknown)
+            }
           }
         }
         w.i32(-1)                           // DiagnosticInfos
@@ -333,14 +375,16 @@ object OpcuaSession {
           // a well-formed point NodeId must also EXIST in the address
           // space — the feed log is the namespace, so a point that never
           // produced a value is unknown (reference parity: monitored
-          // items are created against browsed nodes)
-          val point = if (attr == AttributeValue && nid.isString && nid.string.contains("/")) {
-            val Array(d, m) = nid.string.split("/", 2)
-            if (latestOf(d, m).isDefined) Some((d, m)) else None
-          } else None
+          // items are created against browsed nodes). QueueSize is
+          // revised into [1, MaxQueueSize]: 0 means "default of 1" per
+          // Part 4, and the UInt32 "max" convention (0xFFFFFFFF) must not
+          // wrap the Int arithmetic the queue cap uses.
+          val point =
+            if (attr == AttributeValue && nid.isString) resolvePoint(nid.string) else None
           point match {
             case Some((d, m)) =>
-              val item = Item(nextItemId, clientHandle, d, m, math.max(1L, queueSize))
+              val revisedQueue = math.max(1L, math.min(queueSize, MaxQueueSize))
+              val item = Item(nextItemId, clientHandle, d, m, revisedQueue)
               nextItemId += 1
               sub.items :+= item
               (GoodStatus, item.monitoredItemId, sampling, item.queueSize)
@@ -361,26 +405,40 @@ object OpcuaSession {
         requireSession(tok)
         val nAcks = r.i32()
         (0 until math.max(0, nAcks)).foreach { _ => r.u32(); r.u32() }
-        val sub = subs.values.headOption.getOrElse(
-          throw new OpcuaError(BadSubscriptionIdInvalid, "no subscription"))
-        // every appended value since the last publish, per-item bounded
-        // by QueueSize keeping the NEWEST (DiscardOldest=true — T6)
+        if (subs.isEmpty)
+          throw new OpcuaError(BadSubscriptionIdInvalid, "no subscription")
         val hi = feed.latest()
+        // Part 4: a Publish answers for a subscription that HAS pending
+        // notifications; serving an arbitrary one would starve the rest.
+        // Among ready subscriptions the lowest id wins (deterministic);
+        // when none is ready, the lowest id answers a keep-alive-shaped
+        // empty notification.
+        val ordered = subs.values.toSeq.sortBy(_.id)
+        val sub = ordered.find(s => s.items.nonEmpty && s.delivered < hi)
+          .getOrElse(ordered.head)
+        // every appended value since the last publish, per-item bounded
+        // by QueueSize keeping the NEWEST (DiscardOldest=true — T6).
+        // Queues key on monitoredItemId — the SERVER-assigned identity —
+        // never on clientHandle, which the client chooses and may
+        // duplicate across items (two items sharing a handle must still
+        // hold separate queues with separate caps).
         val perItem = scala.collection.mutable.Map.empty[Long, Vector[WireValue]]
         var i = sub.delivered
         while (i < hi) {
           val (d, m, v, micros, ok) = feed.at(i)
           sub.items.foreach { it =>
             if (it.device == d && it.measure == m) {
-              val q = perItem.getOrElse(it.clientHandle, Vector.empty) :+ WireValue(v, ok, micros)
-              perItem(it.clientHandle) = q.takeRight(it.queueSize.toInt)
+              val q = perItem.getOrElse(it.monitoredItemId, Vector.empty) :+ WireValue(v, ok, micros)
+              perItem(it.monitoredItemId) = q.takeRight(it.queueSize.toInt)
             }
           }
           i += 1
         }
         sub.delivered = hi
-        val notifs: Seq[(Long, WireValue)] =
-          perItem.toSeq.sortBy(_._1).flatMap { case (h, vs) => vs.map(v => (h, v)) }
+        // emit in item-creation order; the wire carries the clientHandle
+        val notifs: Seq[(Long, WireValue)] = sub.items.flatMap { it =>
+          perItem.getOrElse(it.monitoredItemId, Vector.empty).map(v => (it.clientHandle, v))
+        }
         // DataChangeNotification body (rides in an ExtensionObject)
         val dcn = new BufWriter(64 + 32 * notifs.length)
         dcn.i32(notifs.length)
@@ -425,41 +483,42 @@ object OpcuaSession {
     */
   final class SessionClient(host: String, port: Int, timeoutMs: Int = 30000) extends AutoCloseable {
     private val sock = new java.net.Socket()
-    sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
-    sock.setSoTimeout(timeoutMs)
-    private val in = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
-    private val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     private val limits = DefaultLimits
-    private var negotiated: Limits = _
-    private var channel: ChannelToken = _
-    private val sendSeq = new SeqState
-    private val recvSeq = new SeqState
-    private var requestId = 0L
+    private var requestId = 1L // the OPN consumed RequestId 1
     private var authToken: NodeIdT = NodeIdT.Null
 
-    // HEL → ACK → OPN
-    writeFrame(out, "HEL", 'F', encodeHello(Hello(ProtocolVersion, limits, s"opc.tcp://$host:$port/graft")))
-    out.flush()
-    readFrame(in, limits.receiveBufferSize) match {
-      case ("ACK", _, body) => negotiated = decodeAck(body)
-      case ("ERR", _, body) => throw decodeError(body)
-      case (t, _, _) => throw new FramingViolation(s"expected ACK, got $t")
-    }
-    requestId += 1
-    writeOpenRequest(out, sendSeq, requestId, System.currentTimeMillis(), 3600000L)
-    channel = readOpenResponse(in, recvSeq, limits.receiveBufferSize)
+    // connect + HEL → ACK → OPN (shared client half). A constructor that
+    // throws leaves no object for callers to close, so the socket must be
+    // released HERE on any handshake failure — otherwise each failed
+    // construction leaks a connected socket.
+    private val (in, out, channel) =
+      try {
+        sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+        sock.setSoTimeout(timeoutMs)
+        val i = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
+        val o = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+        val ch = openClientChannel(i, o, limits, s"opc.tcp://$host:$port/graft",
+          System.currentTimeMillis())
+        (i, o, ch)
+      } catch {
+        case e: Throwable =>
+          try sock.close() catch { case _: Exception => () }
+          throw e
+      }
 
     private def call(encodeBody: BufWriter => Unit): BufReader = {
       requestId += 1
-      val mw = new MessageWriter(out, sendSeq, requestId,
-        negotiated.receiveBufferSize, negotiated.maxChunkCount,
-        channel.channelId, channel.tokenId)
+      val mw = new MessageWriter(out, channel.sendSeq, requestId,
+        channel.negotiated.receiveBufferSize, channel.negotiated.maxChunkCount,
+        channel.token.channelId, channel.token.tokenId)
       val w = new BufWriter(256)
       encodeBody(w)
       mw.raw(w.result()); mw.finish()
-      val (_, body) = readMessage(in, recvSeq,
-        negotiated.copy(receiveBufferSize = negotiated.sendBufferSize),
-        channel.channelId, channel.tokenId)
+      val (rid, body) = readMessage(in, channel.recvSeq, channel.readLimits,
+        channel.token.channelId, channel.token.tokenId)
+      if (rid != requestId) // a desynced stream must fail loudly, never
+        throw new FramingViolation( // decode another request's response
+          s"response for request $rid, expected $requestId")
       val r = new BufReader(body)
       val typeId = readNodeIdT(r).numeric.toInt
       val (_, status) = readResponseHeader(r)
@@ -519,6 +578,36 @@ object OpcuaSession {
       (0 until n).map { _ =>
         val v = readDataValue(r)
         if (v.value.isNaN && !v.statusGood) None else Some(v)
+      }
+    }
+
+    /** Read ONE attribute of each node, returning the raw per-node status
+      * code (GoodStatus when a value came back) — the diagnostic surface
+      * [[read]] folds into Option: BadAttributeIdInvalid and
+      * BadNodeIdUnknown are distinct answers a conforming client reacts
+      * to differently.
+      */
+    def readAttributeStatus(points: Seq[(String, String)], attributeId: Long): Seq[Long] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, ReadRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        w.f64(0.0).u32(0L)
+        w.i32(points.length)
+        points.foreach { case (d, m) =>
+          writeNodeId(w, NodeIdT.point(d, m))
+          w.u32(attributeId)
+          w.str(null)
+          writeQualifiedName(w, 0, null)
+        }
+      }
+      val n = r.i32()
+      (0 until n).map { _ =>
+        val mask = r.u8()
+        if ((mask & 0x01) != 0) { val vt = r.u8(); if (vt == VariantDouble) r.f64() }
+        val status = if ((mask & 0x02) != 0) r.u32() else GoodStatus
+        if ((mask & 0x04) != 0) r.i64()
+        if ((mask & 0x08) != 0) r.i64()
+        status
       }
     }
 
@@ -597,7 +686,8 @@ object OpcuaSession {
     override def close(): Unit = {
       try {
         requestId += 1
-        writeCloseRequest(out, channel, sendSeq, requestId, System.currentTimeMillis())
+        writeCloseRequest(out, channel.token, channel.sendSeq, requestId,
+          System.currentTimeMillis())
       } catch { case _: Exception => () }
       try sock.close() catch { case _: Exception => () }
     }

@@ -114,6 +114,145 @@ class OpcuaSessionSpec extends AnyFunSuite {
     }
   }
 
+  /** Fixed rows with a controllable visible horizon — for address-space
+    * shapes SimulatedFeed can't produce (slashed device names).
+    */
+  private final class VecFeed(rows: Vector[(String, String, Double, Long, Boolean)])
+      extends graft.sources.MeasureFeed {
+    @volatile var visible: Int = rows.length
+    override def latest(): Long = visible.toLong
+    override def at(i: Long): (String, String, Double, Long, Boolean) = rows(i.toInt)
+  }
+
+  test("a UInt32-max QueueSize is revised down and still delivers (no negative-cap blackout)") {
+    withServer(clockTicks = 1L) { (server, feed) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("maxq"); c.activateSession()
+        val subId = c.createSubscription(1000.0)
+        // the common client convention for "unbounded queue"
+        val Seq((st, _, revisedQs)) =
+          c.createMonitoredItems(subId, Seq((1L, "dev-0", "m0", 0xFFFFFFFFL)))
+        assert(st == 0L)
+        assert(revisedQs == OpcuaSession.MaxQueueSize,
+          s"server must revise the queue into its bound, got $revisedQs")
+        feed.clockTicks += 2
+        val notifs = c.publish()
+        assert(notifs.size == 2, s"values must still flow after revision, got ${notifs.size}")
+      } finally c.close()
+    }
+  }
+
+  test("Publish serves a subscription with pending notifications, not an arbitrary one") {
+    withServer(clockTicks = 1L) { (server, feed) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("multi"); c.activateSession()
+        val idleSub = c.createSubscription(1000.0) // created first, never monitors
+        val busySub = c.createSubscription(1000.0)
+        assert(idleSub != busySub)
+        c.createMonitoredItems(busySub, Seq((42L, "dev-0", "m0", 10L)))
+        feed.clockTicks += 2
+        val notifs = c.publish()
+        assert(notifs.nonEmpty && notifs.forall(_._1 == 42L),
+          "the subscription holding the pending data must answer — the idle one would starve it")
+        assert(c.publish().isEmpty)
+      } finally c.close()
+    }
+  }
+
+  test("duplicate client handles keep separate per-item queues (keyed by monitoredItemId)") {
+    withServer(clockTicks = 1L) { (server, feed) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("duphandle"); c.activateSession()
+        val subId = c.createSubscription(1000.0)
+        // client handles are CLIENT-chosen and may legally collide; the
+        // server must still hold one queue per monitored item
+        val rs = c.createMonitoredItems(subId, Seq(
+          (5L, "dev-0", "m0", 3L),
+          (5L, "dev-1", "m0", 3L)))
+        assert(rs.forall(_._1 == 0L) && rs(0)._2 != rs(1)._2)
+        feed.clockTicks += 10 // burst of 10 per point, both queues cap at 3
+        val notifs = c.publish()
+        assert(notifs.size == 6,
+          s"two capped queues of 3 must deliver 6, got ${notifs.size} (merged queues lose data)")
+        assert(notifs.forall(_._1 == 5L))
+        def newest3(d: String) = (0L until feed.latest()).map(feed.at)
+          .filter(r => r._1 == d && r._2 == "m0").takeRight(3).map(_._3)
+        assert(notifs.take(3).map(_._2.value) == newest3("dev-0"))
+        assert(notifs.drop(3).map(_._2.value) == newest3("dev-1"))
+      } finally c.close()
+    }
+  }
+
+  test("non-Value attribute answers BadAttributeIdInvalid, unknown node BadNodeIdUnknown") {
+    withServer(clockTicks = 2L) { (server, _) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("attrs"); c.activateSession()
+        // attr 1 (NodeId attribute) of an EXISTING node: the node is not
+        // unknown — the attribute is
+        assert(c.readAttributeStatus(Seq(("dev-0", "m0")), attributeId = 1L) ==
+          Seq(OpcuaSession.BadAttributeIdInvalid))
+        assert(c.readAttributeStatus(Seq(("dev-9", "nope")), attributeId = OpcuaSession.AttributeValue) ==
+          Seq(OpcuaSession.BadNodeIdUnknown))
+        assert(c.readAttributeStatus(Seq(("dev-0", "m0")), attributeId = OpcuaSession.AttributeValue) ==
+          Seq(graft.sources.OpcuaFraming.GoodStatus))
+      } finally c.close()
+    }
+  }
+
+  test("points under a device name containing '/' resolve for Read and monitoring") {
+    val rows = Vector(
+      ("plant/line1", "temp", 1.5, 1000L, true),
+      ("plant/line1", "temp", 2.5, 2000L, true),
+      ("dev-0", "m0", 9.0, 1500L, true))
+    val feed = new VecFeed(rows)
+    val server = new FeedTransport.FeedServer(feed)
+    try {
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("slashes"); c.activateSession()
+        val got = c.read(Seq(("plant/line1", "temp")))
+        assert(got.head.contains(WireValue(2.5, statusGood = true, 2000L)),
+          "a device name containing '/' must still resolve (every split is tried)")
+        feed.visible = 1 // rewind, then monitor and replay the growth
+        val subId = c.createSubscription(1000.0)
+        val Seq((st, _, _)) = c.createMonitoredItems(subId,
+          Seq((8L, "plant/line1", "temp", 10L)))
+        assert(st == 0L)
+        feed.visible = 3
+        val notifs = c.publish()
+        assert(notifs.map(_._2.value).contains(2.5))
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("an undecodable service body answers ERR + close, never a silent drop") {
+    import graft.sources.OpcuaFraming._
+    withServer(clockTicks = 1L) { (server, _) =>
+      val sock = new java.net.Socket()
+      try {
+        sock.connect(new java.net.InetSocketAddress("127.0.0.1", server.boundPort), 5000)
+        sock.setSoTimeout(5000)
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val ch = openClientChannel(in, out, DefaultLimits,
+          "opc.tcp://127.0.0.1/graft", System.currentTimeMillis())
+        // u32 image 4: not a bulk opcode, and 0x04 is no NodeId encoding
+        val mw = new MessageWriter(out, ch.sendSeq, 2L,
+          ch.negotiated.receiveBufferSize, ch.negotiated.maxChunkCount,
+          ch.token.channelId, ch.token.tokenId)
+        mw.u32(4L); mw.finish()
+        val (tpe, _, body) = readFrame(in, DefaultLimits.receiveBufferSize)
+        assert(tpe == "ERR", s"malformed body must be answered with a diagnostic, got $tpe")
+        assert(decodeError(body).code == BadDecodingError)
+        assert(in.read() == -1, "the server must close after a transport-level ERR")
+      } finally sock.close()
+    }
+  }
+
   test("bulk RANGE pulls and session services share one secure channel") {
     withServer(clockTicks = 3L) { (server, feed) =>
       // session client on one connection, bulk feed client on another —
