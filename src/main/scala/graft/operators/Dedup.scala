@@ -349,6 +349,92 @@ object Dedup {
     labels.select(col("v"), col("label").as("cluster_id"))
   }
 
+  /** One-sided shingle CONTAINMENT pairs: containment(a→b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ τ means document `a`
+    * is (near-)contained in `b` — the truncation/expansion/quote
+    * relationships symmetric Jaccard systematically under-scores (a short
+    * doc fully quoted inside a long one has tiny Jaccard but containment
+    * 1.0), so a Jaccard-threshold dedup pass keeps both copies. Output is
+    * DIRECTED: (a, b) and (b, a) score independently. τ is an integer
+    * percent: the prefix bound below needs ⌈τ·|a|⌉ EXACTLY, and
+    * `ceil(0.3 * sz)` floats differently across engines (1.0−0.7 and the
+    * literal 0.3 are different doubles) — integer arithmetic is the only
+    * formulation both Spark and the oracle reproduce bit-for-bit.
+    *
+    * Scale shape — PREFIX FILTERING (the PPJoin bound), which is EXACT,
+    * not a recall trade: order each doc's shingles by ascending global
+    * document frequency; if a shares ≥ ⌈τ·|a|⌉ shingles with b, then b
+    * must contain one of a's first |a| − ⌈τ·|a|⌉ + 1 shingles in that
+    * order (missing the whole prefix caps the overlap below τ·|a|). So
+    * candidates come from joining only the PREFIX of a (the ~(1−τ)
+    * rarest shingles, which by construction have the smallest fan-out)
+    * against the full shingle table — df² fan-out only on the rarest
+    * keys, never on corpus boilerplate — and the exact intersection runs
+    * only on candidates via keyed joins. No all-pairs, no broadcast
+    * corpus, no missed pairs.
+    */
+  def containmentPairs(docs: DataFrame, tauPct: Int = 70): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100], got $tauPct")
+    // (doc_id, shingle) feeds df, ranking, and both intersection legs —
+    // persisted so tokenize+explode+distinct runs once, not four times
+    // (session-scoped and evictable, the SequencePack.pack idiom).
+    val sh = shingles(docs).persist()
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc frequency-ascending rank; both windows are doc-keyed (the
+    // corpus never sorts globally). minshared = ⌈tauPct·sz/100⌉ in pure
+    // integer math; prefix = sz − minshared + 1 leading shingles.
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val pref = sh.join(dfc, Seq("shingle"))
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("sz") - expr(s"($tauPct * sz + 99) div 100") + 1)
+      .select(col("doc_id").as("a"), col("shingle"))
+    val cand = pref
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    // verification: ship each candidate its two (distinct) shingle sets
+    // and intersect per row — two doc-keyed joins against the one-row-
+    // per-doc set table and a single projection, instead of re-exploding
+    // the corpus through a (candidate × shingles) join whose intermediate
+    // is |cand|·|doc| rows. The length bound (sz_b ≥ ⌈τ·sz_a⌉, integer
+    // math) prunes candidates before any array ships.
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shs"), count(lit(1)).as("sz"))
+    val withA = cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"), col("sz").as("sz_a")),
+        Seq("a"))
+    withA
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"), col("sz").as("sz_b")),
+        Seq("b"))
+      .filter(col("sz_b") * 100 >= lit(tauPct.toLong) * col("sz_a"))
+      .withColumn("common", size(array_intersect(col("shs_a"), col("shs_b"))).cast(LongType))
+      .filter(col("common") * 100 >= lit(tauPct.toLong) * col("sz_a"))
+      .withColumn("containment", col("common").cast(DoubleType) / col("sz_a"))
+      .select("a", "b", "common", "sz_a", "containment")
+  }
+
+  /** The dedup pipeline's TERMINAL op: near-dup clusters (minhash LSH
+    * pairs closed transitively) reduced to one surviving document each —
+    * the representative is the best-quality member (longest text, ties to
+    * the smallest doc_id), NOT blindly the minimum id: near-dup groups
+    * routinely mix truncated and full variants and the pipeline should
+    * train on the full one. Docs in no cluster survive as their own
+    * singleton (cluster_id = doc_id). Output one row per input doc:
+    * (doc_id, cluster_id, n_chars, kept 0/1).
+    */
+  def keepCanonical(docs: DataFrame, numPerms: Int = 16, bandSize: Int = 2): DataFrame = {
+    val pairs = lshCandidatePairs(minhashWide(docs, numPerms), bandSize, numPerms)
+    val clusters = connectedComponents(pairs)
+    val labeled = docs
+      .join(clusters.select(col("v").as("doc_id"), col("cluster_id")), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    labeled.withColumn("rk", row_number().over(w))
+      .withColumn("kept", (col("rk") === 1).cast(IntegerType))
+      .select("doc_id", "cluster_id", "n_chars", "kept")
+  }
+
   /** Exact n-gram Jaccard of a small query set (queryPred over doc_id)
     * against the corpus; top-k most similar docs per query. The ratio is a
     * single double division of exact integers — engine-reproducible.

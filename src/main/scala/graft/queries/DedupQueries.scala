@@ -114,6 +114,59 @@ object DedupQueries {
         .orderBy("q_id", "rk")
     },
 
+    // One-sided shingle containment: doc a (near-)contained in doc b —
+    // the truncation/quote relationship symmetric Jaccard under-scores.
+    // Spark prunes candidates with the exact PPJoin prefix bound; the
+    // oracle is the NAIVE all-co-occurring-pairs formulation, so the
+    // hash-match verifies the prefix filter is lossless, not just
+    // self-consistent. Threshold in integer math (common·100 ≥ 70·sz).
+    QueryDef("q86_containment",
+      shinglesCte +
+        """,
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+        |          FROM sh x JOIN sh y ON y.shingle = x.shingle
+        |                              AND y.doc_id <> x.doc_id
+        |          GROUP BY x.doc_id, y.doc_id)
+        |SELECT i.a, i.b, common, s.sz AS sz_a,
+        |       CAST(common AS DOUBLE) / s.sz AS containment
+        |FROM inter i JOIN sz s ON s.doc_id = i.a
+        |WHERE common * 100 >= 70 * s.sz
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), 70)
+        .orderBy("a", "b")
+    },
+
+    // Dedup terminal: LSH near-dup clusters reduced to one best-quality
+    // survivor each (longest text, ties to smallest id); singletons keep
+    // themselves. Oracle closes the same LSH pairs with a recursive CTE.
+    QueryDef("q87_keep_canonical",
+      minhashCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        """,
+        |bands AS (SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+        |                 md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY perm)) AS bh
+        |          FROM mh GROUP BY doc_id, perm // 2),
+        |nd AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |       FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |                                 AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM nd
+        |          UNION SELECT d2, d1 FROM nd),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |r(v, label) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT e2.dst, r.label FROM r JOIN edges e2 ON e2.src = r.v),
+        |cc AS (SELECT v, min(label) AS cluster_id FROM r GROUP BY v),
+        |lab AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        |        FROM documents d LEFT JOIN cc ON cc.v = d.doc_id)
+        |SELECT doc_id, cluster_id, n_chars,
+        |       CAST(row_number() OVER (PARTITION BY cluster_id
+        |            ORDER BY n_chars DESC, doc_id) = 1 AS INT) AS kept
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.keepCanonical(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Train/eval contamination: eval docs (q53's deterministic hash
     // split) sharing any word-shingle with the train split — the
     // decontamination pass run before reporting benchmark numbers.

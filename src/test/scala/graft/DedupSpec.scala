@@ -173,4 +173,77 @@ class DedupSpec extends SparkSpec {
     assert(q1.head._2 == 2L)     // exact dup: jaccard 1.0
     assert(q1.length <= 3)
   }
+
+  test("containment: a truncated doc scores 1.0 toward its container, asymmetrically") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // doc 2 is a strict prefix of doc 1: every shingle of 2 is in 1
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unrelated words in this other document here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, tauPct = 70)
+      .select("a", "b", "containment").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got((2L, 1L)) == 1.0, "the truncation is fully contained")
+    // symmetric Jaccard here is 3/8 — a 0.7 Jaccard pass would keep both
+    assert(!got.contains((1L, 2L)), "the container is NOT contained in the fragment")
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containment: prefix filtering is lossless vs the naive all-pairs formulation") {
+    // a corpus dense in shared shingles (the adversarial case for any
+    // blocking scheme): every doc shares boilerplate with every other
+    val boiler = "lorem ipsum dolor sit amet"
+    val corpus = Seq(
+      (1L, s"$boiler unique one text body alpha beta gamma"),
+      (2L, s"$boiler unique one text body alpha beta gamma"), // dup of 1
+      (3L, s"$boiler unique one text body"),                  // truncation of 1/2
+      (4L, s"$boiler something else entirely different here"),
+      (5L, s"$boiler yet another unrelated body text here")
+    ).toDF("doc_id", "text")
+    for (tauPct <- Seq(50, 70, 90, 100)) {
+      val fast = Dedup.containmentPairs(corpus, tauPct)
+        .select("a", "b", "common").as[(Long, Long, Long)].collect().toSet
+      // naive truth: every co-occurring pair, exact intersection, same
+      // integer threshold — no prefix pruning anywhere
+      val sh = Dedup.shingles(corpus).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val naive = sh.select(col("doc_id").as("a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
+        .filter(col("common") * 100 >= lit(tauPct.toLong) * col("sz_a"))
+        .select("a", "b", "common").as[(Long, Long, Long)].collect().toSet
+      sh.unpersist()
+      assert(fast == naive, s"tauPct=$tauPct: prefix filter must lose nothing, " +
+        s"missing=${naive -- fast} extra=${fast -- naive}")
+    }
+  }
+
+  test("keepCanonical: one best-quality survivor per cluster, singletons survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 44L),
+      (2L, "the quick brown fox jumps over the lazy dog", 44L),   // dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog extended with more text", 68L), // longer near-dup
+      (4L, "completely different text with no overlap at all here", 54L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepCanonical(corpus)
+      .select("doc_id", "cluster_id", "kept").as[(Long, Long, Int)].collect()
+      .map { case (d, c, k) => d -> ((c, k)) }.toMap
+    assert(got.size == 4, "one row per input doc")
+    assert(got(4L) == ((4L, 1)), "singleton keeps itself")
+    val clustered = got.filter(_._2._1 != 4L)
+    // whoever clustered with doc 3, the longest member is the survivor
+    if (got(3L)._1 == got(1L)._1) {
+      assert(got(3L)._2 == 1, "longest text must be the kept representative")
+      assert(got(1L)._2 == 0 && got(2L)._2 == 0)
+    } else {
+      // LSH may not band 3 with 1/2 (2-row band hashes are strict): then
+      // 1/2 form the cluster and min-id-on-tie keeps 1
+      assert(got(1L)._2 == 1 && got(2L)._2 == 0)
+      assert(got(3L)._2 == 1)
+    }
+    assert(clustered.nonEmpty)
+  }
 }
