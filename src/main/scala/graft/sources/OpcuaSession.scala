@@ -50,9 +50,25 @@ object OpcuaSession {
   val CreateMonitoredItemsResponseId = 754
   val PublishRequestId = 826
   val PublishResponseId = 829
+  val BrowseRequestId = 527
+  val BrowseResponseId = 530
+  val BrowseNextRequestId = 533
+  val BrowseNextResponseId = 536
   val ServiceFaultId = 397
   val AnonymousIdentityTokenId = 321
   val DataChangeNotificationId = 811
+
+  // ns-0 address-space constants the browse surface serves (NodeIds CSV)
+  val RootFolderId = 84L
+  val ObjectsFolderId = 85L
+  val HierarchicalReferencesId = 33L
+  val OrganizesId = 35L
+  val HasComponentId = 47L
+  val FolderTypeId = 61L
+  val BaseObjectTypeId = 58L
+  val BaseDataVariableTypeId = 63L
+  val NodeClassObject = 1L
+  val NodeClassVariable = 2L
 
   val AttributeValue = 13L // AttributeId of the Value attribute
   val VariantDouble = 0x0B // built-in type id of Double
@@ -65,10 +81,21 @@ object OpcuaSession {
     * below can never wrap negative.
     */
   val MaxQueueSize = 65536L
+
+  /** Ceiling on outstanding browse continuation points per session — a
+    * client that browses wide and never calls BrowseNext must not grow
+    * server memory without bound; Part 4 reserves BadNoContinuationPoints
+    * for exactly this refusal.
+    */
+  val MaxContinuationPoints = 64
   val BadSessionIdInvalid = 0x80250000L
   val BadSubscriptionIdInvalid = 0x80280000L
   val BadNodeIdUnknown = 0x80340000L
   val BadAttributeIdInvalid = 0x80350000L
+  val BadContinuationPointInvalid = 0x804A0000L
+  val BadNoContinuationPoints = 0x804B0000L
+  val BadReferenceTypeIdInvalid = 0x804C0000L
+  val BadBrowseDirectionInvalid = 0x804D0000L
 
   /** Generic NodeId (Part 6 §5.2.2.9): numeric or string identifier. */
   final case class NodeIdT(ns: Int, numeric: Long = -1L, string: String = null) {
@@ -86,13 +113,37 @@ object OpcuaSession {
       w.u8(0x01).u8(n.ns).u8((n.numeric & 0xFF).toInt).u8(((n.numeric >> 8) & 0xFF).toInt)
     } else { w.u8(0x02).u8(n.ns & 0xFF).u8(n.ns >> 8).u32(n.numeric) }
 
-  def readNodeIdT(r: BufReader): NodeIdT = r.u8() match {
+  private def readNodeIdForm(form: Int, r: BufReader): NodeIdT = form match {
     case 0x00 => NodeIdT(0, r.u8())
     case 0x01 => val ns = r.u8(); NodeIdT(ns, r.u8() | (r.u8() << 8))
     case 0x02 => val ns = r.u8() | (r.u8() << 8); NodeIdT(ns, r.u32())
     case 0x03 => val ns = r.u8() | (r.u8() << 8); NodeIdT(ns, string = r.str())
     case m => throw new FramingViolation(f"unsupported NodeId encoding 0x$m%02x")
   }
+
+  def readNodeIdT(r: BufReader): NodeIdT = readNodeIdForm(r.u8(), r)
+
+  /** ExpandedNodeId (Part 6 §5.2.2.10): a NodeId whose encoding byte may
+    * carry 0x80 (namespaceUri string follows) and 0x40 (serverIndex). The
+    * flagged fields are read and discarded — this address space is
+    * single-server with index-addressed namespaces.
+    */
+  def readExpandedNodeId(r: BufReader): NodeIdT = {
+    val b = r.u8()
+    val n = readNodeIdForm(b & 0x3F, r)
+    if ((b & 0x80) != 0) r.str()
+    if ((b & 0x40) != 0) r.u32()
+    n
+  }
+
+  /** Render a NodeId the way `NodeId.ToString()` does in the reference's
+    * jsTree ids (`Helpers/OpcuaBrowse.cs:95`): `i=5`, `ns=2;i=7`,
+    * `ns=2;s=dev/measure`.
+    */
+  def nodeIdString(n: NodeIdT): String =
+    if (n.isString) s"ns=${n.ns};s=${n.string}"
+    else if (n.ns == 0) s"i=${n.numeric}"
+    else s"ns=${n.ns};i=${n.numeric}"
 
   /** LocalizedText: mask bit0 = locale present, bit1 = text present. */
   def writeLocalizedText(w: BufWriter, text: String): BufWriter =
@@ -159,6 +210,55 @@ object OpcuaSession {
     (WireValue(value, good, micros))
   }
 
+  /** One ReferenceDescription (Part 4 §7.30) as Browse returns it. */
+  final case class BrowseRef(refTypeId: NodeIdT, isForward: Boolean, nodeId: NodeIdT,
+                             browseNs: Int, browseName: String, displayName: String,
+                             nodeClass: Long, typeDefinition: NodeIdT)
+
+  /** One BrowseResult: per-node status, continuation point (null when the
+    * result is complete), and the reference slice.
+    */
+  final case class BrowseResultT(status: Long, continuation: Array[Byte],
+                                 refs: Vector[BrowseRef])
+
+  /** ResultMask bits (Part 4 §5.8.2.2): unset fields encode as null /
+    * zero — the binary layout always carries every field.
+    */
+  private def writeBrowseRef(w: BufWriter, ref: BrowseRef, resultMask: Long): Unit = {
+    writeNodeId(w, if ((resultMask & 0x01) != 0) ref.refTypeId else NodeIdT.Null)
+    w.bool(ref.isForward)
+    writeNodeId(w, ref.nodeId) // ExpandedNodeId, flag bits 0
+    if ((resultMask & 0x08) != 0) writeQualifiedName(w, ref.browseNs, ref.browseName)
+    else writeQualifiedName(w, 0, null)
+    writeLocalizedText(w, if ((resultMask & 0x10) != 0) ref.displayName else null)
+    w.u32(if ((resultMask & 0x04) != 0) ref.nodeClass else 0L)
+    writeNodeId(w, if ((resultMask & 0x20) != 0) ref.typeDefinition else NodeIdT.Null)
+  }
+
+  private def readBrowseRef(r: BufReader): BrowseRef = {
+    val refType = readNodeIdT(r)
+    val fwd = r.bool()
+    val target = readExpandedNodeId(r)
+    val (bns, bname) = readQualifiedName(r)
+    val display = readLocalizedText(r)
+    val cls = r.u32()
+    val typeDef = readExpandedNodeId(r)
+    BrowseRef(refType, fwd, target, bns, bname, display, cls, typeDef)
+  }
+
+  private def writeByteString(w: BufWriter, b: Array[Byte]): Unit =
+    if (b == null) w.i32(-1) else { w.i32(b.length); w.raw(b) }
+
+  private def readByteString(r: BufReader): Array[Byte] = {
+    val len = r.i32()
+    if (len < 0) null
+    else {
+      val b = new Array[Byte](len)
+      var i = 0; while (i < len) { b(i) = r.u8().toByte; i += 1 }
+      b
+    }
+  }
+
   private def writeResponseHeader(w: BufWriter, epochMillis: Long, handle: Long,
                                   status: Long): BufWriter = {
     w.i64(toFiletime(epochMillis)).u32(handle).u32(status)
@@ -222,12 +322,17 @@ object OpcuaSession {
       * LATEST/GET/RANGE path never pays for it.
       */
     private val latestIdx = scala.collection.mutable.Map.empty[(String, String), WireValue]
+    // browse hierarchy: device → measures, both in first-appearance order
+    // (deterministic browse documents; memory is O(distinct points))
+    private val pointsByDevice =
+      scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashSet[String]]
     private var indexedTo = 0L
     private def refreshIndex(): Unit = {
       val hi = feed.latest()
       while (indexedTo < hi) {
         val (d, m, v, micros, ok) = feed.at(indexedTo)
         latestIdx((d, m)) = WireValue(v, ok, micros)
+        pointsByDevice.getOrElseUpdate(d, scala.collection.mutable.LinkedHashSet.empty) += m
         indexedTo += 1
       }
     }
@@ -253,6 +358,86 @@ object OpcuaSession {
         i = s.indexOf('/', i + 1)
       }
       None
+    }
+
+    /** The feed-derived address space as a browse hierarchy (reference
+      * `Helpers/OpcuaBrowse.cs:24-40` — Forward, HierarchicalReferences
+      * with subtypes, Object|Variable):
+      *
+      *   Root (i=84) ─Organizes→ Objects (i=85)
+      *   Objects ─Organizes→ one Object per device (`ns=2;s=<device>`)
+      *   device ─HasComponent→ one Variable per measure (`ns=2;s=<d>/<m>`)
+      *
+      * Returns None for a node the address space lacks; Some(empty) for a
+      * leaf. A string node is a device if it names one EXACTLY; otherwise
+      * it must resolve as a point — a device literally named `a/b` shadows
+      * point (a, b) for browse, matching [[resolvePoint]]'s existence
+      * rules read in the other direction.
+      */
+    private def childrenOf(node: NodeIdT): Option[Vector[BrowseRef]] = {
+      refreshIndex()
+      if (!node.isString && node.ns == 0 && node.numeric == RootFolderId)
+        Some(Vector(BrowseRef(NodeIdT(0, OrganizesId), isForward = true,
+          NodeIdT(0, ObjectsFolderId), 0, "Objects", "Objects",
+          NodeClassObject, NodeIdT(0, FolderTypeId))))
+      else if (!node.isString && node.ns == 0 && node.numeric == ObjectsFolderId)
+        Some(pointsByDevice.keysIterator.map { d =>
+          BrowseRef(NodeIdT(0, OrganizesId), isForward = true,
+            NodeIdT(2, string = d), 2, d, d, NodeClassObject, NodeIdT(0, BaseObjectTypeId))
+        }.toVector)
+      else if (node.isString && node.ns == 2 && pointsByDevice.contains(node.string))
+        Some(pointsByDevice(node.string).iterator.map { m =>
+          BrowseRef(NodeIdT(0, HasComponentId), isForward = true,
+            NodeIdT.point(node.string, m), 2, m, m,
+            NodeClassVariable, NodeIdT(0, BaseDataVariableTypeId))
+        }.toVector)
+      else if (node.isString && node.ns == 2 && resolvePoint(node.string).isDefined)
+        Some(Vector.empty)
+      else None
+    }
+
+    // outstanding continuation points: token → (remaining refs, slice
+    // size, resultMask of the originating Browse)
+    private var nextCpToken = 1L
+    private val continuations =
+      scala.collection.mutable.Map.empty[Long, (Vector[BrowseRef], Long, Long)]
+
+    private def cpBytes(token: Long): Array[Byte] = {
+      val b = new Array[Byte](8)
+      var i = 0; while (i < 8) { b(i) = (token >>> (8 * i)).toByte; i += 1 }
+      b
+    }
+    private def cpToken(b: Array[Byte]): Option[Long] =
+      if (b == null || b.length != 8) None
+      else {
+        var v = 0L; var i = 0
+        while (i < 8) { v |= (b(i) & 0xFFL) << (8 * i); i += 1 }
+        Some(v)
+      }
+
+    /** Write one BrowseResult, slicing off a continuation when the slice
+      * cap is exceeded. maxRefs == 0 means unlimited (Part 4 §5.8.2.2).
+      */
+    private def writeBrowseResult(w: BufWriter, refs: Vector[BrowseRef],
+                                  maxRefs: Long, resultMask: Long): Unit = {
+      val cap = if (maxRefs <= 0L) Long.MaxValue else maxRefs
+      if (refs.length <= cap) {
+        w.u32(GoodStatus); writeByteString(w, null)
+        w.i32(refs.length)
+        refs.foreach(writeBrowseRef(w, _, resultMask))
+      } else if (continuations.size >= MaxContinuationPoints) {
+        // refusing the whole operation (not a truncated slice) is the
+        // spec'd signal: the client frees points via BrowseNext(release)
+        w.u32(BadNoContinuationPoints); writeByteString(w, null); w.i32(-1)
+      } else {
+        val (now, rest) = refs.splitAt(cap.toInt)
+        val token = nextCpToken
+        nextCpToken += 1
+        continuations(token) = (rest, cap, resultMask)
+        w.u32(GoodStatus); writeByteString(w, cpBytes(token))
+        w.i32(now.length)
+        now.foreach(writeBrowseRef(w, _, resultMask))
+      }
     }
 
     /** Dispatch one TypeId-addressed service body; writes the response
@@ -302,7 +487,7 @@ object OpcuaSession {
         val (tok, handle) = readRequestHeader(r)
         requireSession(tok)
         r.bool()                            // DeleteSubscriptions
-        subs.clear(); activated = false; sessionToken = null
+        subs.clear(); continuations.clear(); activated = false; sessionToken = null
         writeNodeId(w, NodeIdT(0, CloseSessionResponseId))
         writeResponseHeader(w, clock(), handle, GoodStatus)
 
@@ -399,6 +584,74 @@ object OpcuaSession {
           writeNullExtensionObject(w)       // FilterResult
         }
         w.i32(-1)
+
+      case BrowseRequestId =>
+        val (tok, handle) = readRequestHeader(r)
+        requireSession(tok)
+        readNodeIdT(r); r.i64(); r.u32()    // ViewDescription (default view only)
+        val maxRefs = r.u32()
+        val n = r.i32()
+        val descs = (0 until math.max(0, n)).map { _ =>
+          val nid = readNodeIdT(r)
+          val direction = r.u32()
+          val refType = readNodeIdT(r)
+          val includeSubtypes = r.bool()
+          val classMask = r.u32()
+          val resultMask = r.u32()
+          (nid, direction, refType, includeSubtypes, classMask, resultMask)
+        }
+        writeNodeId(w, NodeIdT(0, BrowseResponseId))
+        writeResponseHeader(w, clock(), handle, GoodStatus)
+        w.i32(descs.length)
+        descs.foreach { case (nid, direction, refType, includeSubtypes, classMask, resultMask) =>
+          // served reference types: null = all; HierarchicalReferences
+          // only with IncludeSubtypes (Organizes and HasComponent are
+          // strict subtypes); or the exact concrete type
+          val refFilter: Option[BrowseRef => Boolean] =
+            if (refType == NodeIdT.Null) Some(_ => true)
+            else if (refType.isString || refType.ns != 0) None
+            else if (refType.numeric == HierarchicalReferencesId)
+              if (includeSubtypes) Some(_ => true) else Some(_ => false)
+            else if (refType.numeric == OrganizesId || refType.numeric == HasComponentId)
+              Some(ref => ref.refTypeId.numeric == refType.numeric)
+            else None
+          if (direction != 0L) { // only Forward is served
+            w.u32(BadBrowseDirectionInvalid); writeByteString(w, null); w.i32(-1)
+          } else if (refFilter.isEmpty) {
+            w.u32(BadReferenceTypeIdInvalid); writeByteString(w, null); w.i32(-1)
+          } else childrenOf(nid) match {
+            case None =>
+              w.u32(BadNodeIdUnknown); writeByteString(w, null); w.i32(-1)
+            case Some(kids) =>
+              val filtered = kids.filter(refFilter.get).filter(ref =>
+                classMask == 0L || (ref.nodeClass & classMask) != 0L)
+              writeBrowseResult(w, filtered, maxRefs, resultMask)
+          }
+        }
+        w.i32(-1)                           // DiagnosticInfos
+
+      case BrowseNextRequestId =>
+        val (tok, handle) = readRequestHeader(r)
+        requireSession(tok)
+        val release = r.bool()
+        val n = r.i32()
+        val cps = (0 until math.max(0, n)).map(_ => readByteString(r))
+        writeNodeId(w, NodeIdT(0, BrowseNextResponseId))
+        writeResponseHeader(w, clock(), handle, GoodStatus)
+        w.i32(cps.length)
+        cps.foreach { cp =>
+          cpToken(cp).flatMap(t => continuations.get(t).map(t -> _)) match {
+            case None =>
+              w.u32(BadContinuationPointInvalid); writeByteString(w, null); w.i32(-1)
+            case Some((token, _)) if release =>
+              continuations.remove(token)
+              w.u32(GoodStatus); writeByteString(w, null); w.i32(-1)
+            case Some((token, (rest, cap, resultMask))) =>
+              continuations.remove(token)
+              writeBrowseResult(w, rest, cap, resultMask)
+          }
+        }
+        w.i32(-1)                           // DiagnosticInfos
 
       case PublishRequestId =>
         val (tok, handle) = readRequestHeader(r)
@@ -646,6 +899,116 @@ object OpcuaSession {
       }
       r.i32()
       out
+    }
+
+    private def readBrowseResults(r: BufReader): Seq[BrowseResultT] = {
+      val n = r.i32()
+      val out = (0 until math.max(0, n)).map { _ =>
+        val status = r.u32()
+        val cp = {
+          val len = r.i32()
+          if (len < 0) null
+          else {
+            val b = new Array[Byte](len)
+            var i = 0; while (i < len) { b(i) = r.u8().toByte; i += 1 }
+            b
+          }
+        }
+        val nRefs = r.i32()
+        val refs = (0 until math.max(0, nRefs)).map(_ => readBrowseRef(r)).toVector
+        BrowseResultT(status, cp, refs)
+      }
+      r.i32()                               // DiagnosticInfos
+      out
+    }
+
+    /** Browse the forward hierarchical references of each node — the
+      * reference's exact call shape (`Helpers/OpcuaBrowse.cs:24-40`:
+      * Forward, HierarchicalReferences, IncludeSubtypes,
+      * Object|Variable). maxRefsPerNode 0 = no cap.
+      */
+    def browse(nodes: Seq[NodeIdT], maxRefsPerNode: Long = 0L,
+               nodeClassMask: Long = NodeClassObject | NodeClassVariable,
+               referenceTypeId: Long = HierarchicalReferencesId,
+               includeSubtypes: Boolean = true,
+               direction: Long = 0L): Seq[BrowseResultT] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, BrowseRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        writeNodeId(w, NodeIdT.Null); w.i64(0L); w.u32(0L) // View: default
+        w.u32(maxRefsPerNode)
+        w.i32(nodes.length)
+        nodes.foreach { nid =>
+          writeNodeId(w, nid)
+          w.u32(direction)                  // 0 = Forward (the served mode)
+          writeNodeId(w, NodeIdT(0, referenceTypeId))
+          w.bool(includeSubtypes)
+          w.u32(nodeClassMask)
+          w.u32(0x3FL)                      // ResultMask: everything
+        }
+      }
+      readBrowseResults(r)
+    }
+
+    /** Continue (or release) prior Browse results by continuation point. */
+    def browseNext(continuationPoints: Seq[Array[Byte]],
+                   release: Boolean = false): Seq[BrowseResultT] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, BrowseNextRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        w.bool(release)
+        w.i32(continuationPoints.length)
+        continuationPoints.foreach { cp => w.i32(cp.length); w.raw(cp) }
+      }
+      readBrowseResults(r)
+    }
+
+    /** Walk the address space breadth-first from `root` and return the
+      * node table NodeTree consumes: (id, parent_id, text, node_class) —
+      * the root row carries a null parent. The walk is the reference
+      * browse job's traversal (`Helpers/OpcuaBrowse.cs:20-144`) done
+      * level-at-a-time: every frontier node rides ONE Browse request, and
+      * continuation points drain through BrowseNext before descending —
+      * so the request count is O(depth), not O(nodes) as in the
+      * reference's thread-per-node DFS. Children whose display name is in
+      * `exclusions` are pruned with their whole subtree (the reference's
+      * `exclusionFolders.Contains(folderText)` skip).
+      */
+    def browseTree(root: NodeIdT = NodeIdT(0, ObjectsFolderId),
+                   rootText: String = "Objects",
+                   exclusions: Set[String] = Set.empty,
+                   maxDepth: Int = 32,
+                   maxRefsPerNode: Long = 0L): Vector[(String, String, String, String)] = {
+      val rootId = nodeIdString(root)
+      val rows = Vector.newBuilder[(String, String, String, String)]
+      rows += ((rootId, null, rootText, "Object"))
+      var frontier: Vector[(NodeIdT, String)] = Vector((root, rootId))
+      var depth = 0
+      while (frontier.nonEmpty && depth < maxDepth) {
+        val results = browse(frontier.map(_._1), maxRefsPerNode)
+        val next = Vector.newBuilder[(NodeIdT, String)]
+        frontier.zip(results).foreach { case ((_, parentId), first) =>
+          // drain this node's continuation chain before moving on
+          var refs = first.refs
+          var cp = first.continuation
+          while (cp != null) {
+            val cont = browseNext(Seq(cp)).head
+            refs ++= cont.refs
+            cp = cont.continuation
+          }
+          refs.foreach { ref =>
+            if (!exclusions.contains(ref.displayName)) {
+              val childId = nodeIdString(ref.nodeId)
+              val cls = if (ref.nodeClass == NodeClassVariable) "Variable" else "Object"
+              rows += ((childId, parentId, ref.displayName, cls))
+              next += ((ref.nodeId, childId))
+            }
+          }
+        }
+        frontier = next.result()
+        depth += 1
+      }
+      rows.result()
     }
 
     /** One Publish round-trip: (clientHandle, value) notifications. */
