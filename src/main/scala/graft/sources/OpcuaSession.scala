@@ -50,6 +50,8 @@ object OpcuaSession {
   val CreateMonitoredItemsResponseId = 754
   val PublishRequestId = 826
   val PublishResponseId = 829
+  val GetEndpointsRequestId = 428
+  val GetEndpointsResponseId = 431
   val BrowseRequestId = 527
   val BrowseResponseId = 530
   val BrowseNextRequestId = 533
@@ -69,6 +71,29 @@ object OpcuaSession {
   val BaseDataVariableTypeId = 63L
   val NodeClassObject = 1L
   val NodeClassVariable = 2L
+
+  // MessageSecurityMode enum + the policy/profile URIs discovery serves
+  val SecurityModeNone = 1L
+  val SecurityModeSignAndEncrypt = 3L
+  val SecurityPolicyNoneUri = "http://opcfoundation.org/UA/SecurityPolicy#None"
+  val SecurityPolicyBasic256Sha256Uri = "http://opcfoundation.org/UA/SecurityPolicy#Basic256Sha256"
+  val TransportProfileBinaryUri = "http://opcfoundation.org/UA-Profile/Transport/uatcp-uasc-uabinary"
+  val UserTokenTypeAnonymous = 0L
+
+  /** One discovered endpoint, the fields the reference's selection reads
+    * (`Helpers/OpcuaHelperFunctions.cs:104-116`: SecurityMode, then URL +
+    * policy for logging).
+    */
+  final case class EndpointDesc(endpointUrl: String, securityMode: Long,
+                                securityPolicyUri: String, transportProfileUri: String,
+                                securityLevel: Int, userTokenTypes: Vector[Long])
+
+  /** The reference's endpoint choice: the first SecurityMode-None
+    * endpoint, or None when the server offers no insecure endpoint
+    * (`FirstOrDefault(x => x.SecurityMode == MessageSecurityMode.None)`).
+    */
+  def selectEndpoint(endpoints: Seq[EndpointDesc]): Option[EndpointDesc] =
+    endpoints.find(_.securityMode == SecurityModeNone)
 
   val AttributeValue = 13L // AttributeId of the Value attribute
   val VariantDouble = 0x0B // built-in type id of Double
@@ -444,6 +469,39 @@ object OpcuaSession {
       * body (TypeId + struct) into `w`.
       */
     def handle(typeId: Int, r: BufReader, w: BufWriter): Unit = typeId match {
+      case GetEndpointsRequestId =>
+        // a DISCOVERY service: answered with no session, before
+        // CreateSession — the reference's DiscoveryClient path
+        // (`Helpers/OpcuaHelperFunctions.cs:97-99`)
+        val (_, handle) = readRequestHeader(r)
+        val requestedUrl = r.str()
+        val nLoc = r.i32(); (0 until math.max(0, nLoc)).foreach(_ => r.str())
+        val nProf = r.i32(); (0 until math.max(0, nProf)).foreach(_ => r.str())
+        val url = if (requestedUrl != null) requestedUrl else "opc.tcp://graft"
+        def writeEndpoint(mode: Long, policyUri: String, level: Int): Unit = {
+          w.str(url)
+          // Server: ApplicationDescription
+          w.str("urn:graft:server").str("urn:graft")
+          writeLocalizedText(w, "graft feed")
+          w.u32(0L)                         // ApplicationType Server
+          w.str(null).str(null).i32(-1)     // gateway, discoveryProfile, discoveryUrls
+          w.i32(-1)                         // ServerCertificate: null ByteString
+          w.u32(mode)
+          w.str(policyUri)
+          w.i32(1)                          // one UserTokenPolicy: anonymous
+          w.str("anonymous").u32(UserTokenTypeAnonymous)
+          w.str(null).str(null).str(null)
+          w.str(TransportProfileBinaryUri)
+          w.u8(level)
+        }
+        writeNodeId(w, NodeIdT(0, GetEndpointsResponseId))
+        writeResponseHeader(w, clock(), handle, GoodStatus)
+        // secure endpoint first: selection must SEARCH for None, not take
+        // the head (the reference's FirstOrDefault predicate does)
+        w.i32(2)
+        writeEndpoint(SecurityModeSignAndEncrypt, SecurityPolicyBasic256Sha256Uri, 3)
+        writeEndpoint(SecurityModeNone, SecurityPolicyNoneUri, 0)
+
       case CreateSessionRequestId =>
         val (_, handle) = readRequestHeader(r)
         // ClientDescription(ApplicationDescription), serverUri, endpointUrl,
@@ -901,6 +959,34 @@ object OpcuaSession {
       out
     }
 
+    /** GetEndpoints — callable BEFORE createSession (discovery). */
+    def getEndpoints(): Seq[EndpointDesc] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, GetEndpointsRequestId))
+        writeRequestHeader(w, NodeIdT.Null, System.currentTimeMillis(), requestId)
+        w.str(s"opc.tcp://$host:$port/graft")
+        w.i32(-1)                           // LocaleIds
+        w.i32(-1)                           // ProfileUris
+      }
+      val n = r.i32()
+      (0 until math.max(0, n)).map { _ =>
+        val url = r.str()
+        r.str(); r.str(); readLocalizedText(r); r.u32() // ApplicationDescription…
+        r.str(); r.str()
+        val nUrls = r.i32(); (0 until math.max(0, nUrls)).foreach(_ => r.str())
+        readByteString(r)                   // ServerCertificate
+        val mode = r.u32()
+        val policy = r.str()
+        val nTok = r.i32()
+        val toks = (0 until math.max(0, nTok)).map { _ =>
+          r.str(); val t = r.u32(); r.str(); r.str(); r.str(); t
+        }.toVector
+        val transport = r.str()
+        val level = r.u8()
+        EndpointDesc(url, mode, policy, transport, level, toks)
+      }
+    }
+
     private def readBrowseResults(r: BufReader): Seq[BrowseResultT] = {
       val n = r.i32()
       val out = (0 until math.max(0, n)).map { _ =>
@@ -1054,5 +1140,43 @@ object OpcuaSession {
       } catch { case _: Exception => () }
       try sock.close() catch { case _: Exception => () }
     }
+  }
+
+  /** The reference's session bootstrap
+    * (`Helpers/OpcuaHelperFunctions.cs:72-136` GetSessionByUrl): discover
+    * endpoints on a throwaway connection, require a SecurityMode-None
+    * endpoint, then open + activate the real session — retrying the whole
+    * sequence a bounded number of times (the reference gives up after 5
+    * iterations with a 1.5 s pause).
+    */
+  def discoverAndConnect(host: String, port: Int, sessionName: String,
+                         maxAttempts: Int = 5, pauseMs: Long = 1500L,
+                         timeoutMs: Int = 30000): SessionClient = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      try {
+        val disco = new SessionClient(host, port, timeoutMs)
+        val chosen =
+          try selectEndpoint(disco.getEndpoints())
+          finally disco.close()
+        if (chosen.isEmpty)
+          throw new OpcuaError(BadSecurityChecksFailed,
+            s"URI with NoSecurity not found for opc.tcp://$host:$port")
+        val c = new SessionClient(host, port, timeoutMs)
+        try {
+          c.createSession(sessionName)
+          c.activateSession()
+          return c
+        } catch { case e: Throwable => try c.close() catch { case _: Exception => () }; throw e }
+      } catch {
+        case e: Exception =>
+          lastErr = e
+          attempt += 1
+          if (attempt < maxAttempts && pauseMs > 0) Thread.sleep(pauseMs)
+      }
+    }
+    throw new java.io.IOException(
+      s"could not get session for opc.tcp://$host:$port after $maxAttempts attempts", lastErr)
   }
 }
