@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextOps
@@ -360,5 +361,55 @@ object TextAnalysis {
       .withColumn("rolling_hash",
         aggregate(col("hs"), lit(0L), (acc, x) => (acc * 31L + x) % p))
       .select("doc_id", "rolling_hash")
+  }
+
+  /** Overlapping token-window chunking — the embedding-pipeline splitter
+    * (each chunk rides to an encoder; stride < window keeps context
+    * across cuts). Chunk i of a doc covers tokens [i·stride, i·stride +
+    * window); chunks start while they still reach past the previous
+    * window's end, so every token lands in ≥1 chunk and the final chunk
+    * may run short. Entirely map-side — tokenize, one `sequence` +
+    * `explode`, slice — no shuffle at any scale; output order is
+    * (doc_id, chunk_id) by construction of the explode.
+    */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    val toks = split(trim(col("text")), "\\s+") // q75's token convention
+    docs
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(lit(0L),
+          ceil((col("n_tokens") - window) / lit(stride.toDouble)).cast("long")))))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(window.toLong), col("n_tokens") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+          .as("chunk_text"))
+  }
+
+  /** Per-language token-budget selection — corpus budgeting: each
+    * language contributes its highest-priority documents until its token
+    * budget is spent (priority = longest-first, doc_id tie-break; any
+    * deterministic ORDER BY slots in). A document is kept if it STARTS
+    * within budget, so the last kept doc may overrun — the convention
+    * that never emits an empty language for budget < its shortest doc.
+    *
+    * The running sum is a (lang)-keyed window — each language sorts on
+    * its own executors, never one global sort. A language so large its
+    * own token stream won't sort on one task gets the [[SequencePack]]
+    * two-phase prefix-sum treatment (bucket by priority-rank ranges);
+    * at that point the sort IS the selection and must happen somewhere.
+    */
+  def tokenBudget(docs: DataFrame, budgetPerLang: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks.withColumn("running_tokens", sum("n_tokens").over(w))
+      .filter(col("running_tokens") - col("n_tokens") < budgetPerLang)
+      .select("doc_id", "lang", "n_tokens", "running_tokens")
   }
 }

@@ -169,6 +169,45 @@ object TrainingQueries {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("w"))
         .limit(50)
+    },
+
+    // Overlapping token-window chunking (window 32, stride 24): the
+    // embedding-pipeline splitter. Pure map-side explode — no shuffle at
+    // any scale; the oracle replays the same slice arithmetic in DuckDB.
+    QueryDef("q88_chunking",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(range(0, greatest(CAST(0 AS BIGINT),
+        |                    CAST(ceil((n - 32) / 24.0) AS BIGINT)) + 1)) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id,
+        |       CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAnalysis.chunk(Tables.documents(s, dir), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Per-language token-budget selection: longest-first priority, keep
+    // while the doc STARTS within the language's budget. (lang)-keyed
+    // running-sum window — no global sort.
+    QueryDef("q89_token_budget",
+      """WITH t AS (SELECT doc_id, lang,
+        |                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |                    AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |                    ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS running_tokens
+        |      FROM t)
+        |SELECT doc_id, lang, n_tokens, running_tokens
+        |FROM r WHERE running_tokens - n_tokens < 5000
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAnalysis.tokenBudget(Tables.documents(s, dir), budgetPerLang = 5000L)
+        .orderBy("doc_id")
     }
   )
 }

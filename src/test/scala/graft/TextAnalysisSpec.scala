@@ -122,4 +122,41 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1: frame_count = 11 % 30 = 11 → frames 0,3,6,9
     assert(frames.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 3, 6, 9))
   }
+
+  test("chunk: windows cover every token, overlap by window-stride, tail runs short") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, text10), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, window = 4, stride = 3)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: chunks at offsets 0,3,6 → [w1..w4],[w4..w7],[w7..w10]
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+    // shorter than window → exactly one chunk holding the whole doc
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, "solo")))
+  }
+
+  test("tokenBudget: keeps longest-first until the budget is entered, per language") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en"),     // 8 tokens
+      (2L, "a b c d e", "en"),           // 5
+      (3L, "a b", "en"),                 // 2
+      (4L, "x y z", "zh"),               // 3 — under zh budget entirely
+      (5L, (1 to 40).map(_ => "t").mkString(" "), "de")) // 40 > budget alone
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.tokenBudget(docs, budgetPerLang = 10L)
+      .select("doc_id", "running_tokens").as[(Long, Long)].collect().toMap
+    // en: 8 kept (starts at 0), 5 kept (starts at 8 < 10, overruns to 13),
+    //     2 dropped (starts at 13 ≥ 10)
+    assert(kept.keySet == Set(1L, 2L, 4L, 5L))
+    assert(kept(2L) == 13L, "the last kept doc may overrun the budget")
+    // a doc larger than the whole budget still enters at 0 — a language
+    // is never emptied by a budget smaller than its shortest doc
+    assert(kept(5L) == 40L)
+  }
 }
