@@ -70,9 +70,16 @@ object Sampling {
     val counts = df.groupBy(groupCol.as("__mix_group")).agg(count(lit(1)).as("__mix_n"))
       .join(broadcast(shares), Seq("__mix_group"))
     val total = counts.agg(min(col("__mix_n") / col("__mix_share")).as("__mix_total"))
+    // share·T for the BINDING group is exactly its count in ℝ, but IEEE
+    // can land a hair under the integer (0.7 · (3/0.7) = 2.9999…96) and
+    // floor would then drop a row of the scarcest group — the one group
+    // the contract keeps whole. The ε nudge forgives that representation
+    // error; least(count, ·) re-caps any group ε pushes past its size.
     val quota = counts.crossJoin(broadcast(total))
       .select(col("__mix_group"),
-        floor(col("__mix_share") * col("__mix_total")).cast("long").as("__mix_quota"))
+        least(col("__mix_n"),
+          floor(col("__mix_share") * col("__mix_total") + lit(1e-9)))
+          .cast("long").as("__mix_quota"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(sampleHash(keyCol), keyCol)
     df.join(broadcast(quota), groupCol === col("__mix_group"))

@@ -90,7 +90,7 @@ object TrainingQueries {
         |                            ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
         |                            ('zh', CAST(0.15 AS DOUBLE))) t(lang, share)),
         |t AS (SELECT MIN(n / share) AS total FROM c JOIN s USING (lang)),
-        |q AS (SELECT c.lang, CAST(floor(s.share * t.total) AS BIGINT) AS quota
+        |q AS (SELECT c.lang, CAST(least(c.n, floor(s.share * t.total + 1e-9)) AS BIGINT) AS quota
         |      FROM c JOIN s USING (lang), t),
         |r AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
         |             row_number() OVER (PARTITION BY d.lang

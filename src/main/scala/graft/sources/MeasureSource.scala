@@ -83,6 +83,11 @@ final class MeasureMicroBatchStream(
     chunkRows: Long = 65536L)
   extends MicroBatchStream {
 
+  // a non-positive chunk makes SocketRangeReader's pull loop advance by
+  // zero rows — an executor spinning empty round-trips forever; fail the
+  // stream at construction, where the bad option is diagnosable
+  require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
+
   private val feed = new SimulatedFeed(nDevices, nMeasures, startMicros, intervalMicros, 0L)
   // socket mode: the SERVER owns the clock; the driver's connection only
   // polls LATEST (and reconnects through the same backoff as any client)
@@ -170,6 +175,7 @@ final class MeasureReader(r: MeasureRange) extends PartitionReader[InternalRow] 
 final class SocketRangeReader(r: MeasureRange, host: String,
                               chunkRows: Long = 65536L)
     extends PartitionReader[InternalRow] {
+  require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
   private val client = new FeedTransport.SocketMeasureFeed(host, r.feedPort)
   private var chunkStart = r.lo
   private var rows: Iterator[(String, String, Double, Long, Boolean)] = Iterator.empty

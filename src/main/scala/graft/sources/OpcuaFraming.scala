@@ -128,8 +128,11 @@ object OpcuaFraming {
   /** Little-endian reader over one reassembled body. */
   final class BufReader(b: Array[Byte]) {
     private var p = 0
+    // `k > b.length - p`, NOT `p + k > b.length`: an attacker-controlled
+    // length near Int.MaxValue would overflow the sum and slip past the
+    // check (then crash outside the FramingViolation taxonomy)
     private def need(k: Int): Unit =
-      if (p + k > b.length) throw new FramingViolation(
+      if (k < 0 || k > b.length - p) throw new FramingViolation(
         s"truncated body: need $k bytes at offset $p of ${b.length}")
     def u8(): Int = { need(1); val v = b(p) & 0xFF; p += 1; v }
     def u32(): Long = {
@@ -200,6 +203,10 @@ object OpcuaFraming {
     val url = r.str()
     if (recv < MinBufferSize || send < MinBufferSize)
       throw new FramingViolation(s"HEL buffer sizes ($recv/$send) below Part 6 minimum")
+    // UInt32 sizes ≥ 2³¹ would wrap negative in .toInt and detonate
+    // Limits' require OUTSIDE the framing taxonomy (no ERR diagnostic)
+    if (recv > Int.MaxValue || send > Int.MaxValue)
+      throw new FramingViolation(s"HEL buffer sizes ($recv/$send) exceed supported range")
     // the Part 6 limit is 4096 BYTES — measure UTF-8 bytes, not UTF-16
     // chars (3000 CJK chars ≈ 9000 bytes would pass a char-count check)
     if (url != null && url.getBytes(StandardCharsets.UTF_8).length > 4096)
@@ -220,6 +227,8 @@ object OpcuaFraming {
     val recv = r.u32(); val send = r.u32(); val maxMsg = r.u32(); val maxChunks = r.u32()
     if (recv < MinBufferSize || send < MinBufferSize)
       throw new FramingViolation(s"ACK buffer sizes ($recv/$send) below Part 6 minimum")
+    if (recv > Int.MaxValue || send > Int.MaxValue)
+      throw new FramingViolation(s"ACK buffer sizes ($recv/$send) exceed supported range")
     Limits(recv.toInt, send.toInt, maxMsg, maxChunks)
   }
 

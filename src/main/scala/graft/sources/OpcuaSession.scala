@@ -72,10 +72,10 @@ object OpcuaSession {
   val NodeClassObject = 1L
   val NodeClassVariable = 2L
 
-  // MessageSecurityMode enum + the policy/profile URIs discovery serves
-  val SecurityModeNone = 1L
+  // the rest of the MessageSecurityMode enum + the URIs discovery serves
+  // (SecurityModeNone / SecurityPolicyNoneUri live in OpcuaFraming — the
+  // OPN path defines them; redefining here would let the copies diverge)
   val SecurityModeSignAndEncrypt = 3L
-  val SecurityPolicyNoneUri = "http://opcfoundation.org/UA/SecurityPolicy#None"
   val SecurityPolicyBasic256Sha256Uri = "http://opcfoundation.org/UA/SecurityPolicy#Basic256Sha256"
   val TransportProfileBinaryUri = "http://opcfoundation.org/UA-Profile/Transport/uatcp-uasc-uabinary"
   val UserTokenTypeAnonymous = 0L
@@ -199,6 +199,9 @@ object OpcuaSession {
       case 0x00 => (id, null)
       case 0x01 =>
         val len = r.i32()
+        if (len > r.remaining)
+          throw new FramingViolation(
+            s"ExtensionObject body length $len exceeds body remainder ${r.remaining}")
         val b = new Array[Byte](math.max(0, len))
         var i = 0; while (i < len) { b(i) = r.u8().toByte; i += 1 }
         (id, b)
@@ -278,6 +281,10 @@ object OpcuaSession {
     val len = r.i32()
     if (len < 0) null
     else {
+      // bound BEFORE allocating: a hostile length (e.g. Int.MaxValue)
+      // must answer a FramingViolation, not a 2 GB allocation attempt
+      if (len > r.remaining)
+        throw new FramingViolation(s"ByteString length $len exceeds body remainder ${r.remaining}")
       val b = new Array[Byte](len)
       var i = 0; while (i < len) { b(i) = r.u8().toByte; i += 1 }
       b
@@ -332,6 +339,7 @@ object OpcuaSession {
     private var nextTokenId = 1000L
     private var nextSubId = 1L
     private var nextItemId = 1L
+    private var lastServedSubId = 0L // Publish round-robin cursor
     private val subs = scala.collection.mutable.Map.empty[Long, Subscription]
 
     private def requireSession(tok: NodeIdT): Unit =
@@ -721,34 +729,42 @@ object OpcuaSession {
         val hi = feed.latest()
         // Part 4: a Publish answers for a subscription that HAS pending
         // notifications; serving an arbitrary one would starve the rest.
-        // Among ready subscriptions the lowest id wins (deterministic);
-        // when none is ready, the lowest id answers a keep-alive-shaped
-        // empty notification.
+        // Among ready subscriptions rotate ROUND-ROBIN from the last
+        // served id — a fixed lowest-id-wins rule would starve every
+        // other busy subscription forever on a continuously-appending
+        // feed. When none is ready, the lowest id answers a
+        // keep-alive-shaped empty notification.
         val ordered = subs.values.toSeq.sortBy(_.id)
-        val sub = ordered.find(s => s.items.nonEmpty && s.delivered < hi)
+        val ready = ordered.filter(s => s.items.nonEmpty && s.delivered < hi)
+        val sub = ready.find(_.id > lastServedSubId)
+          .orElse(ready.headOption)
           .getOrElse(ordered.head)
+        lastServedSubId = sub.id
         // every appended value since the last publish, per-item bounded
         // by QueueSize keeping the NEWEST (DiscardOldest=true — T6).
         // Queues key on monitoredItemId — the SERVER-assigned identity —
         // never on clientHandle, which the client chooses and may
         // duplicate across items (two items sharing a handle must still
-        // hold separate queues with separate caps).
+        // hold separate queues with separate caps). Items index by point
+        // ONCE so the catch-up scan is O(rows + matches), not
+        // O(rows × items); the QueueSize cap applies once per item at
+        // emit (equivalent to capping per append — both keep the newest).
+        val itemsByPoint = sub.items.groupBy(it => (it.device, it.measure))
         val perItem = scala.collection.mutable.Map.empty[Long, Vector[WireValue]]
         var i = sub.delivered
         while (i < hi) {
           val (d, m, v, micros, ok) = feed.at(i)
-          sub.items.foreach { it =>
-            if (it.device == d && it.measure == m) {
-              val q = perItem.getOrElse(it.monitoredItemId, Vector.empty) :+ WireValue(v, ok, micros)
-              perItem(it.monitoredItemId) = q.takeRight(it.queueSize.toInt)
-            }
+          itemsByPoint.getOrElse((d, m), Vector.empty).foreach { it =>
+            perItem(it.monitoredItemId) =
+              perItem.getOrElse(it.monitoredItemId, Vector.empty) :+ WireValue(v, ok, micros)
           }
           i += 1
         }
         sub.delivered = hi
         // emit in item-creation order; the wire carries the clientHandle
         val notifs: Seq[(Long, WireValue)] = sub.items.flatMap { it =>
-          perItem.getOrElse(it.monitoredItemId, Vector.empty).map(v => (it.clientHandle, v))
+          perItem.getOrElse(it.monitoredItemId, Vector.empty)
+            .takeRight(it.queueSize.toInt).map(v => (it.clientHandle, v))
         }
         // DataChangeNotification body (rides in an ExtensionObject)
         val dcn = new BufWriter(64 + 32 * notifs.length)
@@ -1073,12 +1089,21 @@ object OpcuaSession {
       while (frontier.nonEmpty && depth < maxDepth) {
         val results = browse(frontier.map(_._1), maxRefsPerNode)
         val next = Vector.newBuilder[(NodeIdT, String)]
-        frontier.zip(results).foreach { case ((_, parentId), first) =>
+        frontier.zip(results).foreach { case ((nid, parentId), first) =>
+          // a Bad per-node status (BadNoContinuationPoints when the
+          // server's continuation budget is exhausted, BadNodeIdUnknown
+          // on a race with address-space removal…) must fail the WALK —
+          // treating it as a leaf would silently drop the whole subtree
+          // from the returned node table
+          if (first.status != GoodStatus)
+            throw new OpcuaError(first.status, s"browse of ${nodeIdString(nid)} failed")
           // drain this node's continuation chain before moving on
           var refs = first.refs
           var cp = first.continuation
           while (cp != null) {
             val cont = browseNext(Seq(cp)).head
+            if (cont.status != GoodStatus)
+              throw new OpcuaError(cont.status, s"browse continuation of ${nodeIdString(nid)} failed")
             refs ++= cont.refs
             cp = cont.continuation
           }
@@ -1098,13 +1123,18 @@ object OpcuaSession {
     }
 
     /** One Publish round-trip: (clientHandle, value) notifications. */
-    def publish(): Seq[(Long, WireValue)] = {
+    def publish(): Seq[(Long, WireValue)] = publishWithSub()._2
+
+    /** As [[publish]], but also returns WHICH subscription answered —
+      * the server rotates among ready subscriptions.
+      */
+    def publishWithSub(): (Long, Seq[(Long, WireValue)]) = {
       val r = call { w =>
         writeNodeId(w, NodeIdT(0, PublishRequestId))
         writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
         w.i32(-1)                           // SubscriptionAcknowledgements
       }
-      r.u32()                               // SubscriptionId
+      val servedSub = r.u32()               // SubscriptionId
       val nAvail = r.i32(); (0 until math.max(0, nAvail)).foreach(_ => r.u32())
       r.bool()                              // MoreNotifications
       r.u32(); r.i64()                      // NotificationMessage seq, publishTime
@@ -1120,7 +1150,7 @@ object OpcuaSession {
         }
       }
       r.i32(); r.i32()                      // Results, DiagnosticInfos
-      notifs.result()
+      (servedSub, notifs.result())
     }
 
     def closeSession(): Unit = {

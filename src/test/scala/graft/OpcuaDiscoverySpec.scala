@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{FeedTransport, SimulatedFeed}
+import graft.sources.OpcuaFraming.{SecurityModeNone, SecurityPolicyNoneUri}
 import graft.sources.OpcuaSession._
 
 /** GetEndpoints discovery + the reference's session bootstrap

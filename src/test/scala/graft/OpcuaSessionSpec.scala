@@ -114,6 +114,29 @@ class OpcuaSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("Publish rotates among BUSY subscriptions — a continuously-fed low id cannot starve the rest") {
+    withServer(clockTicks = 1L) { (server, feed) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("rr"); c.activateSession()
+        val sub1 = c.createSubscription(1000.0)
+        c.createMonitoredItems(sub1, Seq((1L, "dev-0", "m0", 100L)))
+        val sub2 = c.createSubscription(1000.0)
+        c.createMonitoredItems(sub2, Seq((2L, "dev-1", "m1", 100L)))
+        feed.clockTicks += 1                // both subscriptions now pending
+        val (s1, n1) = c.publishWithSub()
+        assert(s1 == sub1 && n1.nonEmpty)
+        feed.clockTicks += 1                // sub1 pending AGAIN — and must wait its turn
+        val (s2, n2) = c.publishWithSub()
+        assert(s2 == sub2,
+          s"second publish must serve the other busy subscription, served $s2")
+        assert(n2.nonEmpty && n2.forall(_._1 == 2L))
+        val (s3, _) = c.publishWithSub()    // wrap-around back to sub1
+        assert(s3 == sub1)
+      } finally c.close()
+    }
+  }
+
   /** Fixed rows with a controllable visible horizon — for address-space
     * shapes SimulatedFeed can't produce (slashed device names).
     */

@@ -32,4 +32,17 @@ class SamplingSpec extends SparkSpec {
     assert(keys(5000) == half) // stable across runs
     assert(half.subsetOf(keys(9000))) // raising the rate only adds rows
   }
+
+  test("mixture keeps ALL of the binding group despite IEEE quota round-down") {
+    // share 0.7 with count 3: T = 3/0.7, 0.7·T = 2.9999999999999996 in
+    // IEEE — a bare floor() would drop one row of the SCARCEST group,
+    // the one group the contract keeps whole (regression)
+    val df = ((1 to 3).map(i => (i.toLong, "a")) ++ (1 to 50).map(i => (100L + i, "b")))
+      .toDF("k", "g")
+    val kept = Sampling.mixture(df, col("k"), col("g"), Map("a" -> 0.7, "b" -> 0.3))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("a") == 3L, s"binding group must survive whole, kept ${kept.get("a")}")
+    // the rest resample toward their share: quota_b = floor(0.3·(3/0.7)+ε) = 1
+    assert(kept.getOrElse("b", 0L) == 1L)
+  }
 }
