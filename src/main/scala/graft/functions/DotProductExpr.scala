@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the embedding dot product — the ANN hot
   * path. The `zip_with` + `aggregate` lambda formulation (VectorOps.dot)
@@ -66,6 +66,104 @@ case class DotProduct(left: Expression, right: Expression)
     })
 }
 
+/** Fused sign-LSH bucketing: ALL `tables × planesPerTable` plane dots of
+  * one embedding in a single element-major pass, emitting one bucket per
+  * table. The composed form (32 separate `graft_dot` calls against
+  * literal plane arrays) re-reads the embedding array once per plane;
+  * this expression reads each element once and scatters it into all 32
+  * accumulators — same FLOPs, ~1/32nd the array traffic, and one
+  * expression node instead of 32 in the generated stage.
+  *
+  * Numeric contract: each plane's accumulator receives its products in
+  * element order, so every per-plane sum is the identical left-to-right
+  * IEEE fold as `graft_dot(e, planeArray(g))` — bucket values are
+  * bit-identical to the composed form (spec-pinned), and the DuckDB
+  * oracle's formulation keeps matching.
+  *
+  * Plane weights are derived at plan time from [[VectorOps.planeWeightValue]]
+  * (exact integer LCG), shipped into codegen as a reference object —
+  * never re-derived per row.
+  */
+case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+
+  /** planes(g)(d) for global plane g = t·planesPerTable + j. */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(tables * planesPerTable)(g => VectorOps.planeArray(g, dim))
+
+  override def nullSafeEval(a: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val n = math.min(e.numElements(), dim)
+    val nPlanes = tables * planesPerTable
+    val acc = new Array[Double](nPlanes)
+    var i = 0
+    while (i < n) {
+      val v = e.getDouble(i)
+      var g = 0
+      while (g < nPlanes) { acc(g) += v * planes(g)(i); g += 1 }
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        if (acc(t * planesPerTable + j) > 0.0) b |= 1L << j
+        j += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val nPlanes = tables * planesPerTable
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val g = ctx.freshName("g")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val v = ctx.freshName("v")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $acc = new double[$nPlanes];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  for (int $g = 0; $g < $nPlanes; $g++) {
+         |    $acc[$g] += $v * $p[$g][$i];
+         |  }
+         |}
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $b = 0L;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    if ($acc[$t * $planesPerTable + $j] > 0.0) $b |= 1L << $j;
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+}
+
 /** Session registration + Column-level API for the native expression. */
 object NativeVectorOps {
 
@@ -81,9 +179,25 @@ object NativeVectorOps {
       registry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "internal")
     }
+    val lshId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_buckets")
+    if (!registry.functionExists(lshId)) {
+      registry.createOrReplaceTempFunction("graft_lsh_buckets", {
+        case Seq(e, Literal(t: Int, _), Literal(p: Int, _), Literal(d: Int, _)) =>
+          LshBuckets(e, t, p, d)
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_buckets(embedding, tables, planesPerTable, dim) " +
+            s"with literal int config, got $other")
+      }, "internal")
+    }
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** One bucket per table: element-major fused sign-LSH (see [[LshBuckets]]). */
+  def lshBuckets(e: Column, tables: Int, planesPerTable: Int, dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_lsh_buckets", e, lit(tables), lit(planesPerTable), lit(dim))
+  }
 
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt

@@ -26,15 +26,6 @@ object Similarity {
   // transform()-lambda form is interpreted per element
   private def embD(c: String) = col(c).cast("array<double>")
 
-  /** Sign bit for one plane: the plane's weights are plan-time constants,
-    * so they ship as a literal array and the dot is the native codegen
-    * expression — bit-identical to the interpreted planeDot fold.
-    */
-  private def planeBit(e: Column, globalPlane: Int, bitPos: Int): Column =
-    when(NativeVectorOps.dot(e,
-      typedLit(VectorOps.planeArray(globalPlane, Dim))) > 0.0,
-      lit(1L << bitPos)).otherwise(lit(0L))
-
   /** Brute-force top-k cosine neighbors of each query vector (queries =
     * vec_id < queryMaxId), excluding self. Broadcast-nested-loop by
     * construction; the per-partition top-k is taken before the final
@@ -61,8 +52,11 @@ object Similarity {
     */
   def lshBuckets(embeddings: DataFrame): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val e = embD("embedding")
-    val bucket = (0 until NumPlanes).map(j => planeBit(e, j, j)).reduce(_ + _)
+    // single table of NumPlanes planes via the FUSED expression (one
+    // element-major pass; bit-identical to the composed planeBit sum —
+    // DotProductExprSpec pins the equivalence)
+    val bucket = element_at(
+      NativeVectorOps.lshBuckets(embD("embedding"), 1, NumPlanes, Dim), 1)
     embeddings.select(col("vec_id"), bucket.as("bucket"))
   }
 
@@ -92,18 +86,15 @@ object Similarity {
   def lshBucketsMulti(embeddings: DataFrame, tables: Int = 8,
                       planesPerTable: Int = 4): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val e = embD("embedding")
-    // every table's bucket is a per-row constant-plane projection; the
-    // only row multiplication is the final explode to (vec_id, t, bucket)
-    // — zero shuffles, fully codegen
-    val perTable = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable)
-        .map(j => planeBit(e, t * planesPerTable + j, j)).reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }
+    // all tables' buckets in ONE fused element-major pass over the
+    // embedding (the composed per-plane form re-read the array once per
+    // plane — 32× the array traffic); the only row multiplication is the
+    // final posexplode to (vec_id, t, bucket) — zero shuffles, fully
+    // codegen, bucket values bit-identical (DotProductExprSpec)
     embeddings
-      .select(col("vec_id"), explode(array(perTable: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(NativeVectorOps.lshBuckets(embD("embedding"), tables, planesPerTable, Dim)))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
   }
 
   /** ANN via multi-table LSH: candidates are the union of same-bucket

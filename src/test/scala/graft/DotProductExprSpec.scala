@@ -39,4 +39,26 @@ class DotProductExprSpec extends SparkSpec {
       NativeVectorOps.dot(when(col("id") === 0, col("a")), col("b")).as("d"))
     assert(withNull.filter(col("d").isNull).count() == 199)
   }
+
+  test("fused LSH buckets == composed per-plane sign sum, every table, bit-for-bit") {
+    NativeVectorOps.register(spark)
+    val (tables, planesPerTable, dim) = (8, 4, 64)
+    // the composed formulation the fused expression replaced: one native
+    // dot per plane against its literal weight array, sign → bit
+    def composedBucket(t: Int) = (0 until planesPerTable).map { j =>
+      when(NativeVectorOps.dot(col("a"),
+        typedLit(VectorOps.planeArray(t * planesPerTable + j, dim))) > 0.0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val df = vecs.select(
+      NativeVectorOps.lshBuckets(col("a"), tables, planesPerTable, dim).as("fused"),
+      array((0 until tables).map(composedBucket): _*).as("composed"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (f, c) =>
+      assert(f == c, s"fused $f != composed $c")
+    }
+    // null embedding propagates null (UnaryExpression null plumbing)
+    val n = vecs.select(
+      NativeVectorOps.lshBuckets(when(col("id") === 0, col("a")), 2, 4, dim).as("b"))
+    assert(n.filter(col("b").isNull).count() == 199)
+  }
 }
