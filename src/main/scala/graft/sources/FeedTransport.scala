@@ -36,7 +36,7 @@ import OpcuaFraming._
   */
 object FeedTransport {
 
-  private val OpLatest = 1L
+  private[graft] val OpLatest = 1L
   private val OpGet = 2L
   private val OpRange = 3L
 
@@ -54,7 +54,8 @@ object FeedTransport {
     */
   final class FeedServer(feed: MeasureFeed, port: Int = 0,
                          limits: Limits = DefaultLimits,
-                         clock: () => Long = () => System.currentTimeMillis())
+                         clock: () => Long = () => System.currentTimeMillis(),
+                         minTokenLifetimeMs: Long = 60000L)
       extends AutoCloseable {
     private val server = new ServerSocket(port, 50, java.net.InetAddress.getByName("127.0.0.1"))
     private val live = new CopyOnWriteArrayList[Socket]()
@@ -98,8 +99,19 @@ object FeedTransport {
             s"only Issue/None supported (got ${opnReq.requestType}/${opnReq.securityMode})")
           return
         }
-        val token = ChannelToken(nextChannelId.getAndIncrement(), tokenId = 1L,
-          createdAtMillis = clock(), lifetimeMs = math.max(60000L, opnReq.requestedLifetimeMs))
+        var token = ChannelToken(nextChannelId.getAndIncrement(), tokenId = 1L,
+          createdAtMillis = clock(), lifetimeMs = math.max(minTokenLifetimeMs, opnReq.requestedLifetimeMs))
+        // after a renew the PREVIOUS token stays honoured until its own
+        // lifetime expires (Part 6 §6.7.4) — (tokenId, expiresAt). The
+        // CURRENT token expires too, with the conventional 25% grace
+        // past its lifetime — a client that never renews loses the
+        // channel, which is what makes the 75% renewal point load-bearing
+        // rather than decorative.
+        var prevToken: Option[(Long, Long)] = None
+        def tokenOk(t: Long): Boolean =
+          (t == token.tokenId &&
+            clock() < token.createdAtMillis + token.lifetimeMs + token.lifetimeMs / 4) ||
+            prevToken.exists { case (pt, exp) => t == pt && clock() < exp }
         writeOpenResponse(out, serverSeq, opnRid, clock(), token)
         // ---- conversation (symmetric headers carry the issued ids now).
         // Two body addressings share the channel: the bulk-read extension
@@ -109,7 +121,24 @@ object FeedTransport {
         // far outside the opcode range) dispatched to SessionServices.
         val services = new OpcuaSession.SessionServices(feed, clock)
         while (running) {
-          val (rid, body) = readMessage(in, clientSeq, neg, token.channelId, token.tokenId)
+          val (rid, body) =
+            readConversation(in, clientSeq, neg, token.channelId, tokenOk, allowOpn = true)
+          if (rid == -1L) {
+            // mid-conversation OPN: token RENEWAL on the live channel
+            val (orid, req) = parseOpenRequest(body, clientSeq)
+            if (req.requestType != RequestTypeRenew || req.securityMode != SecurityModeNone ||
+                req.channelId != token.channelId) {
+              sendErr(out, BadSecurityChecksFailed,
+                s"expected Renew/None on channel ${token.channelId}, " +
+                  s"got ${req.requestType}/${req.securityMode} on ${req.channelId}")
+              return
+            }
+            prevToken = Some((token.tokenId, token.createdAtMillis + token.lifetimeMs))
+            token = ChannelToken(token.channelId, token.tokenId + 1,
+              createdAtMillis = clock(),
+              lifetimeMs = math.max(minTokenLifetimeMs, req.requestedLifetimeMs))
+            writeOpenResponse(out, serverSeq, orid, clock(), token)
+          } else {
           val r = new BufReader(body)
           val mw = new MessageWriter(out, serverSeq, rid, neg.sendBufferSize,
             neg.maxChunkCount, token.channelId, token.tokenId)
@@ -153,6 +182,7 @@ object FeedTransport {
                     return
                 }
               mw.raw(respBody); mw.finish()
+          }
           }
         }
       } catch {
@@ -221,7 +251,8 @@ object FeedTransport {
                                 maxAttempts: Int = 8,
                                 timeoutMs: Int = 30000,
                                 limits: Limits = DefaultLimits,
-                                sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+                                sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong),
+                                requestedLifetimeMs: Long = 3600000L)
       extends MeasureFeed with AutoCloseable {
 
     private val backoff = new RetryPolicy.Backoff
@@ -256,7 +287,7 @@ object FeedTransport {
       // fail-fast an in-conversation ERR gets.
       val ch =
         try openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
-          System.currentTimeMillis())
+          System.currentTimeMillis(), requestedLifetimeMs)
         catch { case e: OpcuaError =>
           throw new java.io.IOException(s"handshake rejected: ${e.getMessage}")
         }
@@ -298,6 +329,15 @@ object FeedTransport {
       */
     private def call[T](encode: MessageWriter => Unit)(decode: BufReader => T): T =
       withSession {
+        // renew the security token at 75% of its lifetime — between
+        // requests, so the single-in-flight discipline holds; a renew
+        // failure is an IOException and takes the normal reconnect path
+        if (shouldRenew(channel, System.currentTimeMillis())) {
+          requestId += 1
+          channel = renewChannel(in, out,
+            ClientChannel(negotiated, channel, sendSeq, recvSeq),
+            requestId, System.currentTimeMillis()).token
+        }
         requestId += 1
         val mw = new MessageWriter(out, sendSeq, requestId,
           negotiated.receiveBufferSize, negotiated.maxChunkCount,

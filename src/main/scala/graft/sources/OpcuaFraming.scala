@@ -260,8 +260,9 @@ object OpcuaFraming {
   val SecurityPolicyNoneUri = "http://opcfoundation.org/UA/SecurityPolicy#None"
   /** MessageSecurityMode enumeration (Part 4): None = 1. */
   val SecurityModeNone = 1L
-  /** SecurityTokenRequestType: Issue = 0. */
+  /** SecurityTokenRequestType: Issue = 0, Renew = 1. */
   val RequestTypeIssue = 0L
+  val RequestTypeRenew = 1L
   // ns-0 numeric NodeIds of the binary-encoded service structs (Part 6 Annex A)
   val OpenSecureChannelRequestId = 446
   val OpenSecureChannelResponseId = 449
@@ -300,7 +301,8 @@ object OpcuaFraming {
 
   final case class OpenSecureChannelRequest(requestHandle: Long, clientProtocolVersion: Long,
                                             requestType: Long, securityMode: Long,
-                                            requestedLifetimeMs: Long)
+                                            requestedLifetimeMs: Long,
+                                            channelId: Long = 0L)
   final case class ChannelToken(channelId: Long, tokenId: Long,
                                 createdAtMillis: Long, lifetimeMs: Long)
 
@@ -320,18 +322,24 @@ object OpcuaFraming {
     uri
   }
 
-  /** OPN request frame: OpenSecureChannel(Issue, None) — single chunk. */
+  /** OPN request frame — single chunk. Issue rides SecureChannelId 0 (no
+    * channel yet); a Renew rides the ESTABLISHED channel id and continues
+    * the same send sequence (Part 6 §6.7.4: token renewal re-opens the
+    * security token without interrupting the conversation).
+    */
   def writeOpenRequest(out: OutputStream, seq: SeqState, requestId: Long,
-                       epochMillis: Long, requestedLifetimeMs: Long): Unit = {
+                       epochMillis: Long, requestedLifetimeMs: Long,
+                       channelId: Long = 0L,
+                       requestType: Long = RequestTypeIssue): Unit = {
     val w = new BufWriter(160)
-    w.u32(0L) // SecureChannelId: 0 until issued
+    w.u32(channelId) // 0 until issued; the live channel id on Renew
     asymHeader(w)
     w.u32(seq.next); seq.next += 1
     w.u32(requestId)
     nodeId(w, OpenSecureChannelRequestId)
     requestHeader(w, epochMillis, requestId)
     w.u32(ProtocolVersion) // ClientProtocolVersion
-    w.u32(RequestTypeIssue)
+    w.u32(requestType)
     w.u32(SecurityModeNone)
     w.i32(-1)              // ClientNonce: null ByteString
     w.u32(requestedLifetimeMs)
@@ -343,8 +351,17 @@ object OpcuaFraming {
     val (tpe, fin, body) = readFrame(in, maxFrame)
     if (tpe == "ERR") throw decodeError(body)
     if (tpe != "OPN" || fin != 'F') throw new FramingViolation(s"expected final OPN, got $tpe/$fin")
+    parseOpenRequest(body, seq)
+  }
+
+  /** Parse one already-read OPN frame body (shared by the handshake path
+    * and the mid-conversation Renew path, where the frame arrives through
+    * the MSG read loop). Issue must carry SecureChannelId 0; the caller
+    * validates a Renew's id against the live channel.
+    */
+  def parseOpenRequest(body: Array[Byte], seq: SeqState): (Long, OpenSecureChannelRequest) = {
     val r = new BufReader(body)
-    if (r.u32() != 0L) throw new FramingViolation("OPN request must carry SecureChannelId 0")
+    val frameChannelId = r.u32()
     val uri = readAsymHeader(r)
     if (uri != SecurityPolicyNoneUri)
       throw new OpcuaError(BadSecurityChecksFailed, s"unsupported policy $uri")
@@ -358,7 +375,9 @@ object OpcuaFraming {
     val ver = r.u32(); val reqType = r.u32(); val mode = r.u32()
     val nonceLen = r.i32(); if (nonceLen > 0) throw new FramingViolation("unexpected nonce on a None-policy channel")
     val lifetime = r.u32()
-    (requestId, OpenSecureChannelRequest(handle, ver, reqType, mode, lifetime))
+    if (reqType == RequestTypeIssue && frameChannelId != 0L)
+      throw new FramingViolation("OPN Issue must carry SecureChannelId 0")
+    (requestId, OpenSecureChannelRequest(handle, ver, reqType, mode, lifetime, frameChannelId))
   }
 
   /** OPN response frame: the issued channel security token. */
@@ -469,6 +488,33 @@ object OpcuaFraming {
     ClientChannel(negotiated, token, sendSeq, recvSeq)
   }
 
+  /** Renew the channel's security token in place (Part 6 §6.7.4): one
+    * OPN(Renew) round-trip on the live channel, continuing both sequence
+    * states. Returns the channel with the NEW token — the caller swaps it
+    * before its next request; the server keeps honouring the old token
+    * until its original lifetime expires, so in-flight overlap is safe.
+    * Call between requests (the single-in-flight discipline both clients
+    * already keep).
+    */
+  def renewChannel(in: InputStream, out: OutputStream, channel: ClientChannel,
+                   requestId: Long, epochMillis: Long,
+                   requestedLifetimeMs: Long = 3600000L): ClientChannel = {
+    writeOpenRequest(out, channel.sendSeq, requestId, epochMillis, requestedLifetimeMs,
+      channelId = channel.token.channelId, requestType = RequestTypeRenew)
+    val renewed = readOpenResponse(in, channel.recvSeq, channel.readLimits.receiveBufferSize)
+    if (renewed.channelId != channel.token.channelId)
+      throw new FramingViolation(
+        s"renew answered on channel ${renewed.channelId}, expected ${channel.token.channelId}")
+    channel.copy(token = renewed)
+  }
+
+  /** True when `token` has consumed ≥ 75 % of its lifetime — the renewal
+    * point Part 6 recommends (clients renew early so the old token's
+    * remaining validity covers in-flight traffic).
+    */
+  def shouldRenew(token: ChannelToken, nowMillis: Long): Boolean =
+    nowMillis - token.createdAtMillis >= token.lifetimeMs * 3 / 4
+
   // ------------------------------------------------------ chunked MSG I/O
 
   /** Per-direction sequence-number state (Part 6 §6.7.2: strictly
@@ -546,7 +592,19 @@ object OpcuaFraming {
     * an ERR payload); an ERR frame raises [[OpcuaError]].
     */
   def readMessage(in: InputStream, seq: SeqState, limits: Limits,
-                  channelId: Long = 0L, tokenId: Long = 0L): (Long, Array[Byte]) = {
+                  channelId: Long = 0L, tokenId: Long = 0L): (Long, Array[Byte]) =
+    readConversation(in, seq, limits, channelId, _ == tokenId, allowOpn = false)
+
+  /** As [[readMessage]], but with a token-acceptance predicate (a server
+    * honours the PREVIOUS token until its lifetime expires after a renew
+    * — Part 6 §6.7.4) and, when `allowOpn`, surfacing a mid-conversation
+    * OPN frame (a Renew request) as `(-1L, rawFrameBody)` instead of a
+    * violation. An OPN is only legal BETWEEN messages — once MSG chunks
+    * have started it is a framing violation like any other type.
+    */
+  def readConversation(in: InputStream, seq: SeqState, limits: Limits,
+                       channelId: Long, tokenOk: Long => Boolean,
+                       allowOpn: Boolean): (Long, Array[Byte]) = {
     val body = new java.io.ByteArrayOutputStream(1024)
     var requestId = -1L
     var chunks = 0L
@@ -555,12 +613,14 @@ object OpcuaFraming {
       tpe match {
         case "ERR" => throw decodeError(frame)
         case "CLO" => throw new EOFException("secure channel closed by peer")
+        case "OPN" if allowOpn && chunks == 0 && fin == 'F' =>
+          return (-1L, frame)
         case "MSG" =>
           val r = new BufReader(frame)
           val channel = r.u32(); val token = r.u32()
-          if (channel != channelId || token != tokenId)
+          if (channel != channelId || !tokenOk(token))
             throw new OpcuaError(BadSecureChannelIdInvalid,
-              s"chunk on channel $channel/$token, expected $channelId/$tokenId")
+              s"chunk on channel $channel/$token, expected $channelId with a live token")
           val sn = r.u32()
           if (sn != seq.next)
             throw new FramingViolation(s"sequence number $sn, expected ${seq.next}")

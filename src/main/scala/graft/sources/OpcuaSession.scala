@@ -808,7 +808,8 @@ object OpcuaSession {
     * lifecycle for the bulk path; this client owns its own socket for
     * the session/subscription path — see OpcuaSessionSpec).
     */
-  final class SessionClient(host: String, port: Int, timeoutMs: Int = 30000) extends AutoCloseable {
+  final class SessionClient(host: String, port: Int, timeoutMs: Int = 30000,
+                            requestedLifetimeMs: Long = 3600000L) extends AutoCloseable {
     private val sock = new java.net.Socket()
     private val limits = DefaultLimits
     private var requestId = 1L // the OPN consumed RequestId 1
@@ -818,22 +819,41 @@ object OpcuaSession {
     // throws leaves no object for callers to close, so the socket must be
     // released HERE on any handshake failure — otherwise each failed
     // construction leaks a connected socket.
-    private val (in, out, channel) =
+    private val (in, out) =
       try {
         sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
         sock.setSoTimeout(timeoutMs)
         val i = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
         val o = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
-        val ch = openClientChannel(i, o, limits, s"opc.tcp://$host:$port/graft",
-          System.currentTimeMillis())
-        (i, o, ch)
+        (i, o)
       } catch {
         case e: Throwable =>
           try sock.close() catch { case _: Exception => () }
           throw e
       }
+    private var channel =
+      try openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
+        System.currentTimeMillis(), requestedLifetimeMs)
+      catch {
+        case e: Throwable =>
+          try sock.close() catch { case _: Exception => () }
+          throw e
+      }
+
+    /** The live security token id (renewal bumps it). */
+    def tokenId: Long = channel.token.tokenId
+
+    /** One OPN(Renew) round-trip, swapping in the fresh token. [[call]]
+      * triggers this automatically at 75% of the token lifetime.
+      */
+    def renewNow(): Unit = {
+      requestId += 1
+      channel = renewChannel(in, out, channel, requestId,
+        System.currentTimeMillis(), requestedLifetimeMs)
+    }
 
     private def call(encodeBody: BufWriter => Unit): BufReader = {
+      if (shouldRenew(channel.token, System.currentTimeMillis())) renewNow()
       requestId += 1
       val mw = new MessageWriter(out, channel.sendSeq, requestId,
         channel.negotiated.receiveBufferSize, channel.negotiated.maxChunkCount,

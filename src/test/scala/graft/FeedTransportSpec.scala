@@ -151,7 +151,10 @@ class FeedTransportSpec extends AnyFunSuite {
       OpcuaFraming.writeFrame(out, "ACK", 'F', encodeAck(DefaultLimits)); out.flush()
       val clientSeq = new SeqState; val srvSeq = new SeqState
       val (orid, _) = OpcuaFraming.readOpenRequest(in, clientSeq, 65536)
-      OpcuaFraming.writeOpenResponse(out, srvSeq, orid, 0L, ChannelToken(1L, 1L, 0L, 60000L))
+      // token createdAt must be NOW: an epoch-0 token is past 75% of any
+      // lifetime and the client would (correctly) renew before requesting
+      OpcuaFraming.writeOpenResponse(out, srvSeq, orid, 0L,
+        ChannelToken(1L, 1L, System.currentTimeMillis(), 60000L))
       OpcuaFraming.readMessage(in, clientSeq, DefaultLimits, 1L, 1L) // the doomed request
       OpcuaFraming.writeFrame(out, "ERR", 'F',
         encodeError(BadServiceUnsupported, "nope")); out.flush()
