@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.TextOps
+import graft.functions.{BloomOps, TextOps}
 
 /** Deduplication family for large-scale training-data pipelines. All
   * operators take a `documents`-shaped DataFrame (doc_id, text, ...).
@@ -466,5 +466,42 @@ object Dedup {
     val w = Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("d_id"))
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("d_id"), col("jaccard"), col("rk"))
+  }
+
+  /** INCREMENTAL (cross-batch) dedup — keep the batch rows whose `key`
+    * does not already exist in the curated corpus. The 100 TB shape: a
+    * bloom filter of the corpus keys builds in ONE distributed
+    * aggregation (~numBits/8 bytes reach the driver, ~1.2 bytes/key at
+    * 1% fpp) and broadcasts as a literal, so the batch splits MAP-SIDE
+    * into definitely-new rows (bloom negative — no bloom false
+    * negatives) that skip the join entirely, and maybe-dup rows that the
+    * exact anti-join confirms. The anti-join shuffle carries only true
+    * dups + the fpp sliver, not the batch; the corpus side ships its
+    * 16-byte keys once. The result is EXACTLY `batch ANTI JOIN corpus ON
+    * key` — the bloom never changes the answer, only the shuffle size —
+    * so the DuckDB oracle is the plain NOT EXISTS.
+    *
+    * Batch-INTERNAL duplicates both survive by design (dedup against the
+    * corpus, not within the batch — compose with [[exact]] for that).
+    * An empty corpus aggregates a null sketch → the whole batch is new.
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame, key: DataFrame => org.apache.spark.sql.Column,
+                  expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    BloomOps.register(batch.sparkSession)
+    val corpusKeys = corpus.select(key(corpus).as("__key"))
+    val sketch = corpusKeys
+      .select(BloomOps.bloomAgg(col("__key"), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val withKey = batch.withColumn("__key", key(batch))
+    val out =
+      if (sketch == null) withKey // empty corpus: everything is new
+      else {
+        val hit = BloomOps.mightContain(sketch, col("__key"))
+        val definitelyNew = withKey.filter(!hit)
+        val confirmedNew = withKey.filter(hit)
+          .join(corpusKeys.dropDuplicates("__key"), Seq("__key"), "left_anti")
+        definitelyNew.unionByName(confirmedNew)
+      }
+    out.drop("__key")
   }
 }

@@ -190,6 +190,31 @@ object DedupQueries {
         |FROM tot LEFT JOIN shr USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.contamination(Tables.documents(s, dir), 90).orderBy("doc_id")
+    },
+
+    // Incremental (cross-batch) dedup: new docs (doc_id ≥ 400) dropped
+    // when their 5-token-prefix fingerprint (the q86 truncation/re-post
+    // key) already exists in the curated corpus (doc_id < 400). The
+    // bloom pre-filter never changes the answer — the oracle is the
+    // plain NOT EXISTS.
+    QueryDef("q90_incremental_dedup",
+      """WITH p AS (SELECT *, md5(array_to_string(
+        |             list_slice(string_split_regex(trim(text), '\s+'), 1, 5), ' ')) AS fp
+        |           FROM documents)
+        |SELECT b.doc_id, b.lang, b.source, b.n_chars
+        |FROM p b
+        |WHERE b.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM p c WHERE c.doc_id < 400 AND c.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val prefixFp = (df: org.apache.spark.sql.DataFrame) =>
+        md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 5)))
+      Dedup.incremental(
+        batch = docs.filter(col("doc_id") >= 400),
+        corpus = docs.filter(col("doc_id") < 400),
+        key = prefixFp)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }
   )
 }

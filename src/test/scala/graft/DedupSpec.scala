@@ -246,4 +246,31 @@ class DedupSpec extends SparkSpec {
     }
     assert(clustered.nonEmpty)
   }
+
+  test("incremental dedup == plain anti-join; bloom is invisible in the answer") {
+    val corpus = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aa bb"),   // dup of corpus 1 → dropped
+      (11L, "gg hh"),   // new
+      (12L, "cc dd"),   // dup of corpus 2 → dropped
+      (13L, "gg hh"),   // batch-INTERNAL dup of 11 — both survive by design
+      (14L, "ii jj")).toDF("doc_id", "text")
+    val key = (df: org.apache.spark.sql.DataFrame) => md5(col("text"))
+    val got = Dedup.incremental(batch, corpus, key)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L, 14L))
+    // equivalence with the unfiltered anti-join (the bloom only prunes)
+    val plain = batch.withColumn("k", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("k")), Seq("k"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == plain)
+  }
+
+  test("incremental dedup against an EMPTY corpus keeps the whole batch") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpus, df => md5(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), "null sketch must mean 'nothing seen', not 'drop everything'")
+  }
 }
