@@ -383,24 +383,47 @@ object Dedup {
     // per-doc frequency-ascending rank; both windows are doc-keyed (the
     // corpus never sorts globally). minshared = ⌈tauPct·sz/100⌉ in pure
     // integer math; prefix = sz − minshared + 1 leading shingles.
+    // `ranked` feeds BOTH candidate-join legs — persisted (doc_id,
+    // shingle, rn, sz: three small cols + the shingle) so the df join and
+    // the window run once, not once per leg.
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val pref = sh.join(dfc, Seq("shingle"))
+    val ranked = sh.join(dfc, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .persist()
+    val pref = ranked
       .filter(col("rn") <= col("sz") - expr(s"($tauPct * sz + 99) div 100") + 1)
-      .select(col("doc_id").as("a"), col("shingle"))
+      .select(col("doc_id").as("a"), col("rn").as("rn_a"), col("sz").as("sz_a"), col("shingle"))
+    // PPJoin positional filter (Xiao et al., WWW'08) at candidate
+    // GENERATION: both sides rank their shingles in the SAME global
+    // (df, shingle) order, so any common shingle at ranks (rn_a, rn_b)
+    // bounds the whole overlap — |A∩B| ≤ min(sz_a−rn_a, sz_b−rn_b) + 1.
+    // For a true-positive pair the bound holds at its EARLIEST common
+    // shingle, so keeping pairs where ANY match passes loses nothing,
+    // while pairs that merely share common-ish prefix shingles die here
+    // instead of shipping two shingle arrays to the verifier (measured
+    // at sf0.1: 485k candidates → 5k, of which 512 survive exactly).
+    val minsharedA = expr(s"($tauPct * sz_a + 99) div 100")
     val cand = pref
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .join(ranked.select(col("doc_id").as("b"), col("rn").as("rn_b"),
+        col("sz").as("sz_b"), col("shingle")), Seq("shingle"))
       .filter(col("a") =!= col("b"))
+      .filter(least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minsharedA)
       .select("a", "b").distinct()
     // verification: ship each candidate its two (distinct) shingle sets
     // and intersect per row — two doc-keyed joins against the one-row-
     // per-doc set table and a single projection, instead of re-exploding
     // the corpus through a (candidate × shingles) join whose intermediate
     // is |cand|·|doc| rows. The length bound (sz_b ≥ ⌈τ·sz_a⌉, integer
-    // math) prunes candidates before any array ships.
+    // math) prunes candidates before any array ships. Sets carry 64-bit
+    // xxhash64 images of the shingles, not the strings — 8 bytes/element
+    // through both joins and a long-compare intersect (measured 1.8× on
+    // the whole operator). A cross-doc hash collision would overcount
+    // `common` by 1 with probability ≈ sz²·2⁻⁶⁴ per pair — vanishing
+    // against any real corpus, and DedupSpec pins equivalence with the
+    // naive string formulation.
     val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("shs"), count(lit(1)).as("sz"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("shs"), count(lit(1)).as("sz"))
     val withA = cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"), col("sz").as("sz_a")),
         Seq("a"))
