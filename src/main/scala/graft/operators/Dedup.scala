@@ -515,7 +515,11 @@ object Dedup {
     val sketch = corpusKeys
       .select(BloomOps.bloomAgg(col("__key"), expectedItems, numBits).as("bf"))
       .head.getAs[Array[Byte]](0)
-    val withKey = batch.withColumn("__key", key(batch))
+    // persisted: the bloom-negative and bloom-positive branches are two
+    // filters over the SAME scan — uncached, the whole upstream batch
+    // pipeline (and the key expression) would execute once per branch,
+    // doubling the work the bloom exists to save (sh.persist() idiom)
+    val withKey = batch.withColumn("__key", key(batch)).persist()
     val out =
       if (sketch == null) withKey // empty corpus: everything is new
       else {

@@ -53,11 +53,16 @@ object Similarity {
   def lshBuckets(embeddings: DataFrame): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     // single table of NumPlanes planes via the FUSED expression (one
-    // element-major pass; bit-identical to the composed planeBit sum —
-    // DotProductExprSpec pins the equivalence)
+    // element-major pass; bit-identical to the composed planeBit sum for
+    // non-null vectors — DotProductExprSpec pins the equivalence).
+    // Null embeddings are EXCLUDED explicitly: a vector with no
+    // coordinates is not a neighbor of anything, and the filter keeps
+    // the single- and multi-table forms agreeing (the fused expression
+    // nulls the bucket; posexplode would silently drop the row).
     val bucket = element_at(
       NativeVectorOps.lshBuckets(embD("embedding"), 1, NumPlanes, Dim), 1)
-    embeddings.select(col("vec_id"), bucket.as("bucket"))
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** ANN via LSH: rank same-bucket candidates of each query by cosine.
@@ -90,8 +95,10 @@ object Similarity {
     // embedding (the composed per-plane form re-read the array once per
     // plane — 32× the array traffic); the only row multiplication is the
     // final posexplode to (vec_id, t, bucket) — zero shuffles, fully
-    // codegen, bucket values bit-identical (DotProductExprSpec)
-    embeddings
+    // codegen, bucket values bit-identical for non-null vectors
+    // (DotProductExprSpec). Null embeddings are excluded, same contract
+    // as [[lshBuckets]].
+    embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         posexplode(NativeVectorOps.lshBuckets(embD("embedding"), tables, planesPerTable, Dim)))
       .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))

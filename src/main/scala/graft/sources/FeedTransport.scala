@@ -330,13 +330,20 @@ object FeedTransport {
     private def call[T](encode: MessageWriter => Unit)(decode: BufReader => T): T =
       withSession {
         // renew the security token at 75% of its lifetime — between
-        // requests, so the single-in-flight discipline holds; a renew
-        // failure is an IOException and takes the normal reconnect path
+        // requests, so the single-in-flight discipline holds. An ERR
+        // answer surfaces as OpcuaError (a RuntimeException): wrap it
+        // into IOException so a renew failure takes the same
+        // teardown+reconnect path as any other dead connection — exactly
+        // the conversion connect() applies to a rejected handshake.
         if (shouldRenew(channel, System.currentTimeMillis())) {
           requestId += 1
-          channel = renewChannel(in, out,
-            ClientChannel(negotiated, channel, sendSeq, recvSeq),
-            requestId, System.currentTimeMillis()).token
+          channel =
+            try renewChannel(in, out,
+              ClientChannel(negotiated, channel, sendSeq, recvSeq),
+              requestId, System.currentTimeMillis(), requestedLifetimeMs).token
+            catch { case e: OpcuaError =>
+              throw new java.io.IOException(s"token renewal rejected: ${e.getMessage}")
+            }
         }
         requestId += 1
         val mw = new MessageWriter(out, sendSeq, requestId,

@@ -485,7 +485,12 @@ object OpcuaFraming {
     val recvSeq = new SeqState
     writeOpenRequest(out, sendSeq, requestId = 1L, epochMillis, requestedLifetimeMs)
     val token = readOpenResponse(in, recvSeq, limits.receiveBufferSize)
-    ClientChannel(negotiated, token, sendSeq, recvSeq)
+    // stamp the token with LOCAL receipt time: the renewal deadline is
+    // computed against the client's clock, and trusting the server's
+    // CreatedAt would shift the 75% point by whatever the two clocks
+    // diverge (a server clock in the past forces a renew round-trip
+    // before EVERY request; one far ahead renews after expiry)
+    ClientChannel(negotiated, token.copy(createdAtMillis = epochMillis), sendSeq, recvSeq)
   }
 
   /** Renew the channel's security token in place (Part 6 §6.7.4): one
@@ -505,7 +510,8 @@ object OpcuaFraming {
     if (renewed.channelId != channel.token.channelId)
       throw new FramingViolation(
         s"renew answered on channel ${renewed.channelId}, expected ${channel.token.channelId}")
-    channel.copy(token = renewed)
+    // local receipt stamp, same reason as openClientChannel
+    channel.copy(token = renewed.copy(createdAtMillis = epochMillis))
   }
 
   /** True when `token` has consumed ≥ 75 % of its lifetime — the renewal

@@ -67,23 +67,31 @@ class OpcuaRenewSpec extends AnyFunSuite {
   }
 
   test("clients auto-renew at 75% of the token lifetime, before expiry bites") {
-    withServer(minLifetimeMs = 300L) { (server, feed) =>
-      val c = new SessionClient("127.0.0.1", server.boundPort, requestedLifetimeMs = 300L)
+    // monotone token-id assertions, not exact ids: a slow host can
+    // legitimately trip an extra renewal between round-trips
+    withServer(minLifetimeMs = 400L) { (server, feed) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort, requestedLifetimeMs = 400L)
       try {
         c.createSession("auto"); c.activateSession()
-        assert(c.tokenId == 1L)
-        Thread.sleep(250) // past 225 ms = 75% of 300
+        val before = c.tokenId
+        Thread.sleep(450) // comfortably past 300 ms = 75% of 400
         assert(c.read(Seq(("dev-0", "m0"))).head.nonEmpty)
-        assert(c.tokenId == 2L, "the call itself must have renewed first")
+        assert(c.tokenId > before, "the call itself must have renewed first")
       } finally c.close()
 
-      // the bulk client takes the same path through its own call loop
+      // the bulk client takes the same path through its own call loop —
+      // several sleep+pull cycles spanning MANY lifetimes only survive
+      // if each cycle's renewal actually lands (the server expires a
+      // never-renewed token at 1.25× lifetime)
       val f = new FeedTransport.SocketMeasureFeed("127.0.0.1", server.boundPort,
-        requestedLifetimeMs = 300L)
+        requestedLifetimeMs = 400L)
       try {
+        (1 to 3).foreach { _ =>
+          assert(f.latest() == feed.latest(), "bulk client must renew and keep pulling")
+          Thread.sleep(450)
+        }
         assert(f.latest() == feed.latest())
-        Thread.sleep(250)
-        assert(f.latest() == feed.latest(), "bulk client must renew and keep pulling")
+        assert(f.delays.isEmpty, "renewal must never have fallen back to reconnect/backoff")
       } finally f.close()
     }
   }
@@ -106,7 +114,7 @@ class OpcuaRenewSpec extends AnyFunSuite {
     withServer(minLifetimeMs = 150L) { (server, _) =>
       val (sock, in, out, ch) = rawChannel(server.boundPort, lifetimeMs = 150L)
       try {
-        Thread.sleep(300) // past 187.5 ms = lifetime + 25% grace
+        Thread.sleep(500) // far past 187.5 ms = lifetime + 25% grace
         val e = intercept[OpcuaError] {
           latestOver(in, out, ch, tokenId = 1L, requestId = 2L)
         }
