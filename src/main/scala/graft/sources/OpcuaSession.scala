@@ -50,6 +50,8 @@ object OpcuaSession {
   val CreateMonitoredItemsResponseId = 754
   val PublishRequestId = 826
   val PublishResponseId = 829
+  val RepublishRequestId = 832
+  val RepublishResponseId = 835
   val GetEndpointsRequestId = 428
   val GetEndpointsResponseId = 431
   val BrowseRequestId = 527
@@ -121,6 +123,16 @@ object OpcuaSession {
   val BadNoContinuationPoints = 0x804B0000L
   val BadReferenceTypeIdInvalid = 0x804C0000L
   val BadBrowseDirectionInvalid = 0x804D0000L
+  val BadMessageNotAvailable = 0x80790000L
+  val BadSequenceNumberUnknown = 0x807A0000L
+
+  /** Unacknowledged notification messages retained per subscription for
+    * Republish; past the cap the OLDEST retained message drops (a client
+    * that never acknowledges cannot grow server memory without bound —
+    * its oldest messages become BadMessageNotAvailable, the recovery
+    * contract Part 4 §5.13.3 sets out).
+    */
+  val MaxRetainedNotifications = 64
 
   /** Generic NodeId (Part 6 §5.2.2.9): numeric or string identifier. */
   final case class NodeIdT(ns: Int, numeric: Long = -1L, string: String = null) {
@@ -327,7 +339,10 @@ object OpcuaSession {
   private final case class Subscription(id: Long, publishingIntervalMs: Double,
                                         var items: Vector[Item],
                                         var delivered: Long, // feed position already published
-                                        var notifSeq: Long)
+                                        var notifSeq: Long,
+                                        // unacknowledged (seq → DataChangeNotification body),
+                                        // insertion-ordered, capped at MaxRetainedNotifications
+                                        var retained: Vector[(Long, Array[Byte])] = Vector.empty)
 
   /** Per-connection service handler bridging the session/subscription
     * services onto a [[MeasureFeed]]. Returns the response BODY writer
@@ -722,8 +737,20 @@ object OpcuaSession {
       case PublishRequestId =>
         val (tok, handle) = readRequestHeader(r)
         requireSession(tok)
+        // SubscriptionAcknowledgements release retained messages; each
+        // ack answers its own status (Part 4 §5.13.5: Good, or
+        // BadSequenceNumberUnknown for a seq the server no longer holds)
         val nAcks = r.i32()
-        (0 until math.max(0, nAcks)).foreach { _ => r.u32(); r.u32() }
+        val ackStatuses = (0 until math.max(0, nAcks)).map { _ =>
+          val ackSub = r.u32(); val ackSeq = r.u32()
+          subs.get(ackSub) match {
+            case Some(s) if s.retained.exists(_._1 == ackSeq) =>
+              s.retained = s.retained.filterNot(_._1 == ackSeq)
+              GoodStatus
+            case Some(_) => BadSequenceNumberUnknown
+            case None => BadSubscriptionIdInvalid
+          }
+        }
         if (subs.isEmpty)
           throw new OpcuaError(BadSubscriptionIdInvalid, "no subscription")
         val hi = feed.latest()
@@ -771,17 +798,47 @@ object OpcuaSession {
         dcn.i32(notifs.length)
         notifs.foreach { case (h, v) => dcn.u32(h); writeDataValue(dcn, v) }
         dcn.i32(-1)
+        val dcnBytes = dcn.result()
+        val thisSeq = sub.notifSeq
+        sub.notifSeq += 1
+        // retain NON-EMPTY messages for Republish until acknowledged
+        // (keep-alives carry nothing to recover); cap drops the oldest
+        if (notifs.nonEmpty) {
+          sub.retained :+= (thisSeq, dcnBytes)
+          if (sub.retained.size > MaxRetainedNotifications)
+            sub.retained = sub.retained.takeRight(MaxRetainedNotifications)
+        }
         writeNodeId(w, NodeIdT(0, PublishResponseId))
         writeResponseHeader(w, clock(), handle, GoodStatus)
         w.u32(sub.id)
-        w.i32(-1)                           // AvailableSequenceNumbers
+        // AvailableSequenceNumbers: what Republish can still serve
+        w.i32(sub.retained.length)
+        sub.retained.foreach { case (sn, _) => w.u32(sn) }
         w.bool(false)                       // MoreNotifications
-        w.u32(sub.notifSeq)                 // NotificationMessage.SequenceNumber
-        sub.notifSeq += 1
+        w.u32(thisSeq)                      // NotificationMessage.SequenceNumber
         w.i64(toFiletime(clock()))
         w.i32(1)                            // one notification: the DCN
-        writeExtensionObject(w, DataChangeNotificationId, dcn.result())
-        w.i32(-1).i32(-1)                   // Results, DiagnosticInfos
+        writeExtensionObject(w, DataChangeNotificationId, dcnBytes)
+        w.i32(ackStatuses.length)           // Results: one status per ack
+        ackStatuses.foreach(w.u32)
+        w.i32(-1)                           // DiagnosticInfos
+
+      case RepublishRequestId =>
+        val (tok, handle) = readRequestHeader(r)
+        requireSession(tok)
+        val subId = r.u32()
+        val seq = r.u32()
+        val sub = subs.getOrElse(subId,
+          throw new OpcuaError(BadSubscriptionIdInvalid, s"subscription $subId"))
+        val body = sub.retained.collectFirst { case (sn, b) if sn == seq => b }
+          .getOrElse(throw new OpcuaError(BadMessageNotAvailable,
+            s"sequence $seq not retained (acknowledged, dropped, or never published)"))
+        writeNodeId(w, NodeIdT(0, RepublishResponseId))
+        writeResponseHeader(w, clock(), handle, GoodStatus)
+        w.u32(seq)                          // NotificationMessage.SequenceNumber
+        w.i64(toFiletime(clock()))
+        w.i32(1)
+        writeExtensionObject(w, DataChangeNotificationId, body)
 
       case other =>
         throw new OpcuaError(BadServiceUnsupported, s"service typeId $other")
@@ -1142,22 +1199,25 @@ object OpcuaSession {
       rows.result()
     }
 
+    /** One Publish answer, fully parsed. */
+    final case class PublishResult(subscriptionId: Long, sequenceNumber: Long,
+                                   available: Vector[Long], ackResults: Vector[Long],
+                                   notifs: Vector[(Long, WireValue)])
+
     /** One Publish round-trip: (clientHandle, value) notifications. */
-    def publish(): Seq[(Long, WireValue)] = publishWithSub()._2
+    def publish(): Seq[(Long, WireValue)] = publishFull().notifs
 
     /** As [[publish]], but also returns WHICH subscription answered —
       * the server rotates among ready subscriptions.
       */
     def publishWithSub(): (Long, Seq[(Long, WireValue)]) = {
-      val r = call { w =>
-        writeNodeId(w, NodeIdT(0, PublishRequestId))
-        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
-        w.i32(-1)                           // SubscriptionAcknowledgements
-      }
-      val servedSub = r.u32()               // SubscriptionId
-      val nAvail = r.i32(); (0 until math.max(0, nAvail)).foreach(_ => r.u32())
-      r.bool()                              // MoreNotifications
-      r.u32(); r.i64()                      // NotificationMessage seq, publishTime
+      val p = publishFull()
+      (p.subscriptionId, p.notifs)
+    }
+
+    private def parseNotificationMessage(r: BufReader): (Long, Vector[(Long, WireValue)]) = {
+      val seq = r.u32()
+      r.i64()                               // publishTime
       val nData = r.i32()
       val notifs = Vector.newBuilder[(Long, WireValue)]
       (0 until math.max(0, nData)).foreach { _ =>
@@ -1169,8 +1229,47 @@ object OpcuaSession {
           br.i32()
         }
       }
-      r.i32(); r.i32()                      // Results, DiagnosticInfos
-      (servedSub, notifs.result())
+      (seq, notifs.result())
+    }
+
+    /** Publish carrying acknowledgements: each (subscriptionId, seq) ack
+      * releases the server's retained copy; per-ack statuses come back
+      * in `ackResults` (Good / BadSequenceNumberUnknown). The returned
+      * `available` lists what Republish can still recover for the
+      * answering subscription.
+      */
+    def publishFull(acks: Seq[(Long, Long)] = Nil): PublishResult = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, PublishRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        if (acks.isEmpty) w.i32(-1)
+        else {
+          w.i32(acks.length)
+          acks.foreach { case (s, sq) => w.u32(s).u32(sq) }
+        }
+      }
+      val servedSub = r.u32()               // SubscriptionId
+      val nAvail = r.i32()
+      val available = (0 until math.max(0, nAvail)).map(_ => r.u32()).toVector
+      r.bool()                              // MoreNotifications
+      val (seq, notifs) = parseNotificationMessage(r)
+      val nRes = r.i32()
+      val ackResults = (0 until math.max(0, nRes)).map(_ => r.u32()).toVector
+      r.i32()                               // DiagnosticInfos
+      PublishResult(servedSub, seq, available, ackResults, notifs)
+    }
+
+    /** Recover one retained notification message (Part 4 §5.13.5
+      * Republish) — the reconnect path: re-request every sequence number
+      * a Publish listed as available but the client never processed.
+      */
+    def republish(subscriptionId: Long, sequenceNumber: Long): Vector[(Long, WireValue)] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, RepublishRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        w.u32(subscriptionId).u32(sequenceNumber)
+      }
+      parseNotificationMessage(r)._2
     }
 
     def closeSession(): Unit = {
