@@ -200,9 +200,13 @@ object TextAnalysis {
     val toks = withWs.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos0", "w")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+    // sh feeds BOTH the document-frequency aggregation and the coverage
+    // join — persisted so tokenize+shingle+posexplode runs once, not
+    // twice (the Dedup.containmentPairs / SequencePack idiom)
     val sh = withWs.select(col("doc_id"),
       posexplode(TextOps.shingles3("ws")).as(Seq("sp0", "shingle")))
       .select(col("doc_id"), (col("sp0") + 1).as("sp"), col("shingle"))
+      .persist()
     val frequent = sh.groupBy("shingle")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
