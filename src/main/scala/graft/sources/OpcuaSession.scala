@@ -48,6 +48,10 @@ object OpcuaSession {
   val CreateSubscriptionResponseId = 790
   val CreateMonitoredItemsRequestId = 751
   val CreateMonitoredItemsResponseId = 754
+  val DeleteMonitoredItemsRequestId = 781
+  val DeleteMonitoredItemsResponseId = 784
+  val DeleteSubscriptionsRequestId = 847
+  val DeleteSubscriptionsResponseId = 850
   val PublishRequestId = 826
   val PublishResponseId = 829
   val RepublishRequestId = 832
@@ -116,7 +120,9 @@ object OpcuaSession {
     */
   val MaxContinuationPoints = 64
   val BadSessionIdInvalid = 0x80250000L
+  val BadSessionClosed = 0x80260000L
   val BadSubscriptionIdInvalid = 0x80280000L
+  val BadMonitoredItemIdInvalid = 0x80420000L
   val BadNodeIdUnknown = 0x80340000L
   val BadAttributeIdInvalid = 0x80350000L
   val BadContinuationPointInvalid = 0x804A0000L
@@ -356,10 +362,22 @@ object OpcuaSession {
     private var nextItemId = 1L
     private var lastServedSubId = 0L // Publish round-robin cursor
     private val subs = scala.collection.mutable.Map.empty[Long, Subscription]
+    // session-timeout enforcement (Part 4 §5.6.2: the revised timeout is
+    // a real contract — a session idle past it is CLOSED, subscriptions
+    // and all): any authenticated service call refreshes the clock
+    private var sessionTimeoutMs = 0.0
+    private var lastActivityMillis = 0L
 
-    private def requireSession(tok: NodeIdT): Unit =
+    private def requireSession(tok: NodeIdT): Unit = {
       if (sessionToken == null || tok != sessionToken || !activated)
         throw new OpcuaError(BadSessionIdInvalid, "no activated session for this token")
+      if (sessionTimeoutMs > 0 && clock() - lastActivityMillis > sessionTimeoutMs) {
+        subs.clear(); continuations.clear(); activated = false; sessionToken = null
+        throw new OpcuaError(BadSessionClosed,
+          s"session timed out after ${sessionTimeoutMs.toLong} ms of inactivity")
+      }
+      lastActivityMillis = clock()
+    }
 
     /** The feed log IS the address space: the set of points that ever
       * produced a value, each with its latest value. Maintained as an
@@ -537,11 +555,13 @@ object OpcuaSession {
         sessionToken = NodeIdT(0, nextTokenId)
         nextTokenId += 1
         activated = false
+        sessionTimeoutMs = math.max(10000.0, requestedTimeout)
+        lastActivityMillis = clock()
         writeNodeId(w, NodeIdT(0, CreateSessionResponseId))
         writeResponseHeader(w, clock(), handle, GoodStatus)
         writeNodeId(w, NodeIdT(1, 10000L))  // SessionId
         writeNodeId(w, sessionToken)        // AuthenticationToken
-        w.f64(math.max(10000.0, requestedTimeout))
+        w.f64(sessionTimeoutMs)             // RevisedSessionTimeout — enforced
         w.i32(-1).i32(-1)                   // ServerNonce, ServerCertificate
         w.i32(-1)                           // ServerEndpoints: null (no discovery here)
         w.i32(-1)                           // ServerSoftwareCertificates
@@ -560,6 +580,7 @@ object OpcuaSession {
           throw new OpcuaError(BadSecurityChecksFailed, s"only anonymous identity (got $identId)")
         r.str(); r.i32()                    // UserTokenSignature
         activated = true
+        lastActivityMillis = clock()
         writeNodeId(w, NodeIdT(0, ActivateSessionResponseId))
         writeResponseHeader(w, clock(), handle, GoodStatus)
         w.i32(-1).i32(-1).i32(-1)           // ServerNonce, Results, DiagnosticInfos
@@ -665,6 +686,41 @@ object OpcuaSession {
           writeNullExtensionObject(w)       // FilterResult
         }
         w.i32(-1)
+
+      case DeleteMonitoredItemsRequestId =>
+        val (tok, handle) = readRequestHeader(r)
+        requireSession(tok)
+        val subId = r.u32()
+        val sub = subs.getOrElse(subId,
+          throw new OpcuaError(BadSubscriptionIdInvalid, s"subscription $subId"))
+        val n = r.i32()
+        val ids = (0 until math.max(0, n)).map(_ => r.u32())
+        val statuses = ids.map { id =>
+          if (sub.items.exists(_.monitoredItemId == id)) {
+            sub.items = sub.items.filterNot(_.monitoredItemId == id)
+            GoodStatus
+          } else BadMonitoredItemIdInvalid
+        }
+        writeNodeId(w, NodeIdT(0, DeleteMonitoredItemsResponseId))
+        writeResponseHeader(w, clock(), handle, GoodStatus)
+        w.i32(statuses.length)
+        statuses.foreach(w.u32)
+        w.i32(-1)                           // DiagnosticInfos
+
+      case DeleteSubscriptionsRequestId =>
+        val (tok, handle) = readRequestHeader(r)
+        requireSession(tok)
+        val n = r.i32()
+        val ids = (0 until math.max(0, n)).map(_ => r.u32())
+        val statuses = ids.map { id =>
+          if (subs.contains(id)) { subs.remove(id); GoodStatus }
+          else BadSubscriptionIdInvalid
+        }
+        writeNodeId(w, NodeIdT(0, DeleteSubscriptionsResponseId))
+        writeResponseHeader(w, clock(), handle, GoodStatus)
+        w.i32(statuses.length)
+        statuses.foreach(w.u32)
+        w.i32(-1)                           // DiagnosticInfos
 
       case BrowseRequestId =>
         val (tok, handle) = readRequestHeader(r)
@@ -931,7 +987,8 @@ object OpcuaSession {
       r
     }
 
-    def createSession(sessionName: String): Unit = {
+    def createSession(sessionName: String,
+                      requestedTimeoutMs: Double = 3600000.0): Unit = {
       val r = call { w =>
         writeNodeId(w, NodeIdT(0, CreateSessionRequestId))
         writeRequestHeader(w, NodeIdT.Null, System.currentTimeMillis(), requestId)
@@ -944,7 +1001,7 @@ object OpcuaSession {
         w.str(s"opc.tcp://$host:$port/graft")
         w.str(sessionName)
         w.i32(-1).i32(-1)                   // ClientNonce, ClientCertificate
-        w.f64(3600000.0).u32(0L)
+        w.f64(requestedTimeoutMs).u32(0L)
       }
       readNodeIdT(r)                        // SessionId
       authToken = readNodeIdT(r)            // AuthenticationToken
@@ -1197,6 +1254,35 @@ object OpcuaSession {
         depth += 1
       }
       rows.result()
+    }
+
+    /** Per-item deletion statuses (Good / BadMonitoredItemIdInvalid). */
+    def deleteMonitoredItems(subscriptionId: Long, itemIds: Seq[Long]): Seq[Long] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, DeleteMonitoredItemsRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        w.u32(subscriptionId)
+        w.i32(itemIds.length)
+        itemIds.foreach(w.u32)
+      }
+      val n = r.i32()
+      val out = (0 until math.max(0, n)).map(_ => r.u32())
+      r.i32()
+      out
+    }
+
+    /** Per-subscription deletion statuses (Good / BadSubscriptionIdInvalid). */
+    def deleteSubscriptions(subscriptionIds: Seq[Long]): Seq[Long] = {
+      val r = call { w =>
+        writeNodeId(w, NodeIdT(0, DeleteSubscriptionsRequestId))
+        writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
+        w.i32(subscriptionIds.length)
+        subscriptionIds.foreach(w.u32)
+      }
+      val n = r.i32()
+      val out = (0 until math.max(0, n)).map(_ => r.u32())
+      r.i32()
+      out
     }
 
     /** One Publish answer, fully parsed. */

@@ -137,6 +137,58 @@ class OpcuaSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("DeleteMonitoredItems / DeleteSubscriptions tear down with per-id statuses") {
+    withServer(clockTicks = 1L) { (server, feed) =>
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("teardown"); c.activateSession()
+        val sub = c.createSubscription(1000.0)
+        val results = c.createMonitoredItems(sub, Seq(
+          (1L, "dev-0", "m0", 10L), (2L, "dev-1", "m1", 10L)))
+        val Seq(id1, id2) = results.map(_._2)
+        // delete one real item and one bogus id
+        assert(c.deleteMonitoredItems(sub, Seq(id1, 999L)) ==
+          Seq(0L, OpcuaSession.BadMonitoredItemIdInvalid))
+        feed.clockTicks += 1
+        // only the surviving item still notifies
+        val notifs = c.publish()
+        assert(notifs.nonEmpty && notifs.forall(_._1 == 2L),
+          s"only the surviving item's handle may notify, got ${notifs.map(_._1)}")
+        assert(c.deleteSubscriptions(Seq(sub, sub)) ==
+          Seq(0L, OpcuaSession.BadSubscriptionIdInvalid),
+          "second delete of the same id must report, not double-free")
+        // no subscriptions left: Publish faults
+        val e = intercept[graft.sources.OpcuaFraming.OpcuaError](c.publish())
+        assert(e.code == OpcuaSession.BadSubscriptionIdInvalid)
+      } finally c.close()
+    }
+  }
+
+  test("an idle session expires at its revised timeout; the next call answers BadSessionClosed") {
+    // a controllable server clock drives the idle window — no sleeps
+    val feed = new SimulatedFeed(nDevices = 1, nMeasures = 1,
+      startMicros = 1704067200000000L, intervalMicros = 5000000L, clockTicks = 1L)
+    @volatile var now = 1704067200000L
+    val server = new FeedTransport.FeedServer(feed, clock = () => now)
+    try {
+      val c = new SessionClient("127.0.0.1", server.boundPort)
+      try {
+        c.createSession("idle", requestedTimeoutMs = 1.0) // revised to the 10 s floor
+        c.activateSession()
+        assert(c.read(Seq(("dev-0", "m0"))).head.nonEmpty)
+        now += 9000 // inside the 10 s floor: still alive
+        assert(c.read(Seq(("dev-0", "m0"))).head.nonEmpty)
+        now += 11000 // idle past the revised timeout
+        val e = intercept[graft.sources.OpcuaFraming.OpcuaError](
+          c.read(Seq(("dev-0", "m0"))))
+        assert(e.code == OpcuaSession.BadSessionClosed)
+        // the channel survives; a NEW session on it serves again
+        c.createSession("idle-2"); c.activateSession()
+        assert(c.read(Seq(("dev-0", "m0"))).head.nonEmpty)
+      } finally c.close()
+    } finally server.close()
+  }
+
   /** Fixed rows with a controllable visible horizon — for address-space
     * shapes SimulatedFeed can't produce (slashed device names).
     */
