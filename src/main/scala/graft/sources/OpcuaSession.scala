@@ -855,11 +855,13 @@ object OpcuaSession {
         notifs.foreach { case (h, v) => dcn.u32(h); writeDataValue(dcn, v) }
         dcn.i32(-1)
         val dcnBytes = dcn.result()
+        // Part 4 §5.13.5: a keep-alive ADVERTISES the next sequence number
+        // without consuming it — only a real notification message claims
+        // the number and is retained. Incrementing on keep-alives would
+        // leave permanent gaps a gap-detecting client must treat as loss.
         val thisSeq = sub.notifSeq
-        sub.notifSeq += 1
-        // retain NON-EMPTY messages for Republish until acknowledged
-        // (keep-alives carry nothing to recover); cap drops the oldest
         if (notifs.nonEmpty) {
+          sub.notifSeq += 1
           sub.retained :+= (thisSeq, dcnBytes)
           if (sub.retained.size > MaxRetainedNotifications)
             sub.retained = sub.retained.takeRight(MaxRetainedNotifications)
