@@ -17,9 +17,10 @@ import OpcuaFraming._
   * size-prefixed little-endian chunked MSG conversation with sequence
   * discipline, ERR frames — over real TCP, driven end-to-end by
   * FeedTransportSpec; the Part 4 session/Read/subscription services ride
-  * the same channel ([[OpcuaSession]], OpcuaSessionSpec). The remaining
-  * gap to a full OPC UA stack is the Sign/SignAndEncrypt crypto modes:
-  * see the [[OpcuaFraming]] scaladoc.
+  * the same channel ([[OpcuaSession]], OpcuaSessionSpec). A server
+  * constructed with an identity additionally serves SecurityPolicy
+  * Basic256Sha256 — the OPN's security header picks the policy per
+  * connection ([[OpcuaSecure]], OpcuaSecureSpec).
   *
   * Application payload inside MSG bodies (§5.2 built-in encodings), the
   * read service of the feed log:
@@ -40,7 +41,7 @@ object FeedTransport {
   private val OpGet = 2L
   private val OpRange = 3L
 
-  private def writeRecord(mw: MessageWriter, row: (String, String, Double, Long, Boolean)): Unit =
+  private def writeRecord(mw: ChunkSink, row: (String, String, Double, Long, Boolean)): Unit =
     mw.str(row._1).str(row._2).f64(row._3).i64(row._4).bool(row._5)
 
   private def readRecord(r: BufReader): (String, String, Double, Long, Boolean) =
@@ -55,7 +56,8 @@ object FeedTransport {
   final class FeedServer(feed: MeasureFeed, port: Int = 0,
                          limits: Limits = DefaultLimits,
                          clock: () => Long = () => System.currentTimeMillis(),
-                         minTokenLifetimeMs: Long = 60000L)
+                         minTokenLifetimeMs: Long = 60000L,
+                         identity: Option[OpcuaCrypto.Identity] = None)
       extends AutoCloseable {
     private val server = new ServerSocket(port, 50, java.net.InetAddress.getByName("127.0.0.1"))
     private val live = new CopyOnWriteArrayList[Socket]()
@@ -90,13 +92,29 @@ object FeedTransport {
         // client's receive buffer after revision).
         val clientSeq = new SeqState // chunks the client sends
         val serverSeq = new SeqState // chunks we send
-        // ---- secure channel: OpenSecureChannel(Issue, SecurityPolicy
-        // None) — plaintext chunks, no nonce/signature; a non-None policy
-        // is refused (the crypto modes are the documented gap)
-        val (opnRid, opnReq) = readOpenRequest(in, clientSeq, neg.receiveBufferSize)
+        // ---- secure channel: the OPN's asymmetric security header names
+        // the policy — SecurityPolicy None (plaintext chunks) or, when the
+        // server holds an identity, Basic256Sha256 (Sign / SignAndEncrypt,
+        // [[OpcuaSecure]])
+        val (opnTpe, opnFin, opnBody) = readFrame(in, neg.receiveBufferSize)
+        if (opnTpe == "ERR") throw decodeError(opnBody)
+        if (opnTpe != "OPN" || opnFin != 'F') {
+          sendErr(out, BadTcpMessageTypeInvalid, s"expected final OPN, got $opnTpe/$opnFin")
+          return
+        }
+        val policyUri = { val pr = new BufReader(opnBody); pr.u32(); pr.str() }
+        if (policyUri == OpcuaCrypto.Basic256Sha256Uri) {
+          identity match {
+            case Some(ident) => serveSecured(in, out, neg, clientSeq, serverSeq, opnBody, ident)
+            case None => sendErr(out, BadSecurityChecksFailed, "secured endpoint not configured")
+          }
+          return
+        }
+        val (opnRid, opnReq) = parseOpenRequest(opnBody, clientSeq)
         if (opnReq.securityMode != SecurityModeNone || opnReq.requestType != RequestTypeIssue) {
           sendErr(out, BadSecurityChecksFailed,
-            s"only Issue/None supported (got ${opnReq.requestType}/${opnReq.securityMode})")
+            s"only Issue supported, policy None or Basic256Sha256 " +
+              s"(got ${opnReq.requestType}/${opnReq.securityMode})")
           return
         }
         var token = ChannelToken(nextChannelId.getAndIncrement(), tokenId = 1L,
@@ -119,7 +137,7 @@ object FeedTransport {
         // service Spark's offset contract needs) and TypeId-addressed
         // Part 4 services (leading four-byte NodeId, whose u32 image is
         // far outside the opcode range) dispatched to SessionServices.
-        val services = new OpcuaSession.SessionServices(feed, clock)
+        val services = new OpcuaSession.SessionServices(feed, clock, identity)
         while (running) {
           val (rid, body) =
             readConversation(in, clientSeq, neg, token.channelId, tokenOk, allowOpn = true)
@@ -139,56 +157,145 @@ object FeedTransport {
               lifetimeMs = math.max(minTokenLifetimeMs, req.requestedLifetimeMs))
             writeOpenResponse(out, serverSeq, orid, clock(), token)
           } else {
-          val r = new BufReader(body)
-          val mw = new MessageWriter(out, serverSeq, rid, neg.sendBufferSize,
-            neg.maxChunkCount, token.channelId, token.tokenId)
-          r.u32() match {
-            case OpLatest =>
-              mw.i64(feed.latest()); mw.finish()
-            case OpGet =>
-              writeRecord(mw, feed.at(r.i64())); mw.finish()
-            case OpRange =>
-              val (lo, hi) = (r.i64(), r.i64())
-              // hi - lo can overflow Long (lo = Long.MinValue) — the
-              // negative-difference arm catches the wrapped value too
-              if (hi < lo || hi - lo < 0 || hi - lo > Int.MaxValue) {
-                sendErr(out, BadTcpMessageTooLarge, s"range [$lo, $hi) too large"); return
-              }
-              mw.i32((hi - lo).toInt)
-              var i = lo
-              while (i < hi) { writeRecord(mw, feed.at(i)); i += 1 }
-              mw.finish()
-            case _ =>
-              // a service-level failure answers as a ServiceFault and
-              // leaves the channel OPEN — unlike a Part 6 ERR frame; a
-              // body that can't even be DECODED (not a NodeId, truncated
-              // service struct) is indistinguishable from stream
-              // corruption and answers ERR + close, the Part 6 rule — the
-              // peer always gets a diagnostic, never a silent drop
-              val respBody =
-                try {
-                  val r2 = new BufReader(body)
-                  val typeId = OpcuaSession.readNodeIdT(r2).numeric.toInt
-                  try {
-                    val w = new BufWriter(256)
-                    services.handle(typeId, r2, w)
-                    w.result()
-                  } catch {
-                    case e: OpcuaError => OpcuaSession.serviceFaultBody(clock(), e.code)
-                  }
-                } catch {
-                  case e: FramingViolation =>
-                    sendErr(out, BadDecodingError, s"undecodable request body: ${e.getMessage}")
-                    return
-                }
-              mw.raw(respBody); mw.finish()
-          }
+            val mw = new MessageWriter(out, serverSeq, rid, neg.sendBufferSize,
+              neg.maxChunkCount, token.channelId, token.tokenId)
+            if (!dispatch(services, body, mw, out)) return
           }
         }
       } catch {
         case _: java.io.IOException => () // dropped client (EOF, reset, framing)
         case e: OpcuaError => try sendErr(out, e.code, e.reason) catch { case _: Exception => () }
       } finally { live.remove(sock); try sock.close() catch { case _: Exception => () } }
+    }
+
+    /** Answer one reassembled request body through `mw` — mode-blind: the
+      * sink is a plaintext [[MessageWriter]] or a
+      * [[OpcuaSecure.SecureMessageWriter]]. Returns false when the
+      * connection must die (ERR already sent).
+      */
+    private def dispatch(services: OpcuaSession.SessionServices, body: Array[Byte],
+                         mw: ChunkSink, out: OutputStream): Boolean = {
+      val r = new BufReader(body)
+      r.u32() match {
+        case OpLatest =>
+          mw.i64(feed.latest()); mw.finish(); true
+        case OpGet =>
+          writeRecord(mw, feed.at(r.i64())); mw.finish(); true
+        case OpRange =>
+          val (lo, hi) = (r.i64(), r.i64())
+          // hi - lo can overflow Long (lo = Long.MinValue) — the
+          // negative-difference arm catches the wrapped value too
+          if (hi < lo || hi - lo < 0 || hi - lo > Int.MaxValue) {
+            sendErr(out, BadTcpMessageTooLarge, s"range [$lo, $hi) too large")
+            false
+          } else {
+            mw.i32((hi - lo).toInt)
+            var i = lo
+            while (i < hi) { writeRecord(mw, feed.at(i)); i += 1 }
+            mw.finish()
+            true
+          }
+        case _ =>
+          // a service-level failure answers as a ServiceFault and
+          // leaves the channel OPEN — unlike a Part 6 ERR frame; a
+          // body that can't even be DECODED (not a NodeId, truncated
+          // service struct) is indistinguishable from stream
+          // corruption and answers ERR + close, the Part 6 rule — the
+          // peer always gets a diagnostic, never a silent drop
+          try {
+            val r2 = new BufReader(body)
+            val typeId = OpcuaSession.readNodeIdT(r2).numeric.toInt
+            val respBody =
+              try {
+                val w = new BufWriter(256)
+                services.handle(typeId, r2, w)
+                w.result()
+              } catch {
+                case e: OpcuaError => OpcuaSession.serviceFaultBody(clock(), e.code)
+              }
+            mw.raw(respBody); mw.finish()
+            true
+          } catch {
+            case e: FramingViolation =>
+              sendErr(out, BadDecodingError, s"undecodable request body: ${e.getMessage}")
+              false
+          }
+      }
+    }
+
+    /** The Basic256Sha256 conversation (Sign or SignAndEncrypt — the
+      * client's OPN picks): secured OPN Issue → nonce exchange → P_SHA256
+      * key derivation → secured MSG chunks both ways, with secured
+      * OPN(Renew) deriving fresh keys per token and the previous token's
+      * keys honoured through the §6.7.4 grace window.
+      */
+    private def serveSecured(in: InputStream, out: OutputStream, neg: Limits,
+                             clientSeq: SeqState, serverSeq: SeqState,
+                             opnBody: Array[Byte], ident: OpcuaCrypto.Identity): Unit = {
+      import OpcuaCrypto._
+      import OpcuaSecure._
+      val opn = readSecuredOpnChunk(opnBody, clientSeq, ident)
+      val (handle, req, clientNonce) = parseSecuredOpenRequest(opn)
+      if (req.requestType != RequestTypeIssue ||
+          (req.securityMode != SecurityModeSign && req.securityMode != SecurityModeSignAndEncrypt)) {
+        sendErr(out, BadSecurityChecksFailed,
+          s"secured endpoint expects Issue with Sign/SignAndEncrypt " +
+            s"(got ${req.requestType}/${req.securityMode})")
+        return
+      }
+      val mode = req.securityMode
+      val clientCert = opn.senderCertDer // trust-on-first-use; pinned for renewals
+      var token = ChannelToken(nextChannelId.getAndIncrement(), tokenId = 1L,
+        createdAtMillis = clock(),
+        lifetimeMs = math.max(minTokenLifetimeMs, req.requestedLifetimeMs))
+      val issueNonce = newNonce()
+      writeSecuredOpenResponse(out, serverSeq, handle, clock(), token,
+        ident, clientCert, issueNonce)
+      var keys = deriveChannelKeys(clientNonce, issueNonce)
+      // keys per live token id — the client may still send under the
+      // previous token during its grace window, and those chunks only
+      // verify under the keys derived with ITS nonces
+      var keyring = Map(token.tokenId -> keys)
+      var prevToken: Option[(Long, Long)] = None
+      def tokenOk(t: Long): Boolean =
+        (t == token.tokenId &&
+          clock() < token.createdAtMillis + token.lifetimeMs + token.lifetimeMs / 4) ||
+          prevToken.exists { case (pt, exp) => t == pt && clock() < exp }
+      def clientKeysFor(t: Long): Option[DirectionKeys] =
+        if (tokenOk(t)) keyring.get(t).map(_.clientKeys) else None
+      val services = new OpcuaSession.SessionServices(feed, clock, Some(ident))
+      while (running) {
+        val (rid, body) =
+          readSecureConversation(in, clientSeq, neg, token.channelId, mode,
+            clientKeysFor, allowOpn = true)
+        if (rid == -1L) {
+          // secured renew: fresh nonces, fresh keys under the new token
+          val ropn = readSecuredOpnChunk(body, clientSeq, ident)
+          val (rhandle, rreq, rnonce) = parseSecuredOpenRequest(ropn)
+          if (rreq.requestType != RequestTypeRenew || rreq.securityMode != mode ||
+              rreq.channelId != token.channelId ||
+              !java.util.Arrays.equals(ropn.senderCertDer, clientCert)) {
+            sendErr(out, BadSecurityChecksFailed,
+              s"expected Renew/$mode on channel ${token.channelId} under the issuing certificate")
+            return
+          }
+          prevToken = Some((token.tokenId, token.createdAtMillis + token.lifetimeMs))
+          token = ChannelToken(token.channelId, token.tokenId + 1,
+            createdAtMillis = clock(),
+            lifetimeMs = math.max(minTokenLifetimeMs, rreq.requestedLifetimeMs))
+          val serverNonce = newNonce()
+          keys = deriveChannelKeys(rnonce, serverNonce)
+          keyring = (keyring + (token.tokenId -> keys)).filter {
+            case (t, _) => t == token.tokenId || prevToken.exists(_._1 == t)
+          }
+          writeSecuredOpenResponse(out, serverSeq, rhandle, clock(), token,
+            ident, clientCert, serverNonce)
+        } else {
+          val mw = new SecureMessageWriter(out, serverSeq, rid, neg.sendBufferSize,
+            neg.maxChunkCount, token.channelId, token.tokenId, mode, keys.serverKeys)
+          if (!dispatch(services, body, mw, out)) return
+        }
+      }
     }
 
     private val acceptor = new Thread(() => {

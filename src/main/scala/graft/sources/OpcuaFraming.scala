@@ -34,14 +34,11 @@ import java.nio.charset.StandardCharsets
   *
   * The Part 4 service layer above this channel — sessions, Read,
   * subscriptions with monitored items and Publish — lives in
-  * [[OpcuaSession]]. Deliberately out of scope (documented gap, not an
-  * approximation): the Sign / SignAndEncrypt security modes
-  * (certificates, nonces, chunk signatures — the actual cryptography).
-  * With SecurityPolicy None the chunk stream is plaintext, which is why
-  * this stack is implementable from the public spec alone; everything a
-  * network sees — headers, negotiation, the OPN handshake, chunking,
-  * sequence discipline, error frames, service structs — is real spec
-  * binary.
+  * [[OpcuaSession]]. This object covers SecurityPolicy None (plaintext
+  * chunks); the Sign / SignAndEncrypt modes of Basic256Sha256 —
+  * certificates, nonce exchange, P_SHA256 key derivation, chunk
+  * signing/encryption — live in [[OpcuaCrypto]] + [[OpcuaSecure]] and
+  * plug into the same frame/sequence discipline defined here.
   */
 object OpcuaFraming {
 
@@ -145,6 +142,16 @@ object OpcuaFraming {
     def i64(): Long = { val lo = u32(); val hi = u32(); (hi << 32) | lo }
     def f64(): Double = java.lang.Double.longBitsToDouble(i64())
     def bool(): Boolean = u8() != 0
+    /** Cursor position — the secured-OPN parser needs the byte offset
+      * where the encrypted region starts.
+      */
+    def pos: Int = p
+    def bytes(k: Int): Array[Byte] = {
+      need(k)
+      val out = java.util.Arrays.copyOfRange(b, p, p + k)
+      p += k
+      out
+    }
     def str(): String = {
       val len = i32()
       if (len < 0) null
@@ -272,9 +279,9 @@ object OpcuaFraming {
   def toFiletime(epochMillis: Long): Long = (epochMillis + 11644473600000L) * 10000L
 
   /** Four-byte ns-0 numeric NodeId (encoding mask 0x01, u8 ns, u16 id). */
-  private def nodeId(w: BufWriter, id: Int): BufWriter =
+  private[sources] def nodeId(w: BufWriter, id: Int): BufWriter =
     w.u8(0x01).u8(0).u8(id & 0xFF).u8((id >> 8) & 0xFF)
-  private def readNodeId(r: BufReader): Int = r.u8() match {
+  private[sources] def readNodeId(r: BufReader): Int = r.u8() match {
     case 0x00 => r.u8() // two-byte form
     case 0x01 => r.u8(); r.u8() | (r.u8() << 8) // four-byte form
     case m => throw new FramingViolation(f"unsupported NodeId encoding 0x$m%02x")
@@ -283,7 +290,7 @@ object OpcuaFraming {
   /** Common RequestHeader (Part 4 §7.33): null auth token, timestamp,
     * handle, no diagnostics, null audit id, timeout, null extension.
     */
-  private def requestHeader(w: BufWriter, epochMillis: Long, handle: Long): BufWriter = {
+  private[sources] def requestHeader(w: BufWriter, epochMillis: Long, handle: Long): BufWriter = {
     w.u8(0x00).u8(0x00)       // AuthenticationToken: null two-byte NodeId
     w.i64(toFiletime(epochMillis))
     w.u32(handle)             // RequestHandle
@@ -292,7 +299,7 @@ object OpcuaFraming {
     w.u32(0L)                 // TimeoutHint
     w.u8(0x00).u8(0x00).u8(0x00) // AdditionalHeader: null NodeId + encoding 0
   }
-  private def skipRequestHeader(r: BufReader): Long = {
+  private[sources] def skipRequestHeader(r: BufReader): Long = {
     readNodeId(r); r.i64()
     val handle = r.u32()
     r.u32(); r.str(); r.u32(); readNodeId(r); r.u8()
@@ -528,6 +535,23 @@ object OpcuaFraming {
     */
   final class SeqState { var next: Long = 1L }
 
+  /** The incremental writer interface MSG response producers encode
+    * through — one implementation per security mode (plaintext
+    * [[MessageWriter]], secured [[OpcuaSecure.SecureMessageWriter]]) so
+    * service dispatch is mode-blind.
+    */
+  trait ChunkSink {
+    def u8(v: Int): this.type
+    def u32(v: Long): this.type
+    def i32(v: Int): this.type
+    def i64(v: Long): this.type
+    def f64(v: Double): this.type
+    def bool(v: Boolean): this.type
+    def str(s: String): this.type
+    def raw(b: Array[Byte]): this.type
+    def finish(): Unit
+  }
+
   /** Streaming chunk writer for one MSG message: primitives encode
     * directly into the chunk buffer; when a write would overflow the
     * negotiated chunk size the buffer flushes as an intermediate `C`
@@ -538,7 +562,7 @@ object OpcuaFraming {
     */
   final class MessageWriter(out: OutputStream, seq: SeqState, requestId: Long,
                             peerReceiveBufferSize: Int, maxChunkCount: Long,
-                            channelId: Long = 0L, tokenId: Long = 0L) {
+                            channelId: Long = 0L, tokenId: Long = 0L) extends ChunkSink {
     private val cap = peerReceiveBufferSize - ChunkOverhead
     require(cap > 0)
     private val chunk = new Array[Byte](peerReceiveBufferSize)

@@ -92,7 +92,8 @@ object OpcuaSession {
     */
   final case class EndpointDesc(endpointUrl: String, securityMode: Long,
                                 securityPolicyUri: String, transportProfileUri: String,
-                                securityLevel: Int, userTokenTypes: Vector[Long])
+                                securityLevel: Int, userTokenTypes: Vector[Long],
+                                serverCertDer: Array[Byte] = null)
 
   /** The reference's endpoint choice: the first SecurityMode-None
     * endpoint, or None when the server offers no insecure endpoint
@@ -354,7 +355,8 @@ object OpcuaSession {
     * services onto a [[MeasureFeed]]. Returns the response BODY writer
     * for each TypeId-addressed request.
     */
-  final class SessionServices(feed: MeasureFeed, clock: () => Long) {
+  final class SessionServices(feed: MeasureFeed, clock: () => Long,
+                              identity: Option[OpcuaCrypto.Identity] = None) {
     private var sessionToken: NodeIdT = _
     private var activated = false
     private var nextTokenId = 1000L
@@ -526,7 +528,12 @@ object OpcuaSession {
           writeLocalizedText(w, "graft feed")
           w.u32(0L)                         // ApplicationType Server
           w.str(null).str(null).i32(-1)     // gateway, discoveryProfile, discoveryUrls
-          w.i32(-1)                         // ServerCertificate: null ByteString
+          identity match {                  // ServerCertificate: the real
+            case Some(id) =>                  // application-instance cert —
+              w.i32(id.certDer.length)        // what a secured client pins +
+              w.raw(id.certDer)               // encrypts its OPN to
+            case None => w.i32(-1)
+          }
           w.u32(mode)
           w.str(policyUri)
           w.i32(1)                          // one UserTokenPolicy: anonymous
@@ -924,7 +931,9 @@ object OpcuaSession {
     * the session/subscription path — see OpcuaSessionSpec).
     */
   final class SessionClient(host: String, port: Int, timeoutMs: Int = 30000,
-                            requestedLifetimeMs: Long = 3600000L) extends AutoCloseable {
+                            requestedLifetimeMs: Long = 3600000L,
+                            security: Option[OpcuaSecure.SecuritySetup] = None)
+      extends AutoCloseable {
     private val sock = new java.net.Socket()
     private val limits = DefaultLimits
     private var requestId = 1L // the OPN consumed RequestId 1
@@ -946,9 +955,20 @@ object OpcuaSession {
           try sock.close() catch { case _: Exception => () }
           throw e
       }
+    // in secured mode the symmetric key state rides beside the channel
+    private var secChannel: Option[OpcuaSecure.SecureClientChannel] = None
     private var channel =
-      try openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
-        System.currentTimeMillis(), requestedLifetimeMs)
+      try security match {
+        case Some(setup) =>
+          val sc = OpcuaSecure.openSecureClientChannel(in, out, limits,
+            s"opc.tcp://$host:$port/graft", System.currentTimeMillis(), setup,
+            requestedLifetimeMs)
+          secChannel = Some(sc)
+          sc.channel
+        case None =>
+          openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
+            System.currentTimeMillis(), requestedLifetimeMs)
+      }
       catch {
         case e: Throwable =>
           try sock.close() catch { case _: Exception => () }
@@ -963,21 +983,43 @@ object OpcuaSession {
       */
     def renewNow(): Unit = {
       requestId += 1
-      channel = renewChannel(in, out, channel, requestId,
-        System.currentTimeMillis(), requestedLifetimeMs)
+      secChannel match {
+        case Some(sc) =>
+          val renewed = OpcuaSecure.renewSecureChannel(in, out, sc, requestId,
+            System.currentTimeMillis(), requestedLifetimeMs)
+          secChannel = Some(renewed)
+          channel = renewed.channel
+        case None =>
+          channel = renewChannel(in, out, channel, requestId,
+            System.currentTimeMillis(), requestedLifetimeMs)
+      }
     }
 
     private def call(encodeBody: BufWriter => Unit): BufReader = {
       if (shouldRenew(channel.token, System.currentTimeMillis())) renewNow()
       requestId += 1
-      val mw = new MessageWriter(out, channel.sendSeq, requestId,
-        channel.negotiated.receiveBufferSize, channel.negotiated.maxChunkCount,
-        channel.token.channelId, channel.token.tokenId)
+      val mw: ChunkSink = secChannel match {
+        case Some(sc) =>
+          new OpcuaSecure.SecureMessageWriter(out, channel.sendSeq, requestId,
+            channel.negotiated.receiveBufferSize, channel.negotiated.maxChunkCount,
+            channel.token.channelId, channel.token.tokenId,
+            sc.setup.mode, sc.keys.clientKeys)
+        case None =>
+          new MessageWriter(out, channel.sendSeq, requestId,
+            channel.negotiated.receiveBufferSize, channel.negotiated.maxChunkCount,
+            channel.token.channelId, channel.token.tokenId)
+      }
       val w = new BufWriter(256)
       encodeBody(w)
       mw.raw(w.result()); mw.finish()
-      val (rid, body) = readMessage(in, channel.recvSeq, channel.readLimits,
-        channel.token.channelId, channel.token.tokenId)
+      val (rid, body) = secChannel match {
+        case Some(sc) =>
+          OpcuaSecure.readSecureConversation(in, channel.recvSeq, channel.readLimits,
+            channel.token.channelId, sc.setup.mode, sc.serverKeysFor, allowOpn = false)
+        case None =>
+          readMessage(in, channel.recvSeq, channel.readLimits,
+            channel.token.channelId, channel.token.tokenId)
+      }
       if (rid != requestId) // a desynced stream must fail loudly, never
         throw new FramingViolation( // decode another request's response
           s"response for request $rid, expected $requestId")
@@ -1126,7 +1168,7 @@ object OpcuaSession {
         r.str(); r.str(); readLocalizedText(r); r.u32() // ApplicationDescription…
         r.str(); r.str()
         val nUrls = r.i32(); (0 until math.max(0, nUrls)).foreach(_ => r.str())
-        readByteString(r)                   // ServerCertificate
+        val cert = readByteString(r)        // ServerCertificate
         val mode = r.u32()
         val policy = r.str()
         val nTok = r.i32()
@@ -1135,7 +1177,7 @@ object OpcuaSession {
         }.toVector
         val transport = r.str()
         val level = r.u8()
-        EndpointDesc(url, mode, policy, transport, level, toks)
+        EndpointDesc(url, mode, policy, transport, level, toks, cert)
       }
     }
 
