@@ -390,4 +390,35 @@ object Similarity {
     top.withColumn("rk", row_number().over(w))
       .select("d1", "d2", "cosine", "rk")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * assign every vector to its IVF cell, then within each cell drop any
+    * vector whose cosine to a LOWER-id cell-mate reaches `threshold` —
+    * the min-id member of each tight neighborhood survives. The cluster
+    * assignment is what bounds the O(n²): pairs form only inside cells
+    * (equi-join on `cell`), never across the corpus. At 100 TB the
+    * assignment is the cell-bucketed Storage table, making the self-join
+    * exchange-free; the per-cell pair count is the knob `step` controls
+    * (more centroids → smaller cells → less pair work, lower recall).
+    * Output: every vector with its cell and a `kept` verdict.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double, step: Long = 100L): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val e = embD("embedding")
+    val withCell = embeddings
+      .select(col("vec_id"), e.as("emb"), sqrt(NativeVectorOps.dot(e, e)).as("nrm"))
+      .join(ivfCells(embeddings, step), Seq("vec_id"))
+    val a = withCell.select(col("cell"), col("vec_id").as("keep_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = withCell.select(col("cell"), col("vec_id").as("drop_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("keep_id") < col("drop_id"))
+      .filter(NativeVectorOps.dot(col("a_emb"), col("b_emb"))
+        / (col("a_nrm") * col("b_nrm")) >= threshold)
+      .select("drop_id").distinct()
+    withCell
+      .join(drops, withCell("vec_id") === drops("drop_id"), "left")
+      .select(col("vec_id"), col("cell"), col("drop_id").isNull.as("kept"))
+  }
 }

@@ -416,4 +416,100 @@ object TextAnalysis {
       .filter(col("running_tokens") - col("n_tokens") < budgetPerLang)
       .select("doc_id", "lang", "n_tokens", "running_tokens")
   }
+
+  /** PII patterns shared by the operator and its oracle twin — restricted
+    * to the regex subset Java and RE2/DuckDB interpret identically (no
+    * lookaround, no backreferences, explicit character classes).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction for training corpora: emails, IPv4 literals and
+    * phone-shaped numbers replaced with typed placeholders, with per-class
+    * match counts (counted BEFORE replacement). Replacement order is part
+    * of the contract — email first (so a mail host's dotted quad can't be
+    * half-eaten by the IP pattern), then IP, then phone. Pure map-side
+    * Column algebra: zero shuffles at any scale, codegen'd regex.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast(LongType).as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast(LongType).as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast(LongType).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
+  /** Frequency-weighted adjacent character pairs over the distinct-word
+    * vocabulary — iteration zero of BPE training. The corpus-sized work
+    * is ONE word-count aggregation; pair statistics then run on the
+    * vocabulary (Heaps-law small). Output: top `k` pairs, count-desc with
+    * a lexicographic tie-break (the argmax a BPE trainer would merge
+    * first is row 1).
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = vocab.select(col("freq"), explode(
+      expr("transform(sequence(1, length(w) - 1), " +
+        "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("pair"))
+    pairs.orderBy(col("cnt").desc, col("pair")).limit(k)
+      .withColumn("rk", row_number().over(w).cast(IntegerType))
+      .select("pair", "cnt", "rk")
+  }
+
+  /** BPE merge-rule learning (Sennrich et al. 2016, public): the
+    * corpus-scale half — counting every distinct word with its frequency
+    * — runs distributed (one shuffle); the merge loop then iterates over
+    * the VOCABULARY in driver memory, exactly how public BPE trainers
+    * structure it (the vocab is Heaps-law small — ~10⁵ entries for
+    * billion-word corpora — while the corpus is not). Each iteration
+    * merges the (count-max, then lexicographically-least) adjacent symbol
+    * pair. Returns the ordered merge rules.
+    */
+  def bpeLearn(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val vocab: Array[(Array[String], Long)] = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    var words = vocab
+    val merges = Vector.newBuilder[(String, String)]
+    var it = 0
+    while (it < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges.result()
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      val merged = best._1 + best._2
+      words = words.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+            out += merged; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result().toArray, f)
+      }
+      it += 1
+    }
+    merges.result()
+  }
 }

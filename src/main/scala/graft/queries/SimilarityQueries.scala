@@ -276,6 +276,31 @@ object SimilarityQueries {
         |ORDER BY rk""".stripMargin) { (s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), 300L, 20)
         .orderBy("rk")
+    },
+
+    // SemDeDup-style semantic dedup: IVF-cell assignment (q44's coarse
+    // quantizer), then within-cell cosine >= 0.40 drops the higher-id
+    // member — pairs never form across cells, which is what bounds the
+    // O(n²) at corpus scale. The oracle replays assignment AND verdicts.
+    QueryDef("q92_semantic_dedup",
+      eCte +
+        s""",
+        |cent AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id % 100 = 0),
+        |asn AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, cent.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY ${cos("e.emb", "cent.c_emb")} DESC, cent.cell DESC) AS rn
+        |    FROM e, cent) WHERE rn = 1),
+        |drops AS (SELECT DISTINCT b.vec_id AS drop_id
+        |          FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |          JOIN e ea ON ea.vec_id = a.vec_id
+        |          JOIN e eb ON eb.vec_id = b.vec_id
+        |          WHERE ${cos("ea.emb", "eb.emb")} >= 0.40)
+        |SELECT asn.vec_id, asn.cell, drops.drop_id IS NULL AS kept
+        |FROM asn LEFT JOIN drops ON asn.vec_id = drops.drop_id
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), 0.40, step = 100L)
+        .orderBy("vec_id")
     }
   )
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.{QueryDef, Tables}
 import graft.functions.TextOps
 import graft.operators.{Multimodal, TextAnalysis}
@@ -372,6 +374,59 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.dropFrequentSpans(Tables.documents(s, dir), 5L)
         .orderBy("doc_id")
+    },
+
+    // PII redaction: the synthetic corpus carries no contact data, so the
+    // query first derives a deterministic contact-laden text from
+    // (text, doc_id) — SAME derivation in both engines — then redacts.
+    // Counts are pre-replacement; replacement order email → IP → phone is
+    // part of the operator contract. Patterns live in TextAnalysis and
+    // are restricted to the Java ∩ RE2 regex subset.
+    QueryDef("q91_pii_redaction",
+      s"""WITH c AS (SELECT doc_id,
+        |  text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com or 10.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |  '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+        |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val contact = concat(col("text"), lit(" reach user"),
+        col("doc_id").cast("string"), lit("@mail"),
+        (col("doc_id") % 7).cast("string"), lit(".com or 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" tel 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      TextAnalysis.redactPii(
+        Tables.documents(s, dir).withColumn("text", contact)).orderBy("doc_id")
+    },
+
+    // BPE training, iteration zero: frequency-weighted adjacent character
+    // pairs over the distinct-word vocabulary — the argmax a BPE trainer
+    // merges first is row 1. Corpus-scale work is one word-count agg; the
+    // pair explode runs on the Heaps-law-small vocab. (The full merge
+    // LOOP is TextAnalysis.bpeLearn, spec-verified — its per-iteration
+    // counting is exactly this query.)
+    QueryDef("q93_bpe_pairs",
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |           FROM documents),
+        |v AS (SELECT w, COUNT(*) AS freq FROM t WHERE len(w) >= 2 GROUP BY w),
+        |px AS (SELECT freq, w, unnest(range(1, len(w))) AS i FROM v),
+        |p AS (SELECT w[i] || ' ' || w[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        |      FROM px GROUP BY 1)
+        |SELECT pair, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+        |FROM p QUALIFY rk <= 50 ORDER BY rk""".stripMargin) { (s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), 50).orderBy("rk")
     }
   )
 }

@@ -273,4 +273,19 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 2L), "null sketch must mean 'nothing seen', not 'drop everything'")
   }
+
+  test("semanticDedup: min-id member of a tight neighborhood survives, distinct vectors keep") {
+    // one cell (only centroid is vec_id 0): v1 duplicates v0 (cos = 1),
+    // v2 is orthogonal to both, v3 duplicates v2 but at scaled magnitude
+    // (cosine ignores norm)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.semanticDedup(emb, threshold = 0.9)
+      .orderBy("vec_id").select("vec_id", "kept").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, true), (1L, false), (2L, true), (3L, false)),
+      "lower id survives each tight pair; orthogonal vectors are untouched")
+  }
 }

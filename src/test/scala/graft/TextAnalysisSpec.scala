@@ -159,4 +159,32 @@ class TextAnalysisSpec extends SparkSpec {
     // is never emptied by a budget smaller than its shortest doc
     assert(kept(5L) == 40L)
   }
+
+  test("redactPii: counts before replacement, email→IP→phone order, typed placeholders") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-1.co.uk or 192.168.0.1 call 555-123-4567 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.ai one ip 8.8.8.8")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 1L, 1L, 1L,
+      "mail <EMAIL> or <IP> call <PHONE> end")))
+    assert(out(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+    assert(out(2) == ((3L, 2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("bpeLearn: merge sequence on the hand-computed fixture; pair counts agree") {
+    // "aaab"×3, "aab"×2 → (a,a)=8 merges first; then (a,b)=3 beats
+    // (aa,a)=3 lexicographically; then (aa,ab)=3
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "aaab aab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeLearn(docs, nMerges = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // iteration zero of the trainer IS the q93 pair query: same argmax
+    val top = TextAnalysis.bpePairCounts(docs, 3)
+      .as[(String, Long, Int)].collect()
+    assert(top.head == (("a a", 8L, 1)))
+    assert(top(1) == (("a b", 5L, 2)))
+    // merge loop terminates early once words are fully merged
+    assert(TextAnalysis.bpeLearn(docs, nMerges = 100).length < 100)
+  }
 }
