@@ -90,6 +90,12 @@ object ThroughputBench {
     // tick = 10k events, ticker fires 10×/s); SPARK_GRAFT_TPUT_CHUNK_ROWS
     // sets the per-round-trip RANGE size for chunk-size sensitivity runs.
     val feedMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_FEED", "local")
+    // SPARK_GRAFT_TPUT_SECURITY=sign|signencrypt: the socket feed speaks
+    // Basic256Sha256 -- identities generated at startup, the client
+    // keystore + server cert written to a temp dir every executor thread
+    // reads (local mode shares the FS; a cluster ships via --files).
+    // Measures the crypto tax on the same offered load.
+    val secMode = sys.env.get("SPARK_GRAFT_TPUT_SECURITY")
     val offered = sys.env.getOrElse("SPARK_GRAFT_TPUT_OFFERED", "200000").toLong
     val chunkRows = sys.env.getOrElse("SPARK_GRAFT_TPUT_CHUNK_ROWS", "65536").toLong
     // tick granularity is 100k ev/s (10 fires/s × 10k events/tick): the
@@ -105,7 +111,21 @@ object ThroughputBench {
       }, "feed-ticker")
       ticker.setDaemon(true)
       ticker.start()
-      Some(new graft.sources.FeedTransport.FeedServer(feed))
+      val identity = secMode.map(_ => graft.sources.OpcuaCrypto.generateSelfSigned("tput-server"))
+      Some((new graft.sources.FeedTransport.FeedServer(feed, identity = identity), identity))
+    }
+    val secOptions: Map[String, String] = secMode match {
+      case None => Map.empty
+      case Some(m) =>
+        val client = graft.sources.OpcuaCrypto.generateSelfSigned("tput-client")
+        val dir = java.nio.file.Files.createTempDirectory("graft-tput-sec")
+        val ks = dir.resolve("client.p12").toString
+        val cert = dir.resolve("server.der").toString
+        graft.sources.OpcuaCrypto.saveIdentity(client, ks, "tputpass", "graft")
+        java.nio.file.Files.write(java.nio.file.Paths.get(cert),
+          socketServer.get._2.get.certDer)
+        Map("secMode" -> m, "secKeystore" -> ks,
+          "secKeystorePass" -> "tputpass", "secServerCert" -> cert)
     }
     val rawBase = spark.readStream
       .format(classOf[MeasureSourceProvider].getName)
@@ -115,8 +135,11 @@ object ThroughputBench {
       .option("queueCapacity", 1000L)
       .option("numPartitions", cpus)
     val raw = socketServer
-      .map(s => rawBase.option("feedHost", "127.0.0.1").option("feedPort", s.boundPort)
-        .option("chunkRows", chunkRows))
+      .map { case (srv, _) =>
+        secOptions.foldLeft(
+          rawBase.option("feedHost", "127.0.0.1").option("feedPort", srv.boundPort)
+            .option("chunkRows", chunkRows)) { case (b, (k, v)) => b.option(k, v) }
+      }
       .getOrElse(rawBase)
       .load()
     val handle = IngestPipeline.start(raw, target,
@@ -128,13 +151,14 @@ object ThroughputBench {
       handle.stop()
       val rows = inputRows.get()
       val eps = rows / elapsed
+      val secName = secMode.getOrElse("none")
       val sinkRows = target match {
         case m: CurrentValuesSink.InMemoryTarget => m.snapshot.size.toLong
         case _ => NoOpJdbc.rowsWritten.get()
       }
-      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","offered":$actualOffered,"chunk_rows":$chunkRows,"sink_rows":$sinkRows}""")
+      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","security":"$secName","offered":$actualOffered,"chunk_rows":$chunkRows,"sink_rows":$sinkRows}""")
     }
-    socketServer.foreach(_.close())
+    socketServer.foreach(_._1.close())
     spark.stop()
   }
 }

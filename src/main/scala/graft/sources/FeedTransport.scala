@@ -359,7 +359,8 @@ object FeedTransport {
                                 timeoutMs: Int = 30000,
                                 limits: Limits = DefaultLimits,
                                 sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong),
-                                requestedLifetimeMs: Long = 3600000L)
+                                requestedLifetimeMs: Long = 3600000L,
+                                security: Option[OpcuaSecure.SecuritySetup] = None)
       extends MeasureFeed with AutoCloseable {
 
     private val backoff = new RetryPolicy.Backoff
@@ -370,6 +371,7 @@ object FeedTransport {
     @transient private var channel: ChannelToken = _
     @transient private var sendSeq: SeqState = _
     @transient private var recvSeq: SeqState = _
+    @transient private var sec: Option[OpcuaSecure.SecureClientChannel] = None
     private var requestId = 0L
 
     /** Delays observed by `sleeper` (exposed for the spec's assertions). */
@@ -379,6 +381,7 @@ object FeedTransport {
 
     private def teardown(): Unit = {
       if (sock != null) { try sock.close() catch { case _: Exception => () }; sock = null }
+      sec = None
     }
 
     private def connect(): Unit = {
@@ -393,8 +396,17 @@ object FeedTransport {
       // connect (the server may be restarting), not the request-level
       // fail-fast an in-conversation ERR gets.
       val ch =
-        try openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
-          System.currentTimeMillis(), requestedLifetimeMs)
+        try security match {
+          case Some(setup) =>
+            val sc = OpcuaSecure.openSecureClientChannel(in, out, limits,
+              s"opc.tcp://$host:$port/graft", System.currentTimeMillis(), setup,
+              requestedLifetimeMs)
+            sec = Some(sc)
+            sc.channel
+          case None =>
+            openClientChannel(in, out, limits, s"opc.tcp://$host:$port/graft",
+              System.currentTimeMillis(), requestedLifetimeMs)
+        }
         catch { case e: OpcuaError =>
           throw new java.io.IOException(s"handshake rejected: ${e.getMessage}")
         }
@@ -434,7 +446,7 @@ object FeedTransport {
       * (the spec makes ERR fatal) and fails fast as
       * [[FeedProtocolException]] — no backoff, no retry.
       */
-    private def call[T](encode: MessageWriter => Unit)(decode: BufReader => T): T =
+    private def call[T](encode: ChunkSink => Unit)(decode: BufReader => T): T =
       withSession {
         // renew the security token at 75% of its lifetime — between
         // requests, so the single-in-flight discipline holds. An ERR
@@ -444,24 +456,44 @@ object FeedTransport {
         // the conversion connect() applies to a rejected handshake.
         if (shouldRenew(channel, System.currentTimeMillis())) {
           requestId += 1
-          channel =
-            try renewChannel(in, out,
-              ClientChannel(negotiated, channel, sendSeq, recvSeq),
-              requestId, System.currentTimeMillis(), requestedLifetimeMs).token
-            catch { case e: OpcuaError =>
-              throw new java.io.IOException(s"token renewal rejected: ${e.getMessage}")
-            }
+          try sec match {
+            case Some(sc) =>
+              val renewed = OpcuaSecure.renewSecureChannel(in, out, sc, requestId,
+                System.currentTimeMillis(), requestedLifetimeMs)
+              sec = Some(renewed)
+              channel = renewed.channel.token
+            case None =>
+              channel = renewChannel(in, out,
+                ClientChannel(negotiated, channel, sendSeq, recvSeq),
+                requestId, System.currentTimeMillis(), requestedLifetimeMs).token
+          }
+          catch { case e: OpcuaError =>
+            throw new java.io.IOException(s"token renewal rejected: ${e.getMessage}")
+          }
         }
         requestId += 1
-        val mw = new MessageWriter(out, sendSeq, requestId,
-          negotiated.receiveBufferSize, negotiated.maxChunkCount,
-          channel.channelId, channel.tokenId)
+        val mw: ChunkSink = sec match {
+          case Some(sc) =>
+            new OpcuaSecure.SecureMessageWriter(out, sendSeq, requestId,
+              negotiated.receiveBufferSize, negotiated.maxChunkCount,
+              channel.channelId, channel.tokenId, sc.setup.mode, sc.keys.clientKeys)
+          case None =>
+            new MessageWriter(out, sendSeq, requestId,
+              negotiated.receiveBufferSize, negotiated.maxChunkCount,
+              channel.channelId, channel.tokenId)
+        }
         encode(mw)
         mw.finish()
         val readLimits = negotiated.copy(receiveBufferSize = negotiated.sendBufferSize)
         val before = recvSeq.next
         val (rid, body) =
-          try readMessage(in, recvSeq, readLimits, channel.channelId, channel.tokenId)
+          try sec match {
+            case Some(sc) =>
+              OpcuaSecure.readSecureConversation(in, recvSeq, readLimits,
+                channel.channelId, sc.setup.mode, sc.serverKeysFor, allowOpn = false)
+            case None =>
+              readMessage(in, recvSeq, readLimits, channel.channelId, channel.tokenId)
+          }
           catch { case e: OpcuaError => teardown(); throw new FeedProtocolException(e.getMessage) }
         chunksRead += recvSeq.next - before
         if (rid != requestId)

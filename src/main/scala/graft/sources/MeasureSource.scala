@@ -69,7 +69,37 @@ final class MeasureScan(options: CaseInsensitiveStringMap) extends Scan {
       // driver polls LATEST, each partition RANGE-pulls its slice
       feedHost = Option(options.get("feedHost")),
       feedPort = options.getInt("feedPort", 0),
-      chunkRows = options.getLong("chunkRows", 65536L))
+      chunkRows = options.getLong("chunkRows", 65536L),
+      feedSecurity = FeedSecurity.fromOptions(options))
+}
+
+/** Serializable description of the secured-channel material — string
+  * paths only, so it ships inside the InputPartition; each executor
+  * loads the PKCS#12 + server certificate from a path it can read (on a
+  * real cluster distributed via `--files`). Absent = SecurityPolicy None.
+  */
+final case class FeedSecurity(mode: String, keystore: String,
+                              password: String, alias: String,
+                              serverCert: String) {
+  def setup: OpcuaSecure.SecuritySetup = OpcuaSecure.SecuritySetup(
+    mode match {
+      case "sign" => OpcuaCrypto.SecurityModeSign
+      case "signencrypt" => OpcuaCrypto.SecurityModeSignAndEncrypt
+      case other => throw new IllegalArgumentException(
+        s"secMode must be sign|signencrypt, got $other")
+    },
+    OpcuaCrypto.loadIdentity(keystore, password, alias),
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(serverCert)))
+}
+
+object FeedSecurity {
+  def fromOptions(options: CaseInsensitiveStringMap): Option[FeedSecurity] =
+    Option(options.get("secMode")).map { m =>
+      FeedSecurity(m,
+        options.get("secKeystore"), options.get("secKeystorePass"),
+        Option(options.get("secAlias")).getOrElse("graft"),
+        options.get("secServerCert"))
+    }
 }
 
 final case class SeqOffset(seq: Long) extends Offset {
@@ -80,7 +110,7 @@ final class MeasureMicroBatchStream(
     nDevices: Int, nMeasures: Int, startMicros: Long, intervalMicros: Long,
     ticksPerBatch: Long, maxRowsPerTrigger: Long, queueCapacity: Long,
     numPartitions: Int, feedHost: Option[String] = None, feedPort: Int = 0,
-    chunkRows: Long = 65536L)
+    chunkRows: Long = 65536L, feedSecurity: Option[FeedSecurity] = None)
   extends MicroBatchStream {
 
   // a non-positive chunk makes SocketRangeReader's pull loop advance by
@@ -91,7 +121,9 @@ final class MeasureMicroBatchStream(
   private val feed = new SimulatedFeed(nDevices, nMeasures, startMicros, intervalMicros, 0L)
   // socket mode: the SERVER owns the clock; the driver's connection only
   // polls LATEST (and reconnects through the same backoff as any client)
-  private lazy val remote = feedHost.map(h => new FeedTransport.SocketMeasureFeed(h, feedPort))
+  private lazy val remote = feedHost.map(h =>
+    new FeedTransport.SocketMeasureFeed(h, feedPort,
+      security = feedSecurity.map(_.setup)))
   private val perItemRows = nDevices.toLong * nMeasures
 
   override def initialOffset(): Offset = SeqOffset(0L)
@@ -124,7 +156,7 @@ final class MeasureMicroBatchStream(
       val lo = startSeq + span * p / n
       val hi = startSeq + span * (p + 1) / n
       if (hi > lo) Some(MeasureRange(lo, hi, nDevices, nMeasures, startMicros,
-        intervalMicros, feedHost, feedPort, chunkRows))
+        intervalMicros, feedHost, feedPort, chunkRows, feedSecurity))
       else None
     }.toArray
   }
@@ -143,7 +175,8 @@ final case class MeasureRange(
     lo: Long, hi: Long, nDevices: Int, nMeasures: Int,
     startMicros: Long, intervalMicros: Long,
     feedHost: Option[String] = None, feedPort: Int = 0,
-    chunkRows: Long = 65536L) extends InputPartition
+    chunkRows: Long = 65536L,
+    feedSecurity: Option[FeedSecurity] = None) extends InputPartition
 
 /** Executor-side reader: regenerates its [lo, hi) slice from the pure feed
   * function. A real OPC connector would instead drain a per-executor
@@ -176,7 +209,8 @@ final class SocketRangeReader(r: MeasureRange, host: String,
                               chunkRows: Long = 65536L)
     extends PartitionReader[InternalRow] {
   require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
-  private val client = new FeedTransport.SocketMeasureFeed(host, r.feedPort)
+  private val client = new FeedTransport.SocketMeasureFeed(host, r.feedPort,
+    security = r.feedSecurity.map(_.setup))
   private var chunkStart = r.lo
   private var rows: Iterator[(String, String, Double, Long, Boolean)] = Iterator.empty
   private var seq = r.lo - 1

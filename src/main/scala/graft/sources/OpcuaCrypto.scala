@@ -146,6 +146,20 @@ object OpcuaCrypto {
     }
   }
 
+  /** Persist an identity as PKCS#12 — how an executor-side feed client
+    * receives its certificate + key (a path every executor can read;
+    * on a real cluster shipped via `--files`).
+    */
+  def saveIdentity(ident: Identity, p12Path: String, password: String, alias: String): Unit = {
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    val cert = CertificateFactory.getInstance("X.509")
+      .generateCertificate(new java.io.ByteArrayInputStream(ident.certDer))
+    ks.setKeyEntry(alias, ident.privateKey, password.toCharArray, Array(cert))
+    val out = new java.io.FileOutputStream(p12Path)
+    try ks.store(out, password.toCharArray) finally out.close()
+  }
+
   def loadIdentity(p12Path: String, password: String, alias: String): Identity = {
     val ks = KeyStore.getInstance("PKCS12")
     val in = new java.io.FileInputStream(p12Path)

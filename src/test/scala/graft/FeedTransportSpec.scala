@@ -9,9 +9,8 @@ import graft.sources.FeedTransport.{FeedServer, SocketMeasureFeed}
   * request/response pulls, ERR frames, and — the part that matters —
   * connection drops mid-stream answered by backoff reconnect and an
   * idempotent retry that resumes at the same sequence with no loss and no
-  * duplicates (S2/T4/T5; the OPN/CLO secure-channel crypto is the one
-  * remaining documented gap — see OpcuaFraming's scaladoc). Frame-level
-  * byte pins live in OpcuaFramingSpec.
+  * duplicates (S2/T4/T5). The Basic256Sha256 secured modes are covered by
+  * OpcuaSecureSpec; frame-level byte pins live in OpcuaFramingSpec.
   */
 class FeedTransportSpec extends AnyFunSuite {
   import graft.sources.OpcuaFraming

@@ -274,6 +274,67 @@ class OpcuaSecureSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("secured bulk client: pulls equal the feed; reconnect re-handshakes the crypto") {
+    withSecureServer { (server, feed) =>
+      val client = new FeedTransport.SocketMeasureFeed("127.0.0.1", server.boundPort,
+        sleeper = _ => (),
+        security = Some(SecuritySetup(SecurityModeSignAndEncrypt, clientIdent,
+          serverIdent.certDer)))
+      try {
+        assert(client.latest() == feed.latest())
+        (0L until feed.latest()).foreach(i => assert(client.at(i) == feed.at(i)))
+        // a dropped connection reconnects through the FULL secured
+        // handshake (new nonces, new keys) and the idempotent retry
+        // resumes exactly
+        server.killConnections()
+        assert(client.fetchRange(0L, feed.latest()) ==
+          (0L until feed.latest()).map(feed.at))
+      } finally client.close()
+    }
+  }
+
+  test("DSv2 secured socket mode: partitions RANGE-pull over SignAndEncrypt channels") {
+    val spark = SparkSpec.spark
+    val feed = new SimulatedFeed(nDevices = 3, nMeasures = 2,
+      startMicros = 1704067200000000L, intervalMicros = 5000000L, clockTicks = 4L)
+    val server = new FeedTransport.FeedServer(feed, identity = Some(serverIdent))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sec")
+    val ksPath = dir.resolve("client.p12").toString
+    val certPath = dir.resolve("server.der").toString
+    saveIdentity(clientIdent, ksPath, "testpass", "graft")
+    java.nio.file.Files.write(java.nio.file.Paths.get(certPath), serverIdent.certDer)
+    val q = spark.readStream
+      .format(classOf[graft.sources.MeasureSourceProvider].getName)
+      .option("nDevices", 3).option("nMeasures", 2)
+      .option("startMicros", 1704067200000000L).option("intervalMicros", 5000000L)
+      .option("numPartitions", 2)
+      .option("feedHost", "127.0.0.1").option("feedPort", server.boundPort)
+      .option("secMode", "signencrypt")
+      .option("secKeystore", ksPath).option("secKeystorePass", "testpass")
+      .option("secServerCert", certPath)
+      .load()
+      .writeStream.format("memory").queryName("measure_secured_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      feed.clockTicks += 2
+      q.processAllAvailable()
+      val got = spark.table("measure_secured_t")
+        .selectExpr("device", "measure_name", "raw_value",
+          "unix_micros(source_ts) AS micros", "status_ok", "event_seq")
+        .collect()
+        .map(r => (r.getLong(5),
+          (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))))
+        .sortBy(_._1)
+      assert(got.length == 36, "6 ticks × 6 items through the encrypted channel")
+      got.foreach { case (i, row) => assert(row == feed.at(i)) }
+    } finally {
+      q.stop()
+      server.close()
+      spark.sql("DROP TABLE IF EXISTS measure_secured_t")
+    }
+  }
+
   test("None-policy clients still work against a secured-capable server") {
     withSecureServer { (server, feed) =>
       val c = new SessionClient("127.0.0.1", server.boundPort) // plaintext
