@@ -301,6 +301,72 @@ object SimilarityQueries {
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), 0.40, step = 100L)
         .orderBy("vec_id")
+    },
+
+    // SQ8 scalar quantization: per-dim corpus bounds → integer codes in
+    // [0,255]. All outputs integer-exact; the floor's inner arithmetic is
+    // the same IEEE double sequence in both engines.
+    QueryDef("q94_sq8_quantize",
+      eCte +
+        s""",
+        |x AS (SELECT vec_id, i, emb[i] AS v
+        |      FROM (SELECT vec_id, emb, unnest(range(1, ${D + 1})) AS i FROM e)),
+        |b AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+        |c AS (SELECT x.vec_id,
+        |             CAST(CASE WHEN b.mx = b.mn THEN 0.0
+        |                  ELSE least(255.0, floor((x.v - b.mn) * 256.0 / (b.mx - b.mn)))
+        |                  END AS BIGINT) AS code
+        |      FROM x JOIN b USING (i))
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |       CAST(MIN(code) AS BIGINT) AS code_min,
+        |       CAST(MAX(code) AS BIGINT) AS code_max,
+        |       CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Similarity.sq8Codes(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"),
+          expr("cast(size(filter(codes, c -> c = 255)) as long)").as("n_saturated"))
+        .orderBy("vec_id")
+    },
+
+    // Quantize-then-rerank ANN: top-20 shortlist by the APPROXIMATE
+    // cosine of cell-midpoint-dequantized codes (a raw code dot would
+    // deform the geometry — the per-dim quantization is affine), exact
+    // cosine only on the shortlist, top-5 — FAISS's SQ + refine pattern;
+    // candidate generation scans the 8×-smaller codes table at the
+    // 100 TB layout.
+    QueryDef("q95_ann_sq8",
+      eCte +
+        s""",
+        |x AS (SELECT vec_id, i, emb[i] AS v
+        |      FROM (SELECT vec_id, emb, unnest(range(1, ${D + 1})) AS i FROM e)),
+        |b AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+        |bl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM b),
+        |r AS (SELECT e.vec_id, list_transform(range(1, ${D + 1}), i ->
+        |        mns[i] + (CAST(CASE WHEN mxs[i] = mns[i] THEN 0.0
+        |             ELSE least(255.0, floor((emb[i] - mns[i]) * 256.0 / (mxs[i] - mns[i])))
+        |             END AS DOUBLE) + 0.5)
+        |          * (mxs[i] - mns[i]) / 256.0) AS remb
+        |      FROM e, bl),
+        |ap AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |              ${cos("q.remb", "d.remb")} AS approx_cosine
+        |       FROM r q JOIN r d ON d.vec_id <> q.vec_id WHERE q.vec_id < 5),
+        |sl AS (SELECT q_id, n_id, approx_cosine FROM (
+        |       SELECT q_id, n_id, approx_cosine,
+        |              row_number() OVER (PARTITION BY q_id
+        |                  ORDER BY approx_cosine DESC, n_id) AS cn FROM ap) WHERE cn <= 20)
+        |SELECT sl.q_id, sl.n_id, sl.approx_cosine,
+        |       ${cos("q.emb", "d.emb")} AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY sl.q_id
+        |            ORDER BY ${cos("q.emb", "d.emb")} DESC, sl.n_id) AS INT) AS rk
+        |FROM sl JOIN e q ON q.vec_id = sl.q_id JOIN e d ON d.vec_id = sl.n_id
+        |QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), 5L, 5, candidates = 20)
+        .orderBy("q_id", "rk")
     }
   )
 }

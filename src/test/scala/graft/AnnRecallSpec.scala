@@ -76,4 +76,20 @@ class AnnRecallSpec extends SparkSpec {
       truth.unpersist(); lsh.unpersist()
     } finally emb.unpersist()
   }
+
+  test("SQ8 quantize-then-rerank recall vs brute force stays above its floor") {
+    val emb = Tables.embeddings(spark, SfDir).cache()
+    try {
+      val truth = Similarity.bruteForceTopK(emb, QueryMaxId, K).cache()
+      // a 2×k shortlist from the 8-bit codes, exact rerank on top
+      val sq8 = recallVs(truth, Similarity.sq8TopK(emb, QueryMaxId, K, candidates = 2 * K))
+      info(f"recall@$K vs brute force: sq8(rerank 2k)=$sq8%.3f")
+      // 8-bit scalar quantization preserves neighborhoods far better than
+      // the hashing families (measured 1.000 here); floor pinned just
+      // below so any geometry regression — e.g. ranking by raw code dot,
+      // which measured 0.110 — fails loudly
+      assert(sq8 >= 0.95, s"SQ8 rerank recall below floor: $sq8")
+      truth.unpersist()
+    } finally emb.unpersist()
+  }
 }

@@ -20,6 +20,12 @@ class PlanGuardSpec extends SparkSpec {
     "q51_frame_sample",
     // mixture total T = min(count/share) is a ONE-ROW broadcast aggregate
     "q85_lang_mixture",
+    // q92: IVF centroid scoring (the q44 shape) inside semantic dedup
+    "q92_semantic_dedup",
+    // q94/q95: the SQ8 bounds row is a ONE-ROW broadcast aggregate, and
+    // the quantized shortlist ≠-joins the broadcast 5-query code set —
+    // both deliberately tiny build sides
+    "q94_sq8_quantize", "q95_ann_sq8",
     // the reference pipeline's batch "now" (max source_ts) joins in as a
     // ONE-ROW broadcast aggregate — the scalar-subquery shape
     "q02_staleness", "q06_liveness", "q07_current_values",
