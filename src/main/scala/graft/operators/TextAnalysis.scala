@@ -497,19 +497,47 @@ object TextAnalysis {
       if (counts.isEmpty) return merges.result()
       val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
       merges += best
-      val merged = best._1 + best._2
-      words = words.map { case (syms, f) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-            out += merged; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        (out.result().toArray, f)
-      }
+      words = words.map { case (syms, f) => (applyMerge(syms, best), f) }
       it += 1
     }
     merges.result()
+  }
+
+  /** One merge rule applied left-to-right over a symbol sequence. */
+  private def applyMerge(syms: Array[String], rule: (String, String)): Array[String] = {
+    val merged = rule._1 + rule._2
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == rule._1 && syms(i + 1) == rule._2) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result().toArray
+  }
+
+  /** Segment one word with an ordered merge-rule list (the BPE encode
+    * step): characters, then each rule applied in learning order.
+    */
+  def segmentWord(w: String, merges: Seq[(String, String)]): Array[String] =
+    merges.foldLeft(w.split("").filter(_.nonEmpty))(applyMerge)
+
+  /** Apply learned BPE merges to the corpus. The segmentation is a pure
+    * function of the WORD, so it computes once per distinct word (the
+    * Heaps-law-small vocabulary, as a typed map over the distinct set)
+    * and broadcast-joins back to the corpus explode — the corpus-scale
+    * pass never runs the sequential merge loop. Output per document:
+    * whitespace word count and the BPE token count after merging.
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exploded = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val seg = exploded.select("w").distinct().as[String]
+      .map(w => (w, segmentWord(w, merges).length.toLong))
+      .toDF("w", "n_subtokens")
+    exploded.join(broadcast(seg), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_subtokens").as("n_bpe_tokens"))
   }
 }

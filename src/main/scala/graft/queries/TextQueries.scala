@@ -427,6 +427,18 @@ object TextQueries {
         |       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
         |FROM p QUALIFY rk <= 50 ORDER BY rk""".stripMargin) { (s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), 50).orderBy("rk")
+    },
+
+    // BPE encode over the corpus with 20 learned merges: segmentation
+    // computed once per DISTINCT word and broadcast back — the
+    // corpus-scale pass never runs the sequential merge loop. The merge
+    // loop itself is not SQL-expressible (ordered rewriting), so this is
+    // a rows-only entry by contract; TextAnalysisSpec pins the merge
+    // sequence and the apply semantics on hand-computed fixtures.
+    QueryDef.sparkOnly("q96_bpe_apply") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeLearn(docs, nMerges = 20)
+      TextAnalysis.bpeApply(docs, merges).orderBy("doc_id")
     }
   )
 }

@@ -107,4 +107,37 @@ object PropertySpec extends Properties("graft") {
         .as[(Long, Long)].collect().sorted.toSeq
       bucketed == naive
     }
+
+  // --------------------------------------------- secured chunk layer
+
+  private val securedMsgGen = for {
+    n <- Gen.chooseNum(0, 60000)
+    seed <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    mode <- Gen.oneOf(graft.sources.OpcuaCrypto.SecurityModeSign,
+      graft.sources.OpcuaCrypto.SecurityModeSignAndEncrypt)
+    buf <- Gen.oneOf(8192, 16384, 65536)
+  } yield (n, seed, mode, buf)
+
+  property("secured MSG chunks round-trip any payload in both modes and buffer sizes") =
+    forAll(securedMsgGen) { case (n, seed, mode, buf) =>
+      import graft.sources.OpcuaCrypto._
+      import graft.sources.OpcuaFraming._
+      import graft.sources.OpcuaSecure._
+      // deterministic pseudo-random payload from the seed
+      val rnd = new scala.util.Random(seed)
+      val payload = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val keys = deriveKeys(
+        Array.tabulate[Byte](32)(i => (i + seed).toByte),
+        Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte))
+      val out = new java.io.ByteArrayOutputStream()
+      val mw = new SecureMessageWriter(out, new SeqState, requestId = 5L,
+        peerReceiveBufferSize = buf, maxChunkCount = 0L,
+        channelId = 2L, tokenId = 9L, mode = mode, sendKeys = keys)
+      mw.raw(payload); mw.finish()
+      val (rid, body) = readSecureConversation(
+        new java.io.ByteArrayInputStream(out.toByteArray), new SeqState,
+        Limits(buf, buf, 0L, 0L), channelId = 2L, mode = mode,
+        keysFor = t => if (t == 9L) Some(keys) else None, allowOpn = false)
+      rid == 5L && java.util.Arrays.equals(body, payload)
+    }
 }

@@ -187,4 +187,20 @@ class TextAnalysisSpec extends SparkSpec {
     // merge loop terminates early once words are fully merged
     assert(TextAnalysis.bpeLearn(docs, nMerges = 100).length < 100)
   }
+
+  test("bpe segment + apply: merges rewrite in learning order, token counts per doc") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    // full rule list collapses the training word; a prefix stops mid-way
+    assert(TextAnalysis.segmentWord("aaab", merges).toSeq == Seq("aaab"))
+    assert(TextAnalysis.segmentWord("aaab", merges.take(2)).toSeq == Seq("aa", "ab"))
+    assert(TextAnalysis.segmentWord("aab", merges).toSeq == Seq("aa", "b"))
+    // segmentation always reconstructs the word
+    assert(TextAnalysis.segmentWord("banana", merges).mkString == "banana")
+    val docs = Seq((1L, "aaab aab xyz"), (2L, "aaab aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApply(docs, merges).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: aaab→1, aab→2, xyz→3 tokens = 6 over 3 words
+    // doc2: aaab→1 ×2 = 2 over 2 words
+    assert(got == Seq((1L, 3L, 6L), (2L, 2L, 2L)))
+  }
 }
