@@ -173,6 +173,9 @@ object NativeVectorOps {
     * check keeps repeat calls silent (createOrReplace WARNs on replace).
     */
   def register(spark: SparkSession): Unit = {
+    // the optimizer rules ride along: any session using the native ops
+    // also gets the HOF-dot and intersect-count rewrites
+    graft.plans.GraftRules.install(spark)
     val registry = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
     if (!registry.functionExists(id)) {

@@ -18,9 +18,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * contract mains receive an already-built session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       exprs => DotProduct(exprs.head, exprs(1))))
+    // optimizer rules (see graft.plans.GraftRules): HOF dot → native
+    // codegen loop; size(array_intersect) → count-only intersection
+    extensions.injectOptimizerRule(_ => graft.plans.GraftRules.NativeDotRewrite)
+    extensions.injectOptimizerRule(_ => graft.plans.GraftRules.IntersectCountRewrite)
+  }
 }

@@ -375,6 +375,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, tauPct: Int = 70): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100], got $tauPct")
+    // the verification step's size(array_intersect(...)) rewrites to the
+    // count-only IntersectCount when the rule is installed
+    graft.plans.GraftRules.install(docs.sparkSession)
     // (doc_id, shingle) feeds df, ranking, and both intersection legs —
     // persisted so tokenize+explode+distinct runs once, not four times
     // (session-scoped and evictable, the SequencePack.pack idiom).
