@@ -417,6 +417,23 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_tokens", "running_tokens")
   }
 
+  /** C4-style URL curation (Raffel et al. 2020's cleaning steps, public):
+    * normalize each document URL (strip query + fragment — the crawl-dup
+    * axis), extract the lowercased host, drop blocklisted domains
+    * (broadcast anti-join — a real blocklist is millions of rows, never
+    * an IN-list), and keep ONE survivor per normalized URL (min doc_id)
+    * with the duplicate count. One shuffle (the URL group-by); the
+    * blocklist join is map-side.
+    */
+  def urlCurate(urls: DataFrame, blocklist: DataFrame): DataFrame = {
+    val norm = urls
+      .withColumn("norm_url", regexp_replace(col("url"), "[?#].*$", ""))
+      .withColumn("domain", lower(regexp_extract(col("norm_url"), "^https?://([^/]+)", 1)))
+    norm.join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .groupBy("norm_url", "domain")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** PII patterns shared by the operator and its oracle twin — restricted
     * to the regex subset Java and RE2/DuckDB interpret identically (no
     * lookaround, no backreferences, explicit character classes).

@@ -439,6 +439,36 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val merges = TextAnalysis.bpeLearn(docs, nMerges = 20)
       TextAnalysis.bpeApply(docs, merges).orderBy("doc_id")
+    },
+
+    // C4-style URL curation: the corpus carries no URLs, so the query
+    // derives one deterministically from (source, doc_id) — the query
+    // string varies per doc while the path repeats, so normalization
+    // (strip ?…/#…) creates real duplicate groups; src1/src3 domains are
+    // blocklisted; min-doc_id survivor per normalized URL.
+    QueryDef("q97_url_curation",
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' ||
+        |  CAST(doc_id % 40 AS VARCHAR) || '?session=' || CAST(doc_id AS VARCHAR) ||
+        |  '#top' AS url FROM documents),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(url, '[?#].*$', '') AS norm_url,
+        |  lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+        |        '^https?://([^/]+)', 1)) AS domain
+        |  FROM u)
+        |SELECT norm_url, domain, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM n
+        |WHERE domain NOT IN ('src1.example.com', 'src3.example.com')
+        |GROUP BY norm_url, domain
+        |ORDER BY norm_url""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 40).cast("string"), lit("?session="),
+          col("doc_id").cast("string"), lit("#top")).as("url"))
+      val blocklist = Seq("src1.example.com", "src3.example.com").toDF("domain")
+      TextAnalysis.urlCurate(urls, blocklist).orderBy("norm_url")
     }
   )
 }
