@@ -177,6 +177,57 @@ object TextAnalysis {
       .select("doc_id", "lang", "n_words", "quality_score")
   }
 
+  /** Robots-style URL prefix filtering: drop documents whose URL path
+    * starts with any disallowed prefix. The rule set is broadcast (a
+    * robots/blockrule dim is tiny next to the corpus) and the prefix
+    * match is a non-equi semi-join against it — deliberately a
+    * broadcast nested-loop of |corpus| × |rules| string prefix tests,
+    * which is the right shape while rules stay in the thousands; a
+    * million-rule set would trade up to a trie/longest-prefix dim.
+    * Output: the surviving documents with their normalized paths.
+    */
+  def robotsFilter(urls: DataFrame, disallow: DataFrame): DataFrame = {
+    val withPath = urls.withColumn("path",
+      regexp_replace(regexp_replace(col("url"), "[?#].*$", ""), "^https?://[^/]*", ""))
+    withPath
+      .join(broadcast(disallow), col("path").startsWith(col("prefix")), "left_anti")
+      .select("doc_id", "path")
+  }
+
+  /** Stage-by-stage survival counts of the [[curate]] pipeline — the
+    * funnel report a production curation run publishes beside its
+    * output. ONE fused projection computes every per-doc verdict (the
+    * same flags curate filters on), the fingerprint window marks the
+    * canonical survivor among quality+lang passers (min doc_id, exactly
+    * curate's dedup), and a single global aggregation counts the
+    * cumulative funnel; stages emit as rows so adding a stage never
+    * changes the schema.
+    */
+  def curationFunnel(docs: DataFrame, minQuality: Double, keepLang: String): DataFrame = {
+    val flags = withLangId(withQualityFeatures(docs))
+      .withColumn("pass_q", col("quality_score") >= minQuality)
+      .withColumn("pass_l", col("pass_q") && col("predicted_lang") === keepLang)
+      .withColumn("fp", md5(TextOps.normalized(col("text"))))
+    val w = Window.partitionBy("fp")
+    val verdicts = flags
+      .withColumn("canon", min(when(col("pass_l"), col("doc_id"))).over(w))
+      .withColumn("pass_d", col("pass_l") && col("doc_id") === col("canon"))
+    val agg = verdicts.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("pass_q"), 1L).otherwise(0L)).as("s_q"),
+      sum(when(col("pass_l"), 1L).otherwise(0L)).as("s_l"),
+      sum(when(col("pass_d"), 1L).otherwise(0L)).as("s_d"))
+    agg.select(explode(array(
+      struct(lit("1_total").as("stage"), col("total").as("docs_in"), col("total").as("docs_out")),
+      struct(lit("2_quality").as("stage"), col("total").as("docs_in"), col("s_q").as("docs_out")),
+      struct(lit("3_language").as("stage"), col("s_q").as("docs_in"), col("s_l").as("docs_out")),
+      struct(lit("4_exact_dedup").as("stage"), col("s_l").as("docs_in"), col("s_d").as("docs_out"))))
+      .as("st"))
+      .select(col("st.stage").as("stage"), col("st.docs_in").as("docs_in"),
+        col("st.docs_out").as("docs_out"),
+        (col("st.docs_in") - col("st.docs_out")).as("dropped"))
+  }
+
   /** Cross-document duplicated-SPAN removal — the exact-substring dedup
     * step of modern training pipelines (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): any word 3-gram

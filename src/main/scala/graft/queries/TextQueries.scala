@@ -469,6 +469,76 @@ object TextQueries {
           col("doc_id").cast("string"), lit("#top")).as("url"))
       val blocklist = Seq("src1.example.com", "src3.example.com").toDF("domain")
       TextAnalysis.urlCurate(urls, blocklist).orderBy("norm_url")
+    },
+
+    // Robots-style path-prefix filtering over the q97-derived URLs:
+    // '/docs/1' disallows /docs/1 and /docs/10–19 (prefix semantics,
+    // exactly robots.txt's), '/docs/33' a single path. Rule dim
+    // broadcast; non-equi prefix anti-join.
+    QueryDef("q98_robots_filter",
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' ||
+        |  CAST(doc_id % 40 AS VARCHAR) || '?session=' || CAST(doc_id AS VARCHAR) ||
+        |  '#top' AS url FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(url, '[?#].*$', ''), '^https?://[^/]*', '')
+        |    AS path FROM u)
+        |SELECT doc_id, path FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('/docs/1'), ('/docs/33')) r(prefix)
+        |                  WHERE starts_with(p.path, prefix))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 40).cast("string"), lit("?session="),
+          col("doc_id").cast("string"), lit("#top")).as("url"))
+      val disallow = Seq("/docs/1", "/docs/33").toDF("prefix")
+      TextAnalysis.robotsFilter(urls, disallow).orderBy("doc_id")
+    },
+
+    // Curation funnel: cumulative survival counts through q64's stages
+    // (quality gate → language gate → exact dedup) — the observability
+    // report a production curation run publishes beside its output. One
+    // fused verdict projection + one fingerprint window + one global agg.
+    QueryDef("q99_curation_funnel",
+      s"""WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) AS BIGINT) AS n_chars_m,
+        |         CAST(length($W) AS BIGINT) AS n_words,
+        |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stop,
+        |         CAST(length(list_filter($W, w -> list_contains(['the','and','a','of'], w))) AS BIGINT) AS n_en
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 0.4
+        |           + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3
+        |           + (1.0 - CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END) * 0.3 AS quality_score,
+        |         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        |              WHEN (CASE WHEN n_words > 0 THEN CAST(n_en AS DOUBLE) / n_words ELSE 0.0 END) >= 0.03 THEN 'en'
+        |              ELSE 'unknown' END AS predicted_lang
+        |  FROM f),
+        |v AS (SELECT doc_id, text,
+        |             quality_score >= 0.55 AS pass_q,
+        |             (quality_score >= 0.55 AND predicted_lang = 'en') AS pass_l
+        |      FROM q),
+        |v2 AS (SELECT *,
+        |              min(CASE WHEN pass_l THEN doc_id END)
+        |                OVER (PARTITION BY md5(${TextOps.normalizedSql})) AS canon
+        |       FROM v),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |             CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS s_q,
+        |             CAST(SUM(CASE WHEN pass_l THEN 1 ELSE 0 END) AS BIGINT) AS s_l,
+        |             CAST(SUM(CASE WHEN pass_l AND doc_id = canon THEN 1 ELSE 0 END) AS BIGINT) AS s_d
+        |      FROM v2)
+        |SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped FROM (
+        |  SELECT '1_total' AS stage, total AS docs_in, total AS docs_out FROM a
+        |  UNION ALL SELECT '2_quality', total, s_q FROM a
+        |  UNION ALL SELECT '3_language', s_q, s_l FROM a
+        |  UNION ALL SELECT '4_exact_dedup', s_l, s_d FROM a)
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      TextAnalysis.curationFunnel(Tables.documents(s, dir), 0.55, "en")
+        .orderBy("stage")
     }
   )
 }

@@ -22,6 +22,9 @@ class PlanGuardSpec extends SparkSpec {
     "q85_lang_mixture",
     // q92: IVF centroid scoring (the q44 shape) inside semantic dedup
     "q92_semantic_dedup",
+    // q98: robots prefix rules are a deliberately tiny broadcast dim;
+    // the prefix match is a non-equi anti-join by design
+    "q98_robots_filter",
     // q94/q95: the SQ8 bounds row is a ONE-ROW broadcast aggregate, and
     // the quantized shortlist ≠-joins the broadcast 5-query code set —
     // both deliberately tiny build sides
