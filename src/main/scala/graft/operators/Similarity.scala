@@ -429,7 +429,17 @@ object Similarity {
     * broadcast; identical IEEE arithmetic in the DuckDB twin.
     */
   def sq8Reconstruct(embeddings: DataFrame): DataFrame =
-    sq8Codes(embeddings).crossJoin(broadcast(sq8Bounds(embeddings)))
+    // one bounds pass + one codes pass: quantize and dequantize against
+    // the SAME broadcast bounds row (composing sq8Codes with a second
+    // bounds join would aggregate the corpus bounds twice)
+    embeddings.crossJoin(broadcast(sq8Bounds(embeddings)))
+      .select(col("vec_id"),
+        expr("""transform(cast(embedding as array<double>), (v, i) ->
+          cast(CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0
+               ELSE least(255.0, floor((v - element_at(mns, i + 1)) * 256.0
+                    / (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END as long))""")
+          .as("codes"),
+        col("mns"), col("mxs"))
       .select(col("vec_id"), col("codes"),
         expr("""transform(codes, (c, i) ->
           element_at(mns, i + 1) + (cast(c as double) + 0.5D)
