@@ -56,18 +56,20 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         times += name -> samples.sorted.apply(1) // median of 3
-        // isolate queries: operators persist intermediates (shingle sets,
-        // IVF assignments) that legitimately carry across THIS query's
-        // warm + timed passes, but accumulating them across ~90 queries
-        // pressures the cache until the late (alphabetically last) dedup
-        // heavies measure eviction + GC, not themselves — q86 measured
-        // 9.4 s at the end of a full run vs 5.1 s standalone
-        spark.catalog.clearCache()
       } catch {
         case e: Exception =>
           // strip ALL JSON-illegal chars (quotes, backslash, and every
           // control char incl. \t \r) or the emitted line won't parse
           errors += name -> e.toString.take(300).replaceAll("[\\x00-\\x1f\"\\\\]", " ")
+      } finally {
+        // isolate queries: operators persist intermediates (shingle sets,
+        // IVF assignments) that legitimately carry across THIS query's
+        // warm + timed passes, but accumulating them across ~90 queries
+        // pressures the cache until the late (alphabetically last) dedup
+        // heavies measure eviction + GC, not themselves — q86 measured
+        // 9.4 s at the end of a full run vs 2.7 s isolated. In a finally:
+        // a FAILED query's leftovers must not contaminate the rest either.
+        spark.catalog.clearCache()
       }
     }
     val ts = times.result()

@@ -96,6 +96,9 @@ object ThroughputBench {
     // reads (local mode shares the FS; a cluster ships via --files).
     // Measures the crypto tax on the same offered load.
     val secMode = sys.env.get("SPARK_GRAFT_TPUT_SECURITY")
+    require(secMode.isEmpty || feedMode == "socket",
+      "SPARK_GRAFT_TPUT_SECURITY needs SPARK_GRAFT_TPUT_FEED=socket " +
+        "(the local in-process feed has no wire to secure)")
     val offered = sys.env.getOrElse("SPARK_GRAFT_TPUT_OFFERED", "200000").toLong
     val chunkRows = sys.env.getOrElse("SPARK_GRAFT_TPUT_CHUNK_ROWS", "65536").toLong
     // tick granularity is 100k ev/s (10 fires/s × 10k events/tick): the

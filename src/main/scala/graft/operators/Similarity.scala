@@ -414,14 +414,18 @@ object Similarity {
     * smaller than float64 doubles, 4× smaller than float32 — with the
     * bounds row broadcast from a one-off corpus pass.
     */
+  /** The quantization projection, shared verbatim by [[sq8Codes]] and
+    * [[sq8Reconstruct]] so the formula cannot diverge between them.
+    */
+  private val Sq8CodesExpr =
+    """transform(cast(embedding as array<double>), (v, i) ->
+      cast(CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0
+           ELSE least(255.0, floor((v - element_at(mns, i + 1)) * 256.0
+                / (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END as long))"""
+
   def sq8Codes(embeddings: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(sq8Bounds(embeddings)))
-      .select(col("vec_id"),
-        expr("""transform(cast(embedding as array<double>), (v, i) ->
-          cast(CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0
-               ELSE least(255.0, floor((v - element_at(mns, i + 1)) * 256.0
-                    / (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END as long))""")
-          .as("codes"))
+      .select(col("vec_id"), expr(Sq8CodesExpr).as("codes"))
 
   /** Dequantized (reconstructed) vectors from the SQ8 codes:
     * `r_i = mn_i + (code_i + 0.5)·(mx_i − mn_i)/256` — the cell-midpoint
@@ -433,13 +437,7 @@ object Similarity {
     // the SAME broadcast bounds row (composing sq8Codes with a second
     // bounds join would aggregate the corpus bounds twice)
     embeddings.crossJoin(broadcast(sq8Bounds(embeddings)))
-      .select(col("vec_id"),
-        expr("""transform(cast(embedding as array<double>), (v, i) ->
-          cast(CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0
-               ELSE least(255.0, floor((v - element_at(mns, i + 1)) * 256.0
-                    / (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END as long))""")
-          .as("codes"),
-        col("mns"), col("mxs"))
+      .select(col("vec_id"), expr(Sq8CodesExpr).as("codes"), col("mns"), col("mxs"))
       .select(col("vec_id"), col("codes"),
         expr("""transform(codes, (c, i) ->
           element_at(mns, i + 1) + (cast(c as double) + 0.5D)
@@ -459,7 +457,11 @@ object Similarity {
   def sq8TopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
               candidates: Int = 20): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val recon = sq8Reconstruct(embeddings).select("vec_id", "remb")
+    // persisted: the reconstruction feeds BOTH the candidate scan and the
+    // broadcast query set — unpersisted, each branch would re-run the
+    // full-corpus bounds aggregation + reconstruction (the ivfIndex
+    // idiom; session-scoped cache, evictable, keyed on the plan)
+    val recon = sq8Reconstruct(embeddings).select("vec_id", "remb").persist()
     val q = recon.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("remb").as("q_remb"))
     val approx = recon.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -498,9 +500,14 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, threshold: Double, step: Long = 100L): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val e = embD("embedding")
+    // persisted: withCell feeds the pair join's BOTH sides and the final
+    // verdict join — unpersisted, the |corpus|×|cents| IVF assignment
+    // argmax and the norms would compute three times (the r3 ivfTopK
+    // regression class; see ivfIndex)
     val withCell = embeddings
       .select(col("vec_id"), e.as("emb"), sqrt(NativeVectorOps.dot(e, e)).as("nrm"))
       .join(ivfCells(embeddings, step), Seq("vec_id"))
+      .persist()
     val a = withCell.select(col("cell"), col("vec_id").as("keep_id"),
       col("emb").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withCell.select(col("cell"), col("vec_id").as("drop_id"),

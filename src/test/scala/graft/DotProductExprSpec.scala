@@ -15,29 +15,59 @@ class DotProductExprSpec extends SparkSpec {
       Array.tabulate(64)(d => math.cos(i * 64 + d) * 10))
   }.toDF("id", "a", "b")
 
+  /** Run with GraftRules UNINSTALLED: register() now also installs the
+    * HOF-dot→native rewrite, which would silently turn the "HOF side" of
+    * every parity assertion below into the native expression — parity
+    * pinned against itself proves nothing, and this spec is the very
+    * contract the rewrite rule's soundness rests on.
+    */
+  private def withoutGraftRules[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
   test("native dot == HOF dot, bit-for-bit, interpreted and codegen paths") {
     NativeVectorOps.register(spark)
-    val both = vecs.select(
-      NativeVectorOps.dot(col("a"), col("b")).as("native"),
-      VectorOps.dot(col("a"), col("b")).as("hof"))
-    val rows = both.as[(Double, Double)].collect()
-    assert(rows.length == 200)
-    rows.foreach { case (n, h) =>
-      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    withoutGraftRules {
+      val both = vecs.select(
+        NativeVectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dot(col("a"), col("b")).as("hof"))
+      val rows = both.as[(Double, Double)].collect()
+      assert(rows.length == 200)
+      rows.foreach { case (n, h) =>
+        assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+      }
     }
   }
 
   test("native cosine == HOF cosine; null array propagates null") {
     NativeVectorOps.register(spark)
-    val both = vecs.select(
-      NativeVectorOps.cosine(col("a"), col("b")).as("native"),
-      VectorOps.cosine(col("a"), col("b")).as("hof"))
-    both.as[(Double, Double)].collect().foreach { case (n, h) =>
-      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    withoutGraftRules {
+      val both = vecs.select(
+        NativeVectorOps.cosine(col("a"), col("b")).as("native"),
+        VectorOps.cosine(col("a"), col("b")).as("hof"))
+      both.as[(Double, Double)].collect().foreach { case (n, h) =>
+        assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+      }
+      val withNull = vecs.select(
+        NativeVectorOps.dot(when(col("id") === 0, col("a")), col("b")).as("d"))
+      assert(withNull.filter(col("d").isNull).count() == 199)
     }
-    val withNull = vecs.select(
-      NativeVectorOps.dot(when(col("id") === 0, col("a")), col("b")).as("d"))
-    assert(withNull.filter(col("d").isNull).count() == 199)
+  }
+
+  test("length mismatch: native dot == HOF dot == NULL (the rewrite's contract)") {
+    NativeVectorOps.register(spark)
+    withoutGraftRules {
+      val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+        .repartition(2) // keep the expressions live (no constant folding)
+      val both = df.select(
+        NativeVectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dot(col("a"), col("b")).as("hof"))
+      val (n, h) = both.as[(Option[Double], Option[Double])].collect().head
+      assert(n.isEmpty && h.isEmpty,
+        "zip_with null-pads the shorter array → the fold is NULL; the native loop must agree")
+    }
   }
 
   test("fused LSH buckets == composed per-plane sign sum, every table, bit-for-bit") {

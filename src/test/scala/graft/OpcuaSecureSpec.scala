@@ -126,7 +126,7 @@ class OpcuaSecureSpec extends AnyFunSuite {
   }
 
   private def roundTrip(mode: Long, payload: Array[Byte],
-                        bufSize: Int = 8192): (Array[Byte], Array[Byte]) = {
+                        bufSize: Int = 8192): (Array[Byte], Array[Byte], DirectionKeys) = {
     val keys = deriveChannelKeys(newNonce(), newNonce())
     val out = new java.io.ByteArrayOutputStream()
     val mw = new SecureMessageWriter(out, new SeqState, requestId = 9L,
@@ -139,29 +139,35 @@ class OpcuaSecureSpec extends AnyFunSuite {
       Limits(bufSize, bufSize, 0L, 0L), channelId = 3L, mode = mode,
       keysFor = t => if (t == 1L) Some(keys.clientKeys) else None, allowOpn = false)
     assert(rid == 9L)
-    (wire, body)
+    (wire, body, keys.clientKeys)
   }
 
   test("Sign: payload signed and plaintext-visible; MAC rejects tampering") {
     val payload = "the quick brown graft jumps over the lazy feed".getBytes("UTF-8")
-    val (wire, body) = roundTrip(SecurityModeSign, payload)
+    val (wire, body, keys) = roundTrip(SecurityModeSign, payload)
     assert(body.sameElements(payload))
     assert(indexOfSlice(wire, payload) >= 0, "Sign mode must NOT encrypt")
-    // flip a payload byte → MAC failure
+    // the untampered wire reads fine under the WRITER's keys (this is
+    // what makes the tamper assertion below non-vacuous)…
+    val (rid2, body2) = readSecureConversation(
+      new java.io.ByteArrayInputStream(wire), new SeqState,
+      Limits(8192, 8192, 0L, 0L), 3L, SecurityModeSign,
+      _ => Some(keys), allowOpn = false)
+    assert(rid2 == 9L && body2.sameElements(payload))
+    // …and flipping one payload byte fails the MAC under the SAME keys
     val tampered = wire.clone()
     tampered(30) = (tampered(30) ^ 0x40).toByte
-    val keys = deriveChannelKeys(newNonce(), newNonce())
     val e = intercept[OpcuaError] {
       readSecureConversation(new java.io.ByteArrayInputStream(tampered), new SeqState,
         Limits(8192, 8192, 0L, 0L), 3L, SecurityModeSign,
-        _ => Some(keys.clientKeys), allowOpn = false)
+        _ => Some(keys), allowOpn = false)
     }
     assert(e.code == BadSecurityChecksFailed)
   }
 
   test("SignAndEncrypt: payload NOT visible on the wire; round-trips exactly") {
     val payload = "top secret measure values 42.5 at dev-7".getBytes("UTF-8")
-    val (wire, body) = roundTrip(SecurityModeSignAndEncrypt, payload)
+    val (wire, body, _) = roundTrip(SecurityModeSignAndEncrypt, payload)
     assert(body.sameElements(payload))
     assert(indexOfSlice(wire, payload) < 0, "SignAndEncrypt leaked plaintext")
   }
