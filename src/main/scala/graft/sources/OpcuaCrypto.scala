@@ -118,9 +118,19 @@ object OpcuaCrypto {
     MessageDigest.getInstance("SHA-1").digest(certDer)
 
   def publicKeyOf(certDer: Array[Byte]): RSAPublicKey =
-    CertificateFactory.getInstance("X.509")
+    try CertificateFactory.getInstance("X.509")
       .generateCertificate(new java.io.ByteArrayInputStream(certDer))
       .getPublicKey.asInstanceOf[RSAPublicKey]
+    catch {
+      // attacker-controlled bytes reach this parser (the OPN security
+      // header's SenderCertificate); every malformation must surface
+      // inside the protocol's error taxonomy, not as a raw
+      // CertificateException/ClassCastException that skips the ERR frame
+      case e @ (_: java.security.cert.CertificateException | _: ClassCastException
+                | _: RuntimeException) =>
+        throw new OpcuaFraming.OpcuaError(OpcuaFraming.BadSecurityChecksFailed,
+          s"unparseable or non-RSA certificate: ${e.getClass.getSimpleName}")
+    }
 
   /** Generate a self-signed RSA-2048 identity via the JDK's `keytool`
     * (the JDK exposes no public API for X.509 *construction*, only

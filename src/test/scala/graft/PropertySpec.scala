@@ -13,6 +13,9 @@ import graft.operators.{CurrentValues, Dedup, VennJoin}
   */
 object PropertySpec extends Properties("graft") {
   private lazy val spark = SparkSpec.spark
+  /** One RSA identity for the whole fuzz run (keygen is ~1 s). */
+  lazy val fuzzIdentity: graft.sources.OpcuaCrypto.Identity =
+    graft.sources.OpcuaCrypto.generateSelfSigned("fuzz")
   import spark.implicits._
 
   private val scaleGen = for {
@@ -139,5 +142,37 @@ object PropertySpec extends Properties("graft") {
         Limits(buf, buf, 0L, 0L), channelId = 2L, mode = mode,
         keysFor = t => if (t == 9L) Some(keys) else None, allowOpn = false)
       rid == 5L && java.util.Arrays.equals(body, payload)
+    }
+
+  private val fuzzGen = for {
+    n <- Gen.chooseNum(0, 4096)
+    seed <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    prefixValid <- Gen.oneOf(true, false)
+  } yield (n, seed, prefixValid)
+
+  property("secured OPN parser rejects arbitrary bytes inside the protocol error taxonomy") =
+    forAll(fuzzGen) { case (n, seed, prefixValid) =>
+      import graft.sources.OpcuaCrypto._
+      import graft.sources.OpcuaFraming._
+      import graft.sources.OpcuaSecure._
+      val rnd = new scala.util.Random(seed)
+      val junk = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      // half the cases lead with a well-formed channel id + policy URI so
+      // the fuzz reaches the certificate/cipher stages, not just the
+      // header parse
+      val body =
+        if (!prefixValid) junk
+        else new BufWriter(64 + n).u32(0L).str(Basic256Sha256Uri).raw(junk).result()
+      val ident = PropertySpec.fuzzIdentity
+      try {
+        readSecuredOpnChunk(body, new SeqState, ident)
+        true // astronomically unlikely, but a parse that succeeds is not a crash
+      } catch {
+        case _: OpcuaError => true       // the protocol taxonomy —
+        case _: FramingViolation => true // exactly what a server answers with
+        case e: Throwable =>
+          println(s"escaped the taxonomy: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
     }
 }
