@@ -486,6 +486,110 @@ object Similarity {
         col("cosine"), col("rk"))
   }
 
+  // ------------------------------------------------------------- PQ
+
+  /** Product quantization geometry: 64-dim vectors split into 8
+    * subspaces of 8 dims; 8 centroids per subspace, seeded training-free
+    * from the first `PqCodebook` vectors' subvectors (the ivfCells
+    * convention — real PQ would k-means per subspace, the Spark plumbing
+    * is identical). A full code is 8×3 bits; packed 4 bits/subspace into
+    * one BIGINT for storage.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = Dim / PqSubspaces
+  val PqCodebook = 8
+
+  /** Codebook: (c, j, cent) — centroid c's subvector for subspace j. */
+  def pqCentroids(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") < PqCodebook)
+      .select(col("vec_id").as("c"), embD("embedding").as("emb"))
+      .select(col("c"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("emb"))
+      .select(col("c"), col("j"),
+        expr(s"slice(emb, j * $PqSubDim + 1, $PqSubDim)").as("cent"))
+
+  /** Squared L2 between two sub-array COLUMNS (by name), the
+    * engine-shared left fold.
+    */
+  private def subDist2(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "0.0D, (acc, v) -> acc + v)")
+
+  /** PQ encoding: per (vector, subspace) the argmin-distance centroid
+    * (ties to the smaller centroid id via the struct min), collected into
+    * an ordered 8-code array plus the packed BIGINT. The codebook is 64
+    * tiny rows broadcast; the per-vector combine is the only exchange.
+    * At 100 TB the packed codes column is 8 BYTES per vector — a 64×
+    * smaller scan than float64 embeddings — and ADC probes never touch
+    * the raw vectors outside the rerank shortlist.
+    */
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    val cents = pqCentroids(embeddings)
+    embeddings
+      .select(col("vec_id"), embD("embedding").as("emb"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("emb"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(emb, j * $PqSubDim + 1, $PqSubDim)").as("sub"))
+      .join(broadcast(cents), Seq("j"))
+      .withColumn("d2", subDist2("sub", "cent"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .groupBy("vec_id")
+      .agg(
+        expr("transform(array_sort(collect_list(named_struct('j', j, 'c', best.c))), s -> s.c)")
+          .as("codes"),
+        sum(expr("shiftleft(best.c, 4 * j)")).as("packed_code"))
+  }
+
+  /** PQ ANN with asymmetric distance computation (Jégou et al. 2011,
+    * public): each query precomputes its 64-entry distance table (query
+    * subvector × every centroid — tiny, broadcast), the corpus scan sums
+    * 8 table lookups per vector via an ORDERED fold over subspaces (a
+    * grouped SUM of doubles would be addition-order-nondeterministic
+    * across engines), and only the `candidates` shortlist pays the exact
+    * cosine. The scan side reads codes only — the PQ memory win.
+    */
+  def pqTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
+             candidates: Int = 20): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val cents = pqCentroids(embeddings)
+    // (q_id, dt[64]) — entry j*PqCodebook + c = d2(query subvec j, centroid c)
+    val dtable = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), embD("embedding").as("q_emb"))
+      .select(col("q_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("q_emb"))
+      .select(col("q_id"), col("j"),
+        expr(s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim)").as("qsub"))
+      .join(broadcast(cents), Seq("j"))
+      .withColumn("d2", subDist2("qsub", "cent"))
+      .groupBy("q_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'c', c, 'd2', d2))), s -> s.d2)")
+        .as("dt"))
+    val adc = pqCodes(embeddings).select("vec_id", "codes")
+      .join(broadcast(dtable), col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        expr(s"""aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, (acc, j) ->
+          acc + element_at(dt, cast(j * $PqCodebook
+            + element_at(codes, cast(j + 1 as int)) + 1 as int)))"""))
+      .select("q_id", "vec_id", "adc")
+    val wCand = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = adc.withColumn("cn", row_number().over(wCand))
+      .filter(col("cn") <= candidates)
+      .select("q_id", "vec_id", "adc")
+    val e = embD("embedding")
+    val qe = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), e.as("q_emb"))
+    val scored = shortlist
+      .join(embeddings.select(col("vec_id"), e.as("d_emb")), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .withColumn("cosine", NativeVectorOps.cosine(col("q_emb"), col("d_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc"), col("cosine"), col("rk"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * assign every vector to its IVF cell, then within each cell drop any
     * vector whose cosine to a LOWER-id cell-mate reaches `threshold` —

@@ -367,6 +367,83 @@ object SimilarityQueries {
         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       Similarity.sq8TopK(Tables.embeddings(s, dir), 5L, 5, candidates = 20)
         .orderBy("q_id", "rk")
+    },
+
+    // Product quantization: 8 subspaces × 8 dims, 8 centroids/subspace
+    // seeded from the first 8 vectors' subvectors (training-free, the
+    // ivfCells convention). Codes packed 4 bits/subspace into one BIGINT
+    // — integer-exact across engines.
+    QueryDef("q100_pq_codes",
+      eCte +
+        s""",
+        |g AS (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS j),
+        |cent AS (SELECT vec_id AS c, j,
+        |                list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                               i -> emb[j * ${Similarity.PqSubDim} + i]) AS cent
+        |         FROM e, g WHERE vec_id < ${Similarity.PqCodebook}),
+        |sub AS (SELECT vec_id, j,
+        |               list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                              i -> emb[j * ${Similarity.PqSubDim} + i]) AS sub
+        |        FROM e, g),
+        |d AS (SELECT sub.vec_id, sub.j, cent.c,
+        |             list_reduce(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                 i -> (sub.sub[i] - cent.cent[i]) * (sub.sub[i] - cent.cent[i])),
+        |                 (x, y) -> x + y) AS d2
+        |      FROM sub JOIN cent USING (j)),
+        |a AS (SELECT vec_id, j, c FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |      FROM d) WHERE rn = 1)
+        |SELECT vec_id, CAST(SUM(c * (CAST(1 AS BIGINT) << (4 * j))) AS BIGINT) AS packed_code
+        |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.pqCodes(Tables.embeddings(s, dir))
+        .select("vec_id", "packed_code").orderBy("vec_id")
+    },
+
+    // PQ ANN with asymmetric distance computation: per-query 64-entry
+    // distance table, ADC via an ORDERED fold over subspaces (a grouped
+    // SUM of doubles is addition-order-nondeterministic across engines),
+    // top-20 shortlist by ADC, exact cosine rerank top-5.
+    QueryDef("q101_ann_pq",
+      eCte +
+        s""",
+        |g AS (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS j),
+        |cent AS (SELECT vec_id AS c, j,
+        |                list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                               i -> emb[j * ${Similarity.PqSubDim} + i]) AS cent
+        |         FROM e, g WHERE vec_id < ${Similarity.PqCodebook}),
+        |sub AS (SELECT vec_id, j,
+        |               list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                              i -> emb[j * ${Similarity.PqSubDim} + i]) AS sub
+        |        FROM e, g),
+        |d AS (SELECT sub.vec_id, sub.j, cent.c,
+        |             list_reduce(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                 i -> (sub.sub[i] - cent.cent[i]) * (sub.sub[i] - cent.cent[i])),
+        |                 (x, y) -> x + y) AS d2
+        |      FROM sub JOIN cent USING (j)),
+        |a AS (SELECT vec_id, j, c FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |      FROM d) WHERE rn = 1),
+        |dt AS (SELECT sub.vec_id AS q_id, sub.j, cent.c,
+        |              list_reduce(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                  i -> (sub.sub[i] - cent.cent[i]) * (sub.sub[i] - cent.cent[i])),
+        |                  (x, y) -> x + y) AS d2
+        |       FROM sub JOIN cent USING (j) WHERE sub.vec_id < 5),
+        |adc AS (SELECT dt.q_id, a.vec_id,
+        |               list_reduce(list(dt.d2 ORDER BY a.j), (x, y) -> x + y) AS adc
+        |        FROM a JOIN dt ON dt.j = a.j AND dt.c = a.c AND a.vec_id <> dt.q_id
+        |        GROUP BY dt.q_id, a.vec_id),
+        |sl AS (SELECT q_id, vec_id AS n_id, adc FROM (
+        |       SELECT *, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY adc, vec_id) AS cn FROM adc) WHERE cn <= 20)
+        |SELECT sl.q_id, sl.n_id, sl.adc,
+        |       ${cos("q.emb", "dd.emb")} AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY sl.q_id
+        |            ORDER BY ${cos("q.emb", "dd.emb")} DESC, sl.n_id) AS INT) AS rk
+        |FROM sl JOIN e q ON q.vec_id = sl.q_id JOIN e dd ON dd.vec_id = sl.n_id
+        |QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), 5L, 5, candidates = 20)
+        .orderBy("q_id", "rk")
     }
   )
 }

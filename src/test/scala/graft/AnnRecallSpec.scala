@@ -83,7 +83,11 @@ class AnnRecallSpec extends SparkSpec {
       val truth = Similarity.bruteForceTopK(emb, QueryMaxId, K).cache()
       // a 2×k shortlist from the 8-bit codes, exact rerank on top
       val sq8 = recallVs(truth, Similarity.sq8TopK(emb, QueryMaxId, K, candidates = 2 * K))
-      info(f"recall@$K vs brute force: sq8(rerank 2k)=$sq8%.3f")
+      val pq = recallVs(truth, Similarity.pqTopK(emb, QueryMaxId, K, candidates = 2 * K))
+      info(f"recall@$K vs brute force: sq8(rerank 2k)=$sq8%.3f pq(rerank 2k)=$pq%.3f")
+      // PQ at 8×3-bit codes is far coarser than SQ8's 64×8-bit — its ADC
+      // shortlist misses more, but must beat the hashing families' floor
+      assert(pq >= 0.30, s"PQ ADC rerank recall below floor: $pq")
       // 8-bit scalar quantization preserves neighborhoods far better than
       // the hashing families (measured 1.000 here); floor pinned just
       // below so any geometry regression — e.g. ranking by raw code dot,

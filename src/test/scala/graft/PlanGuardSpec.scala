@@ -25,6 +25,9 @@ class PlanGuardSpec extends SparkSpec {
     // q98: robots prefix rules are a deliberately tiny broadcast dim;
     // the prefix match is a non-equi anti-join by design
     "q98_robots_filter",
+    // q101: the per-query PQ distance tables are a tiny broadcast set,
+    // ≠-joined against the codes scan (the ADC shape)
+    "q101_ann_pq",
     // q94/q95: the SQ8 bounds row is a ONE-ROW broadcast aggregate, and
     // the quantized shortlist ≠-joins the broadcast 5-query code set —
     // both deliberately tiny build sides
