@@ -590,6 +590,72 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("adc"), col("cosine"), col("rk"))
   }
 
+  /** IVF-PQ (the FAISS composition): the IVF coarse quantizer restricts
+    * candidates to the query's `nprobe` best cells, PQ's ADC scores only
+    * those candidates from their 8-byte codes, and the exact cosine
+    * reranks the shortlist. At 100 TB this is THE standard layout: the
+    * corpus is bucketed by cell with packed codes beside the ids, a
+    * probe touches nprobe/cells of the data, reads 8 B/vector, and
+    * fetches full vectors for the shortlist alone.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                nprobe: Int = 2, step: Long = 100L,
+                candidates: Int = 20): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val e = embD("embedding")
+    // query → nprobe cells (the q44 probe selection, verbatim shape)
+    val cents = embeddings.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cell"), e.as("c_emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("c_norm"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
+    val qCells = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), e.as("q_emb"), sqrt(NativeVectorOps.dot(e, e)).as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs",
+        NativeVectorOps.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    // per-query PQ distance table (the q101 shape)
+    val pcents = pqCentroids(embeddings)
+    val dtable = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), e.as("q_emb"))
+      .select(col("q_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("q_emb"))
+      .select(col("q_id"), col("j"),
+        expr(s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim)").as("qsub"))
+      .join(broadcast(pcents), Seq("j"))
+      .withColumn("d2", subDist2("qsub", "cent"))
+      .groupBy("q_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'c', c, 'd2', d2))), s -> s.d2)")
+        .as("dt"))
+    // candidates: codes of vectors in probed cells, ADC-scored
+    val adc = pqCodes(embeddings).select("vec_id", "codes")
+      .join(ivfIndex(embeddings, step), Seq("vec_id"))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dtable), Seq("q_id"))
+      .withColumn("adc",
+        expr(s"""aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, (acc, j) ->
+          acc + element_at(dt, cast(j * $PqCodebook
+            + element_at(codes, cast(j + 1 as int)) + 1 as int)))"""))
+      .select("q_id", "vec_id", "cell", "adc")
+    val wCand = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = adc.withColumn("cn", row_number().over(wCand))
+      .filter(col("cn") <= candidates)
+      .select("q_id", "vec_id", "cell", "adc")
+    val qe = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), e.as("q_emb"))
+    val scored = shortlist
+      .join(embeddings.select(col("vec_id"), e.as("d_emb")), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .withColumn("cosine", NativeVectorOps.cosine(col("q_emb"), col("d_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("adc"),
+        col("cosine"), col("rk"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * assign every vector to its IVF cell, then within each cell drop any
     * vector whose cosine to a LOWER-id cell-mate reaches `threshold` —

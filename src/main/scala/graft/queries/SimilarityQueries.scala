@@ -444,6 +444,68 @@ object SimilarityQueries {
         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), 5L, 5, candidates = 20)
         .orderBy("q_id", "rk")
+    },
+
+    // IVF-PQ, the FAISS composition and THE 100 TB ANN layout: IVF cells
+    // bound the candidates (nprobe=2), ADC scores them from 8-byte codes,
+    // exact cosine reranks the shortlist. The oracle composes q44's
+    // assignment/probe CTEs with q101's codebook/ADC CTEs verbatim.
+    QueryDef("q102_ann_ivfpq",
+      eCte +
+        s""",
+        |icent AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id % 100 = 0),
+        |asn AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, icent.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY ${cos("e.emb", "icent.c_emb")} DESC, icent.cell DESC) AS rn
+        |    FROM e, icent) WHERE rn = 1),
+        |qc AS (SELECT q_id, cell FROM (
+        |    SELECT e.vec_id AS q_id, icent.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |               ORDER BY ${cos("e.emb", "icent.c_emb")} DESC, icent.cell DESC) AS rn
+        |    FROM e, icent WHERE e.vec_id < 5) WHERE rn <= 2),
+        |g AS (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS j),
+        |pcent AS (SELECT vec_id AS c, j,
+        |                 list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                                i -> emb[j * ${Similarity.PqSubDim} + i]) AS cent
+        |          FROM e, g WHERE vec_id < ${Similarity.PqCodebook}),
+        |sub AS (SELECT vec_id, j,
+        |               list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                              i -> emb[j * ${Similarity.PqSubDim} + i]) AS sub
+        |        FROM e, g),
+        |d AS (SELECT sub.vec_id, sub.j, pcent.c,
+        |             list_reduce(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                 i -> (sub.sub[i] - pcent.cent[i]) * (sub.sub[i] - pcent.cent[i])),
+        |                 (x, y) -> x + y) AS d2
+        |      FROM sub JOIN pcent USING (j)),
+        |a AS (SELECT vec_id, j, c FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |      FROM d) WHERE rn = 1),
+        |dt AS (SELECT sub.vec_id AS q_id, sub.j, pcent.c,
+        |              list_reduce(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+        |                  i -> (sub.sub[i] - pcent.cent[i]) * (sub.sub[i] - pcent.cent[i])),
+        |                  (x, y) -> x + y) AS d2
+        |       FROM sub JOIN pcent USING (j) WHERE sub.vec_id < 5),
+        |adc AS (SELECT qc.q_id, a.vec_id, qc.cell,
+        |               list_reduce(list(dt.d2 ORDER BY a.j), (x, y) -> x + y) AS adc
+        |        FROM qc JOIN asn ON asn.cell = qc.cell
+        |        JOIN a ON a.vec_id = asn.vec_id
+        |        JOIN dt ON dt.q_id = qc.q_id AND dt.j = a.j AND dt.c = a.c
+        |        WHERE asn.vec_id <> qc.q_id
+        |        GROUP BY qc.q_id, a.vec_id, qc.cell),
+        |sl AS (SELECT q_id, vec_id AS n_id, cell, adc FROM (
+        |       SELECT *, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY adc, vec_id) AS cn FROM adc) WHERE cn <= 20)
+        |SELECT sl.q_id, sl.n_id, sl.cell, sl.adc,
+        |       ${cos("q.emb", "dd.emb")} AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY sl.q_id
+        |            ORDER BY ${cos("q.emb", "dd.emb")} DESC, sl.n_id) AS INT) AS rk
+        |FROM sl JOIN e q ON q.vec_id = sl.q_id JOIN e dd ON dd.vec_id = sl.n_id
+        |QUALIFY rk <= 5
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), 5L, 5, nprobe = 2,
+        step = 100L, candidates = 20)
+        .orderBy("q_id", "rk")
     }
   )
 }

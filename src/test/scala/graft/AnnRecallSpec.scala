@@ -88,6 +88,11 @@ class AnnRecallSpec extends SparkSpec {
       // PQ at 8×3-bit codes is far coarser than SQ8's 64×8-bit — its ADC
       // shortlist misses more, but must beat the hashing families' floor
       assert(pq >= 0.30, s"PQ ADC rerank recall below floor: $pq")
+      val ivfpq = recallVs(truth, Similarity.ivfPqTopK(emb, QueryMaxId, K,
+        nprobe = 2, step = 100L, candidates = 2 * K))
+      info(f"recall@$K vs brute force: ivfpq(nprobe 2, rerank 2k)=$ivfpq%.3f")
+      // bounded by the IVF probe recall times the PQ shortlist quality
+      assert(ivfpq >= 0.20, s"IVF-PQ recall below floor: $ivfpq")
       // 8-bit scalar quantization preserves neighborhoods far better than
       // the hashing families (measured 1.000 here); floor pinned just
       // below so any geometry regression — e.g. ranking by raw code dot,

@@ -28,6 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     // q101: the per-query PQ distance tables are a tiny broadcast set,
     // ≠-joined against the codes scan (the ADC shape)
     "q101_ann_pq",
+    // q102: IVF centroid scoring + the same broadcast distance tables
+    "q102_ann_ivfpq",
     // q94/q95: the SQ8 bounds row is a ONE-ROW broadcast aggregate, and
     // the quantized shortlist ≠-joins the broadcast 5-query code set —
     // both deliberately tiny build sides
