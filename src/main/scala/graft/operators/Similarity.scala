@@ -471,7 +471,18 @@ object Similarity {
     val shortlist = approx.withColumn("cn", row_number().over(wCand))
       .filter(col("cn") <= candidates)
       .select("q_id", "vec_id", "approx_cosine")
-    // exact rerank on the shortlist only
+    rerankExact(embeddings, shortlist, queryMaxId, k)
+      .select("q_id", "n_id", "approx_cosine", "cosine", "rk")
+  }
+
+  /** Exact-cosine rerank of a (q_id, vec_id, …) shortlist: full vectors
+    * join in for the shortlist alone, top-`k` per query by cosine. Keeps
+    * every shortlist column (the approximate score that built it rides
+    * along), renames vec_id → n_id. Shared tail of sq8TopK / pqTopK /
+    * ivfPqTopK — one definition, or the tiebreaks silently diverge.
+    */
+  private def rerankExact(embeddings: DataFrame, shortlist: DataFrame,
+                          queryMaxId: Long, k: Int): DataFrame = {
     val e = embD("embedding")
     val qe = embeddings.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), e.as("q_emb"))
@@ -482,8 +493,8 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast(IntegerType))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("approx_cosine"),
-        col("cosine"), col("rk"))
+      .drop("q_emb", "d_emb")
+      .withColumnRenamed("vec_id", "n_id")
   }
 
   // ------------------------------------------------------------- PQ
@@ -523,8 +534,10 @@ object Similarity {
     * smaller scan than float64 embeddings — and ADC probes never touch
     * the raw vectors outside the rerank shortlist.
     */
-  def pqCodes(embeddings: DataFrame): DataFrame = {
-    val cents = pqCentroids(embeddings)
+  def pqCodes(embeddings: DataFrame): DataFrame =
+    pqAssign(embeddings, pqCentroids(embeddings))
+
+  private def pqAssign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     embeddings
       .select(col("vec_id"), embD("embedding").as("emb"))
       .select(col("vec_id"),
@@ -542,6 +555,55 @@ object Similarity {
         sum(expr("shiftleft(best.c, 4 * j)")).as("packed_code"))
   }
 
+  /** (q_id, dt[64]): each query's PQ distance table — entry
+    * j·PqCodebook + c = d2(query subvector j, centroid c). Tiny,
+    * broadcast at the probe site. Shared by pqTopK and ivfPqTopK against
+    * the SAME `cents` frame, so the codebook subtree exists once per
+    * plan.
+    */
+  private def pqDistanceTables(embeddings: DataFrame, cents: DataFrame,
+                               queryMaxId: Long): DataFrame =
+    embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), embD("embedding").as("q_emb"))
+      .select(col("q_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("q_emb"))
+      .select(col("q_id"), col("j"),
+        expr(s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim)").as("qsub"))
+      .join(broadcast(cents), Seq("j"))
+      .withColumn("d2", subDist2("qsub", "cent"))
+      .groupBy("q_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'c', c, 'd2', d2))), s -> s.d2)")
+        .as("dt"))
+
+  /** The ADC sum: 8 distance-table lookups folded in SUBSPACE ORDER (a
+    * grouped SUM of doubles is addition-order-nondeterministic across
+    * engines). One definition for pqTopK and ivfPqTopK.
+    */
+  private val AdcExpr =
+    s"""aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, (acc, j) ->
+      acc + element_at(dt, cast(j * $PqCodebook
+        + element_at(codes, cast(j + 1 as int)) + 1 as int)))"""
+
+  /** (q_id, cell): each query's `nprobe` best IVF cells — the q44 probe
+    * selection without the q_emb carry (ADC scores from codes, not the
+    * raw query vector).
+    */
+  private def probeCells(embeddings: DataFrame, queryMaxId: Long,
+                         nprobe: Int, step: Long): DataFrame = {
+    val e = embD("embedding")
+    val cents = embeddings.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cell"), e.as("c_emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("c_norm"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
+    embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), e.as("q_emb"), sqrt(NativeVectorOps.dot(e, e)).as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs",
+        NativeVectorOps.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+  }
+
   /** PQ ANN with asymmetric distance computation (Jégou et al. 2011,
     * public): each query precomputes its 64-entry distance table (query
     * subvector × every centroid — tiny, broadcast), the corpus scan sums
@@ -554,40 +616,17 @@ object Similarity {
              candidates: Int = 20): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val cents = pqCentroids(embeddings)
-    // (q_id, dt[64]) — entry j*PqCodebook + c = d2(query subvec j, centroid c)
-    val dtable = embeddings.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), embD("embedding").as("q_emb"))
-      .select(col("q_id"),
-        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("q_emb"))
-      .select(col("q_id"), col("j"),
-        expr(s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim)").as("qsub"))
-      .join(broadcast(cents), Seq("j"))
-      .withColumn("d2", subDist2("qsub", "cent"))
-      .groupBy("q_id")
-      .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'c', c, 'd2', d2))), s -> s.d2)")
-        .as("dt"))
-    val adc = pqCodes(embeddings).select("vec_id", "codes")
+    val dtable = pqDistanceTables(embeddings, cents, queryMaxId)
+    val adc = pqAssign(embeddings, cents).select("vec_id", "codes")
       .join(broadcast(dtable), col("vec_id") =!= col("q_id"))
-      .withColumn("adc",
-        expr(s"""aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, (acc, j) ->
-          acc + element_at(dt, cast(j * $PqCodebook
-            + element_at(codes, cast(j + 1 as int)) + 1 as int)))"""))
+      .withColumn("adc", expr(AdcExpr))
       .select("q_id", "vec_id", "adc")
     val wCand = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
     val shortlist = adc.withColumn("cn", row_number().over(wCand))
       .filter(col("cn") <= candidates)
       .select("q_id", "vec_id", "adc")
-    val e = embD("embedding")
-    val qe = embeddings.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), e.as("q_emb"))
-    val scored = shortlist
-      .join(embeddings.select(col("vec_id"), e.as("d_emb")), Seq("vec_id"))
-      .join(broadcast(qe), Seq("q_id"))
-      .withColumn("cosine", NativeVectorOps.cosine(col("q_emb"), col("d_emb")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(IntegerType))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("adc"), col("cosine"), col("rk"))
+    rerankExact(embeddings, shortlist, queryMaxId, k)
+      .select("q_id", "n_id", "adc", "cosine", "rk")
   }
 
   /** IVF-PQ (the FAISS composition): the IVF coarse quantizer restricts
@@ -602,58 +641,23 @@ object Similarity {
                 nprobe: Int = 2, step: Long = 100L,
                 candidates: Int = 20): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val e = embD("embedding")
-    // query → nprobe cells (the q44 probe selection, verbatim shape)
-    val cents = embeddings.filter(col("vec_id") % step === 0)
-      .select(col("vec_id").as("cell"), e.as("c_emb"),
-        sqrt(NativeVectorOps.dot(e, e)).as("c_norm"))
-    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
-    val qCells = embeddings.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id"), e.as("q_emb"), sqrt(NativeVectorOps.dot(e, e)).as("q_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cs",
-        NativeVectorOps.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cell"))
-    // per-query PQ distance table (the q101 shape)
-    val pcents = pqCentroids(embeddings)
-    val dtable = embeddings.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), e.as("q_emb"))
-      .select(col("q_id"),
-        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("q_emb"))
-      .select(col("q_id"), col("j"),
-        expr(s"slice(q_emb, j * $PqSubDim + 1, $PqSubDim)").as("qsub"))
-      .join(broadcast(pcents), Seq("j"))
-      .withColumn("d2", subDist2("qsub", "cent"))
-      .groupBy("q_id")
-      .agg(expr("transform(array_sort(collect_list(named_struct('j', j, 'c', c, 'd2', d2))), s -> s.d2)")
-        .as("dt"))
+    val cents = pqCentroids(embeddings)
+    val qCells = probeCells(embeddings, queryMaxId, nprobe, step)
+    val dtable = pqDistanceTables(embeddings, cents, queryMaxId)
     // candidates: codes of vectors in probed cells, ADC-scored
-    val adc = pqCodes(embeddings).select("vec_id", "codes")
+    val adc = pqAssign(embeddings, cents).select("vec_id", "codes")
       .join(ivfIndex(embeddings, step), Seq("vec_id"))
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(dtable), Seq("q_id"))
-      .withColumn("adc",
-        expr(s"""aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, (acc, j) ->
-          acc + element_at(dt, cast(j * $PqCodebook
-            + element_at(codes, cast(j + 1 as int)) + 1 as int)))"""))
+      .withColumn("adc", expr(AdcExpr))
       .select("q_id", "vec_id", "cell", "adc")
     val wCand = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
     val shortlist = adc.withColumn("cn", row_number().over(wCand))
       .filter(col("cn") <= candidates)
       .select("q_id", "vec_id", "cell", "adc")
-    val qe = embeddings.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), e.as("q_emb"))
-    val scored = shortlist
-      .join(embeddings.select(col("vec_id"), e.as("d_emb")), Seq("vec_id"))
-      .join(broadcast(qe), Seq("q_id"))
-      .withColumn("cosine", NativeVectorOps.cosine(col("q_emb"), col("d_emb")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(IntegerType))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("adc"),
-        col("cosine"), col("rk"))
+    rerankExact(embeddings, shortlist, queryMaxId, k)
+      .select("q_id", "n_id", "cell", "adc", "cosine", "rk")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):

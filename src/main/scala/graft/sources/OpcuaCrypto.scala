@@ -117,17 +117,30 @@ object OpcuaCrypto {
   def thumbprint(certDer: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("SHA-1").digest(certDer)
 
+  /** TRUSTED-input parse (our own keystore cert, the pinned endpoint
+    * cert): malformation here is a local configuration error and fails
+    * fast with the raw exception — reclassifying it as the peer-facing
+    * BadSecurityChecksFailed would send a misconfigured node into a
+    * silent ERR/reconnect loop. Peer-supplied certificates go through
+    * [[peerPublicKeyOf]].
+    */
   def publicKeyOf(certDer: Array[Byte]): RSAPublicKey =
-    try CertificateFactory.getInstance("X.509")
+    CertificateFactory.getInstance("X.509")
       .generateCertificate(new java.io.ByteArrayInputStream(certDer))
       .getPublicKey.asInstanceOf[RSAPublicKey]
+
+  /** UNTRUSTED-input parse — the OPN security header's SenderCertificate
+    * is attacker-controlled bytes, and every malformation must surface
+    * inside the protocol's error taxonomy (answered as an ERR frame),
+    * never as a raw CertificateException / ClassCastException. The
+    * RuntimeException arm (which subsumes ClassCastException) is
+    * deliberately broad: the JDK X.509 parser throws unchecked failures
+    * on adversarial DER.
+    */
+  def peerPublicKeyOf(certDer: Array[Byte]): RSAPublicKey =
+    try publicKeyOf(certDer)
     catch {
-      // attacker-controlled bytes reach this parser (the OPN security
-      // header's SenderCertificate); every malformation must surface
-      // inside the protocol's error taxonomy, not as a raw
-      // CertificateException/ClassCastException that skips the ERR frame
-      case e @ (_: java.security.cert.CertificateException | _: ClassCastException
-                | _: RuntimeException) =>
+      case e @ (_: java.security.cert.CertificateException | _: RuntimeException) =>
         throw new OpcuaFraming.OpcuaError(OpcuaFraming.BadSecurityChecksFailed,
           s"unparseable or non-RSA certificate: ${e.getClass.getSimpleName}")
     }

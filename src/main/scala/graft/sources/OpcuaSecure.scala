@@ -163,7 +163,7 @@ object OpcuaSecure {
       catch { case _: javax.crypto.BadPaddingException =>
         throw new OpcuaError(BadSecurityChecksFailed, "OAEP decryption failed") }
 
-    val senderPub = publicKeyOf(senderCertDer)
+    val senderPub = peerPublicKeyOf(senderCertDer) // attacker-controlled bytes
     val sigLen = rsaSignatureSize(senderPub)
     if (plain.length < sigLen + 9)
       throw new OpcuaError(BadSecurityChecksFailed, "decrypted OPN too short")

@@ -112,6 +112,32 @@ class OpcuaSecureSpec extends AnyFunSuite {
     assert(e3.code == BadSecurityChecksFailed)
   }
 
+  test("garbage peer certificates stay inside the protocol error taxonomy") {
+    // direct: the untrusted parse wraps JDK parser failures
+    val e1 = intercept[OpcuaError](peerPublicKeyOf(Array[Byte](1, 2, 3)))
+    assert(e1.code == BadSecurityChecksFailed)
+    val e2 = intercept[OpcuaError](peerPublicKeyOf(Array.fill[Byte](900)(0x30)))
+    assert(e2.code == BadSecurityChecksFailed)
+    // end-to-end: a chunk whose encrypted region DECRYPTS fine (built
+    // with the receiver's real public key) but whose sender certificate
+    // is garbage must die in peerPublicKeyOf as an OpcuaError, not a raw
+    // CertificateException — this is the only path that reaches the
+    // cert parse with attacker bytes
+    val junkCert = Array.fill[Byte](64)(0x5A)
+    val hw = new graft.sources.OpcuaFraming.BufWriter(256)
+    hw.str(Basic256Sha256Uri)
+    hw.i32(junkCert.length).raw(junkCert)
+    hw.i32(serverIdent.thumbprint.length).raw(serverIdent.thumbprint)
+    val secHdr = hw.result()
+    val plainBlock = rsaPlainBlockSize(serverIdent.publicKey)
+    val plain = Array.fill[Byte](plainBlock)(0x11) // one full block: seq+junk
+    val cipher = rsaEncryptBlocks(serverIdent.publicKey, plain)
+    val body = new graft.sources.OpcuaFraming.BufWriter(1024)
+      .u32(0L).raw(secHdr).raw(cipher).result()
+    val e3 = intercept[OpcuaError](readSecuredOpnChunk(body, new SeqState, serverIdent))
+    assert(e3.code == BadSecurityChecksFailed)
+  }
+
   // ------------------------------------------------------- symmetric MSG
 
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {

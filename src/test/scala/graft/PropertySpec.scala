@@ -147,22 +147,37 @@ object PropertySpec extends Properties("graft") {
   private val fuzzGen = for {
     n <- Gen.chooseNum(0, 4096)
     seed <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
-    prefixValid <- Gen.oneOf(true, false)
-  } yield (n, seed, prefixValid)
+    depth <- Gen.oneOf(0, 1, 2)
+  } yield (n, seed, depth)
 
   property("secured OPN parser rejects arbitrary bytes inside the protocol error taxonomy") =
-    forAll(fuzzGen) { case (n, seed, prefixValid) =>
+    forAll(fuzzGen) { case (n, seed, depth) =>
       import graft.sources.OpcuaCrypto._
       import graft.sources.OpcuaFraming._
       import graft.sources.OpcuaSecure._
       val rnd = new scala.util.Random(seed)
       val junk = Array.fill[Byte](n)(rnd.nextInt().toByte)
-      // half the cases lead with a well-formed channel id + policy URI so
-      // the fuzz reaches the certificate/cipher stages, not just the
-      // header parse
-      val body =
-        if (!prefixValid) junk
-        else new BufWriter(64 + n).u32(0L).str(Basic256Sha256Uri).raw(junk).result()
+      // depth 0: raw junk (header parse); depth 1: well-formed channel id
+      // + policy URI (certificate/thumbprint stage); depth 2: valid
+      // header + junk cert + the CORRECT receiver thumbprint + a
+      // block-aligned cipher region, so the fuzz reaches the RSA-OAEP
+      // decrypt itself (random junk cannot pass the 2^-160 thumbprint
+      // gate on its own — an earlier version of this property claimed
+      // cipher-stage coverage it never had)
+      val body = depth match {
+        case 0 => junk
+        case 1 => new BufWriter(64 + n).u32(0L).str(Basic256Sha256Uri).raw(junk).result()
+        case _ =>
+          val ident = PropertySpec.fuzzIdentity
+          val cipherLen = (n / 256).max(1) * 256
+          val w = new BufWriter(1024 + cipherLen)
+          w.u32(0L).str(Basic256Sha256Uri)
+          val cert = java.util.Arrays.copyOf(junk, math.min(900, math.max(1, n)))
+          w.i32(cert.length).raw(cert)
+          w.i32(ident.thumbprint.length).raw(ident.thumbprint)
+          w.raw(Array.fill[Byte](cipherLen)(rnd.nextInt().toByte))
+          w.result()
+      }
       val ident = PropertySpec.fuzzIdentity
       try {
         readSecuredOpnChunk(body, new SeqState, ident)
