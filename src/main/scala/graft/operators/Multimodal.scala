@@ -252,6 +252,115 @@ object Multimodal {
     }
   }
 
+  /** Hand-written WAV (RIFF) codec for 16-bit PCM — the audio analogue of
+    * [[ImageCodecs]]: layout is the public RIFF/WAVE format (RIFF header,
+    * `fmt ` chunk with PCM fields, `data` chunk of interleaved
+    * little-endian s16 frames). The decoder WALKS the chunk list (skipping
+    * unknown chunks with the RIFF word-alignment pad rule) rather than
+    * assuming the canonical 44-byte layout, because real WAV writers
+    * insert LIST/INFO chunks before `data`. Same adversarial-bytes
+    * posture as decodeBmp: all bounds math in Long, malformed input fails
+    * as IllegalArgumentException before any out-of-bounds read.
+    */
+  object AudioCodecs {
+
+    /** Decoded PCM presented as an accessor: `sample(ch, i)` is the s16
+      * sample of channel `ch` at frame `i`.
+      */
+    final case class DecodedAudio(sampleRate: Int, channels: Int, frames: Int,
+                                  sample: (Int, Int) => Int)
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+
+    /** 16-bit PCM WAV encoder; `sample(ch, i)` gives the s16 value of
+      * channel `ch` at frame `i`. `padChunk` optionally inserts an unknown
+      * (odd-sized, so the pad rule is exercised) chunk before `data` —
+      * fixtures use it so the decoder's chunk walk is load-bearing.
+      */
+    def encodeWav(sampleRate: Int, channels: Int, frames: Int,
+                  sample: (Int, Int) => Int, padChunk: Boolean = false): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize = frames * blockAlign
+      val pad = if (padChunk) 8 + 5 + 1 else 0 // header + 5 bytes + align pad
+      val out = new Array[Byte](44 + pad + dataSize)
+      def ptag(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def pu16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+      def pu32(o: Int, v: Long): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      ptag(0, "RIFF"); pu32(4, 36L + pad + dataSize); ptag(8, "WAVE")
+      ptag(12, "fmt "); pu32(16, 16)
+      pu16(20, 1)                                 // PCM
+      pu16(22, channels); pu32(24, sampleRate)
+      pu32(28, sampleRate.toLong * blockAlign)    // byte rate
+      pu16(32, blockAlign); pu16(34, 16)          // block align, bits/sample
+      var off = 36
+      if (padChunk) {                             // odd-size chunk + pad byte
+        ptag(off, "note"); pu32(off + 4, 5)
+        var i = 0; while (i < 5) { out(off + 8 + i) = ('a' + i).toByte; i += 1 }
+        off += 8 + 5 + 1
+      }
+      ptag(off, "data"); pu32(off + 4, dataSize)
+      var p = off + 8
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) {
+          val v = sample(c, f)
+          out(p) = v.toByte; out(p + 1) = (v >> 8).toByte
+          p += 2; c += 1
+        }
+        f += 1
+      }
+      out
+    }
+
+    def decodeWav(b: Array[Byte]): DecodedAudio = {
+      require(isWav(b), "not a RIFF/WAVE")
+      require(b.length >= 44, "truncated WAV header")
+      // chunk walk: [tag u32size payload pad?]* — find fmt then data
+      var pos = 12L
+      var fmtOff = -1L; var dataOff = -1L; var dataSize = -1L
+      while (pos + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+        val t = tag(b, pos.toInt)
+        val size = u32(b, pos.toInt + 4)
+        require(size >= 0 && pos + 8 + size <= b.length, s"chunk '$t' overruns buffer")
+        if (t == "fmt ") { require(size >= 16, "fmt chunk too small"); fmtOff = pos + 8 }
+        else if (t == "data") { dataOff = pos + 8; dataSize = size }
+        pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(fmtOff >= 0, "missing fmt chunk")
+      require(dataOff >= 0, "missing data chunk")
+      val fo = fmtOff.toInt
+      require(u16(b, fo) == 1, s"unsupported audio format ${u16(b, fo)} (PCM only)")
+      val channels = u16(b, fo + 2)
+      val sampleRate = u32(b, fo + 4).toInt
+      val blockAlign = u16(b, fo + 12)
+      val bits = u16(b, fo + 14)
+      require(bits == 16, s"unsupported bits/sample $bits (16 only)")
+      require(channels >= 1 && channels <= 8, s"implausible channel count $channels")
+      require(sampleRate >= 1 && sampleRate <= 1000000, s"implausible sample rate $sampleRate")
+      require(blockAlign == channels * 2, s"blockAlign $blockAlign != channels*2")
+      require(dataSize % blockAlign == 0, "data size not a whole number of frames")
+      val frames = (dataSize / blockAlign).toInt
+      val base = dataOff.toInt
+      DecodedAudio(sampleRate, channels, frames, (ch, i) => {
+        val o = base + i * blockAlign + ch * 2
+        ((b(o + 1) << 8) | (b(o) & 0xFF)) // sign-extends through the high byte
+      })
+    }
+  }
+
   /** The deterministic test-pattern pixel function: channel values are
     * closed-form in (doc_id, pixel index), so the DuckDB oracle can
     * recompute every decoded feature without decoding anything — the
@@ -291,6 +400,107 @@ object Multimodal {
           case _ => ImageCodecs.encodePng(w, h, px)
         }
         Row(id, "image", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Closed-form PCM sample function — the audio twin of [[TestPattern]]:
+    * every decoded audio feature is recomputable by the DuckDB oracle from
+    * (doc_id, frame index, channel) alone. Bounded small: frames ≤ 319,
+    * samples in [-2000, 2000] ⊂ s16.
+    */
+  object AudioTestPattern {
+    def sampleRate(id: Long): Int = (id % 3) match {
+      case 0 => 8000; case 1 => 16000; case _ => 44100
+    }
+    def channels(id: Long): Int = (1 + id % 2).toInt
+    def frames(id: Long): Int = (200 + id % 120).toInt
+    def sample(id: Long)(ch: Int, i: Int): Int =
+      ((id % 9973).toInt + 7 * i + 13 * ch + 29) % 4001 - 2000
+  }
+
+  /** Synthesize REAL WAV bytes with [[AudioTestPattern]] PCM — the audio
+    * fixture generator. Every 5th id carries an unknown pre-`data` chunk,
+    * so the decoder's RIFF walk (not a fixed 44-byte offset) is what the
+    * oracle actually verifies.
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("bytes", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = AudioCodecs.encodeWav(
+          AudioTestPattern.sampleRate(id), AudioTestPattern.channels(id),
+          AudioTestPattern.frames(id), AudioTestPattern.sample(id),
+          padChunk = id % 5 == 0)
+        Row(id, "audio", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio decode: parses the RIFF chunk list and emits integer-exact
+    * PCM features — sample rate, channel count, frame count, µs duration
+    * (integer division, matching C5's µs convention), channel-0 sum and
+    * sum-of-squares (the moments quality filters threshold on), the
+    * all-channel peak, and channel-0 mean/RMS as the only two derived
+    * doubles (one division; division then square root — both
+    * correctly-rounded IEEE ops, so cross-engine exact). Corrupt bytes
+    * yield a 'corrupt' row, unknown formats 'opaque' — a bad blob must
+    * not fail the task at corpus scale.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_us", LongType),
+      StructField("sum_ch0", LongType),
+      StructField("sumsq_ch0", LongType),
+      StructField("peak", IntegerType),
+      StructField("mean_ch0", DoubleType),
+      StructField("rms_ch0", DoubleType)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val decoded: Option[AudioCodecs.DecodedAudio] =
+          try {
+            if (AudioCodecs.isWav(bytes)) Some(AudioCodecs.decodeWav(bytes)) else None
+          } catch { case _: IllegalArgumentException => Some(null) }
+        decoded match {
+          case Some(a) if a != null =>
+            var (sum0, sumsq0) = (0L, 0L)
+            var peak = 0
+            var i = 0
+            while (i < a.frames) {
+              var c = 0
+              while (c < a.channels) {
+                val v = a.sample(c, i)
+                if (c == 0) { sum0 += v; sumsq0 += v.toLong * v }
+                val av = math.abs(v)
+                if (av > peak) peak = av
+                c += 1
+              }
+              i += 1
+            }
+            val durUs = a.frames.toLong * 1000000L / a.sampleRate
+            Row(id, "wav", a.sampleRate, a.channels, a.frames, durUs,
+              sum0, sumsq0, peak,
+              if (a.frames > 0) sum0.toDouble / a.frames else 0.0,
+              if (a.frames > 0) math.sqrt(sumsq0.toDouble / a.frames) else 0.0)
+          case other =>
+            Row(id, if (other.isDefined) "corrupt" else "opaque",
+              null, null, null, null, null, null, null, null, null)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

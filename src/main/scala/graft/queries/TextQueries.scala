@@ -346,6 +346,42 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // REAL audio decode: WAV/PCM bytes are synthesized executor-side from
+    // the closed-form AudioTestPattern (every 5th file carries an unknown
+    // pre-`data` RIFF chunk, so the decoder's chunk walk is load-bearing),
+    // decoded by the hand-written RIFF parser, and every feature — rate,
+    // channels, frames, µs duration, channel-0 moments, all-channel peak —
+    // is recomputed by the oracle from the formula alone. 320 = max frame
+    // count of the pattern; mean/RMS are division (+ sqrt) on exact
+    // integers, the cross-engine-safe IEEE sequence.
+    QueryDef("q103_audio_decode",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              ELSE 44100 END AS INT) AS sr,
+        |         CAST(1 + doc_id % 2 AS INT) AS ch,
+        |         CAST(200 + doc_id % 120 AS INT) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT m.doc_id, m.sr, m.ch, m.nf, gi.i,
+        |         (seed + 7*gi.i + 29) % 4001 - 2000 AS s0,
+        |         (seed + 7*gi.i + 13 + 29) % 4001 - 2000 AS s1
+        |  FROM m, (SELECT unnest(range(0, 320)) AS i) gi
+        |  WHERE gi.i < m.nf)
+        |SELECT doc_id AS media_id, 'wav' AS format,
+        |       sr AS sample_rate, ch AS channels, nf AS n_frames,
+        |       CAST(nf AS BIGINT) * 1000000 // sr AS duration_us,
+        |       CAST(SUM(s0) AS BIGINT) AS sum_ch0,
+        |       CAST(SUM(CAST(s0 AS BIGINT) * s0) AS BIGINT) AS sumsq_ch0,
+        |       CAST(MAX(CASE WHEN ch = 2 THEN greatest(abs(s0), abs(s1))
+        |                ELSE abs(s0) END) AS INT) AS peak,
+        |       CAST(SUM(s0) AS DOUBLE) / nf AS mean_ch0,
+        |       sqrt(CAST(SUM(CAST(s0 AS BIGINT) * s0) AS DOUBLE) / nf) AS rms_ch0
+        |FROM s GROUP BY doc_id, sr, ch, nf ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeAudio(Multimodal.syntheticAudio(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    },
+
     // Cross-document duplicated-span removal (Lee et al. exact-substring
     // dedup): word 3-grams in >= 5 docs are boilerplate; every token they
     // cover is cut everywhere, order preserved. Integer/string only —

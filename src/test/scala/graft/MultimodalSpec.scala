@@ -159,4 +159,107 @@ class MultimodalSpec extends AnyFunSuite {
       assert(row.getDouble(10) == sr.toDouble / (w.toLong * h), s"id=$id mean_r")
     }
   }
+
+  // ---- audio: the WAV/RIFF codec (q103) ----
+
+  import graft.operators.Multimodal.{AudioCodecs, AudioTestPattern}
+
+  test("golden WAV bytes: canonical RIFF/fmt/data layout, interleaved s16 LE") {
+    // 2 frames, stereo, 8 kHz: ch0 = [1000, -2], ch1 = [-1000, 3]
+    val samples: (Int, Int) => Int =
+      (ch, i) => Seq(Seq(1000, -2), Seq(-1000, 3))(ch)(i)
+    val got = AudioCodecs.encodeWav(8000, 2, 2, samples)
+    val bb = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(44).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(32000).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(1000).putShort(-1000).putShort(-2).putShort(3) // frame-interleaved
+    assert(got.sameElements(bb.array()))
+  }
+
+  test("WAV round-trip incl. the unknown-chunk walk and RIFF odd-size padding") {
+    for (pad <- Seq(false, true)) {
+      val enc = AudioCodecs.encodeWav(44100, 2, 7, AudioTestPattern.sample(3L), padChunk = pad)
+      val d = AudioCodecs.decodeWav(enc)
+      assert(d.sampleRate == 44100 && d.channels == 2 && d.frames == 7, s"pad=$pad")
+      for (c <- 0 until 2; i <- 0 until 7)
+        assert(d.sample(c, i) == AudioTestPattern.sample(3L)(c, i), s"pad=$pad ch=$c i=$i")
+    }
+  }
+
+  test("hand codec agrees with the JDK's independent javax.sound WAV reader") {
+    val enc = AudioCodecs.encodeWav(16000, 1, 5, (_, i) => Seq(0, 300, -300, 32767, -32768)(i))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(enc))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    assert(ais.getFrameLength == 5)
+    val raw = ais.readAllBytes()
+    val mine = AudioCodecs.decodeWav(enc)
+    for (i <- 0 until 5) {
+      val jdk = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF))
+      assert(mine.sample(0, i) == jdk, s"frame $i")
+    }
+  }
+
+  test("malformed WAV fails loudly, not with garbage features") {
+    val good = AudioCodecs.encodeWav(8000, 1, 4, (_, _) => 7)
+    intercept[IllegalArgumentException] { // truncated data chunk
+      AudioCodecs.decodeWav(good.dropRight(3))
+    }
+    intercept[IllegalArgumentException] { // non-PCM format code
+      val b = good.clone(); b(20) = 3; AudioCodecs.decodeWav(b)
+    }
+    intercept[IllegalArgumentException] { // blockAlign inconsistent with channels
+      val b = good.clone(); b(32) = 5; AudioCodecs.decodeWav(b)
+    }
+    intercept[IllegalArgumentException] { // chunk size overruns the buffer
+      val b = good.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40, Int.MaxValue) // data size
+      AudioCodecs.decodeWav(b)
+    }
+    intercept[IllegalArgumentException] { // 8-bit samples unsupported
+      val b = good.clone(); b(34) = 8; b(32) = 1; AudioCodecs.decodeWav(b)
+    }
+  }
+
+  test("distributed audio decode matches driver recomputation; corrupt rows survive") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(Multimodal.syntheticAudio(docs))
+      .orderBy("media_id").collect()
+    assert(out.length == 40)
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val (sr, ch, nf) =
+        (AudioTestPattern.sampleRate(id), AudioTestPattern.channels(id), AudioTestPattern.frames(id))
+      assert(row.getString(1) == "wav" && row.getInt(2) == sr &&
+        row.getInt(3) == ch && row.getInt(4) == nf, s"id=$id header")
+      var (sum0, sumsq0, peak) = (0L, 0L, 0)
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val v = AudioTestPattern.sample(id)(c, i)
+        if (c == 0) { sum0 += v; sumsq0 += v.toLong * v }
+        peak = math.max(peak, math.abs(v))
+      }
+      assert(row.getLong(5) == nf.toLong * 1000000L / sr, s"id=$id duration")
+      assert(row.getLong(6) == sum0 && row.getLong(7) == sumsq0 &&
+        row.getInt(8) == peak, s"id=$id moments")
+      assert(row.getDouble(9) == sum0.toDouble / nf, s"id=$id mean")
+      assert(row.getDouble(10) == math.sqrt(sumsq0.toDouble / nf), s"id=$id rms")
+    }
+    // corrupt + opaque rows survive the batch
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("media_id", LongType), StructField("bytes", BinaryType)))
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, AudioCodecs.encodeWav(8000, 1, 3, (_, _) => 1).dropRight(2)),
+        org.apache.spark.sql.Row(2L, Array[Byte](1, 2, 3))), schema)
+    val rows = Multimodal.decodeAudio(bad).orderBy("media_id").collect()
+    assert(rows(0).getString(1) == "corrupt" && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) == "opaque" && rows(1).isNullAt(2))
+  }
 }
