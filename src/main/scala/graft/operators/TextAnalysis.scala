@@ -381,6 +381,37 @@ object TextAnalysis {
         col("sum_bigram_count").cast(DoubleType) / col("sum_context_count"))
   }
 
+  /** CCNet-style per-language likelihood bucketing (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): each language's documents split into head/middle/tail by
+    * likelihood terciles under the corpus LM ([[bigramLikelihood]] here;
+    * KenLM perplexity in the paper — same partition semantics, most
+    * model-like third = head). Downstream pipelines train on head+middle
+    * and drop or subsample tail.
+    *
+    * Shuffle shape at scale: the likelihood pass is q78's (bigram-keyed
+    * dims, doc-keyed agg); cutpoints are ONE grouped percentile_approx
+    * whose exchange carries a sketch per language (q77's contract), then
+    * broadcast back — no global sort, no per-language window over the
+    * corpus. Tercile convention matches q72: bucket_id = 3 − #cutpoints
+    * strictly below, so 1 = head.
+    */
+  def ccnetBuckets(docs: DataFrame, accuracy: Int = 1000000): DataFrame = {
+    val lik = bigramLikelihood(docs).select("doc_id", "likelihood")
+    val joined = lik.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val cuts = joined.groupBy("lang")
+      .agg(percentile_approx(col("likelihood"),
+        typedLit(Array(1.0 / 3, 2.0 / 3)), lit(accuracy)).as("cs"))
+    joined.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket_id",
+        lit(3) - (col("likelihood") > col("cs").getItem(0)).cast(IntegerType)
+               - (col("likelihood") > col("cs").getItem(1)).cast(IntegerType))
+      .withColumn("bucket",
+        when(col("bucket_id") === 1, "head")
+          .when(col("bucket_id") === 2, "middle").otherwise("tail"))
+      .select("doc_id", "lang", "likelihood", "bucket_id", "bucket")
+  }
+
   /** Per-group quality quantile cutoffs — the per-domain/per-language
     * curation thresholds a corpus pipeline applies ("keep the top quartile
     * of each language", not one global bar that empties low-scoring

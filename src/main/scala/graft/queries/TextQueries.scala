@@ -232,6 +232,86 @@ object TextQueries {
       TextAnalysis.bigramLikelihood(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // CCNet head/middle/tail bucketing: per-language likelihood terciles
+    // under the corpus bigram LM (q78's CTEs verbatim), cutpoints at the
+    // exact-regime ranks ceil(p*n) per language (q77's convention),
+    // bucket_id = 3 - #cutpoints strictly below (q72's convention; 1 =
+    // head = most model-like third).
+    QueryDef("q104_ccnet_buckets",
+      s"""WITH t AS (SELECT doc_id, $W AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(${TextOps.bigramsSql("ws")}) AS bg FROM t),
+        |cb AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+        |cc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_ctx
+        |       FROM bg GROUP BY 1),
+        |j AS (SELECT b.doc_id, cb.c_bg, cc.c_ctx
+        |      FROM bg b JOIN cb USING (bg)
+        |                JOIN cc ON cc.w1 = split_part(b.bg, ' ', 1)),
+        |lik AS (SELECT doc_id,
+        |          CAST(CAST(SUM(c_bg) AS BIGINT) AS DOUBLE)
+        |            / CAST(SUM(c_ctx) AS BIGINT) AS likelihood
+        |        FROM j GROUP BY doc_id),
+        |l AS (SELECT lik.doc_id, d.lang, lik.likelihood
+        |      FROM lik JOIN documents d USING (doc_id)),
+        |r AS (SELECT lang, likelihood,
+        |             row_number() OVER (PARTITION BY lang ORDER BY likelihood) AS rn,
+        |             COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM l),
+        |cuts AS (SELECT lang,
+        |           min(CASE WHEN rn = CAST(ceil((1.0/3)*n) AS BIGINT) THEN likelihood END) AS c1,
+        |           min(CASE WHEN rn = CAST(ceil((2.0/3)*n) AS BIGINT) THEN likelihood END) AS c2
+        |         FROM r GROUP BY lang)
+        |SELECT l.doc_id, l.lang, l.likelihood,
+        |       CAST(3 - CASE WHEN l.likelihood > c.c1 THEN 1 ELSE 0 END
+        |              - CASE WHEN l.likelihood > c.c2 THEN 1 ELSE 0 END AS INT) AS bucket_id,
+        |       CASE 3 - CASE WHEN l.likelihood > c.c1 THEN 1 ELSE 0 END
+        |              - CASE WHEN l.likelihood > c.c2 THEN 1 ELSE 0 END
+        |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM l JOIN cuts c USING (lang)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Misra-Gries heavy hitters: the sketch content depends on partition
+    // layout and merge order (mergeable-summaries semantics), so — like
+    // q81's HLL bound — the oracle verifies the THEOREM, not the bytes:
+    // every token with true count > N/(k+1) must be present with
+    // undercount ≤ N/(k+1) and no overcount. The stream replicates
+    // hash-selected tokens ×10 in both engines so true heavy hitters
+    // exist and the 31-token vocab exceeds the 2k working buffer (k=8),
+    // forcing real compressions.
+    QueryDef("q105_heavy_hitters",
+      s"""WITH w AS (SELECT unnest($W) AS tok FROM documents),
+        |st AS (SELECT w.tok
+        |       FROM (SELECT tok,
+        |               CASE WHEN ${TextOps.hash32Sql("tok")} % 7 = 0
+        |                    THEN 10 ELSE 1 END AS wt FROM w) w,
+        |            (SELECT unnest(range(0, 10)) AS r) r
+        |       WHERE r.r < w.wt),
+        |e AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM st GROUP BY tok),
+        |t AS (SELECT COUNT(*) AS n_total FROM st)
+        |SELECT tok, n_exact, TRUE AS in_sketch, TRUE AS within_bound
+        |FROM e, t WHERE n_exact > n_total / 9.0
+        |ORDER BY tok""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("tok"))
+      val stream = toks
+        .withColumn("wt", when(pmod(TextOps.hash32(col("tok")), lit(7)) === 0, 10).otherwise(1))
+        .select(explode(array_repeat(col("tok"), col("wt"))).as("tok"))
+      val sketch = stream.agg(graft.functions.HeavyHitters.misraGries(8)(col("tok")).as("sketch"))
+      val exact = stream.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val total = stream.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(broadcast(total)).crossJoin(broadcast(sketch))
+        .filter(col("n_exact") > col("n_total") / lit(9.0))
+        .withColumn("est", element_at(col("sketch"), col("tok")))
+        .select(col("tok"), col("n_exact"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("n_exact") &&
+            (col("n_exact") - col("est")).cast("double") <= col("n_total") / lit(9.0))
+            .as("within_bound"))
+        .orderBy("tok")
+    },
+
     // Per-language quality quartiles (the per-domain curation thresholds):
     // grouped percentile_approx — one sketch per group crosses the
     // exchange. Oracle: the group's order statistic at asc rank

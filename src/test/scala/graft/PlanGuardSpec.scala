@@ -37,7 +37,10 @@ class PlanGuardSpec extends SparkSpec {
     // the reference pipeline's batch "now" (max source_ts) joins in as a
     // ONE-ROW broadcast aggregate — the scalar-subquery shape
     "q02_staleness", "q06_liveness", "q07_current_values",
-    "q10_heartbeat", "q11_offline_reset", "q15_ts_age")
+    "q10_heartbeat", "q11_offline_reset", "q15_ts_age",
+    // q105: the Misra-Gries summary and the stream total are each a
+    // ONE-ROW broadcast aggregate joined back for the verdict
+    "q105_heavy_hitters")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
