@@ -154,6 +154,37 @@ object RelationalQueries {
         .orderBy("o_custkey", "rk")
     },
 
+    // The SCALE form of q24: partial-aggregating top-k (bounded ordered
+    // buffer per group, map-side discard) — the exchange carries ≤ k rows
+    // per group instead of every order. Oracle is q24's SQL verbatim:
+    // the two forms are row-identical by construction.
+    QueryDef("q106_topk_agg",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |       CAST(rk AS INT) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+        |                                         o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TopKAgg
+      val rows = Tables.orders(s, dir)
+        .select(col("o_custkey").cast(LongType), col("o_orderkey").cast(LongType),
+          col("o_totalprice").cast(D2))
+        .as[(Long, Long, java.math.BigDecimal)]
+      rows.groupByKey(_._1)
+        .agg(TopKAgg.TopK(3).toColumn.name("top"))
+        .toDF("o_custkey", "top")
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+          col("col.value").cast(DoubleType).as("o_totalprice"),
+          (col("pos") + 1).cast(IntegerType).as("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+
     // Sessionization — 30-min-gap sessions per user (gaps-and-islands; the
     // streaming-native session_window form lives in graft.streaming).
     QueryDef("q25_sessionize",
