@@ -462,6 +462,26 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // REAL video-container metadata: AVI bytes (RIFF, same chunk
+    // discipline as WAV; every 4th file carries the JUNK padding chunk
+    // real muxers emit) are synthesized from closed-form metadata and
+    // re-extracted by walking RIFF → LIST hdrl → avih. Pixel decode
+    // stays honestly out of scope; the container fields are what corpus
+    // pipelines filter and frame-sample on.
+    QueryDef("q107_video_meta",
+      """SELECT doc_id AS media_id, 'avi' AS format,
+        |       CAST(320 + doc_id % 16 AS INT) AS width,
+        |       CAST(240 + doc_id % 12 AS INT) AS height,
+        |       CAST(100 + doc_id % 50 AS INT) AS n_frames,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END AS INT) AS usec_per_frame,
+        |       CAST((100 + doc_id % 50) *
+        |            CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END AS BIGINT) AS duration_us,
+        |       CAST(1 + doc_id % 2 AS INT) AS n_streams
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeVideoMeta(Multimodal.syntheticVideo(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    },
+
     // Cross-document duplicated-span removal (Lee et al. exact-substring
     // dedup): word 3-grams in >= 5 docs are boilerplate; every token they
     // cover is cut everywhere, order preserved. Integer/string only —

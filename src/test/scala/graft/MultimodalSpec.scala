@@ -226,6 +226,52 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- video: the AVI container metadata codec (q107) ----
+
+  import graft.operators.Multimodal.{VideoCodecs, VideoTestPattern}
+
+  test("AVI round-trip incl. the JUNK padding chunk real muxers emit") {
+    for (junk <- Seq(false, true)) {
+      val m = VideoCodecs.AviMeta(640, 480, 250, 33333, 2)
+      val d = VideoCodecs.decodeAviMeta(VideoCodecs.encodeAvi(m, junk))
+      assert(d == m, s"junk=$junk")
+    }
+  }
+
+  test("AVI golden header fields: avih offsets per the public layout") {
+    val b = VideoCodecs.encodeAvi(VideoCodecs.AviMeta(320, 240, 100, 40000, 1))
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(b, 8, 4, "US-ASCII") == "AVI ")
+    assert(new String(b, 12, 4, "US-ASCII") == "LIST")
+    assert(new String(b, 20, 4, "US-ASCII") == "hdrl")
+    assert(new String(b, 24, 4, "US-ASCII") == "avih")
+    assert(bb.getInt(28) == 56)      // avih payload size
+    assert(bb.getInt(32) == 40000)   // dwMicroSecPerFrame
+    assert(bb.getInt(48) == 100)     // dwTotalFrames
+    assert(bb.getInt(56) == 1)       // dwStreams
+    assert(bb.getInt(64) == 320 && bb.getInt(68) == 240)
+  }
+
+  test("malformed AVI fails loudly") {
+    val good = VideoCodecs.encodeAvi(VideoTestPattern.meta(1L))
+    intercept[IllegalArgumentException] { // truncated mid-header
+      VideoCodecs.decodeAviMeta(good.take(30))
+    }
+    intercept[IllegalArgumentException] { // chunk size overruns buffer
+      val b = good.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(16, Int.MaxValue) // hdrl LIST size
+      VideoCodecs.decodeAviMeta(b)
+    }
+    intercept[IllegalArgumentException] { // implausible dimensions rejected
+      val b = good.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(64, 0) // width 0
+      VideoCodecs.decodeAviMeta(b)
+    }
+  }
+
   test("distributed audio decode matches driver recomputation; corrupt rows survive") {
     val spark = SparkSpec.spark
     import spark.implicits._
