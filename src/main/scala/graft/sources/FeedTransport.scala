@@ -57,7 +57,9 @@ object FeedTransport {
                          limits: Limits = DefaultLimits,
                          clock: () => Long = () => System.currentTimeMillis(),
                          minTokenLifetimeMs: Long = 60000L,
-                         identity: Option[OpcuaCrypto.Identity] = None)
+                         identity: Option[OpcuaCrypto.Identity] = None,
+                         users: Map[String, String] = Map.empty,
+                         allowAnonymous: Boolean = true)
       extends AutoCloseable {
     private val server = new ServerSocket(port, 50, java.net.InetAddress.getByName("127.0.0.1"))
     private val live = new CopyOnWriteArrayList[Socket]()
@@ -137,7 +139,8 @@ object FeedTransport {
         // service Spark's offset contract needs) and TypeId-addressed
         // Part 4 services (leading four-byte NodeId, whose u32 image is
         // far outside the opcode range) dispatched to SessionServices.
-        val services = new OpcuaSession.SessionServices(feed, clock, identity)
+        val services = new OpcuaSession.SessionServices(feed, clock, identity,
+          users, allowAnonymous)
         while (running) {
           val (rid, body) =
             readConversation(in, clientSeq, neg, token.channelId, tokenOk, allowOpn = true)
@@ -263,7 +266,8 @@ object FeedTransport {
           prevToken.exists { case (pt, exp) => t == pt && clock() < exp }
       def clientKeysFor(t: Long): Option[DirectionKeys] =
         if (tokenOk(t)) keyring.get(t).map(_.clientKeys) else None
-      val services = new OpcuaSession.SessionServices(feed, clock, Some(ident))
+      val services = new OpcuaSession.SessionServices(feed, clock, Some(ident),
+        users, allowAnonymous)
       while (running) {
         val (rid, body) =
           readSecureConversation(in, clientSeq, neg, token.channelId, mode,

@@ -232,6 +232,26 @@ object OpcuaCrypto {
     out.toByteArray
   }
 
+  /** Encrypt an arbitrary-length secret (the Part 4 §7.36.4 user-token
+    * password): chunked at the OAEP capacity with NO pre-padding — unlike
+    * the OPN body path, the payload is not block-aligned, and OAEP
+    * preserves each block's exact payload length so [[rsaDecryptBlocks]]
+    * recovers the secret byte-for-byte.
+    */
+  def rsaEncryptSecret(pub: RSAPublicKey, plain: Array[Byte]): Array[Byte] = {
+    val pbs = rsaPlainBlockSize(pub)
+    val c = Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(Cipher.ENCRYPT_MODE, pub)
+    val out = new java.io.ByteArrayOutputStream(rsaCipherBlockSize(pub))
+    var off = 0
+    while (off < plain.length) {
+      val k = math.min(pbs, plain.length - off)
+      out.write(c.doFinal(plain, off, k))
+      off += k
+    }
+    out.toByteArray
+  }
+
   def rsaDecryptBlocks(priv: PrivateKey, cipherBytes: Array[Byte], cipherBlock: Int): Array[Byte] = {
     require(cipherBytes.length % cipherBlock == 0,
       s"cipher length ${cipherBytes.length} not a multiple of $cipherBlock")

@@ -64,7 +64,31 @@ object OpcuaSession {
   val BrowseNextResponseId = 536
   val ServiceFaultId = 397
   val AnonymousIdentityTokenId = 321
+  val UserNameIdentityTokenId = 324
   val DataChangeNotificationId = 811
+
+  // Part 4 §7.36.4 legacy token secret: password RSA-OAEP-encrypted with
+  // the server certificate, the server nonce appended inside the secret
+  val RsaOaepUri = "http://www.w3.org/2001/04/xmlenc#rsa-oaep"
+  val BadUserAccessDenied = 0x801F0000L
+  val BadIdentityTokenInvalid = 0x80200000L
+  val BadIdentityTokenRejected = 0x80210000L
+
+  /** Session identity, the reference's `GetUserIdentity` dichotomy
+    * (`Services/OpcuaHelperService.cs:280-292`: username+password when
+    * both are configured, anonymous otherwise).
+    */
+  sealed trait SessionIdentity
+  case object AnonymousIdentity extends SessionIdentity
+  final case class UserPasswordIdentity(user: String, password: String) extends SessionIdentity
+
+  /** The reference's fallback rule, verbatim: user+password only when both
+    * are non-empty (`OpcuaHelperService.cs:284`).
+    */
+  def identityFor(userName: String, password: String): SessionIdentity =
+    if (userName != null && userName.nonEmpty && password != null && password.nonEmpty)
+      UserPasswordIdentity(userName, password.trim)
+    else AnonymousIdentity
 
   // ns-0 address-space constants the browse surface serves (NodeIds CSV)
   val RootFolderId = 84L
@@ -356,8 +380,13 @@ object OpcuaSession {
     * for each TypeId-addressed request.
     */
   final class SessionServices(feed: MeasureFeed, clock: () => Long,
-                              identity: Option[OpcuaCrypto.Identity] = None) {
+                              identity: Option[OpcuaCrypto.Identity] = None,
+                              users: Map[String, String] = Map.empty,
+                              allowAnonymous: Boolean = true) {
     private var sessionToken: NodeIdT = _
+    // per-session nonce for the encrypted-password secret; rotated on
+    // every Create/ActivateSession response (Part 4 nonce freshness)
+    private var serverNonce: Array[Byte] = Array.emptyByteArray
     private var activated = false
     private var nextTokenId = 1000L
     private var nextSubId = 1L
@@ -569,7 +598,12 @@ object OpcuaSession {
         writeNodeId(w, NodeIdT(1, 10000L))  // SessionId
         writeNodeId(w, sessionToken)        // AuthenticationToken
         w.f64(sessionTimeoutMs)             // RevisedSessionTimeout — enforced
-        w.i32(-1).i32(-1)                   // ServerNonce, ServerCertificate
+        serverNonce = OpcuaCrypto.newNonce()
+        w.i32(serverNonce.length).raw(serverNonce)
+        identity match {                    // cert = what passwords encrypt to
+          case Some(id) => w.i32(id.certDer.length).raw(id.certDer)
+          case None     => w.i32(-1)
+        }
         w.i32(-1)                           // ServerEndpoints: null (no discovery here)
         w.i32(-1)                           // ServerSoftwareCertificates
         w.str(null).i32(-1)                 // ServerSignature{algorithm, signature}
@@ -582,15 +616,67 @@ object OpcuaSession {
         r.str(); r.i32()                    // ClientSignature
         r.i32()                             // ClientSoftwareCertificates (null)
         val nLoc = r.i32(); (0 until math.max(0, nLoc)).foreach(_ => r.str())
-        val (identId, _) = readExtensionObject(r)
-        if (identId.numeric != AnonymousIdentityTokenId)
-          throw new OpcuaError(BadSecurityChecksFailed, s"only anonymous identity (got $identId)")
+        val (identId, identBody) = readExtensionObject(r)
+        identId.numeric match {
+          case AnonymousIdentityTokenId =>
+            if (!allowAnonymous)
+              throw new OpcuaError(BadIdentityTokenRejected, "anonymous identity not allowed")
+          case UserNameIdentityTokenId =>
+            // UserNameIdentityToken: PolicyId, UserName, Password
+            // (ByteString), EncryptionAlgorithm. Adversarial input —
+            // decode under the body reader's own bounds.
+            val ir = new BufReader(identBody)
+            ir.str()                        // PolicyId
+            val user = ir.str()
+            val pwLen = ir.i32()
+            val pwRaw = if (pwLen > 0) ir.bytes(pwLen) else Array.emptyByteArray
+            val password = ir.str() match {
+              case RsaOaepUri =>
+                val id = identity.getOrElse(throw new OpcuaError(BadIdentityTokenRejected,
+                  "no server key configured for encrypted passwords"))
+                val plain =
+                  try OpcuaCrypto.rsaDecryptBlocks(id.privateKey, pwRaw,
+                    OpcuaCrypto.rsaCipherBlockSize(id.publicKey))
+                  catch { case _: OpcuaError | _: RuntimeException =>
+                    throw new OpcuaError(BadIdentityTokenInvalid, "password decryption failed") }
+                // legacy secret: u32 length, then password || serverNonce;
+                // the nonce binds the token to THIS session's challenge
+                // (replay of a captured token fails here)
+                val pr = new BufReader(plain)
+                val len = pr.i32()
+                if (len < serverNonce.length || len > pr.remaining)
+                  throw new OpcuaError(BadIdentityTokenInvalid, "malformed encrypted secret")
+                val pw = pr.bytes(len - serverNonce.length)
+                val nonce = pr.bytes(serverNonce.length)
+                if (serverNonce.isEmpty ||
+                    !java.security.MessageDigest.isEqual(nonce, serverNonce))
+                  throw new OpcuaError(BadIdentityTokenInvalid, "server nonce mismatch")
+                new String(pw, java.nio.charset.StandardCharsets.UTF_8)
+              case null | "" =>
+                // plaintext passwords only when the server HAS no key to
+                // offer — never downgrade when encryption is available
+                if (identity.isDefined)
+                  throw new OpcuaError(BadIdentityTokenRejected,
+                    "plaintext password rejected: encrypt with the server certificate")
+                new String(pwRaw, java.nio.charset.StandardCharsets.UTF_8)
+              case other =>
+                throw new OpcuaError(BadIdentityTokenRejected,
+                  s"unsupported password encryption algorithm $other")
+            }
+            if (!users.get(user).contains(password))
+              throw new OpcuaError(BadUserAccessDenied, s"bad credentials for '$user'")
+          case other =>
+            throw new OpcuaError(BadIdentityTokenRejected,
+              s"unsupported identity token type $other")
+        }
         r.str(); r.i32()                    // UserTokenSignature
         activated = true
         lastActivityMillis = clock()
         writeNodeId(w, NodeIdT(0, ActivateSessionResponseId))
         writeResponseHeader(w, clock(), handle, GoodStatus)
-        w.i32(-1).i32(-1).i32(-1)           // ServerNonce, Results, DiagnosticInfos
+        serverNonce = OpcuaCrypto.newNonce() // fresh challenge for re-activation
+        w.i32(serverNonce.length).raw(serverNonce)
+        w.i32(-1).i32(-1)                   // Results, DiagnosticInfos
 
       case CloseSessionRequestId =>
         val (tok, handle) = readRequestHeader(r)
@@ -938,6 +1024,9 @@ object OpcuaSession {
     private val limits = DefaultLimits
     private var requestId = 1L // the OPN consumed RequestId 1
     private var authToken: NodeIdT = NodeIdT.Null
+    // password-encryption material from the CreateSession response
+    private var serverNonce: Array[Byte] = Array.emptyByteArray
+    private var serverCertDer: Array[Byte] = null
 
     // connect + HEL → ACK → OPN (shared client half). A constructor that
     // throws leaves no object for callers to close, so the socket must be
@@ -1050,19 +1139,70 @@ object OpcuaSession {
       readNodeIdT(r)                        // SessionId
       authToken = readNodeIdT(r)            // AuthenticationToken
       r.f64()                               // RevisedSessionTimeout
+      // ServerNonce + ServerCertificate: the password-encryption material
+      val nLen = r.i32()
+      serverNonce = if (nLen > 0) r.bytes(nLen) else Array.emptyByteArray
+      val cLen = r.i32()
+      serverCertDer = if (cLen > 0) r.bytes(cLen) else null
     }
 
-    def activateSession(): Unit = {
-      call { w =>
+    def activateSession(identity: SessionIdentity = AnonymousIdentity): Unit =
+      activateWith(identity, serverNonce, plaintext = false)
+
+    /** Test hooks: the captured CreateSession nonce, activation against an
+      * arbitrary (e.g. stale) nonce, and the plaintext-password downgrade —
+      * each exists so specs can pin the REJECTION paths from outside.
+      */
+    private[graft] def capturedServerNonce: Array[Byte] = serverNonce.clone()
+    private[graft] def activateSessionWithNonce(identity: SessionIdentity,
+                                                nonce: Array[Byte]): Unit =
+      activateWith(identity, nonce, plaintext = false)
+    private[graft] def activateSessionPlaintext(user: String, pass: String): Unit =
+      activateWith(UserPasswordIdentity(user, pass), serverNonce, plaintext = true)
+
+    private def activateWith(identity: SessionIdentity, nonce: Array[Byte],
+                             plaintext: Boolean): Unit = {
+      val r = call { w =>
         writeNodeId(w, NodeIdT(0, ActivateSessionRequestId))
         writeRequestHeader(w, authToken, System.currentTimeMillis(), requestId)
         w.str(null).i32(-1)                 // ClientSignature
         w.i32(-1)                           // ClientSoftwareCertificates
         w.i32(-1)                           // LocaleIds
-        val anon = new BufWriter(16).str("anonymous")
-        writeExtensionObject(w, AnonymousIdentityTokenId, anon.result())
+        identity match {
+          case AnonymousIdentity =>
+            val anon = new BufWriter(16).str("anonymous")
+            writeExtensionObject(w, AnonymousIdentityTokenId, anon.result())
+          case UserPasswordIdentity(user, pass) =>
+            val body = new BufWriter(512)
+            body.str("username").str(user)
+            if (plaintext) {
+              val pwBytes = pass.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              body.i32(pwBytes.length).raw(pwBytes)
+              body.str(null)                // EncryptionAlgorithm: none
+            } else {
+              // Part 4 §7.36.4 legacy secret: RSA-OAEP(server cert,
+              // u32 len || passwordUtf8 || serverNonce) — the nonce from
+              // THIS CreateSession response, so a captured token cannot
+              // replay into another session
+              if (serverCertDer == null)
+                throw new OpcuaError(BadIdentityTokenRejected,
+                  "server supplied no certificate; cannot encrypt the password")
+              val pub = OpcuaCrypto.peerPublicKeyOf(serverCertDer)
+              val pwBytes = pass.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val secret = new BufWriter(64)
+                .u32((pwBytes.length + nonce.length).toLong)
+                .raw(pwBytes).raw(nonce).result()
+              val enc = OpcuaCrypto.rsaEncryptSecret(pub, secret)
+              body.i32(enc.length).raw(enc)
+              body.str(RsaOaepUri)
+            }
+            writeExtensionObject(w, UserNameIdentityTokenId, body.result())
+        }
         w.str(null).i32(-1)                 // UserTokenSignature
       }
+      // fresh server nonce for a later re-activation
+      val nl = r.i32()
+      if (nl > 0) serverNonce = r.bytes(nl)
       ()
     }
 
@@ -1430,7 +1570,8 @@ object OpcuaSession {
     */
   def discoverAndConnect(host: String, port: Int, sessionName: String,
                          maxAttempts: Int = 5, pauseMs: Long = 1500L,
-                         timeoutMs: Int = 30000): SessionClient = {
+                         timeoutMs: Int = 30000,
+                         identity: SessionIdentity = AnonymousIdentity): SessionClient = {
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt < maxAttempts) {
@@ -1445,7 +1586,7 @@ object OpcuaSession {
         val c = new SessionClient(host, port, timeoutMs)
         try {
           c.createSession(sessionName)
-          c.activateSession()
+          c.activateSession(identity)
           return c
         } catch { case e: Throwable => try c.close() catch { case _: Exception => () }; throw e }
       } catch {
