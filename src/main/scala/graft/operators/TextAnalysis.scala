@@ -381,6 +381,54 @@ object TextAnalysis {
         col("sum_bigram_count").cast(DoubleType) / col("sum_context_count"))
   }
 
+  /** Jelinek-Mercer interpolated bigram⊕unigram likelihood — the smoothed
+    * LM the plain [[bigramLikelihood]] proxy approximates from below:
+    * λ·(bigram mass ratio) + (1−λ)·(unigram mass ratio), the standard
+    * fix for unseen-context brittleness in n-gram scoring. Cross-engine
+    * exactness is preserved the q78 way: every aggregate is an INTEGER
+    * sum (bigram, context, and second-word unigram counts; corpus token
+    * total), and the interpolation is a fixed sequence of IEEE ops on
+    * those exact integers — never a float sum across rows.
+    *
+    * Shuffle shape at scale: adds one word-keyed unigram dim beside q78's
+    * bigram/context dims (sharded the same way) and a one-row broadcast
+    * token total; the per-doc reduction is unchanged.
+    */
+  def interpolatedLikelihood(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val toks = docs
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), col("ws"))
+      .persist()
+    val bg = toks
+      .select(col("doc_id"), explode(TextOps.bigrams("ws")).as("bg"))
+      .persist()
+    val uni = toks.select(explode(col("ws")).as("w"))
+    val uniCounts = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTotal = uni.agg(count(lit(1)).as("n_total"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = bg
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    bg.join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ctxCounts, Seq("w1"))
+      .join(uniCounts.withColumnRenamed("w", "w2"), Seq("w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_bg")).as("sum_bigram_count"),
+        sum(col("c_ctx")).as("sum_context_count"),
+        sum(col("c_w")).as("sum_unigram_count"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("likelihood",
+        lit(lambda) * (col("sum_bigram_count").cast(DoubleType) / col("sum_context_count"))
+          + lit(1.0 - lambda) *
+            (col("sum_unigram_count").cast(DoubleType) /
+              (col("n_bigrams").cast(DoubleType) * col("n_total"))))
+      .select("doc_id", "n_bigrams", "sum_bigram_count", "sum_context_count",
+        "sum_unigram_count", "n_total", "likelihood")
+  }
+
   /** CCNet-style per-language likelihood bucketing (Wenzek et al.,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): each language's documents split into head/middle/tail by

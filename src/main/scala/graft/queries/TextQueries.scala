@@ -312,6 +312,39 @@ object TextQueries {
         .orderBy("tok")
     },
 
+    // Jelinek-Mercer smoothed LM: λ·bigram ⊕ (1−λ)·unigram backoff.
+    // Integer sums only; the interpolation is the same fixed IEEE op
+    // sequence in both engines. Gotcha: DuckDB folds (1.0 - 0.7) in
+    // exact DECIMAL (= 0.3, one ulp off Spark's double subtraction), so
+    // the oracle forces the subtraction into DOUBLE.
+    QueryDef("q108_interpolated_lm",
+      s"""WITH t AS (SELECT doc_id, $W AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS w FROM t),
+        |cu AS (SELECT w, COUNT(*) AS c_w FROM u GROUP BY w),
+        |nt AS (SELECT COUNT(*) AS n_total FROM u),
+        |bg AS (SELECT doc_id, unnest(${TextOps.bigramsSql("ws")}) AS bg FROM t),
+        |cb AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+        |cc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_ctx
+        |       FROM bg GROUP BY 1),
+        |j AS (SELECT b.doc_id, cb.c_bg, cc.c_ctx, cu.c_w
+        |      FROM bg b JOIN cb USING (bg)
+        |                JOIN cc ON cc.w1 = split_part(b.bg, ' ', 1)
+        |                JOIN cu ON cu.w = split_part(b.bg, ' ', 2))
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(c_bg) AS BIGINT) AS sum_bigram_count,
+        |       CAST(SUM(c_ctx) AS BIGINT) AS sum_context_count,
+        |       CAST(SUM(c_w) AS BIGINT) AS sum_unigram_count,
+        |       nt.n_total AS n_total,
+        |       0.7 * (CAST(CAST(SUM(c_bg) AS BIGINT) AS DOUBLE)
+        |              / CAST(SUM(c_ctx) AS BIGINT))
+        |         + (CAST(1.0 AS DOUBLE) - 0.7) * (CAST(CAST(SUM(c_w) AS BIGINT) AS DOUBLE)
+        |              / (CAST(COUNT(*) AS DOUBLE) * nt.n_total)) AS likelihood
+        |FROM j, nt GROUP BY doc_id, nt.n_total
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.interpolatedLikelihood(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // Per-language quality quartiles (the per-domain curation thresholds):
     // grouped percentile_approx — one sketch per group crosses the
     // exchange. Oracle: the group's order statistic at asc rank
