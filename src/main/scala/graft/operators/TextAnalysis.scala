@@ -280,6 +280,42 @@ object TextAnalysis {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Maximal repeated-interval extraction — the REPORTING side of
+    * exact-substring dedup (Lee et al. report the repeated spans before
+    * cutting them): positions covered by any cross-document-frequent
+    * 3-gram (≥ `minDocs` docs), merged into maximal contiguous intervals
+    * per document via gaps-and-islands (pos − row_number is constant on a
+    * run). Any repeated substring of length ≥ 3 is covered by some
+    * frequent 3-gram, so its tokens land inside a reported interval.
+    *
+    * Shuffle shape at scale: identical to [[dropFrequentSpans]] up to the
+    * covered-position set (shingle-keyed dim + join, never a corpus
+    * broadcast); the islands window partitions by doc_id — per-doc state,
+    * sharded like every other doc-keyed window here.
+    */
+  def repeatedIntervals(docs: DataFrame, minDocs: Long): DataFrame = {
+    val withWs = docs.withColumn("ws", TextOps.words(col("text")))
+    val sh = withWs.select(col("doc_id"),
+      posexplode(TextOps.shingles3("ws")).as(Seq("sp0", "shingle")))
+      .select(col("doc_id"), (col("sp0") + 1).as("sp"), col("shingle"))
+      .persist()
+    val frequent = sh.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("shingle")
+    val covered = sh.join(frequent, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(array(col("sp"), col("sp") + 1, col("sp") + 2)).as("pos"))
+      .distinct()
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"), col("span_len"))
+  }
+
   /** Train/eval contamination detection — the decontamination pass every
     * training pipeline runs before reporting benchmark numbers: an eval
     * document sharing word-shingles with the train split has leaked. The

@@ -545,6 +545,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Maximal repeated intervals: the reporting side of q83 — covered
+    // positions merged into per-doc maximal runs by gaps-and-islands
+    // (pos − row_number constant per run). Integer-only.
+    QueryDef("q109_repeated_intervals",
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+        |sh AS (SELECT doc_id, i AS sp, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |       FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM w)
+        |       WHERE i <= len(ws) - 2),
+        |f AS (SELECT shingle FROM (SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+        |                           FROM sh GROUP BY shingle) WHERE nd >= 5),
+        |cov AS (SELECT DISTINCT s.doc_id, s.sp + o.o AS pos
+        |        FROM sh s JOIN f USING (shingle), (VALUES (0), (1), (2)) o(o)),
+        |isl AS (SELECT doc_id, pos,
+        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM cov)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |       CAST(max(pos) AS BIGINT) AS end_pos,
+        |       CAST(COUNT(*) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.repeatedIntervals(Tables.documents(s, dir), 5L)
+        .select(col("doc_id"), col("start_pos").cast("long").as("start_pos"),
+          col("end_pos").cast("long").as("end_pos"), col("span_len"))
+        .orderBy("doc_id", "start_pos")
+    },
+
     // PII redaction: the synthetic corpus carries no contact data, so the
     // query first derives a deterministic contact-laden text from
     // (text, doc_id) — SAME derivation in both engines — then redacts.

@@ -203,4 +203,32 @@ class TextAnalysisSpec extends SparkSpec {
     // doc2: aaab→1 ×2 = 2 over 2 words
     assert(got == Seq((1L, 3L, 6L), (2L, 2L, 2L)))
   }
+
+  test("repeatedIntervals covers exactly dropFrequentSpans' dropped tokens; intervals are maximal") {
+    // 6 docs share the run "x y z w"; doc 6 also repeats a disjoint "p q r"
+    val boiler = "x y z w"
+    val docs = ((1L to 5L).map(i => (i, s"u$i $boiler v$i")) :+
+      ((6L, s"$boiler a b c p q r")) :+ ((7L, "p q r only here once plus more")))
+      .toDF("doc_id", "text")
+    val intervals = TextAnalysis.repeatedIntervals(docs, 5L)
+      .orderBy("doc_id", "start_pos")
+      .select("doc_id", "start_pos", "end_pos", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the shared 4-token run is one maximal interval per doc, at its
+    // actual position (2..5 in docs 1-5, 1..4 in doc 6); "p q r" appears
+    // in only 2 docs — below minDocs, no interval
+    assert(intervals.count(_._1 <= 5) == 5)
+    intervals.filter(_._1 <= 5).foreach { case (_, s, e, l) =>
+      assert(s == 2 && e == 5 && l == 4)
+    }
+    assert(intervals.filter(_._1 == 6L) == Seq((6L, 1L, 4L, 4L)))
+    assert(!intervals.exists(_._1 == 7L))
+    // invariant vs the cutting operator: per-doc covered mass == n_dropped
+    val dropped = TextAnalysis.dropFrequentSpans(docs, 5L)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    val coveredByDoc = intervals.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    dropped.foreach { case (d, n) =>
+      assert(coveredByDoc.getOrElse(d, 0L) == n, s"doc $d coverage != dropped")
+    }
+  }
 }
