@@ -572,6 +572,33 @@ object TextQueries {
         .orderBy("doc_id", "start_pos")
     },
 
+    // Shard-assignment stats (the plan Storage.exportTrainingShards
+    // executes): deterministic md5 shard ids, per-shard doc/token mass
+    // and id range — what an export manifest records. Deterministic, so
+    // fully oracle-checkable (unlike the filesystem write, specced in
+    // StorageSpec).
+    QueryDef("q110_shard_stats",
+      s"""WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |         ${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, dir)
+        .withColumn("shard",
+          pmod(graft.functions.ScalarOps.md5Hash32(col("doc_id").cast("string")), lit(8L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("shard")
+    },
+
     // PII redaction: the synthetic corpus carries no contact data, so the
     // query first derives a deterministic contact-laden text from
     // (text, doc_id) — SAME derivation in both engines — then redacts.

@@ -93,6 +93,34 @@ object Storage {
       .sortBy("device")
       .saveAsTable(tableName)
 
+  /** Training-data shard export — the pipeline's last mile: the curated
+    * corpus lands as `nShards` deterministic shards (shard =
+    * md5-hash(doc_id) mod n, the q53 idiom — never random(), so a re-run
+    * reproduces byte-identical shards and a resumed export can skip
+    * completed ones), each shard's rows in a reproducible (hash, doc_id)
+    * order so downstream training reads a stable sequence without a
+    * global sort — ordering is within-shard only, the corpus never
+    * serializes through one task.
+    *
+    * Layout: parquet `partitionBy(shard)`; one write task per shard
+    * (repartition on the shard value), so each shard directory is one
+    * file unless the shard itself outgrows the writer's
+    * maxRecordsPerFile. Readers address shards by directory
+    * (`shard=K/`), the layout elastic trainers expect.
+    */
+  def exportTrainingShards(docs: DataFrame, path: String, nShards: Int): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    docs
+      .withColumn("shard_hash",
+        graft.functions.ScalarOps.md5Hash32(col("doc_id").cast("string")))
+      .withColumn("shard", pmod(col("shard_hash"), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_hash", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** The IVF index as a TABLE: embeddings joined with their cell
     * assignment ([[graft.operators.Similarity.ivfCells]]), bucketed by
     * cell — the documented 100 TB layout where the per-query probe
