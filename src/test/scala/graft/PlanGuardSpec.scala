@@ -40,7 +40,10 @@ class PlanGuardSpec extends SparkSpec {
     "q10_heartbeat", "q11_offline_reset", "q15_ts_age",
     // q105: the Misra-Gries summary and the stream total are each a
     // ONE-ROW broadcast aggregate joined back for the verdict
-    "q105_heavy_hitters")
+    "q105_heavy_hitters",
+    // q108: the corpus token total is a ONE-ROW broadcast aggregate
+    // (q61's n_docs shape) under the interpolated-likelihood arithmetic
+    "q108_interpolated_lm")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
