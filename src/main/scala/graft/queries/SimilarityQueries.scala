@@ -506,6 +506,56 @@ object SimilarityQueries {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), 5L, 5, nprobe = 2,
         step = 100L, candidates = 20)
         .orderBy("q_id", "rk")
+    },
+
+    // Distributed Lloyd's k-means (spherical): k=5 mod-100 seeds, two
+    // full assign→update rounds, then the final assignment. The oracle
+    // replays both rounds CTE-by-CTE — fixed-point centroid means (the
+    // q79 contract) make every intermediate engine-exact, so the integer
+    // (vec_id, cluster) labeling hash-matches with no tolerance. Ties
+    // break cluster-DESC (the max(struct) argmax order, as q44).
+    QueryDef("q111_kmeans",
+      eCte +
+        s""",
+        |cand AS (SELECT vec_id, emb FROM e WHERE vec_id % 100 = 0
+        |         ORDER BY vec_id LIMIT 5),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+        |              emb AS c
+        |       FROM cand),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |       SELECT e.vec_id, c0.cluster,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                  ORDER BY ${cos("e.emb", "c0.c")} DESC, c0.cluster DESC) AS rn
+        |       FROM e, c0) WHERE rn = 1),
+        |m1 AS (SELECT a1.cluster, pos,
+        |              CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
+        |              COUNT(*) AS n
+        |       FROM e JOIN a1 USING (vec_id),
+        |            (SELECT unnest(range(1, ${D + 1})) AS pos) p
+        |       GROUP BY a1.cluster, pos),
+        |c1 AS (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS c
+        |       FROM m1 GROUP BY cluster),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |       SELECT e.vec_id, c1.cluster,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                  ORDER BY ${cos("e.emb", "c1.c")} DESC, c1.cluster DESC) AS rn
+        |       FROM e, c1) WHERE rn = 1),
+        |m2 AS (SELECT a2.cluster, pos,
+        |              CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
+        |              COUNT(*) AS n
+        |       FROM e JOIN a2 USING (vec_id),
+        |            (SELECT unnest(range(1, ${D + 1})) AS pos) p
+        |       GROUP BY a2.cluster, pos),
+        |c2 AS (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS c
+        |       FROM m2 GROUP BY cluster),
+        |a3 AS (SELECT vec_id, cluster FROM (
+        |       SELECT e.vec_id, c2.cluster,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                  ORDER BY ${cos("e.emb", "c2.c")} DESC, c2.cluster DESC) AS rn
+        |       FROM e, c2) WHERE rn = 1)
+        |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 5, iters = 2)
+        .orderBy("vec_id")
     }
   )
 }

@@ -43,7 +43,10 @@ class PlanGuardSpec extends SparkSpec {
     "q105_heavy_hitters",
     // q108: the corpus token total is a ONE-ROW broadcast aggregate
     // (q61's n_docs shape) under the interpolated-likelihood arithmetic
-    "q108_interpolated_lm")
+    "q108_interpolated_lm",
+    // q111: Lloyd assignment scores the corpus against the broadcast
+    // k-row centroid set (the q44 IVF shape, k·dim model state)
+    "q111_kmeans")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
