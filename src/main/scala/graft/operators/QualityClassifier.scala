@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextOps
+
+/** fastText/DCLM-style linear quality classifier over `documents`-shaped
+  * data — the supervised half of corpus curation. Modern pipelines train
+  * a cheap linear model on bag-of-words features (label: "looks like a
+  * reference corpus" vs not) and keep the documents the model scores
+  * high; this operator is that model, Spark-native.
+  *
+  * Two halves:
+  *  - [[scoreLinear]]: inference with an arbitrary (token, weight) dim —
+  *    explode → broadcast-join the weight dim → doc-keyed sum. Integer
+  *    weights stay integer end-to-end (oracle-exact, q112).
+  *  - [[train]]: batch gradient descent for logistic regression. The
+  *    MODEL is bounded driver state (vocab ≤ a few 10⁵ token weights,
+  *    like KMeans' centroid set and IVF's cells); the DATA never leaves
+  *    the executors. Each round broadcasts the weights, computes per-doc
+  *    margins (token-keyed join + doc-keyed agg), per-doc residuals
+  *    σ(m)−y, then token-keyed gradient sums — two keyed exchanges per
+  *    round, both partially aggregated map-side.
+  *
+  * Determinism: gradient contributions quantize to FIXED-POINT
+  * (round_even(g·2²⁴) summed as longs — the q79/KMeans contract) so the
+  * trained weights are bit-identical across partitionings; the training
+  * trajectory is a pure function of the data. σ/log run on the driver or
+  * per-row where their operand sequence is fixed, never inside an
+  * order-sensitive aggregation.
+  */
+object QualityClassifier {
+
+  /** Fixed-point scale for gradient accumulation: 2²⁴ ≈ 7 decimal digits
+    * of gradient resolution, ample next to lr ≥ 1e-3.
+    */
+  private val Fp = 1L << 24
+  private val FpD = Fp.toDouble
+
+  /** Per-doc sparse bag-of-words: (doc_id, token, cnt, n_tokens).
+    * Tokenization is [[TextOps.words]] — the corpus-wide contract shared
+    * with every text oracle.
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"),
+        explode(col("ws")).as("token"))
+    toks.groupBy("doc_id", "n_tokens", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("token"), col("cnt"), col("n_tokens"))
+  }
+
+  /** Linear scorer: margin = bias + Σ_t cnt_t · w(t) over the (token,
+    * weight) dim, label = margin > bias threshold 0. A LEFT join keeps
+    * docs with no in-vocab token (margin = bias). With integer weights
+    * and bias the margin is exact integer arithmetic.
+    */
+  def scoreLinear(docs: DataFrame, weights: DataFrame, bias: Long = 0L): DataFrame =
+    features(docs)
+      .join(broadcast(weights), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg((coalesce(sum(col("cnt") * col("weight")), lit(0L)) + lit(bias)).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, 1).otherwise(0).cast(IntegerType).as("label"))
+
+  /** The trained model: driver-held weights + bias + per-round mean
+    * log-loss (loss(0) is the untrained model's).
+    */
+  final case class Model(weights: Map[String, Double], bias: Double,
+      lossHistory: Vector[Double]) {
+    /** Score new docs with the trained weights (broadcast dim), emitting
+      * the probability σ(margin).
+      */
+    def transform(docs: DataFrame): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val wDf = weights.toSeq.toDF("token", "w")
+      features(docs)
+        .join(broadcast(wDf), Seq("token"), "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(coalesce(sum(col("cnt") * col("w")), lit(0.0)).as("dot"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("dot") / col("n_tokens") + lit(bias)))))
+            .as("p_good"))
+    }
+  }
+
+  /** Batch logistic regression on length-normalized term frequencies
+    * (x_t = cnt_t / n_tokens — bounds every feature in [0,1]), with
+    * ADAGRAD per-feature step sizes: plain GD on bag-of-words is
+    * crippled by conditioning (ubiquitous stop tokens + the bias span a
+    * high-curvature zero-signal direction that caps the stable global
+    * rate, while rare informative tokens see gradients orders of
+    * magnitude smaller), and AdaGrad's g/√(Σg²) normalization is the
+    * standard linear-text-model answer. The accumulators are driver
+    * state beside the weights; the distributed pass is unchanged.
+    *
+    * `labeled`: (doc_id, text, label∈{0,1}). The vocabulary is the
+    * `vocabSize` most-document-frequent tokens (ties → token asc,
+    * deterministic); everything else is out-of-vocab and ignored, which
+    * caps the model (driver memory, broadcast size) independent of corpus
+    * width.
+    */
+  def train(labeled: DataFrame, iters: Int, lr: Double,
+      vocabSize: Int = 1 << 15, l2: Double = 0.0): Model = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+
+    val feats = features(labeled.select(col("doc_id"), col("text")))
+      .join(labeled.select(col("doc_id"), col("label").cast(DoubleType).as("y")), Seq("doc_id"))
+      .withColumn("x", col("cnt").cast(DoubleType) / col("n_tokens"))
+      .select(col("doc_id"), col("token"), col("x"), col("y"))
+      .persist()
+
+    // vocab: top-V by document frequency (partial top-k, no global sort)
+    val vocab = feats.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("token")).limit(vocabSize)
+      .select("token").as[String].collect()
+
+    val nDocs = feats.select("doc_id").distinct().count().toDouble
+
+    var w = Map.empty[String, Double].withDefaultValue(0.0)
+    var b = 0.0
+    // AdaGrad squared-gradient accumulators (driver model state)
+    var gAcc = Map.empty[String, Double].withDefaultValue(0.0)
+    var gAccB = 0.0
+    val eps = 1e-8
+    val losses = Vector.newBuilder[Double]
+
+    val inVocab = feats.join(broadcast(vocab.toSeq.toDF("token")), Seq("token"))
+      .persist()
+
+    for (_ <- 0 until iters) {
+      val wDf = broadcast(w.toSeq.toDF("token", "w"))
+      // per-doc margin; LEFT join keeps zero-weight rounds (w empty) and
+      // docs whose every token is OOV
+      val perDoc = inVocab
+        .join(wDf, Seq("token"), "left")
+        .groupBy("doc_id", "y")
+        .agg(coalesce(sum(col("x") * col("w")), lit(0.0)).as("dot"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(b)))))
+        .withColumn("resid", col("p") - col("y"))
+      // mean log-loss of the CURRENT weights (before the step); clamp
+      // away log(0). Driver-visible diagnostic, not part of the model.
+      val loss = perDoc.select(avg(
+        -(col("y") * log(greatest(col("p"), lit(1e-15))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-15))))).as("l"))
+        .head().getDouble(0)
+      losses += loss
+      // token-keyed gradient, fixed-point quantized per contribution
+      val grads = inVocab
+        .join(perDoc.select(col("doc_id"), col("resid")), Seq("doc_id"))
+        .withColumn("g", bround(col("resid") * col("x") * FpD, 0).cast(LongType))
+        .groupBy("token").agg(sum("g").as("gs"))
+        .collect().map(r => r.getString(0) -> r.getLong(1) / FpD).toMap
+      val gradB = perDoc
+        .select(sum(bround(col("resid") * FpD, 0).cast(LongType)).as("gb"))
+        .head().getLong(0) / FpD
+      w = vocab.map { t =>
+        val g = grads.getOrElse(t, 0.0) / nDocs + l2 * w(t)
+        gAcc += t -> (gAcc(t) + g * g)
+        t -> (w(t) - lr * g / (math.sqrt(gAcc(t)) + eps))
+      }.toMap.withDefaultValue(0.0)
+      val gb = gradB / nDocs
+      gAccB += gb * gb
+      b -= lr * gb / (math.sqrt(gAccB) + eps)
+    }
+    inVocab.unpersist(); feats.unpersist()
+    Model(w, b, losses.result())
+  }
+}

@@ -208,6 +208,38 @@ object TrainingQueries {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.TextAnalysis.tokenBudget(Tables.documents(s, dir), budgetPerLang = 5000L)
         .orderBy("doc_id")
+    },
+
+    // Linear quality-classifier inference (the fastText/DCLM curation
+    // shape): margin = Σ cnt(token)·w(token) over a broadcast (token,
+    // weight) dim, label = margin > 0. The dim here is a closed-form
+    // integer model (w = clamp(len(token)−4, −2, 5)) derived from the
+    // corpus vocabulary in BOTH engines, so the margins are exact
+    // integer arithmetic and hash-match. In production the dim is the
+    // bounded trained vocabulary from QualityClassifier.train — the
+    // plumbing under test (explode → broadcast weight join → doc-keyed
+    // sum) is identical.
+    QueryDef("q112_classifier_score",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |              FROM documents),
+        |wt AS (SELECT token,
+        |              CAST(LEAST(GREATEST(LENGTH(token) - 4, -2), 5) AS BIGINT) AS weight
+        |       FROM (SELECT DISTINCT token FROM toks)),
+        |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS margin,
+        |       CASE WHEN SUM(c.cnt * wt.weight) > 0 THEN 1 ELSE 0 END AS label
+        |FROM c JOIN wt USING (token)
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val weights = docs
+        .select(explode(TextOps.words(col("text"))).as("token")).distinct()
+        .select(col("token"),
+          least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
+            .cast("long").as("weight"))
+      graft.operators.QualityClassifier.scoreLinear(docs, weights)
+        .orderBy("doc_id")
     }
   )
 }

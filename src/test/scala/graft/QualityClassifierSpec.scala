@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.QualityClassifier
+
+/** Logistic-regression quality classifier: exact linear scoring,
+  * separable-corpus learning, monotone loss, holdout generalization, and
+  * bit-identical training across partitionings (the fixed-point gradient
+  * contract).
+  */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic separable corpus: doc i is positive iff i%2==0.
+    * Positives draw from goodN vocabulary, negatives from badN, both mixed
+    * with shared stop tokens — linearly separable but not trivially (the
+    * stop tokens carry no signal and dominate counts).
+    */
+  private def corpus(n: Int, parts: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val y = i % 2
+      val marker =
+        if (y == 1) s"good${i % 5} good${(i + 1) % 5} good${i % 3}"
+        else s"bad${i % 5} bad${(i + 1) % 5} bad${i % 3}"
+      val noise = s"the of and to in ${"filler" + (i % 7)} the of"
+      (i.toLong, s"$noise $marker $noise", y)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts))
+      .toDF("doc_id", "text", "label")
+  }
+
+  test("scoreLinear computes exact integer margins; OOV tokens score zero") {
+    val docs = Seq((1L, "foo foo bar baz"), (2L, "baz qux")).toDF("doc_id", "text")
+    val w = Seq(("foo", 2L), ("bar", -1L)).toDF("token", "weight")
+    val got = QualityClassifier.scoreLinear(docs, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 1), (2L, 0L, 0)))
+  }
+
+  test("training separates a separable corpus and converges") {
+    val m = QualityClassifier.train(corpus(200, 4), iters = 25, lr = 5.0)
+    assert(m.lossHistory.size == 25)
+    // AdaGrad's first steps can overshoot (tiny accumulators); assert
+    // convergence overall and a monotone tail, not per-step descent.
+    assert(m.lossHistory.last < m.lossHistory.head / 10,
+      s"loss barely moved: ${m.lossHistory.head} -> ${m.lossHistory.last}")
+    m.lossHistory.drop(12).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"loss rose in the tail: ${m.lossHistory}")
+      case _ => ()
+    }
+    // learned signs: every good token positive, every bad token negative
+    (0 until 5).foreach { k =>
+      assert(m.weights(s"good$k") > 0, s"good$k: ${m.weights(s"good$k")}")
+      assert(m.weights(s"bad$k") < 0, s"bad$k: ${m.weights(s"bad$k")}")
+    }
+    // stop tokens carry no label signal: unregularized LR keeps them an
+    // order of magnitude below the signal tokens (exact zero needs l2)
+    val minSignal = (0 until 5).map(k =>
+      math.abs(m.weights(s"good$k")) min math.abs(m.weights(s"bad$k"))).min
+    Seq("the", "of", "and", "to", "in").foreach { t =>
+      assert(math.abs(m.weights(t)) < 0.1 * minSignal,
+        s"$t drifted: ${m.weights(t)} vs signal floor $minSignal")
+    }
+  }
+
+  test("holdout accuracy >= 0.95 on unseen separable docs") {
+    val m = QualityClassifier.train(corpus(200, 4), iters = 25, lr = 5.0)
+    // unseen docs 200..279 from the same generator
+    val holdout = corpus(280, 4).filter(col("doc_id") >= 200)
+    val scored = m.transform(holdout.select("doc_id", "text"))
+      .join(holdout.select("doc_id", "label"), Seq("doc_id"))
+    val acc = scored
+      .select(avg(when((col("p_good") > 0.5) === (col("label") === 1), 1.0)
+        .otherwise(0.0)).as("acc"))
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"holdout accuracy $acc")
+  }
+
+  test("trained weights are bit-identical across input partitionings") {
+    val m1 = QualityClassifier.train(corpus(120, 1), iters = 5, lr = 20.0)
+    val m8 = QualityClassifier.train(corpus(120, 8), iters = 5, lr = 20.0)
+    assert(m1.bias == m8.bias)
+    assert(m1.weights == m8.weights)
+  }
+
+  test("vocabSize caps the model: OOV tokens get no weight") {
+    val m = QualityClassifier.train(corpus(100, 4), iters = 3, lr = 20.0,
+      vocabSize = 8)
+    assert(m.weights.count(_._2 != 0.0) <= 8)
+  }
+}
