@@ -65,6 +65,41 @@ object QualityClassifier {
       .select(col("doc_id"), col("margin"),
         when(col("margin") > 0, 1).otherwise(0).cast(IntegerType).as("label"))
 
+  /** Precision/recall curve for a scored corpus: one row per DISTINCT
+    * score, giving the confusion counts and precision/recall/F1 of the
+    * rule "predict positive iff score ≥ this row's score".
+    *
+    * `scored`: (score: numeric, label ∈ {0,1}). Scale shape: the corpus
+    * reduces FIRST via a score-keyed aggregation to the distinct-score
+    * dim — bounded by the score range (integer margins), orders of
+    * magnitude below the corpus — and only that dim crosses the terminal
+    * cumulative window (the q72-cutpoints / q39-shrunken-sort pattern:
+    * sketch-sized exchange, never a corpus sort). Counts are exact
+    * BIGINTs; precision/recall/F1 are single IEEE divisions of those
+    * exact counts, so they hash-match cross-engine.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).cast(LongType).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = byScore.agg(sum(col("n_pos")).as("pos_total"))
+    val cum = byScore
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n") - col("n_pos")).over(w))
+      .crossJoin(broadcast(total)) // one-row total, q108 precedent
+    cum.select(
+      col("threshold"), col("tp"), col("fp"),
+      (col("pos_total") - col("tp")).as("fn"),
+      (col("tp").cast(DoubleType) / (col("tp") + col("fp"))).as("precision"),
+      (col("tp").cast(DoubleType) / col("pos_total")).as("recall"),
+      ((lit(2.0) * col("tp")) / (lit(2.0) * col("tp") + col("fp") +
+        (col("pos_total") - col("tp")))).as("f1"))
+  }
+
   /** The trained model: driver-held weights + bias + per-round mean
     * log-loss (loss(0) is the untrained model's).
     */

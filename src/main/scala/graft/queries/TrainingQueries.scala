@@ -240,6 +240,53 @@ object TrainingQueries {
             .cast("long").as("weight"))
       graft.operators.QualityClassifier.scoreLinear(docs, weights)
         .orderBy("doc_id")
+    },
+
+    // Classifier evaluation: the precision/recall curve of q112's scorer
+    // against lang='en' ground truth — one row per distinct margin,
+    // confusion counts for "positive iff margin ≥ threshold". The corpus
+    // collapses to the distinct-score dim BEFORE the cumulative window
+    // (sketch-sized exchange); counts are exact BIGINTs and the
+    // P/R/F1 ratios single divisions of them, so the curve hash-matches.
+    QueryDef("q113_classifier_eval",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |              FROM documents),
+        |wt AS (SELECT token,
+        |              CAST(LEAST(GREATEST(LENGTH(token) - 4, -2), 5) AS BIGINT) AS weight
+        |       FROM (SELECT DISTINCT token FROM toks)),
+        |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |scored AS (SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS score,
+        |                  MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS label
+        |           FROM c JOIN wt USING (token) JOIN documents d ON c.doc_id = d.doc_id
+        |           GROUP BY c.doc_id),
+        |by_score AS (SELECT score AS threshold, COUNT(*) AS n,
+        |                    CAST(SUM(label) AS BIGINT) AS n_pos
+        |             FROM scored GROUP BY score),
+        |cum AS (SELECT threshold,
+        |               CAST(SUM(n_pos) OVER w AS BIGINT) AS tp,
+        |               CAST(SUM(n - n_pos) OVER w AS BIGINT) AS fp,
+        |               CAST((SELECT SUM(n_pos) FROM by_score) AS BIGINT) AS pos_total
+        |        FROM by_score
+        |        WINDOW w AS (ORDER BY threshold DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT threshold, tp, fp, (pos_total - tp) AS fn,
+        |       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |       CAST(tp AS DOUBLE) / pos_total AS recall,
+        |       (2.0 * tp) / (2.0 * tp + fp + (pos_total - tp)) AS f1
+        |FROM cum ORDER BY threshold DESC""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val weights = docs
+        .select(explode(TextOps.words(col("text"))).as("token")).distinct()
+        .select(col("token"),
+          least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
+            .cast("long").as("weight"))
+      val scored = graft.operators.QualityClassifier.scoreLinear(docs, weights)
+        .select(col("doc_id"), col("margin").as("score"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1).otherwise(0).as("label")), Seq("doc_id"))
+      graft.operators.QualityClassifier.prCurve(scored)
+        .orderBy(col("threshold").desc)
     }
   )
 }

@@ -46,7 +46,10 @@ class PlanGuardSpec extends SparkSpec {
     "q108_interpolated_lm",
     // q111: Lloyd assignment scores the corpus against the broadcast
     // k-row centroid set (the q44 IVF shape, k·dim model state)
-    "q111_kmeans")
+    "q111_kmeans",
+    // q113: the positive-class total is a ONE-ROW broadcast aggregate
+    // joined onto the distinct-score PR dim (q108's shape)
+    "q113_classifier_eval")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -64,6 +64,24 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("prCurve matches the hand-computed confusion table") {
+    // scores 3,3,2,1 with labels 1,0,1,0: thresholds 3,2,1 give
+    // (tp,fp) = (1,1), (2,1), (2,2); pos_total = 2
+    val scored = Seq((3L, 1), (3L, 0), (2L, 1), (1L, 0)).toDF("score", "label")
+    val got = QualityClassifier.prCurve(scored)
+      .orderBy(col("threshold").desc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (3L, 1L, 1L, 1L, 0.5, 0.5),
+      (2L, 2L, 1L, 0L, 2.0 / 3, 1.0),
+      (1L, 2L, 2L, 0L, 0.5, 1.0)))
+    // recall is monotone non-decreasing as the threshold drops
+    val recalls = got.map(_._6)
+    assert(recalls.sliding(2).forall { case Array(a, b) => b >= a; case _ => true })
+  }
+
   test("holdout accuracy >= 0.95 on unseen separable docs") {
     val m = QualityClassifier.train(corpus(200, 4), iters = 25, lr = 5.0)
     // unseen docs 200..279 from the same generator
