@@ -126,6 +126,57 @@ object KMeans {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Per-cluster quality report: size, mean cosine to the assigned
+    * centroid (spherical cohesion), and mean SIMPLIFIED silhouette —
+    * per vector a = 1 − cos(own centroid), b = 1 − cos(best OTHER
+    * centroid), sil = (b − a) / max(a, b). Simplified silhouette uses
+    * centroid distances instead of the O(n²) pairwise form — the
+    * standard corpus-scale substitute.
+    *
+    * Scale/determinism contract: each vector scores against the
+    * broadcast k-row centroid set (the assignment shape — no extra
+    * corpus shuffle beyond one cluster-keyed agg); the per-vector
+    * top-2 reduces via sort_array over ≤ k collected entries (struct
+    * desc = cos DESC, cluster DESC — the q44 tie order); and the
+    * per-cluster means accumulate in FIXED-POINT (round_even(x·2²⁰)
+    * longs — the q79 contract) so they are exact across partitionings
+    * and engines. Requires ≥ 2 clusters.
+    */
+  def clusterQuality(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val e = embD("embedding")
+    val cents = centroids.select(col("cluster"), col("centroid"),
+      sqrt(NativeVectorOps.dot(col("centroid"), col("centroid"))).as("c_norm"))
+    val fp = lit(1L << 20)
+    val fpD = lit((1L << 20).toDouble)
+    embeddings
+      .select(col("vec_id"), e.as("d_emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos",
+        NativeVectorOps.dot(col("d_emb"), col("centroid")) / (col("d_norm") * col("c_norm")))
+      .groupBy("vec_id")
+      .agg(reverse(array_sort(collect_list(struct(col("cos"), col("cluster")))))
+        .as("ranked"))
+      .select(col("vec_id"),
+        col("ranked")(0).getField("cluster").as("cluster"),
+        col("ranked")(0).getField("cos").as("cos_own"),
+        col("ranked")(1).getField("cos").as("cos_next"))
+      .withColumn("a", lit(1.0) - col("cos_own"))
+      .withColumn("b", lit(1.0) - col("cos_next"))
+      // a = b = 0 (vector ≡ both centroids): define sil = 0 rather than
+      // ride engine-specific 0/0 semantics
+      .withColumn("sil", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(bround(col("cos_own") * fp, 0).cast(LongType)).as("qc"),
+        sum(bround(col("sil") * fp, 0).cast(LongType)).as("qs"))
+      .select(col("cluster"), col("n"),
+        (col("qc").cast(DoubleType) / fpD / col("n")).as("mean_cosine"),
+        (col("qs").cast(DoubleType) / fpD / col("n")).as("mean_silhouette"))
+  }
+
   /** Mean cosine of every vector to its assigned centroid — the spherical
     * analogue of (negated) WCSS; Lloyd rounds must not worsen it.
     */

@@ -100,6 +100,50 @@ object QualityClassifier {
         (col("pos_total") - col("tp")))).as("f1"))
   }
 
+  /** Exact ROC-AUC via the rank-sum (Mann-Whitney U) identity — one row:
+    * (auc, pos_total, neg_total, u2). AUC = P(score⁺ > score⁻) + ½·P(=),
+    * and 2·U = Σ_s n_pos(s)·(2·n_neg(<s) + n_neg(s)) is EXACT integer
+    * arithmetic over the distinct-score dim, so the only float op is the
+    * final division — engine-exact with no trapezoid float accumulation.
+    * Scale shape: corpus → score-keyed agg (distinct-score dim) →
+    * cumulative window over that dim → one-row global agg.
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol)).cast(LongType).as("n_pos"),
+        sum(lit(1) - col(labelCol)).cast(LongType).as("n_neg"))
+    val below = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(below), lit(0L)))
+      .agg(
+        sum(col("n_pos") * (lit(2L) * col("neg_below") + col("n_neg"))).as("u2"),
+        sum(col("n_pos")).as("pos_total"),
+        sum(col("n_neg")).as("neg_total"))
+      .select(
+        (col("u2").cast(DoubleType) /
+          (lit(2.0) * col("pos_total") * col("neg_total"))).as("auc"),
+        col("pos_total"), col("neg_total"), col("u2"))
+  }
+
+  /** Reliability table over score bands: band = floor(score / width), per
+    * band the exact counts and the empirical positive rate (one division
+    * of exact BIGINTs). Calibration on the raw margin scale — binning the
+    * sigmoid output would put exp() on the cross-engine path. Pure
+    * score-keyed aggregation: one exchange, bands ≤ margin range / width.
+    */
+  def calibration(scored: DataFrame, bandWidth: Long,
+      scoreCol: String = "score", labelCol: String = "label"): DataFrame =
+    scored
+      .groupBy(floor(col(scoreCol) / lit(bandWidth)).cast(LongType).as("band"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).cast(LongType).as("n_pos"))
+      .select(col("band"), (col("band") * lit(bandWidth)).as("band_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n")).as("pos_rate"))
+
   /** The trained model: driver-held weights + bias + per-round mean
     * log-loss (loss(0) is the untrained model's).
     */

@@ -515,39 +515,8 @@ object SimilarityQueries {
     // (vec_id, cluster) labeling hash-matches with no tolerance. Ties
     // break cluster-DESC (the max(struct) argmax order, as q44).
     QueryDef("q111_kmeans",
-      eCte +
+      lloyd2Cte +
         s""",
-        |cand AS (SELECT vec_id, emb FROM e WHERE vec_id % 100 = 0
-        |         ORDER BY vec_id LIMIT 5),
-        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
-        |              emb AS c
-        |       FROM cand),
-        |a1 AS (SELECT vec_id, cluster FROM (
-        |       SELECT e.vec_id, c0.cluster,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                  ORDER BY ${cos("e.emb", "c0.c")} DESC, c0.cluster DESC) AS rn
-        |       FROM e, c0) WHERE rn = 1),
-        |m1 AS (SELECT a1.cluster, pos,
-        |              CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
-        |              COUNT(*) AS n
-        |       FROM e JOIN a1 USING (vec_id),
-        |            (SELECT unnest(range(1, ${D + 1})) AS pos) p
-        |       GROUP BY a1.cluster, pos),
-        |c1 AS (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS c
-        |       FROM m1 GROUP BY cluster),
-        |a2 AS (SELECT vec_id, cluster FROM (
-        |       SELECT e.vec_id, c1.cluster,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                  ORDER BY ${cos("e.emb", "c1.c")} DESC, c1.cluster DESC) AS rn
-        |       FROM e, c1) WHERE rn = 1),
-        |m2 AS (SELECT a2.cluster, pos,
-        |              CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
-        |              COUNT(*) AS n
-        |       FROM e JOIN a2 USING (vec_id),
-        |            (SELECT unnest(range(1, ${D + 1})) AS pos) p
-        |       GROUP BY a2.cluster, pos),
-        |c2 AS (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS c
-        |       FROM m2 GROUP BY cluster),
         |a3 AS (SELECT vec_id, cluster FROM (
         |       SELECT e.vec_id, c2.cluster,
         |              row_number() OVER (PARTITION BY e.vec_id
@@ -556,6 +525,81 @@ object SimilarityQueries {
         |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 5, iters = 2)
         .orderBy("vec_id")
+    },
+
+    // Cluster-quality report over the q111 centroids: per cluster the
+    // size, mean assigned cosine (spherical cohesion), and mean
+    // SIMPLIFIED silhouette (centroid distances, the corpus-scale
+    // substitute for the O(n²) pairwise form). Per-vector doubles follow
+    // a fixed IEEE sequence; the per-cluster means accumulate fixed-point
+    // (round_even(x·2²⁰) longs — the q79 contract) so the report is
+    // engine-exact. The oracle composes q111's Lloyd CTEs verbatim.
+    QueryDef("q117_cluster_quality",
+      lloyd2Cte +
+        s""",
+        |ranked AS (SELECT e.vec_id, c2.cluster,
+        |                  ${cos("e.emb", "c2.c")} AS cs,
+        |                  row_number() OVER (PARTITION BY e.vec_id
+        |                      ORDER BY ${cos("e.emb", "c2.c")} DESC, c2.cluster DESC) AS rn
+        |           FROM e, c2),
+        |own AS (SELECT vec_id, cluster, cs AS cos_own FROM ranked WHERE rn = 1),
+        |nxt AS (SELECT vec_id, cs AS cos_next FROM ranked WHERE rn = 2),
+        |per AS (SELECT own.vec_id, own.cluster, cos_own,
+        |               (1.0 - cos_own) AS a, (1.0 - cos_next) AS b
+        |        FROM own JOIN nxt USING (vec_id)),
+        |sil AS (SELECT vec_id, cluster, cos_own,
+        |               CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+        |                    ELSE (b - a) / GREATEST(a, b) END AS sl
+        |        FROM per)
+        |SELECT cluster, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round_even(cos_own * 1048576, 0) AS BIGINT)) AS DOUBLE)
+        |           / 1048576.0 / COUNT(*) AS mean_cosine,
+        |       CAST(SUM(CAST(round_even(sl * 1048576, 0) AS BIGINT)) AS DOUBLE)
+        |           / 1048576.0 / COUNT(*) AS mean_silhouette
+        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.operators.KMeans.fitCentroids(emb, k = 5, iters = 2)
+      graft.operators.KMeans.clusterQuality(emb, cents)
+        .orderBy("cluster")
     }
   )
+
+  /** q111's two full Lloyd rounds (seeds → assign → fixed-point update,
+    * twice) as a reusable CTE chain ending at `c2`, the final centroid
+    * set. Composed by q111 (final assignment) and q117 (quality report).
+    */
+  private lazy val lloyd2Cte =
+    eCte +
+      s""",
+      |cand AS (SELECT vec_id, emb FROM e WHERE vec_id % 100 = 0
+      |         ORDER BY vec_id LIMIT 5),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+      |              emb AS c
+      |       FROM cand),
+      |a1 AS (SELECT vec_id, cluster FROM (
+      |       SELECT e.vec_id, c0.cluster,
+      |              row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY ${cos("e.emb", "c0.c")} DESC, c0.cluster DESC) AS rn
+      |       FROM e, c0) WHERE rn = 1),
+      |m1 AS (SELECT a1.cluster, pos,
+      |              CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
+      |              COUNT(*) AS n
+      |       FROM e JOIN a1 USING (vec_id),
+      |            (SELECT unnest(range(1, ${D + 1})) AS pos) p
+      |       GROUP BY a1.cluster, pos),
+      |c1 AS (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS c
+      |       FROM m1 GROUP BY cluster),
+      |a2 AS (SELECT vec_id, cluster FROM (
+      |       SELECT e.vec_id, c1.cluster,
+      |              row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY ${cos("e.emb", "c1.c")} DESC, c1.cluster DESC) AS rn
+      |       FROM e, c1) WHERE rn = 1),
+      |m2 AS (SELECT a2.cluster, pos,
+      |              CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT)) AS BIGINT) AS s,
+      |              COUNT(*) AS n
+      |       FROM e JOIN a2 USING (vec_id),
+      |            (SELECT unnest(range(1, ${D + 1})) AS pos) p
+      |       GROUP BY a2.cluster, pos),
+      |c2 AS (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS c
+      |       FROM m2 GROUP BY cluster)""".stripMargin
 }

@@ -12,6 +12,38 @@ import graft.functions.{NativeVectorOps, TextOps, VectorOps}
   */
 object TrainingQueries {
 
+  /** Shared CTE prefix for the classifier-family oracles (q112–q115):
+    * the closed-form integer model (w = clamp(len(token)−4, −2, 5)) over
+    * the corpus vocabulary, per-doc integer margins, and lang='en'
+    * ground truth.
+    */
+  private val scoredCte =
+    """WITH toks AS (SELECT doc_id,
+      |                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |              FROM documents),
+      |wt AS (SELECT token,
+      |              CAST(LEAST(GREATEST(LENGTH(token) - 4, -2), 5) AS BIGINT) AS weight
+      |       FROM (SELECT DISTINCT token FROM toks)),
+      |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+      |scored AS (SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS score,
+      |                  MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS label
+      |           FROM c JOIN wt USING (token) JOIN documents d ON c.doc_id = d.doc_id
+      |           GROUP BY c.doc_id)""".stripMargin
+
+  /** Spark twin of [[scoredCte]]: (doc_id, score, label). */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.documents(s, dir)
+    val weights = docs
+      .select(explode(TextOps.words(col("text"))).as("token")).distinct()
+      .select(col("token"),
+        least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
+          .cast("long").as("weight"))
+    graft.operators.QualityClassifier.scoreLinear(docs, weights)
+      .select(col("doc_id"), col("margin").as("score"))
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("label")), Seq("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Sequence packing: chunk the doc_id-ordered token stream into
@@ -249,17 +281,8 @@ object TrainingQueries {
     // (sketch-sized exchange); counts are exact BIGINTs and the
     // P/R/F1 ratios single divisions of them, so the curve hash-matches.
     QueryDef("q113_classifier_eval",
-      """WITH toks AS (SELECT doc_id,
-        |                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-        |              FROM documents),
-        |wt AS (SELECT token,
-        |              CAST(LEAST(GREATEST(LENGTH(token) - 4, -2), 5) AS BIGINT) AS weight
-        |       FROM (SELECT DISTINCT token FROM toks)),
-        |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
-        |scored AS (SELECT c.doc_id, CAST(SUM(c.cnt * wt.weight) AS BIGINT) AS score,
-        |                  MAX(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS label
-        |           FROM c JOIN wt USING (token) JOIN documents d ON c.doc_id = d.doc_id
-        |           GROUP BY c.doc_id),
+      scoredCte +
+      """,
         |by_score AS (SELECT score AS threshold, COUNT(*) AS n,
         |                    CAST(SUM(label) AS BIGINT) AS n_pos
         |             FROM scored GROUP BY score),
@@ -275,18 +298,50 @@ object TrainingQueries {
         |       CAST(tp AS DOUBLE) / pos_total AS recall,
         |       (2.0 * tp) / (2.0 * tp + fp + (pos_total - tp)) AS f1
         |FROM cum ORDER BY threshold DESC""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val weights = docs
-        .select(explode(TextOps.words(col("text"))).as("token")).distinct()
-        .select(col("token"),
-          least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
-            .cast("long").as("weight"))
-      val scored = graft.operators.QualityClassifier.scoreLinear(docs, weights)
-        .select(col("doc_id"), col("margin").as("score"))
-        .join(docs.select(col("doc_id"),
-          when(col("lang") === "en", 1).otherwise(0).as("label")), Seq("doc_id"))
-      graft.operators.QualityClassifier.prCurve(scored)
+      graft.operators.QualityClassifier.prCurve(scoredDocs(s, dir))
         .orderBy(col("threshold").desc)
+    },
+
+    // Exact ROC-AUC by the rank-sum identity: 2U = Σ_s n⁺(s)·(2·n⁻(<s) +
+    // n⁻(s)) over the distinct-score dim — pure integer arithmetic, one
+    // terminal division. No trapezoid float accumulation, so the AUC
+    // hash-matches cross-engine. Same scored corpus as q113.
+    QueryDef("q114_roc_auc",
+      scoredCte +
+      """,
+        |by_score AS (SELECT score AS s, CAST(SUM(label) AS BIGINT) AS n_pos,
+        |                    CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        |             FROM scored GROUP BY score),
+        |cum AS (SELECT s, n_pos, n_neg,
+        |               COALESCE(CAST(SUM(n_neg) OVER (ORDER BY s
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |                   0) AS neg_below
+        |        FROM by_score),
+        |agg AS (SELECT CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2,
+        |               CAST(SUM(n_pos) AS BIGINT) AS pos_total,
+        |               CAST(SUM(n_neg) AS BIGINT) AS neg_total
+        |        FROM cum)
+        |SELECT CAST(u2 AS DOUBLE) / (2.0 * pos_total * neg_total) AS auc,
+        |       pos_total, neg_total, u2
+        |FROM agg""".stripMargin) { (s, dir) =>
+      graft.operators.QualityClassifier.rocAuc(scoredDocs(s, dir))
+    },
+
+    // Score-band reliability (calibration) table: band = floor(margin /
+    // 25), per band exact counts + one-division positive rate. Binning
+    // the raw margin keeps exp() off the cross-engine path; pure keyed
+    // aggregation, band count bounded by the margin range.
+    QueryDef("q115_calibration",
+      scoredCte +
+      """
+        |SELECT CAST(FLOOR(score / 25.0) AS BIGINT) AS band,
+        |       CAST(FLOOR(score / 25.0) AS BIGINT) * 25 AS band_lo,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(label) AS BIGINT) AS n_pos,
+        |       CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pos_rate
+        |FROM scored GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      graft.operators.QualityClassifier.calibration(scoredDocs(s, dir), bandWidth = 25L)
+        .orderBy("band")
     }
   )
 }

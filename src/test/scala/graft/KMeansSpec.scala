@@ -96,4 +96,24 @@ class KMeansSpec extends SparkSpec {
       .map(r => r.getInt(0)).sorted.toSeq
     assert(s == Seq(0, 1, 2))
   }
+
+  test("clusterQuality: separated blobs score high cohesion + silhouette") {
+    val e = blobs(300, 4)
+    val cents = KMeans.fitCentroids(e, k = 3, iters = 2)
+    val q = KMeans.clusterQuality(e, cents).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(q.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(q.map(_._2).sum == 300)
+    q.foreach { case (c, _, cos, sil) =>
+      assert(cos > 0.99, s"cluster $c cohesion $cos")
+      assert(sil > 0.9, s"cluster $c silhouette $sil") // blobs are separated
+    }
+    // partition invariance: the fixed-point means make the report exact
+    val q32 = KMeans.clusterQuality(blobs(300, 32),
+      KMeans.fitCentroids(blobs(300, 32), k = 3, iters = 2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(q32.toSeq == q.toSeq)
+  }
 }

@@ -49,7 +49,10 @@ class PlanGuardSpec extends SparkSpec {
     "q111_kmeans",
     // q113: the positive-class total is a ONE-ROW broadcast aggregate
     // joined onto the distinct-score PR dim (q108's shape)
-    "q113_classifier_eval")
+    "q113_classifier_eval",
+    // q117: scores the corpus against the broadcast k-row centroid set
+    // (q111's assignment shape)
+    "q117_cluster_quality")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -82,6 +82,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(recalls.sliding(2).forall { case Array(a, b) => b >= a; case _ => true })
   }
 
+  test("rocAuc matches the hand-computed rank-sum") {
+    // scores 3,3,2,1 labels 1,0,1,0: pairs (pos,neg): (3,3)=tie→0.5,
+    // (3,1)=1, (2,3)=0, (2,1)=1 → U = 2.5, AUC = 2.5/4 = 0.625
+    val scored = Seq((3L, 1), (3L, 0), (2L, 1), (1L, 0)).toDF("score", "label")
+    val r = QualityClassifier.rocAuc(scored).head()
+    assert(r.getDouble(0) == 0.625)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 5L)
+    // a perfect separator scores 1.0
+    val perfect = Seq((9L, 1), (8L, 1), (2L, 0), (1L, 0)).toDF("score", "label")
+    assert(QualityClassifier.rocAuc(perfect).head().getDouble(0) == 1.0)
+  }
+
+  test("calibration bands: counts exact, negative scores floor down") {
+    val scored = Seq((-30L, 0), (-1L, 0), (0L, 1), (24L, 0), (25L, 1))
+      .toDF("score", "label")
+    val got = QualityClassifier.calibration(scored, bandWidth = 25L)
+      .orderBy("band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (-2L, -50L, 1L, 0L, 0.0),   // -30 → band -2, not 1
+      (-1L, -25L, 1L, 0L, 0.0),
+      (0L, 0L, 2L, 1L, 0.5),
+      (1L, 25L, 1L, 1L, 1.0)))
+  }
+
   test("holdout accuracy >= 0.95 on unseen separable docs") {
     val m = QualityClassifier.train(corpus(200, 4), iters = 25, lr = 5.0)
     // unseen docs 200..279 from the same generator
