@@ -307,6 +307,48 @@ object Similarity {
       .select("d1", "d2", "cosine")
   }
 
+  /** Embedding-space train→eval contamination — the SEMANTIC complement
+    * of the shingle-based [[TextAnalysis.contamination]] (q74): an eval
+    * item is compromised when a training vector sits within cosine τ,
+    * even with no verbatim n-gram overlap (paraphrases, translations,
+    * near-duplicate re-crawls).
+    *
+    * Split is the deterministic q53 hash rule (hash(id) mod 100 < 90 →
+    * train). Both sides bucket with the multi-table sign-LSH and pair
+    * only within (table, bucket) — the q60 candidate shape: a keyed
+    * shuffle join, never train×eval all-pairs, never a corpus broadcast.
+    * Per eval vector the single best train match survives (argmax
+    * cosine, ties to the highest train id — the q44 max-struct order)
+    * with the verdict `contaminated` = cosine ≥ τ. Eval vectors whose
+    * buckets contain no train vector are omitted (no candidates ⇒
+    * clean under this detector) — same reporting convention as q60.
+    */
+  def semanticContamination(embeddings: DataFrame, threshold: Double,
+      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val isTrain = graft.functions.TextOps.hash32(col("vec_id").cast("string")) % 100 < 90
+    val buckets = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val tr = buckets.filter(isTrain)
+      .select(col("vec_id").as("train_id"), col("t"), col("bucket"))
+    val va = buckets.filter(!isTrain)
+      .select(col("vec_id").as("eval_id"), col("t"), col("bucket"))
+    val pairs = va.hint("shuffle_hash").join(tr.hint("shuffle_hash"), Seq("t", "bucket"))
+      .select("eval_id", "train_id").distinct()
+    val e = embD("embedding")
+    val ev = embeddings.select(col("vec_id").as("eval_id"), e.as("v_emb"),
+      sqrt(NativeVectorOps.dot(e, e)).as("v_norm"))
+    val te = embeddings.select(col("vec_id").as("train_id"), e.as("t_emb"),
+      sqrt(NativeVectorOps.dot(e, e)).as("t_norm"))
+    pairs.join(ev, Seq("eval_id")).join(te, Seq("train_id"))
+      .withColumn("cosine",
+        NativeVectorOps.dot(col("v_emb"), col("t_emb")) / (col("v_norm") * col("t_norm")))
+      .groupBy("eval_id")
+      .agg(max(struct(col("cosine"), col("train_id"))).as("best"))
+      .select(col("eval_id"), col("best.train_id").as("train_id"),
+        col("best.cosine").as("cosine"),
+        (col("best.cosine") >= threshold).as("contaminated"))
+  }
+
   /** Near-dup CLUSTERS: the pairs from [[nearDupPairsLsh]] closed
     * transitively into duplicate groups ([[Dedup.connectedComponents]])
     * — what a dedup pipeline actually consumes, since keeping "one of

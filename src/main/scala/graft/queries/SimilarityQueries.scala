@@ -561,6 +561,41 @@ object SimilarityQueries {
       val cents = graft.operators.KMeans.fitCentroids(emb, k = 5, iters = 2)
       graft.operators.KMeans.clusterQuality(emb, cents)
         .orderBy("cluster")
+    },
+
+    // Semantic train→eval contamination: q53's hash split over the
+    // embeddings, q60's multi-table LSH bucketing bounds the train×eval
+    // pairing, best train match per eval vector (cosine DESC, train_id
+    // DESC — the max-struct order), verdict = cosine ≥ 0.40. The oracle
+    // replays split, bucketing, pairing, and argmax.
+    QueryDef("q118_semantic_contamination",
+      eCte +
+        s""",
+        |bvm AS (SELECT vec_id, t, j,
+        |               CASE WHEN ${VectorOps.planeDotSql("emb", "(t * 4 + j)", 64)} > 0
+        |                    THEN (1::BIGINT << j) ELSE 0 END AS bitv
+        |        FROM e, (SELECT unnest(range(0, 8)) AS t) tt,
+        |                (SELECT unnest(range(0, 4)) AS j) jj),
+        |bkm AS (SELECT vec_id, t, CAST(SUM(bitv) AS BIGINT) AS bucket
+        |        FROM bvm GROUP BY vec_id, t),
+        |sp AS (SELECT vec_id,
+        |              (${graft.functions.TextOps.hash32Sql("CAST(vec_id AS VARCHAR)")} % 100) < 90 AS is_train
+        |       FROM e),
+        |pairs AS (SELECT DISTINCT v.vec_id AS eval_id, tr.vec_id AS train_id
+        |          FROM bkm v JOIN sp sv ON sv.vec_id = v.vec_id AND NOT sv.is_train
+        |               JOIN bkm tr ON tr.t = v.t AND tr.bucket = v.bucket
+        |               JOIN sp st ON st.vec_id = tr.vec_id AND st.is_train),
+        |scored AS (SELECT p.eval_id, p.train_id, ${cos("x.emb", "y.emb")} AS cosine
+        |           FROM pairs p JOIN e x ON x.vec_id = p.eval_id
+        |                        JOIN e y ON y.vec_id = p.train_id),
+        |best AS (SELECT eval_id, train_id, cosine,
+        |                row_number() OVER (PARTITION BY eval_id
+        |                    ORDER BY cosine DESC, train_id DESC) AS rn
+        |         FROM scored)
+        |SELECT eval_id, train_id, cosine, cosine >= 0.40 AS contaminated
+        |FROM best WHERE rn = 1 ORDER BY eval_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticContamination(Tables.embeddings(s, dir), 0.40)
+        .orderBy("eval_id")
     }
   )
 

@@ -140,6 +140,32 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic upsampling (the epochs side of data mixing): weights
+    // in basis points — zh 2.4 epochs, de 1.5, en 1.0, default 0.5.
+    // Whole copies = bp div 10000; the fractional copy goes to rows with
+    // hash(key) < bp mod 10000 — expected multiplicity exactly bp/10000,
+    // membership a pure function of the key. Map-side broadcast + explode.
+    QueryDef("q116_upsample_epochs",
+      s"""WITH w AS (SELECT * FROM (VALUES ('zh', 24000), ('de', 15000),
+        |                                  ('en', 10000)) t(lang, bp)),
+        |d AS (SELECT doc_id, documents.lang, COALESCE(w.bp, 5000) AS bp
+        |      FROM documents LEFT JOIN w ON documents.lang = w.lang),
+        |n AS (SELECT doc_id, lang,
+        |             CAST(bp // 10000 AS BIGINT) +
+        |             CASE WHEN (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000)
+        |                       < bp % 10000 THEN 1 ELSE 0 END AS n_copies
+        |      FROM d)
+        |SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy
+        |FROM n, UNNEST(range(1, n_copies + 1)) AS u(c)
+        |ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.upsample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        keyCol = col("doc_id"), groupCol = col("lang"),
+        weightsBp = Map("zh" -> 24000, "de" -> 15000, "en" -> 10000),
+        defaultBp = 5000)
+        .orderBy("doc_id", "copy")
+    },
+
     // Text × embedding enrichment: token counts beside the vector norm
     // (via the native graft_dot expression) — the multimodal join every
     // curriculum/filtering stage starts from.

@@ -288,4 +288,37 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, true), (1L, false), (2L, true), (3L, false)),
       "lower id survives each tight pair; orthogonal vectors are untouched")
   }
+
+  test("semanticContamination: planted eval duplicate is flagged; split membership honored") {
+    import org.apache.spark.sql.functions.col
+    // replicate the operator's q53 split rule to pick ids on each side
+    val ids = (0L until 200L).toSeq
+    val h = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        (graft.functions.TextOps.hash32(col("vec_id").cast("string")) % 100).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val evalIds = ids.filter(h(_) >= 90)
+    val trainIds = ids.filter(h(_) < 90)
+    assert(evalIds.nonEmpty && trainIds.nonEmpty)
+    val (dupEval, dupTrain) = (evalIds.head, trainIds.head)
+    // dim 63 is unique to the planted pair; everyone else lives on dims 0-31
+    def vec(i: Long): Array[Float] =
+      if (i == dupEval || i == dupTrain)
+        Array.tabulate(64)(d => if (d == 63) 10f else 0.01f)
+      else Array.tabulate(64)(d => if (d == (i % 32).toInt) 10f else 0.01f)
+    val emb = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.semanticContamination(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val evalSet = evalIds.toSet
+    val trainSet = trainIds.toSet
+    got.foreach { case (e2, t2, _, _) =>
+      assert(evalSet.contains(e2), s"eval_id $e2 not in the eval split")
+      assert(trainSet.contains(t2), s"train_id $t2 not in the train split")
+    }
+    val planted = got.find(_._1 == dupEval)
+    assert(planted.isDefined, "planted duplicate must surface as a candidate")
+    val (_, tId, cosv, flag) = planted.get
+    assert(tId == dupTrain && cosv > 0.999 && flag,
+      s"planted match wrong: $planted")
+  }
 }

@@ -45,4 +45,25 @@ class SamplingSpec extends SparkSpec {
     // the rest resample toward their share: quota_b = floor(0.3·(3/0.7)+ε) = 1
     assert(kept.getOrElse("b", 0L) == 1L)
   }
+
+  test("upsample: multiplicity tracks bp/10000 and whole copies are exact") {
+    val up = Sampling.upsample(rows, col("k"), col("g"),
+      Map("en" -> 24000, "de" -> 5000), defaultBp = 10000).cache()
+    val byGroup = up.groupBy("g").count().as[(String, Long)].collect().toMap
+    // en: 1000 rows × 2.4 epochs; de: 3000 × 0.5
+    assert(math.abs(byGroup("en") / 1000.0 - 2.4) < 0.1, s"en ${byGroup("en")}")
+    assert(math.abs(byGroup("de") / 3000.0 - 0.5) < 0.05, s"de ${byGroup("de")}")
+    // every en row appears at least twice (whole part), copies numbered 1..n
+    val copies = up.filter(col("g") === "en").groupBy("k")
+      .agg(count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(copies.length == 1000)
+    copies.foreach { case (k, n, mx, mn) =>
+      assert(n >= 2 && n <= 3 && mn == 1 && mx == n, s"row $k: n=$n")
+    }
+    // weight 1.0 (default group) reproduces the input exactly
+    val ones = Sampling.upsample(rows, col("k"), col("g"), Map.empty, 10000)
+    assert(ones.count() == 4000 && ones.select(max("copy")).head().getLong(0) == 1L)
+    up.unpersist()
+  }
 }
