@@ -626,6 +626,31 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** HTML → text normalization (the C4/CCNet extraction step): drop
+    * tags, decode the common entities, collapse whitespace. Tag and
+    * entity counts come from the RAW markup (before any rewriting) —
+    * the boilerplate-density signals a cleaning pipeline filters on.
+    * Decode order is part of the contract: named/numeric entities first,
+    * `&amp;` LAST so `&amp;lt;` decodes to the literal text `&lt;`, not
+    * to `<` (the standard double-escape rule). Pure map-side Column
+    * algebra — zero shuffles, codegen'd regex (Java ∩ RE2 subset, as
+    * the q91 battery).
+    */
+  def normalizeHtml(docs: DataFrame, textCol: String = "html"): DataFrame = {
+    val tagRe = "<[^>]*>"
+    val entRe = "&(amp|lt|gt|quot|nbsp|#39);"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(regexp_replace(col(textCol), tagRe, " ")) {
+        case (acc, (ent, ch)) => regexp_replace(acc, ent, ch)
+      }
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(tagRe)).cast(LongType).as("n_tags"),
+      regexp_count(col(textCol), lit(entRe)).cast(LongType).as("n_entities"),
+      trim(regexp_replace(regexp_replace(decoded, "&amp;", "&"), "\\s+", " "))
+        .as("text_clean"))
+  }
+
   /** Frequency-weighted adjacent character pairs over the distinct-word
     * vocabulary — iteration zero of BPE training. The corpus-sized work
     * is ONE word-count aggregation; pair statistics then run on the

@@ -762,6 +762,44 @@ object TextQueries {
         |ORDER BY stage""".stripMargin) { (s, dir) =>
       TextAnalysis.curationFunnel(Tables.documents(s, dir), 0.55, "en")
         .orderBy("stage")
+    },
+
+    // HTML → text normalization (the C4/CCNet extraction step). The
+    // corpus text is plain, so the markup is synthesized in-query from a
+    // closed form (the q103 WAV-bytes pattern) — entities in fixed
+    // positions, no replace ambiguity — and the operator under test is
+    // the stripper: tag drop, entity decode (&amp; LAST — '&lt;x&gt;'
+    // decodes to literal '<x>' because tags are already gone), collapse.
+    QueryDef("q119_html_strip",
+      """WITH h AS (SELECT doc_id,
+        |   '<html><head><title>d</title></head><body><p class="doc">' || text ||
+        |   ' &amp; tail&nbsp;&lt;x&gt;</p><br/><div>footer</div></body></html>' AS html
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(html, '&(amp|lt|gt|quot|nbsp|#39);')) AS BIGINT) AS n_entities,
+        |  trim(regexp_replace(
+        |    replace(
+        |      replace(
+        |        replace(
+        |          replace(
+        |            replace(
+        |              replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |                '&lt;', '<'),
+        |              '&gt;', '>'),
+        |            '&quot;', '"'),
+        |          '&#39;', ''''),
+        |        '&nbsp;', ' '),
+        |      '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_clean
+        |FROM documents JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("<html><head><title>d</title></head><body><p class=\"doc\">"),
+          col("text"),
+          lit(" &amp; tail&nbsp;&lt;x&gt;</p><br/><div>footer</div></body></html>"))
+          .as("html"))
+      TextAnalysis.normalizeHtml(wrapped).orderBy("doc_id")
     }
   )
 }

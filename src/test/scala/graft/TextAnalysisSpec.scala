@@ -231,4 +231,20 @@ class TextAnalysisSpec extends SparkSpec {
       assert(coveredByDoc.getOrElse(d, 0L) == n, s"doc $d coverage != dropped")
     }
   }
+
+  test("normalizeHtml: tags drop, entities decode with &amp; last, whitespace collapses") {
+    val docs = Seq(
+      (1L, """<html><body><p class="x">a &amp; b</p>  <br/>c</body></html>"""),
+      // double-escape: &amp;lt; must become the literal text &lt;, not <
+      (2L, "x &amp;lt;y&amp;gt; z"),
+      // entity-encoded angle brackets are TEXT, not tags — they survive
+      (3L, "keep &lt;b&gt;bold&lt;/b&gt; here"),
+      (4L, "&quot;q&quot; &#39;a&#39;&nbsp;end")).toDF("doc_id", "html")
+    val got = TextAnalysis.normalizeHtml(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 7L, 1L, "a & b c")))
+    assert(got(1) == ((2L, 0L, 2L, "x &lt;y&gt; z")))
+    assert(got(2) == ((3L, 0L, 4L, "keep <b>bold</b> here")))
+    assert(got(3) == ((4L, 0L, 5L, "\"q\" 'a' end")))
+  }
 }
