@@ -274,6 +274,46 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("cosine"), col("rk"))
   }
 
+  /** TRAINED-IVF probe: [[ivfTopK]] with the coarse quantizer learned by
+    * [[KMeans.fitCentroids]] instead of the mod-step seeds — the
+    * composition that turns the training-free IVF into the FAISS-style
+    * trained one (better-balanced cells ⇒ better recall per probed
+    * candidate). `centroids`: (cluster, centroid) — k rows of model
+    * state, broadcast everywhere it appears. The corpus assignment is
+    * [[KMeans.assign]] (the same argmax the trainer used, so the index
+    * is consistent with the final training round); probes score the
+    * same centroid set and rank only vectors in their `nprobe` best
+    * cells. Ties: cosine DESC, cell DESC (the q44 max-struct order).
+    */
+  def ivfTopKTrained(embeddings: DataFrame, centroids: DataFrame,
+      queryMaxId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val e = embD("embedding")
+    val cents = centroids.select(col("cluster").as("cell"),
+      col("centroid").as("c_emb"),
+      sqrt(NativeVectorOps.dot(col("centroid"), col("centroid"))).as("c_norm"))
+    val asn = KMeans.assign(embeddings, centroids)
+      .withColumnRenamed("cluster", "cell")
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
+    val qCells = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), e.as("q_emb"), sqrt(NativeVectorOps.dot(e, e)).as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs",
+        NativeVectorOps.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("q_emb"), col("q_norm"), col("cell"))
+    val scored = embeddings
+      .select(col("vec_id"), e.as("d_emb"), sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
+      .join(asn, Seq("vec_id"))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        NativeVectorOps.dot(col("q_emb"), col("d_emb")) / (col("q_norm") * col("d_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("cosine"), col("rk"))
+  }
+
   /** Embedding near-duplicates at corpus scale: pair only within
     * multi-table LSH buckets (equi-join on (table, bucket) with exchange
     * reuse — never all-pairs), dedup candidate pairs across tables, then

@@ -596,6 +596,41 @@ object SimilarityQueries {
         |FROM best WHERE rn = 1 ORDER BY eval_id""".stripMargin) { (s, dir) =>
       Similarity.semanticContamination(Tables.embeddings(s, dir), 0.40)
         .orderBy("eval_id")
+    },
+
+    // TRAINED IVF: the q44 probe with q111's Lloyd centroids as the
+    // coarse quantizer — the composition that closes the IVF story
+    // (training-free seeds → trained cells). Corpus assignment is the
+    // trainer's own argmax (a3), probes take their nprobe=2 best trained
+    // cells, exact cosine ranks the candidates. Oracle composes q111's
+    // Lloyd CTEs with q44's probe CTEs.
+    QueryDef("q120_ann_ivf_trained",
+      lloyd2Cte +
+        s""",
+        |a3 AS (SELECT vec_id, cluster FROM (
+        |       SELECT e.vec_id, c2.cluster,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                  ORDER BY ${cos("e.emb", "c2.c")} DESC, c2.cluster DESC) AS rn
+        |       FROM e, c2) WHERE rn = 1),
+        |qc AS (SELECT q_id, cluster AS cell FROM (
+        |       SELECT e.vec_id AS q_id, c2.cluster,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                  ORDER BY ${cos("e.emb", "c2.c")} DESC, c2.cluster DESC) AS rn
+        |       FROM e, c2 WHERE e.vec_id < 5) WHERE rn <= 2),
+        |scored AS (SELECT qc.q_id, a3.vec_id AS n_id, qc.cell,
+        |                  ${cos("q.emb", "d.emb")} AS cosine
+        |           FROM qc JOIN a3 ON a3.cluster = qc.cell
+        |                JOIN e q ON q.vec_id = qc.q_id
+        |                JOIN e d ON d.vec_id = a3.vec_id
+        |           WHERE a3.vec_id <> qc.q_id)
+        |SELECT q_id, n_id, cell, cosine,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cosine DESC, n_id) AS INT) AS rk
+        |FROM scored QUALIFY rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.operators.KMeans.fitCentroids(emb, k = 5, iters = 2)
+      Similarity.ivfTopKTrained(emb, cents, queryMaxId = 5L, k = 5, nprobe = 2)
+        .orderBy("q_id", "rk")
     }
   )
 

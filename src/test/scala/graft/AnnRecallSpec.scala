@@ -30,8 +30,13 @@ class AnnRecallSpec extends SparkSpec {
       val lshM = recallVs(truth, Similarity.lshTopKMulti(emb, QueryMaxId, K))
       val lshP = recallVs(truth, Similarity.lshTopKMultiProbe(emb, QueryMaxId, K))
       val ivf = recallVs(truth, Similarity.ivfTopK(emb, QueryMaxId, K))
+      val ivfT = recallVs(truth, Similarity.ivfTopKTrained(emb,
+        graft.operators.KMeans.fitCentroids(emb, k = 5, iters = 2),
+        QueryMaxId, K, nprobe = 2))
       info(f"recall@$K vs brute force: lsh1=$lsh1%.3f lshMulti=$lshM%.3f " +
-        f"lshMultiProbe=$lshP%.3f ivf=$ivf%.3f")
+        f"lshMultiProbe=$lshP%.3f ivf=$ivf%.3f ivfTrained=$ivfT%.3f")
+      // trained cells must not degrade the untrained probe's floor
+      assert(ivfT >= 0.40, s"trained-IVF recall collapsed: $ivfT")
       // a single 8-plane table keeps a neighbor only when all 8 signs
       // match — it exists as the bucketing primitive, not the prod path
       assert(lsh1 >= 0.02, s"single-table LSH recall collapsed: $lsh1")

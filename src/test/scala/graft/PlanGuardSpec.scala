@@ -52,7 +52,10 @@ class PlanGuardSpec extends SparkSpec {
     "q113_classifier_eval",
     // q117: scores the corpus against the broadcast k-row centroid set
     // (q111's assignment shape)
-    "q117_cluster_quality")
+    "q117_cluster_quality",
+    // q120: trained-IVF — corpus and queries both score the broadcast
+    // k-row trained centroid set (q44 + q111 composed)
+    "q120_ann_ivf_trained")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
