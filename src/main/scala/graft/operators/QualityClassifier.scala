@@ -149,6 +149,17 @@ object QualityClassifier {
     */
   final case class Model(weights: Map[String, Double], bias: Double,
       lossHistory: Vector[Double]) {
+
+    /** The model as a parameter frame for [[graft.sources.Storage.writeModel]]:
+      * one (token, weight) row per vocab entry plus the bias as the
+      * single NULL-token row. Doubles survive parquet exactly, so
+      * save → load → [[Model.fromFrame]] scores bit-identically.
+      */
+    def toFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (weights.toSeq.map { case (t, w) => (Option(t), w) } :+
+        (Option.empty[String], bias)).toDF("token", "weight")
+    }
     /** Score new docs with the trained weights (broadcast dim), emitting
       * the probability σ(margin).
       */
@@ -163,6 +174,23 @@ object QualityClassifier {
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-(col("dot") / col("n_tokens") + lit(bias)))))
             .as("p_good"))
+    }
+  }
+
+  object Model {
+    /** Rebuild a [[Model]] from its [[Model.toFrame]] parameter frame
+      * (e.g. after [[graft.sources.Storage.readModel]]). The loss
+      * history is a training-time diagnostic and is not persisted.
+      */
+    def fromFrame(params: DataFrame): Model = {
+      val rows = params.select(col("token"), col("weight")).collect()
+      val (biasRows, weightRows) = rows.partition(_.isNullAt(0))
+      require(biasRows.length == 1,
+        s"model frame needs exactly one NULL-token bias row, got ${biasRows.length}")
+      Model(
+        weightRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+          .withDefaultValue(0.0),
+        biasRows.head.getDouble(1), Vector.empty)
     }
   }
 

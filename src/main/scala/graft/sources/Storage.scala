@@ -145,4 +145,24 @@ object Storage {
       .sortBy("cell")
       .saveAsTable(tableName)
   }
+
+  /** Persist a trained model's parameter frame (k-means centroids,
+    * classifier (token, weight) rows, …) as single-file parquet with a
+    * deterministic row order: training runs on a cluster, but the model
+    * artifact must be a stable, diffable, re-loadable file — two
+    * identical training runs produce byte-identical parameter sets, and
+    * a scorer in another session gets bit-identical doubles back
+    * (parquet is exact for DOUBLE/BIGINT — no text round-trip loss).
+    * Models are bounded driver-scale state (the KMeans/QualityClassifier
+    * contract), so coalesce(1) is by design, not a scale hazard.
+    */
+  def writeModel(params: DataFrame, path: String, orderCols: String*): Unit = {
+    val ordered =
+      if (orderCols.nonEmpty) params.orderBy(orderCols.map(col): _*)
+      else params
+    ordered.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def readModel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

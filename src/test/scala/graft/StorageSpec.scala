@@ -134,4 +134,43 @@ class StorageSpec extends SparkSpec {
       assert(hashes == hashes.sorted, s"shard $k not in (hash, doc_id) order")
     }
   }
+
+  test("model persistence: classifier weights and k-means centroids round-trip bit-exactly") {
+    import graft.operators.{KMeans, QualityClassifier}
+    val dir = Files.createTempDirectory("graft-models").toString
+
+    // classifier: train → save → load → identical scores on new docs
+    val labeled = (0 until 80).map { i =>
+      val y = i % 2
+      val t = if (y == 1) s"good${i % 3} fine text" else s"bad${i % 3} poor text"
+      (i.toLong, t, y)
+    }.toDF("doc_id", "text", "label")
+    val m = QualityClassifier.train(labeled, iters = 5, lr = 5.0)
+    Storage.writeModel(m.toFrame(spark), s"$dir/clf", "token")
+    val m2 = QualityClassifier.Model.fromFrame(Storage.readModel(spark, s"$dir/clf"))
+    assert(m2.bias == m.bias)
+    assert(m2.weights == m.weights)
+    val docs = labeled.select("doc_id", "text")
+    val a = m.transform(docs).collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = m2.transform(docs).collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "reloaded model scores diverge")
+    // single-file artifact, deterministic order
+    val files = new java.io.File(s"$dir/clf").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+
+    // k-means centroids: save → load → identical assignment
+    val emb = (0 until 120).map { i =>
+      val e = Array.fill(8)(0.05f); e((i % 3) * 2) = 5f
+      (i.toLong, e.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = KMeans.fitCentroids(emb, k = 3, iters = 2)
+    Storage.writeModel(cents, s"$dir/centroids", "cluster")
+    val cents2 = Storage.readModel(spark, s"$dir/centroids")
+    val asn1 = KMeans.assign(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val asn2 = KMeans.assign(emb, cents2).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(asn1 == asn2, "reloaded centroids assign differently")
+  }
 }
