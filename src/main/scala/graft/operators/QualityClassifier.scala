@@ -144,6 +144,28 @@ object QualityClassifier {
         col("n"), col("n_pos"),
         (col("n_pos").cast(DoubleType) / col("n")).as("pos_rate"))
 
+  /** The DCLM-style SELECTION step — what the classifier exists for:
+    * keep the top `frac` of each group by score ("the best 30 % of each
+    * language", not one global bar that empties low-scoring groups).
+    * Cutoff = the group's (1−frac) quantile via one GROUPED
+    * percentile_approx (one sketch per group crosses the exchange — the
+    * q72/q77 machinery and exactness contract: at accuracy ≥ max group
+    * size the cutoff is the exact order statistic at asc rank
+    * ceil((1−frac)·n_g)); keep = score STRICTLY above the cutoff (q72's
+    * strictly-below convention, deterministic under integer-score ties).
+    * Emits every row with its verdict rather than filtering, so the
+    * selection is auditable; integer scores keep the cutoff integer.
+    */
+  def selectTopFraction(scored: DataFrame, groupCol: String, frac: Double,
+      scoreCol: String = "score", accuracy: Int = 1000000): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0,1), got $frac")
+    val cuts = scored.groupBy(groupCol)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - frac), lit(accuracy))
+        .as("cutoff"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("kept", col(scoreCol) > col("cutoff"))
+  }
+
   /** The trained model: driver-held weights + bias + per-round mean
     * log-loss (loss(0) is the untrained model's).
     */

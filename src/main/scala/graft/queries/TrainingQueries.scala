@@ -368,6 +368,35 @@ object TrainingQueries {
         |FROM scored GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
       graft.operators.QualityClassifier.calibration(scoredDocs(s, dir), bandWidth = 25L)
         .orderBy("band")
+    },
+
+    // The DCLM selection step: keep the top 30% of each language by
+    // classifier margin. Cutoff = per-lang order statistic at asc rank
+    // ceil(0.7·n_g) (the q104/q77 exact-regime convention), keep =
+    // strictly above (q72's tie rule). Every row emits its verdict —
+    // the selection is auditable, and the cutoff stays integer.
+    QueryDef("q121_select_top_frac",
+      scoredCte +
+      """,
+        |l AS (SELECT s.doc_id, d.lang, s.score
+        |      FROM scored s JOIN documents d USING (doc_id)),
+        |r AS (SELECT lang, score,
+        |             row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+        |             COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM l),
+        |cuts AS (SELECT lang,
+        |                CAST(min(CASE WHEN rn = CAST(ceil(0.7 * n) AS BIGINT)
+        |                         THEN score END) AS BIGINT) AS cutoff
+        |         FROM r GROUP BY lang)
+        |SELECT l.doc_id, l.lang, l.score, c.cutoff, l.score > c.cutoff AS kept
+        |FROM l JOIN cuts c USING (lang)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = scoredDocs(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "score")
+      graft.operators.QualityClassifier.selectTopFraction(scored, "lang", frac = 0.3)
+        .select("doc_id", "lang", "score", "cutoff", "kept")
+        .orderBy("doc_id")
     }
   )
 }

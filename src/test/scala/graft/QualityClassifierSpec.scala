@@ -107,6 +107,22 @@ class QualityClassifierSpec extends SparkSpec {
       (1L, 25L, 1L, 1L, 1.0)))
   }
 
+  test("selectTopFraction keeps ~frac per group with the strictly-above tie rule") {
+    // group a: scores 1..100 distinct; group b: all-tied score 7
+    val scored = ((1 to 100).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 50).map(i => ("b", 1000L + i, 7L)))
+      .toDF("lang", "doc_id", "score")
+    val got = QualityClassifier.selectTopFraction(scored, "lang", frac = 0.3)
+    val a = got.filter(col("lang") === "a")
+    // cutoff = order stat at rank ceil(0.7·100) = 70 → keep 71..100
+    assert(a.filter(col("kept")).count() == 30)
+    assert(a.filter(col("kept")).agg(min("score")).head().getLong(0) == 71L)
+    // an all-tied group: nothing is strictly above its own quantile —
+    // deterministic, never a random 30% of an indistinguishable pool
+    val b = got.filter(col("lang") === "b")
+    assert(b.count() == 50 && b.filter(col("kept")).count() == 0)
+  }
+
   test("holdout accuracy >= 0.95 on unseen separable docs") {
     val m = QualityClassifier.train(corpus(200, 4), iters = 25, lr = 5.0)
     // unseen docs 200..279 from the same generator
