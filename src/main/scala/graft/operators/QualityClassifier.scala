@@ -58,7 +58,15 @@ object QualityClassifier {
     * and bias the margin is exact integer arithmetic.
     */
   def scoreLinear(docs: DataFrame, weights: DataFrame, bias: Long = 0L): DataFrame =
-    features(docs)
+    scoreFeatures(features(docs), weights, bias)
+
+  /** [[scoreLinear]] over an already-built [[features]] frame — the entry
+    * point when the caller derives anything else from the same token
+    * stream (e.g. the vocabulary): tokenize once, persist the features,
+    * feed both consumers (the q61 unpersisted-diamond lesson).
+    */
+  def scoreFeatures(feats: DataFrame, weights: DataFrame, bias: Long = 0L): DataFrame =
+    feats
       .join(broadcast(weights), Seq("token"), "left")
       .groupBy("doc_id")
       .agg((coalesce(sum(col("cnt") * col("weight")), lit(0L)) + lit(bias)).as("margin"))

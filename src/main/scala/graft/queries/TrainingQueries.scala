@@ -30,15 +30,20 @@ object TrainingQueries {
       |           FROM c JOIN wt USING (token) JOIN documents d ON c.doc_id = d.doc_id
       |           GROUP BY c.doc_id)""".stripMargin
 
-  /** Spark twin of [[scoredCte]]: (doc_id, score, label). */
+  /** Spark twin of [[scoredCte]]: (doc_id, score, label). The corpus
+    * tokenizes ONCE — the persisted features frame feeds both the vocab
+    * (weight dim) derivation and the margin sum (the q61
+    * unpersisted-diamond lesson); the tiny weight dim derives from the
+    * aggregated tokens, never a second raw-text explode.
+    */
   private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir)
-    val weights = docs
-      .select(explode(TextOps.words(col("text"))).as("token")).distinct()
+    val feats = graft.operators.QualityClassifier.features(docs).persist()
+    val weights = feats.select("token").distinct()
       .select(col("token"),
         least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
           .cast("long").as("weight"))
-    graft.operators.QualityClassifier.scoreLinear(docs, weights)
+    graft.operators.QualityClassifier.scoreFeatures(feats, weights)
       .select(col("doc_id"), col("margin").as("score"))
       .join(docs.select(col("doc_id"),
         when(col("lang") === "en", 1).otherwise(0).as("label")), Seq("doc_id"))
@@ -290,13 +295,15 @@ object TrainingQueries {
         |FROM c JOIN wt USING (token)
         |GROUP BY c.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val weights = docs
-        .select(explode(TextOps.words(col("text"))).as("token")).distinct()
+      // tokenize once: the persisted features feed both the vocab dim
+      // and the margin sum (the q61 unpersisted-diamond lesson)
+      val feats = graft.operators.QualityClassifier
+        .features(Tables.documents(s, dir)).persist()
+      val weights = feats.select("token").distinct()
         .select(col("token"),
           least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
             .cast("long").as("weight"))
-      graft.operators.QualityClassifier.scoreLinear(docs, weights)
+      graft.operators.QualityClassifier.scoreFeatures(feats, weights)
         .orderBy("doc_id")
     },
 
