@@ -626,6 +626,44 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Train/val DISTRIBUTION DRIFT per language: total-variation distance
+    * ½·Σ_t |p_train(t) − p_val(t)| between the two splits' unigram
+    * distributions (split = the q53 hash rule). TVD rather than KL: it
+    * needs no log on the cross-engine path (ln is not bit-pinned across
+    * engines) and no smoothing for one-sided tokens (|p − 0| is just p).
+    * Per-term contributions quantize to round_even(|Δp|·2⁴⁰) longs — the
+    * q79 fixed-point contract, Σ|Δp| ≤ 2 bounds the sum at 2⁴¹ so it can
+    * never overflow at any corpus size — making the drift number exact
+    * across partitionings and engines. Shapes: one (lang, token)-keyed
+    * aggregation over the corpus, a tiny per-lang totals dim broadcast
+    * back, one per-lang reduce. The monitoring op that catches a skewed
+    * split or a drifted re-crawl before training does.
+    */
+  def distributionDrift(docs: DataFrame): DataFrame = {
+    val Fp = 1099511627776L // 2^40
+    val toks = docs
+      .select(col("lang"), col("doc_id"), explode(TextOps.words(col("text"))).as("token"))
+      .withColumn("is_train",
+        TextOps.hash32(col("doc_id").cast("string")) % 100 < 90)
+    val counts = toks.groupBy("lang", "token")
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("is_train"), 0L).otherwise(1L)).as("c_v"))
+    val totals = counts.groupBy("lang")
+      .agg(sum("c_t").as("n_train_tokens"), sum("c_v").as("n_val_tokens"),
+        count(lit(1)).as("vocab"))
+      .filter(col("n_train_tokens") > 0 && col("n_val_tokens") > 0)
+    counts.join(broadcast(totals), Seq("lang"))
+      .withColumn("q", bround(abs(
+        col("c_t") / col("n_train_tokens") - col("c_v") / col("n_val_tokens"))
+        * lit(Fp.toDouble), 0).cast(LongType))
+      .groupBy("lang")
+      .agg(max("n_train_tokens").as("n_train_tokens"),
+        max("n_val_tokens").as("n_val_tokens"),
+        max("vocab").as("vocab"), sum("q").as("qs"))
+      .select(col("lang"), col("n_train_tokens"), col("n_val_tokens"), col("vocab"),
+        (col("qs").cast(DoubleType) / lit(Fp.toDouble) / lit(2.0)).as("tvd"))
+  }
+
   /** HTML → text normalization (the C4/CCNet extraction step): drop
     * tags, decode the common entities, collapse whitespace. Tag and
     * entity counts come from the RAW markup (before any rewriting) —

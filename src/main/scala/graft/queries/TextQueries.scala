@@ -800,6 +800,36 @@ object TextQueries {
           lit(" &amp; tail&nbsp;&lt;x&gt;</p><br/><div>footer</div></body></html>"))
           .as("html"))
       TextAnalysis.normalizeHtml(wrapped).orderBy("doc_id")
+    },
+
+    // Train/val distribution drift per language: TVD between the splits'
+    // unigram distributions (q53 hash rule). No ln on the cross-engine
+    // path; per-term |Δp| quantizes to round_even(·2⁴⁰) longs (the q79
+    // contract, Σ ≤ 2 — overflow-free at any scale) so the drift number
+    // hash-matches exactly.
+    QueryDef("q122_distribution_drift",
+      s"""WITH toks AS (SELECT d.lang, d.doc_id, unnest($W) AS token FROM documents d),
+        |s AS (SELECT lang, token,
+        |             CAST(SUM(CASE WHEN (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100) < 90
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |             CAST(SUM(CASE WHEN (${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100) < 90
+        |                      THEN 0 ELSE 1 END) AS BIGINT) AS c_v
+        |      FROM toks GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(SUM(c_t) AS BIGINT) AS n_train_tokens,
+        |             CAST(SUM(c_v) AS BIGINT) AS n_val_tokens,
+        |             COUNT(*) AS vocab
+        |      FROM s GROUP BY lang
+        |      HAVING SUM(c_t) > 0 AND SUM(c_v) > 0),
+        |q AS (SELECT s.lang,
+        |             CAST(round_even(abs(s.c_t / t.n_train_tokens - s.c_v / t.n_val_tokens)
+        |                  * 1099511627776.0, 0) AS BIGINT) AS qq
+        |      FROM s JOIN t USING (lang))
+        |SELECT lang, t.n_train_tokens, t.n_val_tokens, t.vocab,
+        |       CAST(SUM(q.qq) AS DOUBLE) / 1099511627776.0 / 2.0 AS tvd
+        |FROM q JOIN t USING (lang)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.distributionDrift(Tables.documents(s, dir)).orderBy("lang")
     }
   )
 }

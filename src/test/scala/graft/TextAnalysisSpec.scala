@@ -232,6 +232,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("distributionDrift: identical dists → 0, disjoint vocabs → 1, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 300L).toSeq
+    val h = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        (graft.functions.TextOps.hash32(col("doc_id").cast("string")) % 100).as("h"))
+      .as[(Long, Long)].collect().toMap
+    // identical unigram distributions on both sides of the split
+    val same = ids.map(i => (i, "alpha beta beta", "en")).toDF("doc_id", "text", "lang")
+    val tvd0 = TextAnalysis.distributionDrift(same).head().getDouble(4)
+    assert(tvd0 == 0.0, s"identical dists must give 0, got $tvd0")
+    // disjoint vocabularies: TVD = 1 (up to the 2^-40 quantization)
+    val disjoint = ids.map { i =>
+      val t = if (h(i) < 90) "aa bb cc" else "xx yy zz"
+      (i, t, "en")
+    }.toDF("doc_id", "text", "lang")
+    val tvd1 = TextAnalysis.distributionDrift(disjoint).head().getDouble(4)
+    assert(math.abs(tvd1 - 1.0) < 1e-9, s"disjoint vocabs must give 1, got $tvd1")
+    // the fixed-point contract: bit-identical across partitionings
+    val mixed = ids.map { i =>
+      (i, s"tok${i % 17} tok${i % 5} shared common", if (i % 2 == 0) "en" else "de")
+    }
+    def drift(parts: Int) = TextAnalysis.distributionDrift(
+      spark.createDataFrame(spark.sparkContext.parallelize(mixed, parts))
+        .toDF("doc_id", "text", "lang"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(drift(1) == drift(32), "TVD must be partition-invariant")
+  }
+
   test("normalizeHtml: tags drop, entities decode with &amp; last, whitespace collapses") {
     val docs = Seq(
       (1L, """<html><body><p class="x">a &amp; b</p>  <br/>c</body></html>"""),
