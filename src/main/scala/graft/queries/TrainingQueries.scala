@@ -30,20 +30,23 @@ object TrainingQueries {
       |           FROM c JOIN wt USING (token) JOIN documents d ON c.doc_id = d.doc_id
       |           GROUP BY c.doc_id)""".stripMargin
 
-  /** Spark twin of [[scoredCte]]: (doc_id, score, label). The corpus
-    * tokenizes ONCE — the persisted features frame feeds both the vocab
-    * (weight dim) derivation and the margin sum (the q61
-    * unpersisted-diamond lesson); the tiny weight dim derives from the
-    * aggregated tokens, never a second raw-text explode.
+  /** Spark twin of [[scoredCte]]: (doc_id, score, label). The vocab
+    * (weight dim) derivation makes the corpus tokenize twice — that is a
+    * TEST-FIXTURE shape, not the production one: in production the dim is
+    * the trained bounded model (QualityClassifier.train), so scoring
+    * tokenizes once by construction. Persisting the exploded token frame
+    * to share the pass measured SLOWER than recomputing (caching a
+    * corpus-token-sized stream dominates the second tokenize — the q61
+    * persist lesson applies to AGGREGATED frames, not raw exploded ones).
     */
   private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir)
-    val feats = graft.operators.QualityClassifier.features(docs).persist()
-    val weights = feats.select("token").distinct()
+    val weights = docs
+      .select(explode(TextOps.words(col("text"))).as("token")).distinct()
       .select(col("token"),
         least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
           .cast("long").as("weight"))
-    graft.operators.QualityClassifier.scoreFeatures(feats, weights)
+    graft.operators.QualityClassifier.scoreLinear(docs, weights)
       .select(col("doc_id"), col("margin").as("score"))
       .join(docs.select(col("doc_id"),
         when(col("lang") === "en", 1).otherwise(0).as("label")), Seq("doc_id"))
@@ -295,15 +298,15 @@ object TrainingQueries {
         |FROM c JOIN wt USING (token)
         |GROUP BY c.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // tokenize once: the persisted features feed both the vocab dim
-      // and the margin sum (the q61 unpersisted-diamond lesson)
-      val feats = graft.operators.QualityClassifier
-        .features(Tables.documents(s, dir)).persist()
-      val weights = feats.select("token").distinct()
+      // the vocab derivation's second tokenize is fixture-only — see
+      // scoredDocs; production scores against the trained bounded dim
+      val docs = Tables.documents(s, dir)
+      val weights = docs
+        .select(explode(TextOps.words(col("text"))).as("token")).distinct()
         .select(col("token"),
           least(greatest(length(col("token")) - 4, lit(-2)), lit(5))
             .cast("long").as("weight"))
-      graft.operators.QualityClassifier.scoreFeatures(feats, weights)
+      graft.operators.QualityClassifier.scoreLinear(docs, weights)
         .orderBy("doc_id")
     },
 
