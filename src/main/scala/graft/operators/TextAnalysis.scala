@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -785,5 +785,113 @@ object TextAnalysis {
     exploded.join(broadcast(seg), Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_subtokens").as("n_bpe_tokens"))
+  }
+
+  /** One greedy left-to-right merge pass over a token array, as a Column
+    * fold (`aggregate`): the accumulator carries the emitted prefix plus
+    * one pending token; `(pend == a, t == b)` emits the merged symbol and
+    * clears pending, so an equal-pair chain (`a a a` under merge (a,a))
+    * pairs from the left exactly like [[applyMerge]]. The
+    * `array_contains` prefilter skips the fold for the (vast) majority of
+    * words a given round leaves untouched — pure optimization, since the
+    * fold is the identity on non-matching words.
+    */
+  private def mergePairCol(toks: Column, a: String, b: String): Column = {
+    val A = lit(a); val B = lit(b); val AB = lit(a + b)
+    val zero = struct(
+      expr("cast(array() as array<string>)").as("acc"),
+      lit(null).cast(StringType).as("pend"))
+    def emitted(s: Column) = s.getField("acc")
+    def pend(s: Column)    = s.getField("pend")
+    val folded = aggregate(toks, zero,
+      (s, t) =>
+        when(pend(s) === A && t === B,
+          struct(concat(emitted(s), array(AB)).as("acc"),
+            lit(null).cast(StringType).as("pend")))
+        .when(pend(s).isNull, struct(emitted(s).as("acc"), t.as("pend")))
+        .otherwise(struct(concat(emitted(s), array(pend(s))).as("acc"),
+          t.as("pend"))),
+      s => when(pend(s).isNull, emitted(s))
+        .otherwise(concat(emitted(s), array(pend(s)))))
+    val touches =
+      if (a == b) array_contains(toks, a)
+      else array_contains(toks, a) && array_contains(toks, b)
+    when(touches, folded).otherwise(toks)
+  }
+
+  /** Segmentation state after `nMerges` rounds of DISTRIBUTED BPE
+    * training, plus the learned merge table. Same semantics as
+    * [[bpeLearn]] (count-max then lexicographically-least pair, greedy
+    * left-to-right rewrite) but the vocabulary never leaves the
+    * executors: [[bpeLearn]] collects the word dim to the driver — fine
+    * while Heaps' law keeps a curated vocab near 10⁵, but a raw 100 TB
+    * multilingual crawl has 10⁸⁺ distinct "words" (typos, URLs, code),
+    * which is corpus-shaped state. Here each round is ONE pair-count
+    * aggregation over the distributed word dim (exchange keyed on the
+    * pair), a ONE-ROW argmax collect (the bounded model state, exactly
+    * KMeans' per-round centroid rows), and a map-side `aggregate` fold
+    * re-segmenting in place — no corpus pass after the seed word count,
+    * no vocab collect, nothing driver-side but the merge table itself.
+    * Rounds persist-chain with the previous round evicted once the next
+    * materializes; a production run at vocab scale would snapshot the
+    * segmentation every ~50 rounds (the connectedComponents pattern) to
+    * truncate lineage.
+    *
+    * Returns (merge table rows (rk, lhs, rhs, cnt), final segmentation
+    * (w, toks, freq) — the trained tokenizer state [[bpeApply]]-style
+    * encoding joins against).
+    */
+  def bpeTrainState(docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seg = docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        expr("filter(split(w, ''), x -> x <> '')").as("toks"), col("freq"))
+      .persist()
+    var prev: DataFrame = null
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // guard size >= 2: fully-merged single-token words pair nothing
+      // (and Spark's sequence(1, 0) counts DOWN, so the guard is
+      // correctness, not style — the bigrams()/shingles3() lesson)
+      val best = seg
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS lhs, toks[i] AS rhs)) " +
+            "ELSE array() END")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      // that job materialized seg's cache; the round before it is dead
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0); val b = best(0).getString(1)
+        merges += ((r, a, b, best(0).getLong(2)))
+        val next = seg
+          .select(col("w"), mergePairCol(col("toks"), a, b).as("toks"), col("freq"))
+          .persist()
+        prev = seg; seg = next
+        r += 1
+      }
+    }
+    // materialize the final state before evicting its parent, or a later
+    // reader would recompute the whole persist-chain from the raw corpus
+    if (prev != null) { seg.count(); prev.unpersist() }
+    (merges.result(), seg)
+  }
+
+  /** The learned merge table of [[bpeTrainState]] as a DataFrame —
+    * the trained tokenizer model (rk, lhs, rhs, cnt), rk in learning
+    * order, cnt the pair's corpus frequency at merge time.
+    */
+  def bpeLearnDistributed(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainState(docs, nMerges)._1.toDF("rk", "lhs", "rhs", "cnt")
   }
 }

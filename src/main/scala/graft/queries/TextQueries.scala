@@ -11,6 +11,49 @@ object TextQueries {
 
   private val W = TextOps.wordsSql
 
+  /** Merge rounds for the q123/q124 distributed-BPE pair. */
+  private val BpeRounds = 8
+
+  /** DuckDB replay of `rounds` distributed-BPE training rounds (see
+    * q123): defines `best_r` (the round-r merge) and `seg_r` (the
+    * segmentation after it) for r = 1..rounds, over the q93 word dim.
+    * Greedy left-to-right non-overlapping match selection = islands of
+    * consecutive match positions (overlap is only possible for equal
+    * pairs), keep the odd ranks within each island. Every per-round CTE
+    * the next round re-reads is MATERIALIZED — inlining doubles the plan
+    * per round.
+    */
+  private def bpeReplaySeg(rounds: Int): String = {
+    val rb = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""px_$r AS MATERIALIZED (SELECT w, freq, toks, unnest(range(1, len(toks))) AS i FROM seg_$p),
+        |pc_$r AS (SELECT toks[i] AS lhs, toks[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        |          FROM px_$r GROUP BY 1, 2),
+        |best_$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc_$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |m_$r AS (SELECT px.w, px.i FROM px_$r px, best_$r b
+        |         WHERE px.toks[px.i] = b.lhs AND px.toks[px.i+1] = b.rhs),
+        |sel_$r AS (SELECT w, i FROM (
+        |             SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+        |             FROM (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+        |                   FROM m_$r)) WHERE rn % 2 = 1),
+        |seg_$r AS MATERIALIZED (
+        |  SELECT p.w, p.freq,
+        |         list(CASE WHEN s.i IS NOT NULL THEN b.lhs || b.rhs ELSE p.toks[p.i0] END
+        |              ORDER BY p.i0) AS toks
+        |  FROM (SELECT w, freq, toks, unnest(range(1, len(toks)+1)) AS i0 FROM seg_$p) p
+        |  CROSS JOIN best_$r b
+        |  LEFT JOIN sel_$r s ON s.w = p.w AND s.i = p.i0
+        |  LEFT JOIN sel_$r c ON c.w = p.w AND c.i = p.i0 - 1
+        |  WHERE c.i IS NULL
+        |  GROUP BY p.w, p.freq)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wx AS (SELECT unnest($W) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM wx WHERE len(w) >= 2 GROUP BY w),
+      |seg_0 AS MATERIALIZED (
+      |  SELECT w, freq, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM v),
+      |""".stripMargin + rb
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace + BPE-ish pre-tokenization counts.
@@ -662,6 +705,50 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val merges = TextAnalysis.bpeLearn(docs, nMerges = 20)
       TextAnalysis.bpeApply(docs, merges).orderBy("doc_id")
+    },
+
+    // Distributed BPE training (8 merge rounds): the vocabulary never
+    // leaves the executors — each round is one pair-count agg over the
+    // word dim + a ONE-ROW argmax collect + a map-side greedy re-segment
+    // fold. The oracle replays all 8 rounds: per round the pair argmax,
+    // then greedy non-overlapping match selection as gaps-and-islands +
+    // parity (consecutive matches overlap only for equal pairs like
+    // (a,a); within an island the 1st, 3rd, … merge — exactly the
+    // left-to-right fold), then the segmentation rebuilt positionally.
+    // MATERIALIZED pins each round's state, or DuckDB inlines the CTE
+    // chain into 2^rounds plan copies.
+    QueryDef("q123_bpe_train",
+      bpeReplaySeg(BpeRounds) + "\n" +
+        (1 to BpeRounds).map(r => s"SELECT $r AS rk, lhs, rhs, cnt FROM best_$r")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rk")) { (s, dir) =>
+      TextAnalysis.bpeLearnDistributed(Tables.documents(s, dir), BpeRounds)
+        .orderBy("rk")
+    },
+
+    // Corpus encoding under the TRAINED segmentation: per document the
+    // word count and the BPE token count after the 8 learned merges —
+    // q96's shape, but against the distributed trainer's final state and
+    // fully oracle-replayed (the merge loop itself was the reason q96 is
+    // rows-only). Words shorter than the trainer's 2-char floor encode
+    // as themselves (1 subtoken). The corpus-side pass is one explode +
+    // word-keyed join against the vocab-dim segmentation + doc-keyed agg.
+    QueryDef("q124_bpe_segment",
+      bpeReplaySeg(BpeRounds) +
+        s""",
+        |t AS (SELECT doc_id, unnest($W) AS w FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(coalesce(len(s.toks), 1)) AS BIGINT) AS n_bpe_tokens
+        |FROM t LEFT JOIN seg_$BpeRounds s USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val seg = TextAnalysis.bpeTrainState(docs, BpeRounds)._2
+      docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .join(seg.select(col("w"), size(col("toks")).cast("long").as("n_subtokens")),
+          Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce(col("n_subtokens"), lit(1L))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     },
 
     // C4-style URL curation: the corpus carries no URLs, so the query

@@ -188,6 +188,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeLearn(docs, nMerges = 100).length < 100)
   }
 
+  test("bpeLearnDistributed ≡ bpeLearn merge-for-merge; partition-invariant; final state segments like the driver rules") {
+    // equal-pair chains ("aaaa"/"aaa") force the greedy-overlap rule
+    // through the Column fold; banana exercises multi-char merges
+    val docs = Seq((1L, "low low low lower lowest aaaa"),
+      (2L, "newest newest widest aaa banana bananas"),
+      (3L, "abcabc abcabc xyz")).toDF("doc_id", "text")
+    val driver = TextAnalysis.bpeLearn(docs, nMerges = 6)
+    val (dist, seg) = TextAnalysis.bpeTrainState(docs, nMerges = 6)
+    assert(dist.map(m => (m._2, m._3)) == driver)
+    // merge-time pair counts are positive and non-increasing is NOT
+    // guaranteed (later merges can beat earlier leftovers), but each cnt
+    // must equal the driver loop's count at that round — recompute it
+    val vocab: Map[String, Long] = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val expected = driver.zipWithIndex.map { case ((a, b), idx) =>
+      vocab.map { case (w, f) =>
+        val syms = TextAnalysis.segmentWord(w, driver.take(idx))
+        f * syms.sliding(2).count(p => p.length == 2 && p(0) == a && p(1) == b)
+      }.sum
+    }
+    assert(dist.map(_._4) == expected)
+    // the trained state re-segments every vocab word exactly like the
+    // driver rule list applied via segmentWord
+    val segGot = seg.select("w", "toks").as[(String, Seq[String])].collect().toMap
+    segGot.foreach { case (w, toks) =>
+      assert(toks == TextAnalysis.segmentWord(w, driver).toSeq, s"word $w")
+    }
+    // partitioning must not change the learned model (1 vs 32)
+    val dist32 = TextAnalysis.bpeTrainState(
+      docs.repartition(32), nMerges = 6)._1
+    assert(dist32 == dist)
+  }
+
   test("bpe segment + apply: merges rewrite in learning order, token counts per doc") {
     val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
     // full rule list collapses the training word; a prefix stops mid-way
