@@ -215,6 +215,39 @@ object DedupQueries {
         key = prefixFp)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // Paragraph-level exact dedup (the CCNet step between document and
+    // span dedup): repeated 16-token paragraphs drop corpus-wide, first
+    // occurrence in (doc_id, paragraph) order wins, and each document
+    // reassembles from its kept paragraphs in order. First-occurrence
+    // verdict = row_number over the md5 fingerprint; rebuild = ordered
+    // FILTER'd list aggregate — two corpus exchanges, the floor for
+    // cross-document dedup + reassembly.
+    QueryDef("q125_paragraph_dedup",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(range(0, greatest(CAST(0 AS BIGINT),
+        |                    CAST(ceil((n - 16) / 16.0) AS BIGINT)) + 1)) AS chunk_id
+        |      FROM n),
+        |p AS (SELECT doc_id, chunk_id,
+        |             array_to_string(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 16), ' ')
+        |               AS chunk_text
+        |      FROM c),
+        |v AS (SELECT doc_id, chunk_id, chunk_text,
+        |             CASE WHEN row_number() OVER (PARTITION BY md5(chunk_text)
+        |                    ORDER BY doc_id, chunk_id) = 1
+        |                  THEN 1 ELSE 0 END AS kept
+        |      FROM p)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       coalesce(array_to_string(list(chunk_text ORDER BY chunk_id)
+        |                FILTER (WHERE kept = 1), ' '), '') AS text_dedup
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.paragraphDedup(Tables.documents(s, dir), window = 16)
+        .orderBy("doc_id")
     }
   )
 }

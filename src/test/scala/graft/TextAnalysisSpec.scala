@@ -188,6 +188,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeLearn(docs, nMerges = 100).length < 100)
   }
 
+  test("paragraphDedup: first occurrence wins corpus-wide, docs reassemble in order, fully-duplicated doc empties") {
+    // window=2 paragraphs; doc2 repeats doc1's first paragraph, doc3 is
+    // doc1 verbatim (every paragraph drops), doc4 is clean
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y"),
+      (3L, "a b c d e f"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(docs, window = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, "a b c d e f"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 3L, 0L, ""),
+      (4L, 2L, 2L, "p q r s")))
+    // partitioning must not change verdicts or reassembly
+    val got32 = TextAnalysis.paragraphDedup(docs.repartition(32), window = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got32 == got)
+  }
+
   test("bpeLearnDistributed ≡ bpeLearn merge-for-merge; partition-invariant; final state segments like the driver rules") {
     // equal-pair chains ("aaaa"/"aaa") force the greedy-overlap rule
     // through the Column fold; banana exercises multi-char merges
