@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextOps
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Multimodal, TextAnalysis, UnigramLm}
 
 /** Text-analysis + multimodal-plumbing queries over `documents`. */
 object TextQueries {
@@ -917,6 +917,91 @@ object TextQueries {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY lang""".stripMargin) { (s, dir) =>
       TextAnalysis.distributionDrift(Tables.documents(s, dir)).orderBy("lang")
+    },
+
+    // Unigram-LM tokenizer, integer-exact layer (Kudo 2018 seed stage;
+    // the EM refinement is float and lives in UnigramLmSpec). Seed
+    // vocabulary: every substring piece scored by freq-weighted
+    // occurrence count — all single chars + top-TopPieces multis.
+    QueryDef("q126_unigram_vocab",
+      s"""WITH t AS (SELECT unnest($W) AS w FROM documents),
+        |v AS (SELECT w, COUNT(*) AS freq FROM t WHERE len(w) >= 2 GROUP BY w),
+        |px AS (SELECT freq, w, unnest(range(1, len(w)+1)) AS i FROM v),
+        |c AS (SELECT substr(w, i, l.l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        |      FROM px CROSS JOIN (SELECT unnest(range(1, ${UnigramLm.MaxPiece + 1})) AS l) l
+        |      WHERE i + l.l - 1 <= len(w) GROUP BY 1)
+        |SELECT piece, cnt FROM c WHERE len(piece) = 1
+        |UNION ALL
+        |SELECT piece, cnt FROM (
+        |  SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        |  FROM c WHERE len(piece) >= 2) WHERE rk <= ${UnigramLm.TopPieces}
+        |ORDER BY cnt DESC, piece""".stripMargin) { (s, dir) =>
+      UnigramLm.seedVocab(Tables.documents(s, dir))
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+
+    // Viterbi segmentation of the word dim under the q126 vocabulary:
+    // fewest pieces, then highest count-sum, then longest piece at each
+    // cell. Spark runs the DP as one codegen'd `aggregate` HOF over a
+    // broadcast literal map; the oracle replays it as an unrolled
+    // per-position DP (the q123/q124 replay style) plus a recursive-CTE
+    // backtrack walk.
+    QueryDef("q127_unigram_viterbi", unigramViterbiOracle) { (s, dir) =>
+      UnigramLm.viterbiSegment(Tables.documents(s, dir)).orderBy("w")
     }
   )
+
+  /** DuckDB replay of [[UnigramLm.viterbiSegment]]: vocab CTE (as q126),
+    * then dp_1..dp_MaxWord each keeping the per-word best
+    * (ntoks ASC, score DESC, l DESC) over the <= MaxPiece ways to end a
+    * segmentation at that position, then a recursive backtrack from
+    * pos = len(w) following the stored winning piece length.
+    */
+  private def unigramViterbiOracle: String = {
+    val mp = UnigramLm.MaxPiece
+    val mw = UnigramLm.MaxWord
+    val dps = (1 to mw).map { i =>
+      val cand = (1 to math.min(i, mp)).map { l =>
+        s"""SELECT d.w, d.score + v.cnt AS score, d.ntoks + 1 AS ntoks, $l AS l
+          |    FROM dp_${i - l} d JOIN vocab v ON v.piece = substr(d.w, ${i - l + 1}, $l)
+          |    WHERE len(d.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""dp_$i AS MATERIALIZED (
+        |  SELECT w, score, ntoks, l, $i AS pos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+        |             ORDER BY ntoks ASC, score DESC, l DESC) AS rn
+        |    FROM ($cand)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dpAll = (1 to mw)
+      .map(i => s"SELECT w, score, ntoks, l, pos FROM dp_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE t AS (SELECT unnest($W) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM t WHERE len(w) >= 2 GROUP BY w),
+      |px AS (SELECT freq, w, unnest(range(1, len(w)+1)) AS i FROM v),
+      |c AS (SELECT substr(w, i, l.l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      |      FROM px CROSS JOIN (SELECT unnest(range(1, ${mp + 1})) AS l) l
+      |      WHERE i + l.l - 1 <= len(w) GROUP BY 1),
+      |vocab AS MATERIALIZED (
+      |  SELECT piece, cnt FROM c WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+      |    FROM c WHERE len(piece) >= 2) WHERE rk <= ${UnigramLm.TopPieces}),
+      |wv AS (SELECT w, freq FROM v WHERE len(w) <= $mw),
+      |dp_0 AS (SELECT w, CAST(0 AS BIGINT) AS score, 0 AS ntoks FROM wv),
+      |$dps,
+      |dp AS ($dpAll),
+      |walk(w, pos, toks) AS (
+      |  SELECT d.w, CAST(len(d.w) AS INT), []::VARCHAR[] FROM wv d
+      |  UNION ALL
+      |  SELECT k.w, k.pos - d.l, list_prepend(substr(k.w, k.pos - d.l + 1, d.l), k.toks)
+      |  FROM walk k JOIN dp d ON d.w = k.w AND d.pos = k.pos WHERE k.pos > 0)
+      |SELECT v.w, CAST(v.freq AS BIGINT) AS freq, d.score,
+      |       CAST(d.ntoks AS INT) AS n_tokens,
+      |       array_to_string(k.toks, ' ') AS toks
+      |FROM wv v
+      |JOIN dp d ON d.w = v.w AND d.pos = len(v.w)
+      |JOIN walk k ON k.w = v.w AND k.pos = 0
+      |ORDER BY v.w""".stripMargin
+  }
 }
