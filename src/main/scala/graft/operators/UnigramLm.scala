@@ -143,6 +143,21 @@ object UnigramLm {
         array_join(col("toks"), " ").as("toks"))
   }
 
+  /** Trained-unigram corpus encoding (the `bpeApply`/q124 analog): per
+    * document, whitespace word count and unigram-token count under the
+    * [[viterbiSegment]] segmentation. Words outside the segmented dim
+    * (sub-2-char, over-[[MaxWord]]) encode as one token. The corpus
+    * pass is one explode + a word-keyed join against the Heaps-law-small
+    * segmentation dim (AQE broadcasts it) + a doc-keyed agg — the
+    * sequential DP never runs corpus-side.
+    */
+  def encodeCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .join(viterbiSegment(docs).select(col("w"), col("n_tokens")), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tokens").cast(LongType), lit(1L))).as("n_unigram_tokens"))
+
   // ---------------------------------------------------------------- EM
 
   /** One word's segmentation lattice statistics under log-probs `lp`:

@@ -946,18 +946,47 @@ object TextQueries {
     // broadcast literal map; the oracle replays it as an unrolled
     // per-position DP (the q123/q124 replay style) plus a recursive-CTE
     // backtrack walk.
-    QueryDef("q127_unigram_viterbi", unigramViterbiOracle) { (s, dir) =>
+    QueryDef("q127_unigram_viterbi",
+      s"""$unigramDpCtes,
+        |walk(w, pos, toks) AS (
+        |  SELECT d.w, CAST(len(d.w) AS INT), []::VARCHAR[] FROM wv d
+        |  UNION ALL
+        |  SELECT k.w, k.pos - d.l, list_prepend(substr(k.w, k.pos - d.l + 1, d.l), k.toks)
+        |  FROM walk k JOIN dp d ON d.w = k.w AND d.pos = k.pos WHERE k.pos > 0)
+        |SELECT v.w, CAST(v.freq AS BIGINT) AS freq, d.score,
+        |       CAST(d.ntoks AS INT) AS n_tokens,
+        |       array_to_string(k.toks, ' ') AS toks
+        |FROM wv v
+        |JOIN dp d ON d.w = v.w AND d.pos = len(v.w)
+        |JOIN walk k ON k.w = v.w AND k.pos = 0
+        |ORDER BY v.w""".stripMargin) { (s, dir) =>
       UnigramLm.viterbiSegment(Tables.documents(s, dir)).orderBy("w")
+    },
+
+    // Trained-unigram corpus encoding (the q124 analog for this
+    // tokenizer family): per-doc word count and unigram-token count
+    // under the q127 segmentation; words outside the dim (sub-2-char or
+    // over-MaxWord) encode as themselves. Corpus pass = one explode +
+    // word-keyed join against the word-dim segmentation + doc agg.
+    QueryDef("q128_unigram_encode",
+      s"""$unigramDpCtes,
+        |fin AS (SELECT w, ntoks FROM dp JOIN wv USING (w) WHERE pos = len(w)),
+        |t2 AS (SELECT doc_id, unnest($W) AS w FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(coalesce(f.ntoks, 1)) AS BIGINT) AS n_unigram_tokens
+        |FROM t2 LEFT JOIN fin f USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      UnigramLm.encodeCorpus(Tables.documents(s, dir)).orderBy("doc_id")
     }
   )
 
-  /** DuckDB replay of [[UnigramLm.viterbiSegment]]: vocab CTE (as q126),
-    * then dp_1..dp_MaxWord each keeping the per-word best
-    * (ntoks ASC, score DESC, l DESC) over the <= MaxPiece ways to end a
-    * segmentation at that position, then a recursive backtrack from
-    * pos = len(w) following the stored winning piece length.
+  /** Shared DuckDB replay of [[UnigramLm.viterbiSegment]]'s DP (q127,
+    * q128): vocab CTE (as q126), then dp_1..dp_MaxWord each keeping the
+    * per-word best (ntoks ASC, score DESC, l DESC) over the <= MaxPiece
+    * ways to end a segmentation at that position. Ends with `dp` (all
+    * positions, for the q127 backtrack) and `wv` (the capped word dim).
     */
-  private def unigramViterbiOracle: String = {
+  private def unigramDpCtes: String = {
     val mp = UnigramLm.MaxPiece
     val mw = UnigramLm.MaxWord
     val dps = (1 to mw).map { i =>
@@ -990,18 +1019,6 @@ object TextQueries {
       |wv AS (SELECT w, freq FROM v WHERE len(w) <= $mw),
       |dp_0 AS (SELECT w, CAST(0 AS BIGINT) AS score, 0 AS ntoks FROM wv),
       |$dps,
-      |dp AS ($dpAll),
-      |walk(w, pos, toks) AS (
-      |  SELECT d.w, CAST(len(d.w) AS INT), []::VARCHAR[] FROM wv d
-      |  UNION ALL
-      |  SELECT k.w, k.pos - d.l, list_prepend(substr(k.w, k.pos - d.l + 1, d.l), k.toks)
-      |  FROM walk k JOIN dp d ON d.w = k.w AND d.pos = k.pos WHERE k.pos > 0)
-      |SELECT v.w, CAST(v.freq AS BIGINT) AS freq, d.score,
-      |       CAST(d.ntoks AS INT) AS n_tokens,
-      |       array_to_string(k.toks, ' ') AS toks
-      |FROM wv v
-      |JOIN dp d ON d.w = v.w AND d.pos = len(v.w)
-      |JOIN walk k ON k.w = v.w AND k.pos = 0
-      |ORDER BY v.w""".stripMargin
+      |dp AS ($dpAll)""".stripMargin
   }
 }

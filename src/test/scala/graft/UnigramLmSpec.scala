@@ -54,6 +54,19 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("corpus encode: doc token sums equal the per-word DP results") {
+    val seg = UnigramLm.viterbiSegment(docs)
+      .select("w", "n_tokens").as[(String, Int)].collect().toMap
+    val got = UnigramLm.encodeCorpus(docs)
+      .select("doc_id", "n_words", "n_unigram_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val ws = text.toLowerCase.trim.split("\\s+").toSeq
+      val want = ws.map(w => seg.getOrElse(w, 1).toLong).sum
+      assert(got(id) == ((ws.length.toLong, want)), s"doc $id")
+    }
+  }
+
   test("EM corpus log-likelihood is non-decreasing across iterations") {
     val (lp, lls) = UnigramLm.emTrain(docs, iters = 5, targetSize = 60)
     assert(lls.length == 5)
