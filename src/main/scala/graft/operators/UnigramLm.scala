@@ -261,6 +261,20 @@ object UnigramLm {
     } finally words.unpersist()
   }
 
+  /** Trained model as a (piece, log_prob) frame for
+    * `Storage.writeModel` (the QualityClassifier/KMeans persistence
+    * contract: deterministic row order, exact DOUBLE round-trip).
+    */
+  def toFrame(spark: org.apache.spark.sql.SparkSession,
+      lp: Map[String, Double]): DataFrame = {
+    import spark.implicits._
+    lp.toSeq.sortBy(_._1).toDF("piece", "log_prob")
+  }
+
+  /** Inverse of [[toFrame]]. */
+  def fromFrame(params: DataFrame): Map[String, Double] =
+    params.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
   /** Viterbi segmentation under trained float log-probs (max log-prob
     * path, longest-piece tie-break) — the EM twin of [[viterbiSegment]],
     * driver/executor Scala because its scores are floats (spec-verified,

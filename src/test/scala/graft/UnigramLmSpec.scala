@@ -102,6 +102,18 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("model persistence: save -> load -> identical segmentations") {
+    val (lp, _) = UnigramLm.emTrain(docs, iters = 3, targetSize = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram").toString
+    graft.sources.Storage.writeModel(UnigramLm.toFrame(spark, lp), s"$dir/unigram", "piece")
+    val lp2 = UnigramLm.fromFrame(graft.sources.Storage.readModel(spark, s"$dir/unigram"))
+    assert(lp2 == lp) // exact DOUBLE round-trip
+    val words = UnigramLm.wordDim(docs).as[(String, Long)].collect().map(_._1)
+    words.foreach { w =>
+      assert(UnigramLm.segmentWithProbs(w, lp2) == UnigramLm.segmentWithProbs(w, lp))
+    }
+  }
+
   test("EM sharpens the model: trained likelihood beats the seed model's") {
     val (_, lls) = UnigramLm.emTrain(docs, iters = 4, targetSize = 200)
     assert(lls.last > lls.head - 1e-9)
