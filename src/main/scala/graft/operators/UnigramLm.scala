@@ -28,9 +28,12 @@ import graft.functions.TextOps
   * Scale posture: the corpus-sized work is ONE word-count aggregation
   * (the same Heaps-law argument as BPE training — the distinct-word dim
   * is small even for billion-word corpora). The Viterbi DP runs as a
-  * single codegen'd `aggregate` higher-order expression over the word
-  * dim with the vocabulary as a broadcast literal map — no join, no
-  * shuffle, no UDF. EM keeps words distributed (mapPartitions E-step,
+  * single `aggregate` higher-order expression over the word dim with
+  * the vocabulary as a broadcast literal map — no join, no shuffle, no
+  * UDF. (Spark HOFs are CodegenFallback — the DP subtree evaluates
+  * interpreted inside the codegen'd projection; fine here, because it
+  * runs once per DISTINCT word, a vocab-dim-sized stage, never
+  * corpus-sized.) EM keeps words distributed (mapPartitions E-step,
   * vocab broadcast) and only vocab-sized statistics cross to the driver.
   */
 object UnigramLm {
@@ -83,9 +86,9 @@ object UnigramLm {
     * The whole DP — forward table and backtrack — is two `aggregate`
     * higher-order expressions in one projection: vocabulary lookups hit
     * a broadcast literal map (`try_element_at`, null on miss), so the
-    * plan is a scan + one agg exchange (the word dim) + a codegen'd map
-    * stage. Nothing corpus-sized is collected; the vocab collect is
-    * bounded by TopPieces + alphabet.
+    * plan is a scan + one agg exchange (the word dim) + a map stage.
+    * Nothing corpus-sized is collected; the vocab collect is bounded by
+    * TopPieces + alphabet.
     */
   def viterbiSegment(docs: DataFrame): DataFrame = {
     val vocab: Map[String, Long] = seedVocab(docs).collect()

@@ -942,8 +942,9 @@ object TextQueries {
 
     // Viterbi segmentation of the word dim under the q126 vocabulary:
     // fewest pieces, then highest count-sum, then longest piece at each
-    // cell. Spark runs the DP as one codegen'd `aggregate` HOF over a
-    // broadcast literal map; the oracle replays it as an unrolled
+    // cell. Spark runs the DP as one `aggregate` HOF over a broadcast
+    // literal map (interpreted inside the codegen'd projection — a
+    // vocab-dim-sized stage); the oracle replays it as an unrolled
     // per-position DP (the q123/q124 replay style) plus a recursive-CTE
     // backtrack walk.
     QueryDef("q127_unigram_viterbi",
