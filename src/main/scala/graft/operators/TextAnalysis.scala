@@ -927,4 +927,45 @@ object TextAnalysis {
     import spark.implicits._
     bpeTrainState(docs, nMerges)._1.toDF("rk", "lhs", "rhs", "cnt")
   }
+
+  /** Compressibility quality signal: per-document DEFLATE ratio
+    * (compressed bytes / raw UTF-8 bytes). Low ratio = repetitive,
+    * boilerplate-heavy text; near-/above-1 = high-entropy (random or
+    * already-compressed) — the compression-based heuristic public
+    * curation stacks use beside repetition counts (q62) to drop
+    * machine-generated and template spam.
+    *
+    * Map-side only (one mapPartitions pass, a single `Deflater` reused
+    * per partition with raw-deflate/no-header, fixed level and default
+    * strategy — embarrassingly parallel at any scale). DEFLATE output
+    * is deterministic for a fixed zlib build, so the signal is
+    * partition- and run-stable on a given JVM, but it is NOT pinned
+    * across zlib versions — hence rows-only verification (q129) with
+    * the behavioral contract in TextAnalysisSpec, and ratio thresholds
+    * should be calibrated per environment, not hard-coded.
+    */
+  def compressibility(docs: DataFrame, level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        // release the native zlib state when the task finishes (the
+        // iterator is consumed lazily, so a try/finally here can't)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](8192)
+        it.map { case (id, t) =>
+          val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio = if (in.length > 0) out.toDouble / in.length else 0.0
+          (id, in.length.toLong, out, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "deflate_bytes", "compress_ratio")
+  }
 }

@@ -969,6 +969,17 @@ object TextQueries {
     // under the q127 segmentation; words outside the dim (sub-2-char or
     // over-MaxWord) encode as themselves. Corpus pass = one explode +
     // word-keyed join against the word-dim segmentation + doc agg.
+    // Compressibility quality signal: per-doc DEFLATE ratio (the
+    // compression heuristic used beside q62's repetition counts to drop
+    // template/machine-generated spam). DEFLATE is deterministic on a
+    // fixed zlib build but not SQL-expressible → rows-only by contract;
+    // TextAnalysisSpec pins the behavioral invariants (repetitive <
+    // prose < shuffled-entropy ordering, partition invariance,
+    // self-concatenation compresses sublinearly).
+    QueryDef.sparkOnly("q129_compressibility") { (s, dir) =>
+      TextAnalysis.compressibility(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     QueryDef("q128_unigram_encode",
       s"""$unigramDpCtes,
         |fin AS (SELECT w, ntoks FROM dp JOIN wv USING (w) WHERE pos = len(w)),

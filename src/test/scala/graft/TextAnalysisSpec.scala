@@ -333,4 +333,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 0L, 4L, "keep <b>bold</b> here")))
     assert(got(3) == ((4L, 0L, 5L, "\"q\" 'a' end")))
   }
+
+  test("compressibility: entropy ordering, partition invariance, sublinear self-concat") {
+    import spark.implicits._
+    val rep = ("spam " * 200).trim
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a field of wild flowers looking for something new to chase " +
+      "while the lazy dog sleeps under the old oak tree dreaming of chasing " +
+      "the quick brown fox across the field of wild flowers once again and " +
+      "the farmer watches them both from the porch wondering about the fox " +
+      "and the dog and the field and the flowers and the old oak tree"
+    val rng = new scala.util.Random(42)
+    val noise = Seq.fill(400)((' ' + rng.nextInt(94)).toChar).mkString
+    val docs = Seq((1L, rep), (2L, prose), (3L, noise), (4L, rep + " " + rep))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressibility(docs)
+      .select("doc_id", "n_bytes", "deflate_bytes", "compress_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // raw sizes are exact UTF-8 lengths
+    assert(got(1L)._2 == rep.length && got(3L)._2 == 400)
+    // entropy ordering: repetition << prose < uniform-random letters
+    assert(got(1L)._4 < got(2L)._4 && got(2L)._4 < got(3L)._4)
+    assert(got(1L)._4 < 0.1 && got(3L)._4 > 0.5)
+    // doubling a repetitive doc grows compressed size sublinearly
+    assert(got(4L)._3 < 2 * got(1L)._3)
+    // partition-count invariance (fixed zlib build, one deflate stream per doc)
+    val p1 = TextAnalysis.compressibility(docs.repartition(1))
+      .select("doc_id", "deflate_bytes").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val p32 = TextAnalysis.compressibility(docs.repartition(32))
+      .select("doc_id", "deflate_bytes").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(p1 == p32)
+    // empty doc pins ratio to 0.0 (the withQualityFeatures convention)
+    val e = TextAnalysis.compressibility(Seq((9L, "")).toDF("doc_id", "text"))
+      .select("compress_ratio").as[Double].head()
+    assert(e == 0.0)
+  }
 }
