@@ -238,6 +238,249 @@ object Multimodal {
       })
     }
 
+    def isGif(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+        (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte
+
+    /** GIF89a encoder with a hand-written LZW compressor — the first
+      * COMPRESSED hand codec (BMP/PPM are raw; PNG delegates to
+      * ImageIO). 256-entry grayscale global color table, so the pixel
+      * index IS the gray value and decoded features stay closed-form
+      * (the q80 oracle contract). Variable-width LZW codes pack
+      * LSB-first into <=255-byte sub-blocks; the width bump and the
+      * 4096-entry CLEAR/reset both mirror [[lzwDecode]], and both
+      * directions are pinned against the JDK's own GIF codec in
+      * MultimodalSpec.
+      */
+    def encodeGif(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def pu16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      pu16(w); pu16(h)
+      bos.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+      bos.write(0); bos.write(0)
+      var i = 0
+      while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 }
+      bos.write(0x2C) // image descriptor: full frame, no LCT, no interlace
+      pu16(0); pu16(0); pu16(w); pu16(h); bos.write(0)
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = (gray(x, y) & 0xFF).toByte; x += 1 }
+        y += 1
+      }
+      bos.write(8) // LZW min code size
+      val comp = lzwEncode(8, px)
+      var o = 0
+      while (o < comp.length) {
+        val n = math.min(255, comp.length - o)
+        bos.write(n); bos.write(comp, o, n); o += n
+      }
+      bos.write(0)    // block terminator
+      bos.write(0x3B) // trailer
+      bos.toByteArray
+    }
+
+    /** GIF LZW compress (variable 3..12-bit codes, LSB-first packing,
+      * leading CLEAR, CLEAR+reset when the dictionary hits 4096, EOI
+      * terminator). The width rule matches the decoder one add behind:
+      * widen when the NEXT code to assign no longer fits the current
+      * width.
+      */
+    private[graft] def lzwEncode(minCodeSize: Int, data: Array[Byte]): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val bos = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0
+      var codeWidth = minCodeSize + 1
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
+        while (bitCnt >= 8) { bos.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      // (prefixCode << 8 | byte) -> code
+      val dict = new java.util.HashMap[Integer, Integer]()
+      var nextFree = eoi + 1
+      def reset(): Unit = { dict.clear(); nextFree = eoi + 1; codeWidth = minCodeSize + 1 }
+      emit(clear)
+      var prefix = -1
+      var i = 0
+      while (i < data.length) {
+        val b = data(i) & 0xFF
+        if (prefix < 0) prefix = b
+        else {
+          val key = Integer.valueOf((prefix << 8) | b)
+          val hit = dict.get(key)
+          if (hit != null) prefix = hit.intValue()
+          else {
+            emit(prefix)
+            dict.put(key, Integer.valueOf(nextFree)); nextFree += 1
+            // decoder adds its mirror entry only after the NEXT code
+            // arrives, so the encoder widens as soon as its own next
+            // code would overflow — one add ahead of the decoder
+            if (nextFree > (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            else if (nextFree > 4096) { emit(clear); reset() }
+            prefix = b
+          }
+        }
+        i += 1
+      }
+      if (prefix >= 0) emit(prefix)
+      emit(eoi)
+      if (bitCnt > 0) bos.write((bitBuf & 0xFF).toInt)
+      bos.toByteArray
+    }
+
+    /** GIF LZW decompress — inverse of [[lzwEncode]], also accepting any
+      * spec-conformant stream (the JDK writer's output is a spec test in
+      * MultimodalSpec). Returns exactly `expected` bytes or fails.
+      */
+    private[graft] def lzwDecode(minCodeSize: Int, data: Array[Byte],
+        expected: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new Array[Byte](expected)
+      var outPos = 0
+      // dictionary as (prefix-entry index, suffix byte) chains
+      val prefixOf = new Array[Int](4096)
+      val suffixOf = new Array[Byte](4096)
+      val lenOf = new Array[Int](4096)
+      var nextFree = eoi + 1
+      var codeWidth = minCodeSize + 1
+      var i = 0
+      while (i < clear) { prefixOf(i) = -1; suffixOf(i) = i.toByte; lenOf(i) = 1; i += 1 }
+      def writeEntry(code: Int): Unit = {
+        val n = lenOf(code)
+        require(outPos + n <= expected, "LZW output overruns pixel count")
+        var c = code; var p = outPos + n - 1
+        while (c >= 0) { out(p) = suffixOf(c); p -= 1; c = prefixOf(c) }
+        outPos += n
+      }
+      def firstByte(code: Int): Byte = {
+        var c = code
+        while (prefixOf(c) >= 0) c = prefixOf(c)
+        suffixOf(c)
+      }
+      var bitBuf = 0L; var bitCnt = 0; var pos = 0
+      var prev = -1
+      var done = false
+      while (!done) {
+        while (bitCnt < codeWidth) {
+          require(pos < data.length, "LZW stream truncated (no EOI)")
+          bitBuf |= (data(pos) & 0xFFL) << bitCnt; bitCnt += 8; pos += 1
+        }
+        val code = (bitBuf & ((1L << codeWidth) - 1)).toInt
+        bitBuf >>>= codeWidth; bitCnt -= codeWidth
+        if (code == clear) {
+          nextFree = eoi + 1; codeWidth = minCodeSize + 1; prev = -1
+        } else if (code == eoi) {
+          require(outPos == expected, s"LZW ended at $outPos of $expected pixels")
+          done = true
+        } else if (prev < 0) {
+          require(code < clear, s"first LZW code $code not a literal")
+          writeEntry(code); prev = code
+        } else {
+          require(code <= nextFree && code < 4096, s"LZW code $code out of range")
+          val known = code < nextFree
+          if (known) writeEntry(code)
+          else { // the KwKwK case: entry = prev + firstByte(prev)
+            val n = lenOf(prev)
+            require(outPos + n + 1 <= expected, "LZW output overruns pixel count")
+            writeEntry(prev); out(outPos) = firstByte(prev); outPos += 1
+          }
+          if (nextFree < 4096) {
+            prefixOf(nextFree) = prev
+            suffixOf(nextFree) = if (known) firstByte(code) else firstByte(prev)
+            lenOf(nextFree) = lenOf(prev) + 1
+            nextFree += 1
+            if (nextFree >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          }
+          prev = code
+        }
+      }
+      out
+    }
+
+    /** GIF decoder: logical screen + global color table, extension-block
+      * skipping (the JDK writer emits Graphic Control Extensions), a
+      * single non-interlaced image frame with optional local color
+      * table, and the [[lzwDecode]] pixel stream. Same adversarial-bytes
+      * posture as decodeBmp: bounds-checked walks, malformed input fails
+      * as IllegalArgumentException before any out-of-bounds read.
+      */
+    def decodeGif(b: Array[Byte]): Decoded = {
+      require(isGif(b) && b.length >= 13, "not a GIF")
+      val w = u16(b, 6); val h = u16(b, 8)
+      require(w > 0 && h > 0 && w.toLong * h <= (1L << 26), s"implausible dimensions ${w}x$h")
+      var pos = 13
+      val packed = b(10) & 0xFF
+      var palette: Array[Int] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        require(pos + 3 * n <= b.length, "truncated global color table")
+        palette = Array.tabulate(n)(j => ((b(pos + 3 * j) & 0xFF) << 16) |
+          ((b(pos + 3 * j + 1) & 0xFF) << 8) | (b(pos + 3 * j + 2) & 0xFF))
+        pos += 3 * n
+      }
+      // walk blocks to the first image descriptor, skipping extensions
+      while (pos < b.length && (b(pos) & 0xFF) == 0x21) {
+        pos += 2 // introducer + label
+        while ({ require(pos < b.length, "truncated extension"); (b(pos) & 0xFF) != 0 }) {
+          pos += 1 + (b(pos) & 0xFF)
+        }
+        pos += 1
+      }
+      require(pos < b.length && (b(pos) & 0xFF) == 0x2C, "no image descriptor")
+      require(pos + 10 <= b.length, "truncated image descriptor")
+      val fw = u16(b, pos + 5); val fh = u16(b, pos + 7)
+      val fpacked = b(pos + 9) & 0xFF
+      require(fw == w && fh == h && u16(b, pos + 1) == 0 && u16(b, pos + 3) == 0,
+        "sub-frame GIFs unsupported")
+      // the JDK's own writer interlaces by default, so the 4-pass row
+      // order (8k, 8k+4, 4k+2, 2k+1) is required input, not an exotic
+      val interlaced = (fpacked & 0x40) != 0
+      pos += 10
+      if ((fpacked & 0x80) != 0) { // local color table overrides global
+        val n = 2 << (fpacked & 7)
+        require(pos + 3 * n <= b.length, "truncated local color table")
+        palette = Array.tabulate(n)(j => ((b(pos + 3 * j) & 0xFF) << 16) |
+          ((b(pos + 3 * j + 1) & 0xFF) << 8) | (b(pos + 3 * j + 2) & 0xFF))
+        pos += 3 * n
+      }
+      require(palette != null, "no color table")
+      require(pos < b.length, "missing LZW min code size")
+      val minCode = b(pos) & 0xFF
+      require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+      pos += 1
+      val comp = new java.io.ByteArrayOutputStream()
+      while ({ require(pos < b.length, "truncated image data"); (b(pos) & 0xFF) != 0 }) {
+        val n = b(pos) & 0xFF
+        require(pos + 1 + n <= b.length, "truncated image sub-block")
+        comp.write(b, pos + 1, n)
+        pos += 1 + n
+      }
+      val px = lzwDecode(minCode, comp.toByteArray, w * h)
+      // storage-row -> logical-row map (identity when not interlaced)
+      val rowOf = new Array[Int](h)
+      if (interlaced) {
+        var sr = 0
+        for (start <- Seq(0, 4, 2, 1); step = if (start == 0) 8 else start * 2;
+             y <- start until h by step) { rowOf(sr) = y; sr += 1 }
+      } else {
+        var y = 0; while (y < h) { rowOf(y) = y; y += 1 }
+      }
+      val logicalToStored = new Array[Int](h)
+      var sr = 0
+      while (sr < h) { logicalToStored(rowOf(sr)) = sr; sr += 1 }
+      val pal = palette
+      Decoded(w, h, (x, y) => {
+        val idx = px(logicalToStored(y) * w + x) & 0xFF
+        require(idx < pal.length, s"pixel index $idx outside palette")
+        pal(idx)
+      })
+    }
+
     /** PNG via the JDK's own ImageIO reader (no external dependency). */
     def decodePng(b: Array[Byte]): Decoded = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
@@ -381,6 +624,39 @@ object Multimodal {
       val b = (seed + 11 * i + 13) % 256
       (r << 16) | (g << 8) | b
     }
+  }
+
+  /** The grayscale test pattern for the palette-indexed GIF path: the
+    * pixel INDEX is the gray value, so the decoded r=g=b channels stay
+    * closed-form in (doc_id, pixel index) — the q130 oracle recomputes
+    * them without touching LZW. Same seed/dims as [[TestPattern]].
+    */
+  object GrayPattern {
+    def gray(id: Long)(x: Int, y: Int): Int = {
+      val seed = (id % 9973).toInt
+      val i = y * TestPattern.width(id) + x
+      (seed + 3 * i) % 256
+    }
+  }
+
+  /** Synthesize REAL GIF bytes with [[GrayPattern]] pixels — the LZW
+    * fixture generator (q130). Executor-side, like [[syntheticMedia]].
+    */
+  def syntheticGifMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("bytes", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = ImageCodecs.encodeGif(
+          TestPattern.width(id), TestPattern.height(id), GrayPattern.gray(id) _)
+        Row(id, "image", bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Synthesize REAL image bytes (BMP / PPM / PNG round-robin by id) with
@@ -706,6 +982,7 @@ object Multimodal {
             if (ImageCodecs.isBmp(bytes)) Some("bmp" -> ImageCodecs.decodeBmp(bytes))
             else if (ImageCodecs.isPpm(bytes)) Some("ppm" -> ImageCodecs.decodePpm(bytes))
             else if (ImageCodecs.isPng(bytes)) Some("png" -> ImageCodecs.decodePng(bytes))
+            else if (ImageCodecs.isGif(bytes)) Some("gif" -> ImageCodecs.decodeGif(bytes))
             else None
           } catch { case _: IllegalArgumentException | _: java.io.IOException => Some("corrupt" -> null) }
         decoded match {

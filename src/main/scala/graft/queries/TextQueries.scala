@@ -969,6 +969,39 @@ object TextQueries {
     // under the q127 segmentation; words outside the dim (sub-2-char or
     // over-MaxWord) encode as themselves. Corpus pass = one explode +
     // word-keyed join against the word-dim segmentation + doc agg.
+    // REAL GIF decode: GIF89a bytes with a 256-entry grayscale palette
+    // are synthesized executor-side (hand-written variable-width LZW
+    // COMPRESSION — the first compressed hand codec), decoded back by
+    // the hand-written LZW decoder, and every feature is recomputed by
+    // the oracle from the GrayPattern formula alone (pixel index IS the
+    // gray value, so r=g=b=(seed+3i)%256). The compression round-trip is
+    // load-bearing: a single bit-packing or width-bump error corrupts
+    // every pixel sum.
+    QueryDef("q130_gif_decode",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 17 AS INT) AS w,
+        |         CAST(8 + doc_id % 11 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h, gi.i, (seed + 3*i) % 256 AS v
+        |  FROM m, (SELECT unnest(range(0, 432)) AS i) gi
+        |  WHERE gi.i < m.w * m.h)
+        |SELECT doc_id AS media_id, 'gif' AS format, w AS width, h AS height,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(v) AS BIGINT) AS sum_g,
+        |       CAST(SUM(v) AS BIGINT) AS sum_b,
+        |       CAST(SUM(CASE WHEN i < w THEN v END) AS BIGINT) AS row0_sum_r,
+        |       CAST(SUM(CASE WHEN i < w THEN v END) AS BIGINT) AS row0_sum_g,
+        |       CAST(SUM(CASE WHEN i < w THEN v END) AS BIGINT) AS row0_sum_b,
+        |       CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_r,
+        |       CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_g,
+        |       CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeMedia(Multimodal.syntheticGifMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    },
+
     // Compressibility quality signal: per-doc DEFLATE ratio (the
     // compression heuristic used beside q62's repetition counts to drop
     // template/machine-generated spam). DEFLATE is deterministic on a

@@ -308,4 +308,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).getString(1) == "corrupt" && rows(0).isNullAt(2))
     assert(rows(1).getString(1) == "opaque" && rows(1).isNullAt(2))
   }
+
+  // ------------------------------------------------------------- GIF/LZW
+
+  test("GIF round-trip: every GrayPattern image survives LZW compress+decompress") {
+    for (id <- 0L until 60L) {
+      val (w, h) = (TestPattern.width(id), TestPattern.height(id))
+      val g = Multimodal.GrayPattern.gray(id) _
+      val img = ImageCodecs.decodeGif(ImageCodecs.encodeGif(w, h, g))
+      assert(img.width == w && img.height == h, s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y)
+        assert(img.rgb(x, y) == ((v << 16) | (v << 8) | v), s"id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("GIF encoder is accepted by the JDK's independent ImageIO GIF reader") {
+    for (id <- Seq(0L, 7L, 23L, 51L)) {
+      val (w, h) = (TestPattern.width(id), TestPattern.height(id))
+      val g = Multimodal.GrayPattern.gray(id) _
+      val bytes = ImageCodecs.encodeGif(w, h, g)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"id=$id: ImageIO rejected the stream")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == ((v << 16) | (v << 8) | v),
+          s"id=$id ($x,$y): JDK decodes different pixels than we encoded")
+      }
+    }
+  }
+
+  test("GIF decoder accepts the JDK writer's streams (incl. its extensions)") {
+    val (w, h) = (23, 17)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 7) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val dec = ImageCodecs.decodeGif(bos.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(dec.rgb(x, y) == (img.getRGB(x, y) & 0xFFFFFF), s"($x,$y)")
+  }
+
+  test("LZW survives dictionary overflow: CLEAR/reset on high-entropy data") {
+    // ~12k pseudo-random bytes force the dictionary past 4096 entries
+    val rng = new scala.util.Random(7)
+    val data = Array.fill(12000)(rng.nextInt(256).toByte)
+    val out = ImageCodecs.lzwDecode(8, ImageCodecs.lzwEncode(8, data), data.length)
+    assert(java.util.Arrays.equals(out, data))
+    // and a worst-case repetitive stream (exercises KwKwK + long chains)
+    val rep = Array.fill(9000)(((7: Int)).toByte)
+    val out2 = ImageCodecs.lzwDecode(8, ImageCodecs.lzwEncode(8, rep), rep.length)
+    assert(java.util.Arrays.equals(out2, rep))
+  }
+
+  test("malformed GIF fails loudly, not with garbage features") {
+    val good = ImageCodecs.encodeGif(8, 8, (x, y) => (x + y) % 256)
+    intercept[IllegalArgumentException](ImageCodecs.decodeGif(good.dropRight(6))) // truncated data
+    intercept[IllegalArgumentException](ImageCodecs.decodeGif(good.take(12)))     // header only
+    // logical/frame size mismatch fails at the descriptor check
+    val tall = good.clone()
+    tall(8) = 9 // logical height 8 -> 9, frame stays 8
+    intercept[IllegalArgumentException](ImageCodecs.decodeGif(tall))
+    // both sizes inflated: the LZW stream then holds too few pixels
+    val tall2 = good.clone()
+    tall2(8) = 9; tall2(13 + 768 + 7) = 9
+    intercept[IllegalArgumentException](ImageCodecs.decodeGif(tall2))
+  }
+
+  test("distributed GIF decode matches the GrayPattern formula (q130 operator)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.decodeMedia(Multimodal.syntheticGifMedia(docs))
+      .orderBy("media_id").collect()
+    assert(out.length == 40)
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val (w, h) = (TestPattern.width(id), TestPattern.height(id))
+      assert(row.getString(1) == "gif" && row.getInt(2) == w && row.getInt(3) == h)
+      var (s, r0) = (0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.GrayPattern.gray(id)(x, y)
+        s += v; if (y == 0) r0 += v
+      }
+      assert(row.getLong(4) == s && row.getLong(5) == s && row.getLong(6) == s, s"id=$id sums")
+      assert(row.getLong(7) == r0, s"id=$id row0")
+      assert(row.getDouble(10) == s.toDouble / (w * h), s"id=$id mean")
+    }
+  }
 }
