@@ -928,6 +928,71 @@ object TextAnalysis {
     bpeTrainState(docs, nMerges)._1.toDF("rk", "lhs", "rhs", "cnt")
   }
 
+  /** Content-defined chunking parameters (shared with the q131 oracle):
+    * window, polynomial base, modulus 2^31, boundary divisor (expected
+    * chunk length ~ divisor chars on random text).
+    */
+  val CdcWindow = 8
+  val CdcBase = 257L
+  val CdcMod: Long = 1L << 31
+  val CdcDivisor = 64
+
+  /** B^j mod M for j = 0..window-1 — the sliding-window weights. */
+  val CdcPows: IndexedSeq[Long] =
+    (0 until CdcWindow).scanLeft(1L)((p, _) => (p * CdcBase) % CdcMod).take(CdcWindow)
+
+  /** Content-defined chunking dedup (the Rabin-fingerprint boundary
+    * idea storage dedup systems use, applied to corpus text): a chunk
+    * boundary falls after char `i` wherever the polynomial hash of the
+    * trailing [[CdcWindow]] chars is ≡ 0 mod [[CdcDivisor]]. Boundaries
+    * depend only on LOCAL content, so an insertion near the head of a
+    * document re-synchronizes at the next boundary and every later
+    * chunk still matches — the property fixed-size chunking (q88's
+    * window/stride) fundamentally lacks (one shift breaks every
+    * subsequent chunk). First-occurrence-wins chunk dedup then follows
+    * the q125 contract in (doc_id, position) order.
+    *
+    * Everything is integer arithmetic on char codes (the q52 `ascii`
+    * contract — the corpus is ASCII; supplementary-plane cross-engine
+    * behavior is unpinned), so the whole operator is oracle-exact. The
+    * hash at every position is computed as [[CdcWindow]] shifted
+    * `zip_with` slices over the code array — single-level lambdas only,
+    * one map-side projection; the only corpus exchanges are the
+    * fingerprint window and the per-doc agg (the q125 floor). Output
+    * per doc: `(doc_id, n_chunks, n_dup_chunks, n_kept_chars)`.
+    */
+  def cdcDedup(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val W = CdcWindow
+    val emptyLongs = expr("cast(array() as array<bigint>)")
+    val zeros = expr(s"transform(sequence($W, length(text)), x -> cast(0 as bigint))")
+    val hsRaw = (0 until W).foldLeft(zeros) { (acc, j) =>
+      val p = lit(CdcPows(j))
+      zip_with(acc, slice(col("cs"), lit(W - j), n - lit(W) + lit(1)),
+        (a, c) => (a + c * p) % lit(CdcMod))
+    }
+    val bsRaw = filter(
+      zip_with(hsRaw, expr(s"sequence($W, length(text))"),
+        (h, i) => when(h % lit(CdcDivisor) === 0 && i < n, i)),
+      x => x.isNotNull)
+    val chunked = docs
+      .withColumn("cs", expr(
+        "transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))"))
+      .withColumn("bs", when(n >= W, bsRaw).otherwise(expr("cast(array() as array<int>)")))
+      .withColumn("starts", concat(array(lit(1)), transform(col("bs"), b => b + 1)))
+      .withColumn("ends", concat(col("bs"), array(n)))
+      .select(col("doc_id"), posexplode(
+        zip_with(col("starts"), col("ends"),
+          (s, e) => col("text").substr(s, e - s + lit(1)))).as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
+    chunked
+      .withColumn("kept", when(row_number().over(w) === 1, lit(1L)).otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(lit(1L) - col("kept")).as("n_dup_chunks"),
+        sum(col("kept") * length(col("chunk")).cast(LongType)).as("n_kept_chars"))
+  }
+
   /** Compressibility quality signal: per-document DEFLATE ratio
     * (compressed bytes / raw UTF-8 bytes). Low ratio = repetitive,
     * boilerplate-heavy text; near-/above-1 = high-entropy (random or

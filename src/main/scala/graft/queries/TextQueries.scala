@@ -969,6 +969,15 @@ object TextQueries {
     // under the q127 segmentation; words outside the dim (sub-2-char or
     // over-MaxWord) encode as themselves. Corpus pass = one explode +
     // word-keyed join against the word-dim segmentation + doc agg.
+    // Content-defined chunking dedup: Rabin-style window-hash boundaries
+    // (local content only, so insertions re-synchronize at the next
+    // boundary — the property q88's fixed windows lack), then q125-style
+    // first-occurrence chunk dedup. Pure integer char arithmetic; the
+    // oracle recomputes every boundary from the same polynomial.
+    QueryDef("q131_cdc_dedup", cdcOracle) { (s, dir) =>
+      TextAnalysis.cdcDedup(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // REAL GIF decode: GIF89a bytes with a 256-entry grayscale palette
     // are synthesized executor-side (hand-written variable-width LZW
     // COMPRESSION — the first compressed hand codec), decoded back by
@@ -1024,6 +1033,40 @@ object TextQueries {
       UnigramLm.encodeCorpus(Tables.documents(s, dir)).orderBy("doc_id")
     }
   )
+
+  /** DuckDB replay of [[TextAnalysis.cdcDedup]]: the window hash at each
+    * position as an explicit [[TextAnalysis.CdcWindow]]-term polynomial
+    * (same B^j mod 2^31 weights, generated from the one Scala source of
+    * truth), lag-paired boundary intervals, and the first-occurrence
+    * verdict partitioned by the chunk itself (identical strings — the
+    * md5 the Spark side shuffles is just a narrower key).
+    */
+  private def cdcOracle: String = {
+    val W = TextAnalysis.CdcWindow
+    val terms = (0 until W)
+      .map(j => s"CAST(ascii(text[i - $j]) AS BIGINT) * ${TextAnalysis.CdcPows(j)}")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+      |p AS (SELECT doc_id, text, n, unnest(range($W, n + 1)) AS i FROM d),
+      |h AS (SELECT doc_id, n, i, ($terms) % ${TextAnalysis.CdcMod} AS hh FROM p),
+      |b AS (SELECT doc_id, i FROM h WHERE hh % ${TextAnalysis.CdcDivisor} = 0 AND i < n),
+      |iv AS (
+      |  SELECT doc_id, lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS s, i AS e
+      |  FROM b
+      |  UNION ALL
+      |  SELECT d.doc_id, coalesce(max(b.i), 0) + 1 AS s, any_value(d.n) AS e
+      |  FROM d LEFT JOIN b USING (doc_id) GROUP BY d.doc_id),
+      |ck AS (SELECT iv.doc_id, iv.s, substr(d2.text, iv.s, iv.e - iv.s + 1) AS chunk
+      |       FROM iv JOIN d d2 USING (doc_id)),
+      |kv AS (SELECT doc_id, chunk,
+      |         CASE WHEN row_number() OVER (PARTITION BY chunk ORDER BY doc_id, s) = 1
+      |              THEN 1 ELSE 0 END AS kept
+      |       FROM ck)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |       CAST(SUM(1 - kept) AS BIGINT) AS n_dup_chunks,
+      |       CAST(SUM(kept * len(chunk)) AS BIGINT) AS n_kept_chars
+      |FROM kv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared DuckDB replay of [[UnigramLm.viterbiSegment]]'s DP (q127,
     * q128): vocab CTE (as q126), then dp_1..dp_MaxWord each keeping the

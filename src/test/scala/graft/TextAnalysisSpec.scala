@@ -334,6 +334,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 5L, "\"q\" 'a' end")))
   }
 
+  test("CDC dedup: insertions re-synchronize; fixed-window chunking does not") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val wordsPool = Vector.tabulate(64)(k => f"w$k%02d${('a' + k % 26).toChar}")
+    val base = Seq.fill(400)(wordsPool(rng.nextInt(wordsPool.size))).mkString(" ")
+    val shifted = "xy " + base // 3-char insertion at the head
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val got = TextAnalysis.cdcDedup(docs)
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (n1, d1) = got(1L); val (n2, d2) = got(2L)
+    assert(d1 <= n1 / 4, s"unexpected within-doc duplication: $d1 of $n1")
+    assert(n1 > 10, s"expected many chunks, got $n1") // ~2k chars / ~64
+    // the head insertion disturbs only the chunks before the first
+    // post-insertion boundary: almost everything re-synchronizes
+    assert(d2 >= n2 - 3, s"CDC failed to re-synchronize: $d2 of $n2 dup")
+    // the contrast: fixed 16-token windows shift and NOTHING matches
+    val fixedDup = TextAnalysis.paragraphDedup(docs, 16)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(fixedDup(2L) > 3, "fixed windows should fail to dedup the shifted doc")
+  }
+
+  test("CDC dedup: determinism, partition invariance, exact duplicate collapse") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val t = Seq.fill(300)(('a' + rng.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, t), (2L, t), (3L, "")).toDF("doc_id", "text")
+    val a = TextAnalysis.cdcDedup(docs.repartition(1)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val b = TextAnalysis.cdcDedup(docs.repartition(32)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b, "partition-count changed the result")
+    val m = a.map(r => r._1 -> r).toMap
+    // doc 2 is byte-identical to doc 1: every chunk is a duplicate
+    assert(m(2L)._3 == m(2L)._2 && m(2L)._4 == 0)
+    // chunks reassemble the full text: kept chars of doc1 = its length
+    assert(m(1L)._4 == t.length && m(1L)._3 == 0)
+    // empty doc: one empty chunk, zero kept chars
+    assert(m(3L)._2 == 1 && m(3L)._4 == 0)
+  }
+
   test("compressibility: entropy ordering, partition invariance, sublinear self-concat") {
     import spark.implicits._
     val rep = ("spam " * 200).trim
