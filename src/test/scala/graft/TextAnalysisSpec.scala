@@ -356,6 +356,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fixedDup(2L) > 3, "fixed windows should fail to dedup the shifted doc")
   }
 
+  test("native CDC boundary scan matches a direct per-position recompute") {
+    import graft.functions.CdcBoundaries._
+    val rng = new scala.util.Random(3)
+    val fixtures = Seq("", "a", "short", "a" * 7, "b" * 8,
+      Seq.fill(500)((' ' + rng.nextInt(95)).toChar).mkString,
+      "ascii with ünïcøde BMP chars €µ§ mixed in " * 12)
+    fixtures.foreach { s =>
+      // reference: hash each position independently from the definition
+      val want = (Window to s.length).filter { i =>
+        val h = (0 until Window).map(j => s.charAt(i - 1 - j).toLong * Pows(j) % Mod)
+          .sum % Mod
+        h % Divisor == 0 && i < s.length
+      }
+      assert(boundaries(s).toSeq == want, s"len=${s.length}")
+    }
+    // and through the SQL expression path (codegen) on a DataFrame
+    import spark.implicits._
+    graft.functions.NativeTextOps.register(spark)
+    val got = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.NativeTextOps.cdcBoundaries(col("text")).as("bs"))
+      .as[(Long, Seq[Int])].collect().toMap
+    fixtures.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == boundaries(s).toSeq, s"codegen path, fixture $i")
+    }
+  }
+
   test("CDC dedup: determinism, partition invariance, exact duplicate collapse") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
