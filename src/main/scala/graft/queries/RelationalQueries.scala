@@ -437,6 +437,30 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Mergeable-sketch rollup (the stored-sketch-table pattern): one HLL
+    // sketch per (event_type, day) cell, rolled up per event_type by
+    // UNIONING sketches — the raw events are scanned once to build the
+    // cells, never again for the rollup. Verified the q81 way: the
+    // union estimate's relative error vs the exact distinct count is
+    // the oracle-checked verdict; exact union≡direct mergeability is
+    // spec-pinned (SketchRollupSpec).
+    QueryDef("q132_sketch_rollup",
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cells = graft.functions.SketchRollup.sketchCells(
+        ev, Seq("event_type"), to_date(col("ts")), col("user_id"))
+      graft.functions.SketchRollup.rollup(cells, Seq("event_type"))
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users")), Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users"))
+            .cast(DoubleType) / col("exact_users") <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    },
+
     // Hot-key aggregation via two-phase salting (SkewTools): splits each
     // key into 16 salted sub-keys for the partial aggregate, bounding any
     // one reduce task's volume, then combines. Decimal sums are
