@@ -461,6 +461,54 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Mergeable QUANTILE sketch table (HistSketch): one fixed-shape integer
+    // log-bin histogram per (event_type, day) cell, merged per event_type by
+    // summing bins — the quantile counterpart of q132's HLL rollup, with a
+    // stronger verdict: bins use integer-only arithmetic both engines
+    // reproduce bit-for-bit, so the oracle hash-matches the ESTIMATES
+    // themselves, not just an error flag. Ranks are exact; values are bin
+    // lower bounds (≤6.25% one-sided — pinned by HistSketchSpec alongside
+    // exact mergeability).
+    QueryDef("q133_hist_quantiles",
+      """WITH vi AS (
+        |  SELECT event_type,
+        |         GREATEST(CAST(FLOOR(value * 1048576) AS BIGINT), 1) AS v
+        |  FROM events),
+        |bnd AS (SELECT event_type, v, LENGTH(BIN(v)) - 1 AS e FROM vi),
+        |h AS (SELECT event_type,
+        |             CASE WHEN e <= 4 THEN v
+        |                  ELSE CAST(e - 4 AS BIGINT) * 16 + (v >> (e - 4)) END AS bin,
+        |             COUNT(*) AS cnt
+        |      FROM bnd GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin,
+        |             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM h),
+        |q AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |             MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS b50,
+        |             MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS b90,
+        |             MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS b99
+        |      FROM c GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CAST(CASE WHEN b50 < 32 THEN b50
+        |                 ELSE ((b50 & 15) + 16) << ((b50 >> 4) - 1) END AS DOUBLE)
+        |         / 1048576.0 AS p50_est,
+        |       CAST(CASE WHEN b90 < 32 THEN b90
+        |                 ELSE ((b90 & 15) + 16) << ((b90 >> 4) - 1) END AS DOUBLE)
+        |         / 1048576.0 AS p90_est,
+        |       CAST(CASE WHEN b99 < 32 THEN b99
+        |                 ELSE ((b99 & 15) + 16) << ((b99 >> 4) - 1) END AS DOUBLE)
+        |         / 1048576.0 AS p99_est
+        |FROM q ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.functions.HistSketch
+      val cells = HistSketch.sketchCells(
+        Tables.events(s, dir), Seq("event_type"), to_date(col("ts")),
+        HistSketch.toMicros(col("value")))
+      HistSketch.rollupQuantiles(cells, Seq("event_type"),
+        Seq("p50_est" -> 50, "p90_est" -> 90, "p99_est" -> 99))
+        .orderBy("event_type")
+    },
+
     // Hot-key aggregation via two-phase salting (SkewTools): splits each
     // key into 16 salted sub-keys for the partial aggregate, bounding any
     // one reduce task's volume, then combines. Decimal sums are
