@@ -206,9 +206,23 @@ object NativeVectorOps {
             s"with literal int config, got $other")
       }, "internal")
     }
+    val zId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zvalue")
+    if (!registry.functionExists(zId)) {
+      registry.createOrReplaceTempFunction("graft_zvalue", {
+        case Seq(x, y, Literal(b: Int, _)) => ZValue(x, y, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_zvalue(x, y, bits) with literal int bits, got $other")
+      }, "internal")
+    }
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Morton key of two bigint dimensions (see [[ZValue]]). */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_zvalue", x, y, lit(bits))
+  }
 
   /** One bucket per table: element-major fused sign-LSH (see [[LshBuckets]]). */
   def lshBuckets(e: Column, tables: Int, planesPerTable: Int, dim: Int): Column = {

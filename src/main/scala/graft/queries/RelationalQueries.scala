@@ -13,6 +13,16 @@ import graft.functions.ScalarOps
   * plan may reorder/parallelize freely without changing results; AQE handles
   * shuffle sizing and skew.
   */
+/** Bit-exact SQL mirror of [[graft.functions.ZValue]]: the Morton key as
+  * an OR of 2·bits per-bit placement terms (bit i of x → 2i, of y → 2i+1)
+  * — mechanical, so generated rather than hand-written.
+  */
+private[queries] object ZOrderOracle {
+  val termsSql: String = (0 until 16).map { i =>
+    s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString("(", " | ", ")")
+}
+
 object RelationalQueries {
 
   private val D2 = DecimalType(18, 2)
@@ -507,6 +517,30 @@ object RelationalQueries {
       HistSketch.rollupQuantiles(cells, Seq("event_type"),
         Seq("p50_est" -> 50, "p90_est" -> 90, "p99_est" -> 99))
         .orderBy("event_type")
+    },
+
+    // Z-order (Morton) clustering key — the layout primitive behind
+    // ZOrder.cluster (Delta/Iceberg ZORDER BY analogue). The native
+    // mask-spread expression must agree bit-for-bit with the oracle's
+    // per-bit interleave sum, which is what this query pins cross-engine;
+    // the file-pruning payoff of the layout itself is measured by
+    // ZOrderSpec (box query file fan-in + per-file bounding boxes).
+    QueryDef("q134_zorder_key",
+      s"""WITH d AS (
+        |  SELECT event_id, user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_ord
+        |  FROM events),
+        |m AS (SELECT event_id, user_id, day_ord,
+        |             user_id & 65535 AS x, day_ord & 65535 AS y
+        |      FROM d)
+        |SELECT event_id, user_id, day_ord, ${ZOrderOracle.termsSql} AS zval
+        |FROM m ORDER BY zval, event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.functions.NativeVectorOps.register(s)
+      val day = datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), day.as("day_ord"),
+          graft.operators.ZOrder.zKey(col("user_id"), day, 16).as("zval"))
+        .orderBy("zval", "event_id").limit(100)
     },
 
     // Hot-key aggregation via two-phase salting (SkewTools): splits each
