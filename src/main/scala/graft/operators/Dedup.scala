@@ -494,6 +494,38 @@ object Dedup {
       .select(col("q_id"), col("d_id"), col("jaccard"), col("rk"))
   }
 
+  /** Blocked edit-distance near-dup pairs: Levenshtein ≤ `maxDist` on the
+    * `prefixLen`-char prefix, with candidate generation blocked on
+    * (lang, length-bucket). Each doc emits its bucket and bucket+1, so any
+    * two docs whose lengths differ by < `bucketWidth` are guaranteed to
+    * share a key (complete within the length-blocking contract); pairs
+    * co-blocked twice collapse via the terminal distinct.
+    *
+    * Scale shape: the only join is a keyed equi-join on (lang, bucket) —
+    * never all-pairs — and the O(prefixLen²) distance runs only inside
+    * blocks, on a capped prefix. Block population follows the corpus
+    * length histogram; for pathological same-length skew, compose with
+    * [[minhashBands]] as a pre-filter the way q35 does for Jaccard.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 5, prefixLen: Int = 120,
+                        bucketWidth: Int = 16): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("__p"),
+        expr(s"length(text) div $bucketWidth").as("__b"))
+      .select(col("doc_id"), col("lang"), col("__p"),
+        explode(array(col("__b"), col("__b") + 1)).as("__k"))
+    val lhs = keyed.select(col("lang"), col("__k"),
+      col("doc_id").as("doc_id_a"), col("__p").as("__pa"))
+    val rhs = keyed.select(col("lang"), col("__k"),
+      col("doc_id").as("doc_id_b"), col("__p").as("__pb"))
+    lhs.join(rhs, Seq("lang", "__k"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("__pa"), col("__pb")).cast(LongType).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** INCREMENTAL (cross-batch) dedup — keep the batch rows whose `key`
     * does not already exist in the curated corpus. The 100 TB shape: a
     * bloom filter of the corpus keys builds in ONE distributed

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Event-funnel and cohort-retention analytics over an event log.
+  *
+  * Both are the batch analogues of product-analytics queries the
+  * reference's current-values pipeline feeds downstream (the reference
+  * itself stops at the values table; these are the standard consumers).
+  */
+object Funnel {
+
+  /** Strictly-ordered conversion funnel: a user reaches stage k iff they
+    * emitted `stages(k)` at a timestamp strictly after their stage-(k-1)
+    * completion time (earliest-completion semantics: each stage binds to
+    * the MINIMUM qualifying timestamp, which maximizes downstream
+    * conversions and is the standard product-analytics definition).
+    *
+    * Returns one row per stage: (stage, stage_name, n_users).
+    *
+    * Scale shape: the event log is filtered to funnel event types and
+    * hash-partitioned by user_id ONCE (persisted); every per-stage
+    * aggregation and join is then keyed on user_id against that single
+    * co-partitioned cache, so the loop adds no corpus-wide re-shuffles.
+    * Per-stage frontiers are user-cardinality-sized (one row per
+    * surviving user), persisted because stage k feeds both stage k+1 and
+    * its own count row.
+    */
+  def ordered(events: DataFrame, stages: Seq[String],
+              userCol: String = "user_id", typeCol: String = "event_type",
+              tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    val relevant = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"), col(tsCol).as("__ts"))
+      .repartition(col("__u"))
+      .persist()
+
+    // frontier(k): one row per user who reached stage k, with the earliest
+    // completion timestamp of stage k.
+    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val hits = relevant.filter(col("__t") === stage)
+        val reached = prev match {
+          case None => hits.groupBy("__u").agg(min(col("__ts")).as("__reached"))
+          case Some(p) =>
+            hits.join(p.withColumnRenamed("__reached", "__prev"), "__u")
+              .filter(col("__ts") > col("__prev"))
+              .groupBy("__u").agg(min(col("__ts")).as("__reached"))
+        }
+        Some(reached.persist())
+    }.flatten
+
+    val rows = frontiers.zip(stages.zipWithIndex).map { case (f, (name, i)) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast(IntegerType).as("stage"),
+          lit(name).as("stage_name"), col("n_users"))
+    }
+    val out = rows.reduce(_ unionByName _).orderBy("stage")
+    // materialization frees the caches afterwards is the caller's concern;
+    // frontiers stay session-cached like SequencePack's prefix tables.
+    out
+  }
+
+  /** Classic cohort-retention matrix over an order/activity log:
+    * cohort = calendar month of a key's FIRST activity; a cohort member
+    * counts as retained at offset m if it was active in cohort_month + m.
+    *
+    * Returns (cohort_month 'yyyy-MM', offset_m, n_active), offset 0 being
+    * the cohort size by construction.
+    *
+    * Scale shape: first-activity is a keyed aggregation on the entity key;
+    * the activity log joins that frontier on the SAME key (exchange
+    * reuse, no broadcast assumption — cohort dim is entity-sized), and the
+    * (cohort, offset) rollup is sketch-sized. Month arithmetic is integer
+    * (year*12+month), immune to timezone/DST drift.
+    */
+  def cohortRetention(activity: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val monthNum = (c: org.apache.spark.sql.Column) =>
+      year(c) * lit(12) + month(c)
+    val first = activity.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(keyCol), date_format(col("__first"), "yyyy-MM").as("cohort_month"),
+        monthNum(col("__first")).as("__m0"))
+    activity.select(col(keyCol), col(tsCol))
+      .join(first, keyCol)
+      .select(col("cohort_month"),
+        (monthNum(col(tsCol)) - col("__m0")).cast(IntegerType).as("offset_m"),
+        col(keyCol))
+      .groupBy("cohort_month", "offset_m")
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+      .orderBy("cohort_month", "offset_m")
+  }
+}

@@ -543,6 +543,80 @@ object RelationalQueries {
         .orderBy("zval", "event_id").limit(100)
     },
 
+    // Strictly-ordered conversion funnel (view → click → purchase,
+    // earliest-completion semantics). The loop's per-stage joins and aggs
+    // are all keyed on user_id against one co-partitioned cache of the
+    // filtered event log — no corpus re-shuffles per stage.
+    QueryDef("q135_event_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.ordered(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))
+    },
+
+    // Cohort retention matrix: cohort = month of first order; retained at
+    // offset m = active in cohort_month + m. Integer month arithmetic
+    // (year*12+month) keeps the offset timezone-proof and hash-exact.
+    QueryDef("q136_cohort_retention",
+      """WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_dt
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT o_custkey, strftime(first_dt, '%Y-%m') AS cohort_month,
+        |             year(first_dt) * 12 + month(first_dt) AS m0 FROM f)
+        |SELECT c.cohort_month,
+        |       CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - c.m0
+        |            AS INTEGER) AS offset_m,
+        |       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        |FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.cohortRetention(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate")
+    },
+
+    // Fixed-point-integer PageRank over the (customer)–(supplier) bipartite
+    // graph implied by orders×lineitem, symmetrized. Integer arithmetic
+    // (rank div outdeg, 85% damping via div 100) makes an ITERATIVE
+    // algorithm hash-exact cross-engine; the oracle unrolls the same five
+    // rounds as CTEs. Node ids: customer→2k, supplier→2k+1.
+    QueryDef("q138_pagerank",
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |adj AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN d ON e.src = d.src),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank_fp FROM d),
+        |r1 AS (SELECT adj.dst AS node,
+        |              150000000 + (85 * CAST(SUM(r0.rank_fp // adj.outdeg) AS BIGINT)) // 100 AS rank_fp
+        |       FROM adj JOIN r0 ON adj.src = r0.node GROUP BY 1),
+        |r2 AS (SELECT adj.dst AS node,
+        |              150000000 + (85 * CAST(SUM(r1.rank_fp // adj.outdeg) AS BIGINT)) // 100 AS rank_fp
+        |       FROM adj JOIN r1 ON adj.src = r1.node GROUP BY 1),
+        |r3 AS (SELECT adj.dst AS node,
+        |              150000000 + (85 * CAST(SUM(r2.rank_fp // adj.outdeg) AS BIGINT)) // 100 AS rank_fp
+        |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY 1),
+        |r4 AS (SELECT adj.dst AS node,
+        |              150000000 + (85 * CAST(SUM(r3.rank_fp // adj.outdeg) AS BIGINT)) // 100 AS rank_fp
+        |       FROM adj JOIN r3 ON adj.src = r3.node GROUP BY 1),
+        |r5 AS (SELECT adj.dst AS node,
+        |              150000000 + (85 * CAST(SUM(r4.rank_fp // adj.outdeg) AS BIGINT)) // 100 AS rank_fp
+        |       FROM adj JOIN r4 ON adj.src = r4.node GROUP BY 1)
+        |SELECT node, rank_fp FROM r5 ORDER BY rank_fp DESC, node""".stripMargin) { (s, dir) =>
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.GraphOps.pageRankInt(edges, iters = 5)
+    },
+
     // Hot-key aggregation via two-phase salting (SkewTools): splits each
     // key into 16 salted sub-keys for the partial aggregate, bounding any
     // one reduce task's volume, then combines. Decimal sums are

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Funnel, GraphOps}
+
+/** Behavioral invariants for the funnel / retention / graph wave. */
+class FunnelGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("funnel: out-of-order stage events do not convert") {
+    // u1 converts fully; u2 clicked BEFORE viewing (no stage-2 credit);
+    // u3 views only; u4 purchase-without-click never reaches stage 2/3.
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "click", ts(0)), (2L, "view", ts(1)),
+      (3L, "view", ts(0)),
+      (4L, "view", ts(0)), (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.ordered(events, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toList
+    assert(got == List((1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: equal timestamps are strictly-after, not after-or-equal") {
+    val events = Seq((1L, "view", ts(0)), (1L, "click", ts(0)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.ordered(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toList
+    assert(got == List((1, "view", 1L), (2, "click", 0L)))
+  }
+
+  test("funnel: later cheaper completion beats earlier path (earliest-min binding)") {
+    // view@0, view@5, click@1: stage2 binds to click@1 (after min view@0).
+    val events = Seq((1L, "view", ts(0)), (1L, "view", ts(5)), (1L, "click", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.ordered(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toList
+    assert(got == List((1, "view", 1L), (2, "click", 1L)))
+  }
+
+  test("retention: offset 0 equals cohort size; no negative offsets") {
+    val act = Seq(
+      (1L, Timestamp.valueOf("2024-01-05 00:00:00")),
+      (1L, Timestamp.valueOf("2024-03-02 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-20 00:00:00")),
+      (3L, Timestamp.valueOf("2024-02-11 00:00:00")),
+      (3L, Timestamp.valueOf("2024-02-25 00:00:00"))
+    ).toDF("k", "t")
+    val got = Funnel.cohortRetention(act, "k", "t")
+      .as[(String, Int, Long)].collect().toList
+    assert(got == List(("2024-01", 0, 2L), ("2024-01", 2, 1L), ("2024-02", 0, 1L)))
+  }
+
+  test("pagerank: star center outranks leaves; total mass bounded by n*scale") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val r = GraphOps.pageRankInt(edges, iters = 10, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(1L) * 2)
+    assert(Set(1L, 2L, 3L, 4L).map(r).size == 1) // symmetric leaves tie exactly
+    assert(r.values.sum <= 5L * 1000000L)        // floor division only loses mass
+  }
+
+  test("pagerank: deterministic across partition counts") {
+    val edges = (1L to 40L).map(i => (i, i % 7)).toDF("src", "dst")
+    val a = GraphOps.pageRankInt(edges.repartition(1), 5).as[(Long, Long)].collect().toList
+    val b = GraphOps.pageRankInt(edges.repartition(7), 5).as[(Long, Long)].collect().toList
+    assert(a == b)
+  }
+
+  test("editdist: pairs straddling a bucket boundary are still co-blocked") {
+    // lengths 15 and 17 fall in buckets 0 and 1 — caught via the b+1 key.
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaa", "en"),   // 15 chars
+      (2L, "aaaaaaaaaaaaaaaaa", "en"), // 17 chars, dist 2
+      (3L, "aaaaaaaaaaaaaaa", "de")    // same text, other lang: never paired
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(docs, maxDist = 5, bucketWidth = 16)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 2L)))
+  }
+
+  test("editdist: threshold respected and duplicate co-blocking collapses") {
+    val docs = Seq(
+      (1L, "abcdef", "en"), (2L, "abcdef", "en"),  // dist 0, same bucket twice
+      (3L, "zzzzzz", "en")                          // dist 6 from both: excluded
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(docs, maxDist = 5)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 0L)))
+  }
+}
