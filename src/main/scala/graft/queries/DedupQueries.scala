@@ -250,22 +250,24 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // Blocked edit-distance near-dup pairs: Levenshtein ≤ 5 on the 120-char
-    // prefix, candidates blocked on (lang, length div 16) with each doc
-    // emitting bucket and bucket+1 (any two docs within 16 chars of each
-    // other are guaranteed co-blocked). The only join is the keyed block
-    // equi-join — never all-pairs.
+    // Blocked edit-distance near-dup pairs: |Δlen| ≤ 5 (necessary for
+    // full-text dist ≤ 5, cheap integer pre-filter) AND Levenshtein ≤ 5 on
+    // the 120-char prefix; candidates blocked on (lang, length div 16)
+    // with each doc emitting bucket and bucket+1 (any two docs within 16
+    // chars of each other are guaranteed co-blocked). The only join is the
+    // keyed block equi-join — never all-pairs — and Spark's DP is the
+    // thresholded banded levenshtein.
     QueryDef("q137_editdist_pairs",
       """WITH d AS (SELECT doc_id, lang, substr(text, 1, 120) AS p,
-        |                  length(text) // 16 AS b
+        |                  length(text) AS len, length(text) // 16 AS b
         |           FROM documents),
-        |k AS (SELECT doc_id, lang, p, b AS kk FROM d
-        |      UNION ALL SELECT doc_id, lang, p, b + 1 AS kk FROM d),
+        |k AS (SELECT doc_id, lang, p, len, b AS kk FROM d
+        |      UNION ALL SELECT doc_id, lang, p, len, b + 1 AS kk FROM d),
         |pr AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
         |              CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
         |       FROM k a JOIN k c
         |         ON a.lang = c.lang AND a.kk = c.kk AND a.doc_id < c.doc_id
-        |       WHERE levenshtein(a.p, c.p) <= 5)
+        |       WHERE abs(a.len - c.len) <= 5 AND levenshtein(a.p, c.p) <= 5)
         |SELECT doc_id_a, doc_id_b, dist FROM pr
         |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))

@@ -82,6 +82,15 @@ class FunnelGraphSpec extends SparkSpec {
     assert(got == List((1L, 2L, 2L)))
   }
 
+  test("editdist: identical prefixes with length gap > maxDist are excluded") {
+    // Same 120-char prefix but total lengths differ by 20 — the |Δlen|
+    // pre-filter (necessary for FULL-text dist ≤ 5) rejects the pair.
+    val base = "x" * 130
+    val docs = Seq((1L, base, "en"), (2L, base + "y" * 20, "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.editDistancePairs(docs).isEmpty)
+  }
+
   test("editdist: threshold respected and duplicate co-blocking collapses") {
     val docs = Seq(
       (1L, "abcdef", "en"), (2L, "abcdef", "en"),  // dist 0, same bucket twice
