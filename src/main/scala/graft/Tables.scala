@@ -30,16 +30,21 @@ object Tables {
     }
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy flag) and truncate
-    * ns → µs with integer `div` — exactly what DuckDB does, so timestamps
-    * agree to the microsecond with the oracle. (Double division would lose
-    * precision: epoch-ns ≈ 1.7e18 > 2^53.)
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (surfaced as
+    * a raw long under the legacy flag, truncated ns → µs with integer
+    * `div` to match DuckDB; double division would lose precision since
+    * epoch-ns ≈ 1.7e18 > 2^53) and plain `timestamp[us]` (surfaced as
+    * TIMESTAMP_NTZ). Branch on the type the reader actually produced so a
+    * testdata regeneration can't break every events-lineage query again.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
