@@ -152,7 +152,7 @@ object Dedup {
     * allocation). Either way the checkpoint truncates the per-round
     * lineage so plan depth stays constant across rounds.
     */
-  private final class RoundSnapshots(spark: org.apache.spark.sql.SparkSession) {
+  private[graft] final class RoundSnapshots(spark: org.apache.spark.sql.SparkSession) {
     private val reliableBase = spark.sparkContext.getCheckpointDir
       .map(_ + "/graft-cc-" + java.util.UUID.randomUUID())
     private var step = 0

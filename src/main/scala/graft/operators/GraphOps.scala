@@ -28,17 +28,19 @@ object GraphOps {
     * and hash-partitioned by src; each round is one keyed join
     * (ranks ⋈ edges on src) + one keyed aggregation (on dst) — the same
     * two shuffle primitives per round regardless of graph size, and the
-    * rank frontier is node-sized, never edge-sized. For round counts
-    * beyond ~20, callers should insert lineage checkpoints the way the
-    * CC loop does (`Dedup.connectedComponents` parquet snapshots);
-    * `iters` here is a small fixed constant by contract.
+    * rank frontier is node-sized, never edge-sized. Every `checkpointEvery`
+    * rounds the node-sized rank frontier is snapshotted (reliable parquet
+    * under the session checkpoint dir, else `localCheckpoint`) and the
+    * superseded snapshot reclaimed — plan depth and snapshot storage stay
+    * constant no matter how many rounds run, so `iters` = 30+ is safe.
     *
     * At 1e9+ nodes, lower `scale` (total mass `nodes * scale` must stay
     * well under 2^63; 1e6 leaves 9e3 headroom at a billion nodes).
     */
   def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
-                  dampNum: Long = 85L): DataFrame = {
-    require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
+                  dampNum: Long = 85L, checkpointEvery: Int = 10): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= 100 && checkpointEvery >= 1)
+    val snaps = new Dedup.RoundSnapshots(edges.sparkSession)
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
       .distinct()
@@ -51,14 +53,23 @@ object GraphOps {
     val base = lit((100L - dampNum) * scale / 100L)
     var ranks = adj.select(col("src").as("node")).distinct()
       .withColumn("rank_fp", lit(scale))
-    for (_ <- 1 to iters) {
+    var lastSnap: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val next = adj.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg((base + expr(s"($dampNum * sum(contrib)) div 100")).as("rank_fp"))
         .select(col("node"), col("rank_fp"))
-      ranks = next
+      if (i % checkpointEvery == 0 && i < iters) {
+        val snapped = snaps.snapshot(next)
+        lastSnap.foreach(snaps.reclaim)
+        lastSnap = Some(snapped)
+        ranks = snapped
+      } else ranks = next
     }
-    ranks.orderBy(col("rank_fp").desc, col("node"))
+    val out = ranks.orderBy(col("rank_fp").desc, col("node"))
+    // NOTE: the final snapshot (if any) backs `out`'s lineage — reclaimed
+    // by the caller's session teardown, not here, so `out` stays runnable.
+    out
   }
 }

@@ -70,6 +70,18 @@ class FunnelGraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pagerank: 30 iterations with checkpointing matches an unchecked run") {
+    // Lineage snapshots every 4 rounds must not change a single rank bit,
+    // and the 30-round run must complete without plan-depth blowup.
+    val edges = (1L to 60L).map(i => (i, i % 11)).toDF("src", "dst")
+    val snapped = GraphOps.pageRankInt(edges, iters = 30, checkpointEvery = 4)
+      .as[(Long, Long)].collect().toList
+    val plain = GraphOps.pageRankInt(edges, iters = 30, checkpointEvery = 1000)
+      .as[(Long, Long)].collect().toList
+    assert(snapped == plain)
+    assert(snapped.nonEmpty)
+  }
+
   test("editdist: pairs straddling a bucket boundary are still co-blocked") {
     // lengths 15 and 17 fall in buckets 0 and 1 — caught via the b+1 key.
     val docs = Seq(
