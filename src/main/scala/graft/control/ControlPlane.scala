@@ -1,9 +1,7 @@
 package graft.control
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.{BrowseJobRegistry, DtoMapping}
@@ -13,92 +11,61 @@ import graft.operators.DtoMapping.{BrowseExclusionFolder, ConnectionDto, Connect
   * (`Controllers/ClientController.cs:22-87`) as a thin service over the
   * already-verified parts: [[DtoMapping]] (K6) maps DTOs ⇄ entity rows
   * incl. the AES-256-CBC password leg, the entity/folder tables persist
-  * as JSON files in the sos-config directory, and — because
-  * [[graft.streaming.ConfigReload]] watches that directory — every
-  * successful mutation IS the reference's `ReloadPolling()`: the file
-  * write trips the watcher, which stops and relaunches the subscription
-  * from freshly-read config (`Services/OpcSubscribeService.cs:79-98`).
+  * through a pluggable [[ConfigStore]] — JSON files in the sos-config
+  * directory ([[FileConfigStore]]) or a live database matching the
+  * reference's EF store ([[JdbcConfigStore]],
+  * `Data/ApplicationDbContext.cs:12-13`). Either way every successful
+  * mutation IS the reference's `ReloadPolling()`: the file write (or the
+  * JDBC store's post-commit marker touch) trips a
+  * [[graft.streaming.ConfigReload]] watcher, which stops and relaunches
+  * the subscription from freshly-read config
+  * (`Services/OpcSubscribeService.cs:79-98`).
   *
   * Driver-side by design, like the K5 browse sink: client-connection sets
   * are control-plane sized (tens of rows), while the mapping itself runs
   * through Spark so the AES/flatten semantics are exactly the oracled
   * q57 path.
   */
-final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
+final class ControlPlane(spark: SparkSession, store: ConfigStore, aesKey: String,
                          registry: BrowseJobRegistry,
-                         browseJob: String => Unit = _ => ()) {
+                         browseJob: String => Unit) {
 
   import ControlPlane._
 
-  configDir.mkdirs()
-  private val entitiesFile = new File(configDir, "connections.json")
-  private val foldersFile = new File(configDir, "exclusion_folders.json")
-
-  // ---- persistence: the two EF-shaped tables as JSON lines ----
-
-  private def readFile(f: File): Seq[String] =
-    if (!f.exists()) Seq.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
-
-  /** Atomic replace (temp + move): the ConfigReload watcher and any
-    * concurrent reader see either the old or the new config, never a
-    * torn write.
-    */
-  private def writeFile(f: File, lines: Seq[String]): Unit = {
-    val tmp = File.createTempFile(f.getName, ".tmp", configDir)
-    Files.write(tmp.toPath,
-      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, f.toPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def entities(): Dataset[ConnectionEntity] = {
-    import spark.implicits._
-    val lines = readFile(entitiesFile)
-    if (lines.isEmpty) spark.emptyDataset[ConnectionEntity]
-    else spark.read.schema(StoredEntitySchema).option("mode", "FAILFAST")
-      .json(spark.createDataset(lines))
-      .withColumn("encryptedPassword", unbase64(col("encryptedPassword")))
-      .as[ConnectionEntity]
-  }
-
-  private def folders(): Dataset[BrowseExclusionFolder] = {
-    import spark.implicits._
-    val lines = readFile(foldersFile)
-    if (lines.isEmpty) spark.emptyDataset[BrowseExclusionFolder]
-    else spark.read.schema(FolderSchema).option("mode", "FAILFAST")
-      .json(spark.createDataset(lines)).as[BrowseExclusionFolder]
-  }
+  /** Original file-backed signature (kept for callers/specs). */
+  def this(spark: SparkSession, configDir: File, aesKey: String,
+           registry: BrowseJobRegistry, browseJob: String => Unit = _ => ()) =
+    this(spark, new FileConfigStore(spark, configDir), aesKey, registry, browseJob)
 
   private def persist(dtos: Seq[ConnectionDto]): Unit = {
     import spark.implicits._
     val (ents, flds) = DtoMapping.toEntities(spark.createDataset(dtos), aesKey)
-    writeFile(entitiesFile,
-      ents.toDF().withColumn("encryptedPassword", base64(col("encryptedPassword")))
-        .orderBy("id").toJSON.collect().toSeq)
-    writeFile(foldersFile, flds.toDF().orderBy("id").toJSON.collect().toSeq)
+    store.replaceAll(ents.collect().toSeq.sortBy(_.id),
+      flds.collect().toSeq.sortBy(_.id))
   }
 
   // ---- ClientController surface ----
 
   /** GET config/get: entity rows joined + flattened back to DTOs with the
     * password decrypted (`ClientController.cs:70-87`). Synchronized with
-    * the mutations: persist() replaces TWO files sequentially, and an
-    * unsynchronized read between the writes would pair new connections
-    * with old folder rows.
+    * the mutations: a replace touches TWO tables, and an unsynchronized
+    * read between the writes would pair new connections with old folder
+    * rows (the JDBC store is transactional on its own, but the service
+    * stays correct over any store).
     */
   def list(): Seq[ConnectionDto] = synchronized {
-    DtoMapping.toDto(entities(), folders(), aesKey).collect().toSeq
-      .sortBy(_.id)
+    import spark.implicits._
+    val (ents, flds) = store.load()
+    DtoMapping.toDto(spark.createDataset(ents), spark.createDataset(flds), aesKey)
+      .collect().toSeq.sortBy(_.id)
   }
 
   /** POST config/add: false (→ 400) when the id is already taken.
     * Mutations serialize on the service instance: each is a read-modify-
-    * write over the shared config files, so concurrent unsynchronized
-    * calls could both pass the duplicate check and lose one write (the
-    * JDK HttpServer's default executor is single-threaded, but the
-    * service must not depend on its caller's threading).
+    * write over the shared store, so concurrent unsynchronized calls
+    * could both pass the duplicate check and lose one write (the JDK
+    * HttpServer's default executor is single-threaded, but the service
+    * must not depend on its caller's threading).
     */
   def add(dto: ConnectionDto): Boolean = synchronized {
     val current = list()
@@ -183,17 +150,6 @@ final class ControlPlane(spark: SparkSession, configDir: File, aesKey: String,
 }
 
 object ControlPlane {
-
-  /** Entity rows as stored on disk (binary password base64-rendered). */
-  private val StoredEntitySchema = StructType(Seq(
-    StructField("id", IntegerType), StructField("url", StringType),
-    StructField("username", StringType),
-    StructField("encryptedPassword", StringType),
-    StructField("timeoutMs", IntegerType), StructField("maxSearch", IntegerType)))
-
-  private val FolderSchema = StructType(Seq(
-    StructField("id", LongType), StructField("opcClientConnectionId", IntegerType),
-    StructField("exclusionFolder", StringType)))
 
   private val DtoSchema = StructType(Seq(
     StructField("id", IntegerType), StructField("url", StringType),
