@@ -632,6 +632,91 @@ object RelationalQueries {
         .saltedSum(ev, Seq("user_id"), "v_dec", spread = col("event_id"), buckets = 16)
         .select(col("user_id"), col("sum_v_dec").cast(DoubleType).as("sum_value"))
         .orderBy("user_id")
+    },
+
+    // Count-min sketch TABLE (round 6): per-(event_type, day) counter
+    // grids built in one raw scan, merged by summing (linearity), probed
+    // for point frequencies with min-over-rows — the frequency
+    // counterpart of q132 (HLL) and q133 (quantiles). Integer-only
+    // universal hashing (the exported minhash family) makes every
+    // counter AND every estimate bit-identical cross-engine, so the
+    // oracle hash-matches the ESTIMATES themselves; `lower_ok` pins the
+    // CM one-sided guarantee (est ≥ exact, always, not probabilistic).
+    // The oracle skips the day grain: summing day cells ≡ direct
+    // grouping by (type, j, bucket) — counter linearity, which is
+    // exactly what the Spark side's rollup() relies on (and
+    // CountMinSpec pins mechanically).
+    QueryDef("q139_cms_estimate", {
+      val js = graft.functions.CountMinSketch.oracleJs()
+      s"""WITH $js,
+        |e AS (SELECT event_type, user_id FROM events),
+        |cells AS (
+        |  SELECT event_type, j,
+        |         ((user_id % 2147483647) * a + b) % 2147483647 % 2048 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e CROSS JOIN js GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM e WHERE user_id <= 40 GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.event_type, p.user_id, p.exact_cnt,
+        |         MIN(COALESCE(c.cnt, 0)) AS est_cnt
+        |  FROM probes p CROSS JOIN js
+        |  LEFT JOIN cells c
+        |    ON c.event_type = p.event_type AND c.j = js.j
+        |   AND c.bucket = ((p.user_id % 2147483647) * js.a + js.b) % 2147483647 % 2048
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, user_id, exact_cnt, est_cnt,
+        |       est_cnt >= exact_cnt AS lower_ok
+        |FROM est ORDER BY event_type, user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.CountMinSketch
+      val w = 2048
+      val ev = Tables.events(s, dir)
+      val cells = CountMinSketch.sketchCells(
+        ev, Seq("event_type"), to_date(col("ts")), col("user_id"), width = w)
+      val sketch = CountMinSketch.rollup(cells, Seq("event_type"))
+      val probes = ev.filter(col("user_id") <= 40)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("item", col("user_id"))
+      CountMinSketch.estimate(sketch, Seq("event_type"), probes, width = w)
+        .select(col("event_type"), col("user_id"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") >= col("exact_cnt")).as("lower_ok"))
+        .orderBy("event_type", "user_id")
+    },
+
+    // SCD-2 state-interval compaction (round 6): collapse each user's
+    // event log into maximal runs of consecutive equal event_type with
+    // validity intervals — the warehouse dimension-history build, keyed
+    // deterministic via the unique event_id tiebreak (same-ts
+    // observations collapse identically cross-engine). One corpus
+    // shuffle (the user partition); the valid_to window runs on the
+    // change-point dim, not the event log.
+    QueryDef("q140_scd2_intervals",
+      """WITH obs AS (
+        |  SELECT user_id AS k, event_type AS state, ts, event_id AS tie
+        |  FROM events),
+        |flagged AS (
+        |  SELECT k, state, ts, tie,
+        |         CASE WHEN LAG(state) OVER w IS NULL
+        |                OR LAG(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+        |  FROM obs WINDOW w AS (PARTITION BY k ORDER BY ts, tie)),
+        |runs0 AS (
+        |  SELECT k, state, ts,
+        |         SUM(chg) OVER (PARTITION BY k ORDER BY ts, tie) AS island
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT k, island, state, MIN(ts) AS valid_from,
+        |         CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM runs0 GROUP BY 1, 2, 3)
+        |SELECT k, state, valid_from,
+        |       LEAD(valid_from) OVER (PARTITION BY k ORDER BY island) AS valid_to,
+        |       n_obs
+        |FROM runs ORDER BY k, valid_from, state""".stripMargin) { (s, dir) =>
+      graft.operators.Scd2.intervals(Tables.events(s, dir),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy("k", "valid_from", "state")
     }
   )
 }
