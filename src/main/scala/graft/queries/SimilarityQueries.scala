@@ -263,6 +263,32 @@ object SimilarityQueries {
         Tables.documents(s, dir), 5).orderBy("lang", "rk")
     },
 
+    // Top-PC projections via fixed-point power iteration (round 6): the
+    // distributed pass is ONE Gram build (double position explode,
+    // map-side partial agg — the shuffle carries d² rows, never the
+    // corpus); the 64×64 iteration runs on the collected bounded dim
+    // (the KMeans-centroid convention) with integer-only arithmetic, so
+    // the oracle replays all 8 rounds as unrolled CTEs (q138-style) and
+    // the per-vector projections hash-match exactly. DuckDB's `//`
+    // truncates toward zero like JVM Long division — verified, the one
+    // operator where that distinction matters (signed eigenvector
+    // components).
+    QueryDef("q141_pca_project",
+      eCte +
+        s""",
+        |q AS (SELECT vec_id, pos AS i,
+        |             CAST(round_even(emb[pos] * ${graft.operators.Pca.QScale}, 0) AS BIGINT) AS qi
+        |      FROM e, (SELECT unnest(range(1, ${D + 1})) AS pos) p),
+        |s AS (SELECT a.i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS s
+        |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |${graft.operators.Pca.oracleIterCtes(D, 8)},
+        |proj AS (SELECT q.vec_id, CAST(SUM(q.qi * v8.v) AS BIGINT) AS proj
+        |         FROM q JOIN v8 ON v8.i = q.i WHERE q.vec_id < 100 GROUP BY 1)
+        |SELECT vec_id, proj FROM proj ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Pca.projectTop(Tables.embeddings(s, dir), D, 8, 100L)
+        .orderBy("vec_id")
+    },
+
     // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
     QueryDef("q43_embedding_neardup",
       eCte +
