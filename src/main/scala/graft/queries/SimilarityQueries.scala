@@ -289,6 +289,32 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // JL random projection 64 → 16 (round 6): deterministic ±1 matrix
+    // regenerated from two integer literals per output dim (the exported
+    // hash family) — no stored matrix, no RNG; entirely map-side (the
+    // sign arrays are codegen literals, each component one zip_with
+    // fold), integer-exact so components hash-match cross-engine.
+    QueryDef("q142_random_projection", {
+      val ks = graft.functions.RandomProjection.oracleKs(16)
+      eCte +
+        s""",
+        |$ks,
+        |q AS (SELECT vec_id, pos AS i,
+        |             CAST(round_even(emb[pos] * 1024, 0) AS BIGINT) AS qi
+        |      FROM e, (SELECT unnest(range(1, ${D + 1})) AS pos) p
+        |      WHERE vec_id < 200),
+        |signs AS (SELECT k, i, 1 - 2 * ((i * a + b) % 2147483647 // 1024 % 2) AS s
+        |          FROM ks, (SELECT unnest(range(1, ${D + 1})) AS i) p)
+        |SELECT q.vec_id, signs.k, CAST(SUM(signs.s * q.qi) AS BIGINT) AS comp
+        |FROM q JOIN signs ON signs.i = q.i
+        |GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.RandomProjection.project(
+        Tables.embeddings(s, dir)
+          .filter(org.apache.spark.sql.functions.col("vec_id") < 200), D, 16)
+        .orderBy("vec_id", "k")
+    },
+
     // Embedding near-dup: global top-20 cosine pairs among vec_id < 300.
     QueryDef("q43_embedding_neardup",
       eCte +
