@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Process-historian resampling over the measure stream — the analytics
+  * a deployment runs ON the data this engine ingests (the reference
+  * stores current values only; any historian bolted onto its modvalues
+  * table needs exactly these): step-interpolated time-weighted averages,
+  * OHLC bars, and carried-forward gap fill.
+  *
+  * Determinism: TWA works in integer µs durations × integer-quantized
+  * values (round_even(v·2²⁰)) summed exactly, with ONE double division
+  * at the end — the bigramLikelihood convention, hash-exact
+  * cross-engine. OHLC picks rows (no arithmetic) with (ts, tiebreak)
+  * ordering, so ties resolve identically everywhere.
+  *
+  * Scale shape: everything is keyed by the entity — one corpus shuffle
+  * each; the gap-fill grid explodes hour sequences per entity (grid-
+  * sized, not event-sized) and the carry-forward window rides the same
+  * entity partition.
+  */
+object Historian {
+
+  val QScale: Long = 1L << 20
+
+  /** Step-interpolated time-weighted average per key: each observation
+    * holds until the next one; the last holds until the key's max ts
+    * (weight 0 when it is the only sample point — degenerate keys fall
+    * back to the plain mean of quantized values to stay total).
+    * Output: (k, twa) with twa = Σ q_i·Δms_i / (2²⁰·Σ Δms_i).
+    */
+  def twa(df: DataFrame, key: Column, ts: Column, value: Column,
+          tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("tus", "tie")
+    val stepped = df
+      .select(key.as("k"), unix_micros(ts).as("tus"),
+        bround(value * QScale, 0).cast(LongType).as("q"), tiebreak.as("tie"))
+      .withColumn("next_tus", lead(col("tus"), 1).over(w))
+      // `div` (integral) — a double quotient cast to long can round up
+      // across the integer boundary before truncation
+      .withColumn("dms",
+        when(col("next_tus").isNotNull, expr("(next_tus - tus) div 1000"))
+          .otherwise(lit(0L)))
+    stepped.groupBy("k")
+      .agg(sum(col("q") * col("dms")).as("num"), sum(col("dms")).as("den"),
+        sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+      .select(col("k"),
+        when(col("den") > 0,
+          col("num").cast(DoubleType) / (col("den") * QScale).cast(DoubleType))
+          .otherwise(col("qsum").cast(DoubleType) / (col("n") * QScale).cast(DoubleType))
+          .as("twa"))
+  }
+
+  /** OHLC bars per (key, hour bucket): open/close by (ts, tiebreak)
+    * order, high/low plain extremes. Pure row selection — hash-exact.
+    */
+  def ohlc(df: DataFrame, key: Column, ts: Column, value: Column,
+           tiebreak: Column): DataFrame = {
+    val base = df.select(key.as("k"), date_trunc("hour", ts).as("bucket"),
+      unix_micros(ts).as("tus"), value.as("v"), tiebreak.as("tie"))
+    val w = Window.partitionBy("k", "bucket").orderBy("tus", "tie")
+    val wDesc = Window.partitionBy("k", "bucket").orderBy(col("tus").desc, col("tie").desc)
+    base
+      .withColumn("rn_open", row_number().over(w))
+      .withColumn("rn_close", row_number().over(wDesc))
+      .groupBy("k", "bucket")
+      .agg(
+        max(when(col("rn_open") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(when(col("rn_close") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Hourly carry-forward gap fill per key: one row per hour from the
+    * key's first to last observed hour; hours with no observation carry
+    * the latest prior hour's closing value and are flagged `filled`.
+    * The hour grid explodes per key (grid-sized); the carry-forward is
+    * a running last-non-null over the same key partition.
+    */
+  def gapFillHourly(df: DataFrame, key: Column, ts: Column, value: Column,
+                    tiebreak: Column): DataFrame = {
+    val closes = ohlc(df, key, ts, value, tiebreak)
+      .select(col("k"), col("bucket"), col("close"))
+    val grid = closes.groupBy("k")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("k"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val w = Window.partitionBy("k").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(closes, Seq("k", "bucket"), "left")
+      .withColumn("value", last(col("close"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("close").isNull)
+      .select(col("k"), col("bucket"), col("value"), col("filled"))
+  }
+}

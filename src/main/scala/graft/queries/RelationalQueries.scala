@@ -717,6 +717,93 @@ object RelationalQueries {
       graft.operators.Scd2.intervals(Tables.events(s, dir),
         col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .orderBy("k", "valid_from", "state")
+    },
+
+    // Historian TWA (round 6): step-interpolated time-weighted average
+    // per device — each observation holds until the next (process-
+    // historian semantics, what a deployment computes over the stream
+    // this engine ingests). Integer µs durations × integer-quantized
+    // values summed exactly; ONE double division at the end (the
+    // bigramLikelihood convention) → hash-exact.
+    QueryDef("q143_twa",
+      """WITH o AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS tus,
+        |         CAST(round_even(value * 1048576, 0) AS BIGINT) AS q,
+        |         event_id AS tie
+        |  FROM events),
+        |s AS (
+        |  SELECT k, q,
+        |         COALESCE((LEAD(tus) OVER (PARTITION BY k ORDER BY tus, tie)
+        |                   - tus) // 1000, 0) AS dms
+        |  FROM o),
+        |a AS (SELECT k, SUM(q * dms) AS num, SUM(dms) AS den,
+        |             SUM(q) AS qsum, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s GROUP BY k)
+        |SELECT k,
+        |       CASE WHEN den > 0
+        |            THEN CAST(num AS DOUBLE) / CAST(den * 1048576 AS DOUBLE)
+        |            ELSE CAST(qsum AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+        |       END AS twa
+        |FROM a ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.twa(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), col("event_id"))
+        .orderBy("k")
+    },
+
+    // Historian OHLC bars (round 6): hourly open/high/low/close per
+    // device — pure row selection with (ts, event_id) tie order, so no
+    // float arithmetic at all and every cell hash-matches.
+    QueryDef("q144_ohlc",
+      """WITH o AS (
+        |  SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+        |         epoch_us(ts) AS tus, value AS v, event_id AS tie
+        |  FROM events),
+        |r AS (
+        |  SELECT k, bucket, v,
+        |         ROW_NUMBER() OVER (PARTITION BY k, bucket ORDER BY tus, tie) AS rn_o,
+        |         ROW_NUMBER() OVER (PARTITION BY k, bucket ORDER BY tus DESC, tie DESC) AS rn_c
+        |  FROM o)
+        |SELECT k, bucket,
+        |       MAX(CASE WHEN rn_o = 1 THEN v END) AS open,
+        |       MAX(v) AS high, MIN(v) AS low,
+        |       MAX(CASE WHEN rn_c = 1 THEN v END) AS close,
+        |       CAST(COUNT(*) AS BIGINT) AS n_obs
+        |FROM r GROUP BY 1, 2 ORDER BY k, bucket""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.ohlc(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), col("event_id"))
+        .orderBy("k", "bucket")
+    },
+
+    // Historian gap fill (round 6): hourly carry-forward per device over
+    // each device's own [first, last] hour grid — the grid explodes per
+    // key (grid-sized, not event-sized) and the carry-forward is a
+    // running last-non-null over the same key partition. Restricted to
+    // user_id <= 30 to keep the fixture output bounded; the operator is
+    // grid-bounded at any corpus size.
+    QueryDef("q145_gap_fill",
+      """WITH o AS (
+        |  SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+        |         epoch_us(ts) AS tus, value AS v, event_id AS tie
+        |  FROM events WHERE user_id <= 30),
+        |r AS (
+        |  SELECT k, bucket, v,
+        |         ROW_NUMBER() OVER (PARTITION BY k, bucket ORDER BY tus DESC, tie DESC) AS rn
+        |  FROM o),
+        |c AS (SELECT k, bucket, v AS close FROM r WHERE rn = 1),
+        |b AS (SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi FROM c GROUP BY k),
+        |g AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+        |j AS (SELECT g.k, g.bucket, c.close
+        |      FROM g LEFT JOIN c ON c.k = g.k AND c.bucket = g.bucket)
+        |SELECT k, bucket,
+        |       LAST_VALUE(close IGNORE NULLS) OVER (
+        |         PARTITION BY k ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       close IS NULL AS filled
+        |FROM j ORDER BY k, bucket""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.gapFillHourly(
+        Tables.events(s, dir).filter(col("user_id") <= 30),
+        col("user_id"), col("ts"), col("value"), col("event_id"))
+        .orderBy("k", "bucket")
     }
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Historian
+
+/** Behavioral pins for the historian resampling trio (q143–q145). */
+class HistorianSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("twa: step interpolation weights by holding time, not sample count") {
+    // value 10 held for 9 minutes, value 90 held for 1 minute:
+    // TWA = (10·9 + 90·1)/10 = 18 — the plain mean (50) would be wrong
+    val obs = Seq((1L, ts(0), 10.0, 1L), (1L, ts(9), 90.0, 2L), (1L, ts(10), 0.0, 3L))
+      .toDF("k", "t", "v", "id")
+    val got = Historian.twa(obs, col("k"), col("t"), col("v"), col("id"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 18.0) < 1e-9)
+  }
+
+  test("twa: single observation falls back to the value itself") {
+    val obs = Seq((1L, ts(0), 42.5, 1L)).toDF("k", "t", "v", "id")
+    val got = Historian.twa(obs, col("k"), col("t"), col("v"), col("id"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 42.5) < 1e-6)
+  }
+
+  test("ohlc: open/close honor the tiebreak at equal timestamps") {
+    val obs = Seq(
+      (1L, ts(0), 5.0, 2L), (1L, ts(0), 3.0, 1L), // same ts: open = tie 1 → 3.0
+      (1L, ts(30), 9.0, 3L), (1L, ts(30), 7.0, 4L) // close = tie 4 → 7.0
+    ).toDF("k", "t", "v", "id")
+    val got = Historian.ohlc(obs, col("k"), col("t"), col("v"), col("id"))
+      .orderBy("bucket")
+      .as[(Long, Timestamp, Double, Double, Double, Double, Long)].collect().toList
+    assert(got.size == 1)
+    val (_, _, open, high, low, close, n) = got.head
+    assert(open == 3.0 && high == 9.0 && low == 3.0 && close == 7.0 && n == 4)
+  }
+
+  test("gap fill: missing hours carry the prior close and are flagged") {
+    val obs = Seq(
+      (1L, ts(0), 1.0, 1L),    // hour 0
+      (1L, ts(150), 5.0, 2L)   // hour 2 — hour 1 is a gap
+    ).toDF("k", "t", "v", "id")
+    val got = Historian.gapFillHourly(obs, col("k"), col("t"), col("v"), col("id"))
+      .orderBy("bucket")
+      .as[(Long, Timestamp, Double, Boolean)].collect().toList
+    assert(got.map(r => (r._3, r._4)) == List((1.0, false), (1.0, true), (5.0, false)))
+  }
+
+  test("deterministic across partition counts") {
+    val obs = (1L to 400L).map(i =>
+      ((i % 7), ts((i % 97).toInt), (i % 13).toDouble, i)).toDF("k", "t", "v", "id")
+    def run(p: Int) = Historian.twa(obs.repartition(p), col("k"), col("t"),
+      col("v"), col("id")).orderBy("k").as[(Long, Double)].collect().toList
+    assert(run(1) == run(11))
+  }
+}
