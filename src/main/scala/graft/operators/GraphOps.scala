@@ -72,4 +72,46 @@ object GraphOps {
     // by the caller's session teardown, not here, so `out` stays runnable.
     out
   }
+
+  /** Per-node triangle participation counts via DEGREE-ORIENTED wedge
+    * closure (the compact-forward / Schank-Wagner orientation): orient
+    * every undirected edge from its (degree, id)-smaller endpoint to the
+    * larger, generate wedges only from common SOURCES, and close each
+    * wedge against the oriented edge between its two tips. The
+    * orientation is a total order, so every triangle closes exactly
+    * once, and — the scale argument — each node's out-degree is bounded
+    * by O(√edges) on any graph (a high-degree hub points INTO the
+    * orientation, never fans out), so the wedge join's intermediate is
+    * O(edges^1.5) worst-case instead of Σ deg², and far less on real
+    * degree distributions.
+    *
+    * Three keyed joins + one explode-aggregate; every step is exact
+    * integer arithmetic, so counts are engine/partitioning-invariant.
+    * Output: (node, triangles) for nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    // orient small → large in (degree, id) lexicographic order
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("v"))
+      .persist()
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") =!= col("w"))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

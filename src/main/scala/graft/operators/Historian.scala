@@ -96,4 +96,37 @@ object Historian {
       .withColumn("filled", col("close").isNull)
       .select(col("k"), col("bucket"), col("value"), col("filled"))
   }
+
+  /** Rolling z-score anomalies with INTEGER-ONLY arithmetic: flag an
+    * observation whose squared deviation from its trailing-window mean
+    * exceeds k²·variance — the z² ≥ k² test cleared of divisions by
+    * multiplying through by n²:  (n·q − S)² > k²·(n·S2 − S²)  over
+    * quantized q = round_even(v·2¹⁰), trailing sums S = Σq, S2 = Σq².
+    * No float mean, no sqrt, no division — the flag is bit-identical
+    * across engines and partitionings (the q138 integer-exactness
+    * argument applied to streaming-style anomaly detection).
+    *
+    * Window: the `lookback` rows BEFORE the current one (the observation
+    * never baselines itself), requiring ≥ `minN` history. One keyed
+    * shuffle (the entity partition); everything else is the running sums.
+    * Output: flagged rows only — (k, tie, q, n, dev2, bound).
+    */
+  def rollingAnomalies(df: DataFrame, key: Column, ts: Column, value: Column,
+                       tiebreak: Column, lookback: Int = 20, minN: Int = 8,
+                       kSigma: Int = 3): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("tus", "tie")
+      .rowsBetween(-lookback, -1)
+    df.select(key.as("k"), unix_micros(ts).as("tus"),
+        bround(value * lit(1024), 0).cast(LongType).as("q"), tiebreak.as("tie"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("q")).over(w))
+      .withColumn("s2", sum(col("q") * col("q")).over(w))
+      .filter(col("n") >= minN)
+      .withColumn("dev2",
+        (col("n") * col("q") - col("s")) * (col("n") * col("q") - col("s")))
+      .withColumn("bound",
+        lit(kSigma.toLong * kSigma) * (col("n") * col("s2") - col("s") * col("s")))
+      .filter(col("dev2") > col("bound"))
+      .select(col("k"), col("tie"), col("q"), col("n"), col("dev2"), col("bound"))
+  }
 }

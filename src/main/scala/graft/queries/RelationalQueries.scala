@@ -804,6 +804,138 @@ object RelationalQueries {
         Tables.events(s, dir).filter(col("user_id") <= 30),
         col("user_id"), col("ts"), col("value"), col("event_id"))
         .orderBy("k", "bucket")
+    },
+
+    // Bloom filter TABLE (round 6): membership counterpart of the
+    // q132/q133/q139 sketch family, with bit-exact cross-engine words
+    // (universal-hash positions, bit_or'd 62-bit longs — q90's built-in
+    // BloomFilterAggregate is engine-opaque; this one the oracle can
+    // rebuild). The verdict row per event_type pins: every present item
+    // probes maybe=true (no false negatives — structural), and the
+    // measured false-positive count over an equal-sized absent probe
+    // set is REPRODUCED exactly by the oracle (deterministic hashing),
+    // not just bounded.
+    QueryDef("q146_bloom_words", {
+      val js = graft.functions.BloomTable.oracleJs()
+      s"""WITH $js,
+        |e AS (SELECT DISTINCT event_type, user_id AS item FROM events),
+        |pos AS (SELECT event_type, item, j,
+        |               ((item % 2147483647) * a + b) % 2147483647 % 3968 AS pos
+        |        FROM e CROSS JOIN js),
+        |w AS (SELECT event_type, pos // 62 AS word,
+        |             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+        |      FROM pos GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT event_type, item, TRUE AS present FROM e
+        |  UNION ALL
+        |  SELECT event_type, item + 1000000, FALSE FROM e),
+        |ph AS (SELECT p.event_type, p.item, p.present,
+        |              CASE WHEN (COALESCE(w.bits, 0)
+        |                    & (CAST(1 AS BIGINT) << CAST(pp.pos % 62 AS INT))) <> 0
+        |                   THEN 1 ELSE 0 END AS hit
+        |       FROM probes p CROSS JOIN js
+        |       CROSS JOIN LATERAL (SELECT ((p.item % 2147483647) * js.a + js.b)
+        |                                  % 2147483647 % 3968 AS pos) pp
+        |       LEFT JOIN w ON w.event_type = p.event_type
+        |                  AND w.word = pp.pos // 62),
+        |pv AS (SELECT event_type, item, present,
+        |              (SUM(hit) = 3) AS maybe
+        |       FROM ph GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |       CAST(COUNT(*) FILTER (WHERE present) AS BIGINT) AS n_items,
+        |       CAST(COUNT(*) FILTER (WHERE present AND maybe) AS BIGINT) AS present_maybe,
+        |       CAST(COUNT(*) FILTER (WHERE NOT present AND maybe) AS BIGINT) AS false_positives
+        |FROM pv GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.BloomTable
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id").as("item")).distinct()
+      val filter = BloomTable.build(e, Seq("event_type"), col("item"))
+      val probes = e.withColumn("present", lit(true))
+        .unionByName(e.withColumn("item", col("item") + 1000000L)
+          .withColumn("present", lit(false)))
+      BloomTable.probe(filter, Seq("event_type"), probes)
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("present"), 1L).otherwise(0L)).as("n_items"),
+          sum(when(col("present") && col("maybe"), 1L).otherwise(0L)).as("present_maybe"),
+          sum(when(!col("present") && col("maybe"), 1L).otherwise(0L)).as("false_positives"))
+        .orderBy("event_type")
+    },
+
+    // Triangle counting (round 6): degree-oriented wedge closure
+    // (compact-forward) — orientation bounds every node's out-degree by
+    // O(√E), so the wedge intermediate is O(E^1.5) worst-case, never
+    // Σdeg² (the difference between feasible and not on a hub-heavy
+    // 100 TB graph). The fixture graph derives deterministically from
+    // order keys (customer ↔ 1 + o_orderkey mod max_custkey — sparse,
+    // degree ≈ 20; the natural co-occurrence graphs in this synthetic
+    // fixture are near-complete and would make triangle counts
+    // degenerate). Top-20 nodes by participation, integer-exact.
+    QueryDef("q147_triangles",
+      """WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+        |e0 AS (SELECT DISTINCT
+        |         LEAST(o_custkey, 1 + o_orderkey % m) AS a,
+        |         GREATEST(o_custkey, 1 + o_orderkey % m) AS b
+        |       FROM orders, mx
+        |       WHERE o_custkey <> 1 + o_orderkey % m),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |          SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+        |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+        |                  THEN a ELSE b END AS u,
+        |             CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+        |                  THEN b ELSE a END AS v
+        |      FROM e0 JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+        |tri AS (SELECT o1.u, o1.v, o2.v AS w
+        |        FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v
+        |        JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |         SELECT u AS node FROM tri
+        |         UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri) GROUP BY node)
+        |SELECT node, triangles,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY triangles DESC, node) AS INT) AS rk
+        |FROM pn QUALIFY rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val m = Tables.customer(s, dir).agg(max(col("c_custkey"))).head().getLong(0)
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey").as("x"),
+          (lit(1L) + col("o_orderkey") % m).as("y"))
+      graft.operators.GraphOps.triangleCounts(edges)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("triangles").desc, col("node"))).cast(IntegerType))
+        .filter(col("rk") <= 20)
+        .orderBy("rk")
+    },
+
+    // Rolling z-score anomalies (round 6): the z² ≥ k² test with all
+    // divisions multiplied out — (n·q − S)² > 9·(n·S2 − S²) over the
+    // 20-observation trailing window per device, quantized integers
+    // only, so the flagged set is bit-identical cross-engine (no float
+    // mean, no sqrt). The observation never baselines itself (window
+    // ends at 1 PRECEDING), and n ≥ 8 history is required.
+    QueryDef("q148_rolling_anomaly",
+      """WITH o AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS tus,
+        |         CAST(round_even(value * 1024, 0) AS BIGINT) AS q,
+        |         event_id AS tie
+        |  FROM events),
+        |r AS (
+        |  SELECT k, tie, q,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |         SUM(q) OVER w AS s,
+        |         SUM(q * q) OVER w AS s2
+        |  FROM o WINDOW w AS (PARTITION BY k ORDER BY tus, tie
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT k, tie, q, n,
+        |       (n * q - s) * (n * q - s) AS dev2,
+        |       9 * (n * s2 - s * s) AS bound
+        |FROM r
+        |WHERE n >= 8 AND (n * q - s) * (n * q - s) > 9 * (n * s2 - s * s)
+        |ORDER BY k, tie""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.rollingAnomalies(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), col("event_id"))
+        .orderBy("k", "tie")
     }
   )
 }

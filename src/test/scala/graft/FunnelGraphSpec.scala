@@ -82,6 +82,25 @@ class FunnelGraphSpec extends SparkSpec {
     assert(snapped.nonEmpty)
   }
 
+  test("triangles: K4 has 4 nodes with 3 triangles each; adding a pendant changes nothing") {
+    // complete graph on {1,2,3,4} = 4 triangles, each node in 3
+    val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j))
+    val edges = (k4 :+ ((4L, 9L))).toDF("src", "dst") // 9 is a pendant
+    val got = GraphOps.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: orientation counts each triangle once regardless of partitioning") {
+    val edges = (1L to 60L).flatMap(i => Seq((i, i % 13), (i, (i * 7) % 13)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val a = GraphOps.triangleCounts(edges.repartition(1))
+      .orderBy("node").as[(Long, Long)].collect().toList
+    val b = GraphOps.triangleCounts(edges.repartition(7))
+      .orderBy("node").as[(Long, Long)].collect().toList
+    assert(a == b && a.nonEmpty)
+  }
+
   test("editdist: pairs straddling a bucket boundary are still co-blocked") {
     // lengths 15 and 17 fall in buckets 0 and 1 — caught via the b+1 key.
     val docs = Seq(

@@ -58,4 +58,22 @@ class HistorianSpec extends SparkSpec {
       col("v"), col("id")).orderBy("k").as[(Long, Double)].collect().toList
     assert(run(1) == run(11))
   }
+
+  test("anomaly: a spike against a flat baseline flags; the baseline never does") {
+    // 12 flat observations then one spike — variance 0, spike dev > 0
+    val obs = ((1 to 12).map(i => (1L, ts(i), 5.0, i.toLong))
+      :+ ((1L, ts(13), 50.0, 13L))).toDF("k", "t", "v", "id")
+    val got = Historian.rollingAnomalies(obs, col("k"), col("t"), col("v"),
+      col("id"), minN = 8).select("tie").as[Long].collect().toList
+    assert(got == List(13L))
+  }
+
+  test("anomaly: observation never baselines itself (window ends at 1 preceding)") {
+    // alternating signal: every point deviates from a mixed baseline but
+    // none exceeds 3 sigma of the alternating history
+    val obs = (1 to 30).map(i =>
+      (1L, ts(i), if (i % 2 == 0) 10.0 else -10.0, i.toLong)).toDF("k", "t", "v", "id")
+    val got = Historian.rollingAnomalies(obs, col("k"), col("t"), col("v"), col("id"))
+    assert(got.isEmpty)
+  }
 }
