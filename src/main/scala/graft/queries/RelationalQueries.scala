@@ -936,6 +936,51 @@ object RelationalQueries {
       graft.operators.Historian.rollingAnomalies(Tables.events(s, dir),
         col("user_id"), col("ts"), col("value"), col("event_id"))
         .orderBy("k", "tie")
+    },
+
+    // Market-basket lift (round 6): co-purchased part pairs with
+    // support ≥ 2 scored by lift = N·c(a,b)/(c(a)·c(b)) — association
+    // mining's first mile. The pair join is per-order (items/order ≈ 7
+    // → ~21 pairs each, linear in orders, never the catalog square);
+    // counts are integers and lift is ONE double division, so the
+    // top-25 hash-matches with (p1, p2) breaking double ties.
+    QueryDef("q149_copurchase_lift",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |cp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY p),
+        |pairs AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |scored AS (
+        |  SELECT p1, p2, pairs.c,
+        |         CAST(n.n_orders * pairs.c AS DOUBLE) / CAST(c1.c * c2.c AS DOUBLE) AS lift
+        |  FROM pairs, n
+        |  JOIN cp c1 ON c1.p = p1
+        |  JOIN cp c2 ON c2.p = p2)
+        |SELECT p1, p2, c, lift,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS INT) AS rk
+        |FROM scored QUALIFY rk <= 25 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val n = op.agg(countDistinct(col("o")).as("n_orders"))
+      val cp = op.groupBy("p").agg(count(lit(1)).as("c"))
+      val pairs = op.toDF("o", "p1")
+        .join(op.toDF("o", "p2"), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      pairs
+        .crossJoin(broadcast(n))
+        .join(broadcast(cp.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))
+        .join(broadcast(cp.select(col("p").as("p2"), col("c").as("c2"))), Seq("p2"))
+        .select(col("p1"), col("p2"), col("c"),
+          ((col("n_orders") * col("c")).cast(DoubleType)
+            / (col("c1") * col("c2")).cast(DoubleType)).as("lift"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("lift").desc, col("p1"), col("p2"))).cast(IntegerType))
+        .filter(col("rk") <= 25)
+        .orderBy("rk")
     }
   )
 }
