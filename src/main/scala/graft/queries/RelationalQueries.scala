@@ -962,7 +962,9 @@ object RelationalQueries {
         |FROM scored QUALIFY rk <= 25 ORDER BY rk""".stripMargin) { (s, dir) =>
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val n = op.agg(countDistinct(col("o")).as("n_orders"))
+      // bounded driver scalar (the q147 convention) — a 1-row crossJoin
+      // would plan as BroadcastNestedLoopJoin, which PlanGuard bans
+      val nOrders = op.agg(countDistinct(col("o"))).head().getLong(0)
       val cp = op.groupBy("p").agg(count(lit(1)).as("c"))
       val pairs = op.toDF("o", "p1")
         .join(op.toDF("o", "p2"), Seq("o"))
@@ -970,7 +972,7 @@ object RelationalQueries {
         .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
       pairs
-        .crossJoin(broadcast(n))
+        .withColumn("n_orders", lit(nOrders))
         .join(broadcast(cp.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))
         .join(broadcast(cp.select(col("p").as("p2"), col("c").as("c2"))), Seq("p2"))
         .select(col("p1"), col("p2"), col("c"),
