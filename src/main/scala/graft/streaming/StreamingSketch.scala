@@ -51,4 +51,27 @@ object StreamingSketch {
   def readRolledUp(spark: org.apache.spark.sql.SparkSession, path: String,
                    keys: Seq[String]): DataFrame =
     CountMinSketch.rollup(spark.read.parquet(s"$path/batch=*"), keys)
+
+  /** Bloom twin: membership words instead of counters. Same partition-
+    * overwrite idempotence story — bloom words are even forgiving of a
+    * duplicated batch (OR is idempotent), but the discipline stays
+    * uniform so a future counter-valued sketch can't inherit an unsafe
+    * append by example.
+    */
+  def maintainBloom(df: DataFrame, keys: Seq[String], path: String,
+                    words: Int = graft.functions.BloomTable.Words,
+                    trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    df.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.BloomTable.build(batch, keys, col("item"), words = words)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
+  def readBloom(spark: org.apache.spark.sql.SparkSession, path: String,
+                keys: Seq[String]): DataFrame =
+    graft.functions.BloomTable.merge(spark.read.parquet(s"$path/batch=*"), keys)
 }

@@ -110,6 +110,42 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("restart markers (DRI): decode resynchronizes at every RST boundary") {
+    // the JDK writer emits RSTn when the image metadata carries a dri
+    // node — the one way to produce a real restart-interval stream
+    // without writing a JPEG encoder
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 4) << 16) | ((y * 5) << 8) | ((x * y) & 0xFF))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    val meta = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img), params)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val seq = tree.getElementsByTagName("markerSequence").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+    dri.setAttribute("interval", "2") // RST every 2 MCUs
+    seq.insertBefore(dri, seq.getFirstChild)
+    meta.setFromTree(fmt, tree)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, meta), params)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    // the fixture must genuinely contain restart markers, else this test
+    // silently stops covering the DRI path
+    val nRst = bytes.sliding(2).count(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xF8) == 0xD0 && (p(1) & 0xFF) != 0xD8)
+    assert(nRst > 0, "fixture contains no RST markers — DRI metadata ignored")
+    val (maxD, _) = diffStats(bytes)
+    assert(maxD <= 4, s"max channel diff $maxD across $nRst restart markers")
+  }
+
   test("malformed input fails loudly, never out-of-bounds") {
     val good = ImageCodecs.encodeJpeg(16, 16, (x, y) => x * y)
     intercept[IllegalArgumentException] {

@@ -33,6 +33,23 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("bloom twin: stream-built filter equals the direct batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbloom").toFile.getAbsolutePath
+    val input = MemoryStream[(String, Long)]
+    val query = StreamingSketch.maintainBloom(
+      input.toDS().toDF("g", "item"), Seq("g"), dir)
+    try {
+      rows(200).grouped(80).foreach { g => input.addData(g: _*); query.processAllAvailable() }
+    } finally query.stop()
+    val streamed = StreamingSketch.readBloom(spark, dir, Seq("g"))
+      .orderBy("g", "word").as[(String, Long, Long)].collect().toList
+    val direct = graft.functions.BloomTable.build(rows(200).toDF("g", "item"),
+      Seq("g"), col("item"))
+      .orderBy("g", "word").as[(String, Long, Long)].collect().toList
+    assert(streamed == direct)
+  }
+
   test("replaying a batch overwrites its partition — counters never double") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scms2").toFile.getAbsolutePath
     val batch = rows(100).toDF("g", "item")
