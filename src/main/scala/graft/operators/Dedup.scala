@@ -87,6 +87,39 @@ object Dedup {
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-(doc, shingle) occurrence weights capped at `cap` — the bag
+    * form [[shingles]] discards. The cap bounds the weighted expansion
+    * and is part of the similarity's definition here (capped weighted
+    * Jaccard), not an approximation knob hidden from the oracle.
+    */
+  def weightedShingles(docs: DataFrame, cap: Int): DataFrame =
+    docs.withColumn("ws", TextOps.words(col("text")))
+      .withColumn("shingle", explode(TextOps.shingles3("ws")))
+      .groupBy("doc_id", "shingle")
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("w"))
+
+  /** WEIGHTED (bag) minhash — sketches the capped weighted Jaccard
+    * J_w = Σ min(w_a, w_b) / Σ max(w_a, w_b) instead of the set Jaccard:
+    * a shingle with weight w expands to w distinct hash inputs
+    * (`shingle#r`, r = 1..w — the classic bag-minhash construction;
+    * repeated boilerplate counts w times, matching repetition-heavy
+    * near-dups set minhash systematically under-scores). Same md5-32
+    * base family and permutation constants as [[minhashWide]], so the
+    * oracle replays every hash bit-for-bit; the expansion is bounded by
+    * cap·shingles — never quadratic.
+    */
+  def weightedMinhashWide(docs: DataFrame, numPerms: Int, cap: Int = 4): DataFrame = {
+    val mins = (0 until numPerms).map { j =>
+      min((lit(permA(j)) * col("base31") + lit(permB(j))) % MinhashMod).as(s"h$j")
+    }
+    weightedShingles(docs, cap)
+      .withColumn("r", explode(sequence(lit(1L), col("w"))))
+      .withColumn("base31",
+        TextOps.hash32(concat(col("shingle"), lit("#"), col("r").cast("string")))
+          .bitwiseAND(lit(0x7FFFFFFFL)))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash signatures in LONG form (doc_id, perm, h) — the wide form
     * unpivoted with `stack` (post-aggregation, so the unpivot is free).
     */

@@ -272,6 +272,72 @@ object DedupQueries {
         |ORDER BY doc_id_a, doc_id_b""".stripMargin) { (s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))
         .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // Weighted (bag) minhash (round 6): sketches the CAPPED weighted
+    // Jaccard Σmin(w_a,w_b)/Σmax — repetition counts, which set minhash
+    // (q32/q33) discards. Each (shingle, w) expands to w inputs
+    // `shingle#r` through the SAME md5-32 + permutation family, so both
+    // the 16-perm signature agreement AND the exact capped weighted
+    // Jaccard (integer num/den) hash-match cross-engine. Probe set:
+    // all pairs among doc_id < 40 (the sig self-join is a 40-row
+    // broadcast — PlanGuard-allowlisted by design, the q43 shape);
+    // rows kept when the sketch or the truth sees any overlap.
+    QueryDef("q150_weighted_minhash",
+      s"""WITH t AS (SELECT doc_id, ${TextOps.wordsSql} AS ws
+        |           FROM documents WHERE doc_id < 40),
+        |sh0 AS (SELECT doc_id, unnest(${TextOps.shingles3Sql("ws")}) AS shingle FROM t),
+        |w AS (SELECT doc_id, shingle, LEAST(COUNT(*), 4) AS w
+        |      FROM sh0 GROUP BY doc_id, shingle),
+        |exp AS (SELECT doc_id,
+        |               (${TextOps.hash32Sql("shingle || '#' || CAST(r AS VARCHAR)")}
+        |                & 2147483647) AS base31
+        |        FROM w, (SELECT unnest(range(1, 5)) AS r) rs WHERE r <= w),
+        |coef AS (SELECT * FROM (VALUES $coefValues) AS c(j, a, b)),
+        |sig AS (SELECT doc_id, j, min((a * base31 + b) % ${Dedup.MinhashMod}) AS h
+        |        FROM exp, coef GROUP BY doc_id, j),
+        |ps AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+        |              CAST(SUM(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches
+        |       FROM sig s1 JOIN sig s2 ON s1.j = s2.j AND s1.doc_id < s2.doc_id
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(w) AS tw FROM w GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |                  CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS num
+        |           FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT p.d1 AS d1, p.d2 AS d2, p.sig_matches,
+        |       COALESCE(s.num, 0) AS wj_num,
+        |       CAST(t1.tw + t2.tw - COALESCE(s.num, 0) AS BIGINT) AS wj_den
+        |FROM ps p
+        |JOIN tot t1 ON t1.doc_id = p.d1
+        |JOIN tot t2 ON t2.doc_id = p.d2
+        |LEFT JOIN shared s ON s.d1 = p.d1 AND s.d2 = p.d2
+        |WHERE p.sig_matches >= 4 OR COALESCE(s.num, 0) > 0
+        |ORDER BY p.d1, p.d2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      val wsh = Dedup.weightedShingles(docs, cap = 4)
+      val sigs = Dedup.weightedMinhashWide(docs, 16, cap = 4)
+      val matches = (0 until 16)
+        .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val ps = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          matches.as("sig_matches"))
+      val tot = wsh.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+      val shared = wsh.toDF("d1", "shingle", "w1")
+        .join(wsh.toDF("d2", "shingle", "w2"), Seq("shingle"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(sum(least(col("w1"), col("w2"))).as("num"))
+      ps
+        .join(broadcast(tot.select(col("doc_id").as("d1"), col("tw").as("tw1"))), Seq("d1"))
+        .join(broadcast(tot.select(col("doc_id").as("d2"), col("tw").as("tw2"))), Seq("d2"))
+        .join(shared, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"), col("sig_matches"),
+          coalesce(col("num"), lit(0L)).as("wj_num"),
+          (col("tw1") + col("tw2") - coalesce(col("num"), lit(0L))).as("wj_den"))
+        .filter(col("sig_matches") >= 4 || col("wj_num") > 0)
+        .orderBy("d1", "d2")
     }
   )
 }

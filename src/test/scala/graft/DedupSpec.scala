@@ -321,4 +321,29 @@ class DedupSpec extends SparkSpec {
     assert(tId == dupTrain && cosv > 0.999 && flag,
       s"planted match wrong: $planted")
   }
+  test("weighted minhash: repetition separates docs set minhash conflates") {
+    import org.apache.spark.sql.functions._
+    // same shingle SET, different bags: doc 1 repeats its phrase 4x
+    val rep = Seq(
+      (1L, Seq.fill(4)("alpha beta gamma").mkString(" . ").replace(" . ", " alpha beta gamma ")),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val ws = Dedup.weightedShingles(rep, cap = 4)
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    // doc 1 carries weights > 1 somewhere; doc 2 all weight 1
+    assert(ws(1L).exists(_._3 > 1L))
+    assert(ws(2L).forall(_._3 == 1L))
+    // expansion is capped: no weight exceeds 4 even for heavy repetition
+    assert(ws.values.flatten.forall(_._3 <= 4L))
+  }
+
+  test("weighted minhash: identical bags produce identical signatures") {
+    val two = Seq(
+      (1L, "one two three one two three one two three"),
+      (2L, "one two three one two three one two three")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.weightedMinhashWide(two, 16)
+      .collect().map(r => r.toSeq.drop(1)).toList
+    assert(sigs.size == 2 && sigs.head == sigs(1))
+  }
 }

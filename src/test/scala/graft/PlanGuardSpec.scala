@@ -55,7 +55,11 @@ class PlanGuardSpec extends SparkSpec {
     "q117_cluster_quality",
     // q120: trained-IVF — corpus and queries both score the broadcast
     // k-row trained centroid set (q44 + q111 composed)
-    "q120_ann_ivf_trained")
+    "q120_ann_ivf_trained",
+    // q150: the weighted-minhash probe set is all pairs of a 40-row
+    // signature table — a deliberately tiny broadcast self-join (the
+    // q43 brute-force shape)
+    "q150_weighted_minhash")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
