@@ -983,6 +983,36 @@ object RelationalQueries {
             .orderBy(col("lift").desc, col("p1"), col("p2"))).cast(IntegerType))
         .filter(col("rk") <= 25)
         .orderBy("rk")
+    },
+
+    // First-occurrence precedence matrix (round 6): for every ordered
+    // pair of event types, how many users saw A strictly before B
+    // (first occurrences compared) out of the users who saw both — the
+    // user-journey ordering statistic behind funnel design (q135 checks
+    // ONE ordered path; this surveys all of them). Equal first-
+    // occurrence timestamps count neither direction — deterministic
+    // without a tiebreak. One shuffle to the (user, type) grain; the
+    // pair join runs on the per-user TYPE dim (≤ |types|² rows/user).
+    QueryDef("q151_event_precedence",
+      """WITH f AS (
+        |  SELECT user_id, event_type, MIN(ts) AS first_ts
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+        |       CAST(SUM(CASE WHEN a.first_ts < b.first_ts THEN 1 ELSE 0 END) AS BIGINT) AS support_users,
+        |       CAST(COUNT(*) AS BIGINT) AS both_users
+        |FROM f a JOIN f b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |GROUP BY 1, 2 ORDER BY etype_a, etype_b""".stripMargin) { (s, dir) =>
+      val f = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("first_ts"))
+      f.toDF("user_id", "etype_a", "ts_a")
+        .join(f.toDF("user_id", "etype_b", "ts_b"), Seq("user_id"))
+        .filter(col("etype_a") =!= col("etype_b"))
+        .groupBy("etype_a", "etype_b")
+        .agg(
+          sum(when(col("ts_a") < col("ts_b"), 1L).otherwise(0L)).as("support_users"),
+          count(lit(1)).as("both_users"))
+        .orderBy("etype_a", "etype_b")
     }
   )
 }
