@@ -1031,6 +1031,67 @@ object TextQueries {
         |FROM t2 LEFT JOIN fin f USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       UnigramLm.encodeCorpus(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Chi-square collocations (round 6): corpus-level bigram association
+    // — which word pairs co-occur far beyond chance (q78 scores DOCS
+    // under a bigram model; this MINES the model's strong pairs). The
+    // 2×2 contingency per bigram lives entirely in bigram space
+    // (c1 = bigrams starting with w1, c2 = ending with w2, N = total),
+    // all counts exact integers; chi2 is computed as ONE double
+    // expression with identical operation order in both engines, so the
+    // doubles hash-match (the cosine-fold convention). Support ≥ 5,
+    // top-30 by (chi2, bigram).
+    QueryDef("q152_collocations",
+      s"""WITH t AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+        |bg AS (SELECT unnest(${TextOps.bigramsSql("ws")}) AS bigram FROM t),
+        |sp AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+        |              string_split(bigram, ' ')[2] AS w2 FROM bg),
+        |a AS (SELECT bigram, ANY_VALUE(w1) AS w1, ANY_VALUE(w2) AS w2,
+        |             CAST(COUNT(*) AS BIGINT) AS a FROM sp GROUP BY bigram),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM sp GROUP BY w1),
+        |c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM sp GROUP BY w2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sp),
+        |sc AS (SELECT bigram, a.a, c1.c1, c2.c2, n.n,
+        |              a.a * (n.n - c1.c1 - c2.c2 + a.a) - (c1.c1 - a.a) * (c2.c2 - a.a) AS x
+        |       FROM a JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        |       WHERE a.a >= 5 AND c1.c1 < n.n AND c2.c2 < n.n),
+        |chi AS (SELECT bigram, a,
+        |               CAST(n AS DOUBLE) * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |               / (CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE)
+        |                  * CAST(c2 AS DOUBLE) * CAST(n - c2 AS DOUBLE)) AS chi2
+        |        FROM sc)
+        |SELECT bigram, a AS support, chi2,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY chi2 DESC, bigram) AS INT) AS rk
+        |FROM chi QUALIFY rk <= 30 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val sp = Tables.documents(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(explode(TextOps.bigrams("ws")).as("bigram"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      val aDf = sp.groupBy("bigram")
+        .agg(first(col("w1")).as("w1"), first(col("w2")).as("w2"),
+          count(lit(1)).as("a"))
+      val c1 = sp.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c2 = sp.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val n = sp.count() // bounded scalar (total bigram tokens)
+      val sc = aDf
+        .join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .withColumn("n", lit(n))
+        .filter(col("a") >= 5 && col("c1") < col("n") && col("c2") < col("n"))
+        .withColumn("x",
+          col("a") * (col("n") - col("c1") - col("c2") + col("a"))
+            - (col("c1") - col("a")) * (col("c2") - col("a")))
+        .withColumn("chi2",
+          col("n").cast("double") * col("x").cast("double") * col("x").cast("double")
+            / (col("c1").cast("double") * (col("n") - col("c1")).cast("double")
+              * col("c2").cast("double") * (col("n") - col("c2")).cast("double")))
+      sc.select(col("bigram"), col("a").as("support"), col("chi2"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("chi2").desc, col("bigram"))).cast("int"))
+        .filter(col("rk") <= 30)
+        .orderBy("rk")
     }
   )
 
