@@ -1013,6 +1013,57 @@ object RelationalQueries {
           sum(when(col("ts_a") < col("ts_b"), 1L).otherwise(0L)).as("support_users"),
           count(lit(1)).as("both_users"))
         .orderBy("etype_a", "etype_b")
+    },
+
+    // HLL INTERSECTION over the stored sketch table (round 6): audience
+    // overlap |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion
+    // — the dashboard query the q132 sketch table exists to answer
+    // without rescanning raw events (the union sketch comes from
+    // hll_union of the two stored type sketches; nothing re-touches the
+    // corpus). Intersection error scales with the UNION's cardinality,
+    // so the q81-style verdict bounds |est − exact| by 5% of the exact
+    // union, oracle-checked per pair.
+    QueryDef("q153_hll_intersection",
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+        |         CAST(COUNT(*) AS BIGINT) AS exact_both
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |card AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1)
+        |SELECT p.etype_a, p.etype_b, p.exact_both,
+        |       CAST(ca.n + cb.n - p.exact_both AS BIGINT) AS exact_union,
+        |       TRUE AS within_bound
+        |FROM pairs p
+        |JOIN card ca ON ca.event_type = p.etype_a
+        |JOIN card cb ON cb.event_type = p.etype_b
+        |ORDER BY etype_a, etype_b""".stripMargin) { (s, dir) =>
+      import graft.functions.SketchRollup
+      val ev = Tables.events(s, dir)
+      val cells = SketchRollup.sketchCells(
+        ev, Seq("event_type"), to_date(col("ts")), col("user_id"))
+      val perType = cells.groupBy("event_type")
+        .agg(hll_union_agg(col("sketch"), lit(false)).as("sk"))
+      val tu = ev.select("event_type", "user_id").distinct()
+      val exact = tu.toDF("etype_a", "user_id")
+        .join(tu.toDF("etype_b", "user_id"), Seq("user_id"))
+        .filter(col("etype_a") < col("etype_b"))
+        .groupBy("etype_a", "etype_b").agg(count(lit(1)).as("exact_both"))
+      val card = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+      exact
+        .join(broadcast(perType.select(col("event_type").as("etype_a"), col("sk").as("sk_a"))), Seq("etype_a"))
+        .join(broadcast(perType.select(col("event_type").as("etype_b"), col("sk").as("sk_b"))), Seq("etype_b"))
+        .join(broadcast(card.select(col("event_type").as("etype_a"), col("n").as("n_a"))), Seq("etype_a"))
+        .join(broadcast(card.select(col("event_type").as("etype_b"), col("n").as("n_b"))), Seq("etype_b"))
+        .withColumn("est_both",
+          hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+            - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+        .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_both"))
+        .select(col("etype_a"), col("etype_b"), col("exact_both"), col("exact_union"),
+          (abs(col("est_both") - col("exact_both")).cast("double")
+            <= col("exact_union").cast("double") * 0.05).as("within_bound"))
+        .orderBy("etype_a", "etype_b")
     }
   )
 }
