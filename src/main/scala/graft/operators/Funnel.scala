@@ -30,8 +30,10 @@ object Funnel {
     */
   def ordered(events: DataFrame, stages: Seq[String],
               userCol: String = "user_id", typeCol: String = "event_type",
-              tsCol: String = "ts"): DataFrame = {
+              tsCol: String = "ts",
+              maxGapMinutes: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
     val spark = events.sparkSession
     val relevant = events
       .filter(col(typeCol).isin(stages: _*))
@@ -47,9 +49,17 @@ object Funnel {
         val reached = prev match {
           case None => hits.groupBy("__u").agg(min(col("__ts")).as("__reached"))
           case Some(p) =>
-            hits.join(p.withColumnRenamed("__reached", "__prev"), "__u")
+            val joined = hits.join(p.withColumnRenamed("__reached", "__prev"), "__u")
               .filter(col("__ts") > col("__prev"))
-              .groupBy("__u").agg(min(col("__ts")).as("__reached"))
+            // time-bounded binding (q154): the stage must complete within
+            // maxGap of the PREVIOUS stage's bind time — the session-style
+            // funnel knob; unbounded (q135) when None
+            val bounded = maxGapMinutes match {
+              case Some(m) =>
+                joined.filter(col("__ts") <= col("__prev") + expr(s"INTERVAL $m MINUTES"))
+              case None => joined
+            }
+            bounded.groupBy("__u").agg(min(col("__ts")).as("__reached"))
         }
         Some(reached.persist())
     }.flatten

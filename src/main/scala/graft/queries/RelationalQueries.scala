@@ -1064,6 +1064,31 @@ object RelationalQueries {
           (abs(col("est_both") - col("exact_both")).cast("double")
             <= col("exact_union").cast("double") * 0.05).as("within_bound"))
         .orderBy("etype_a", "etype_b")
+    },
+
+    // Time-bounded funnel (round 6): q135's earliest-completion funnel
+    // with a 6-hour max gap between consecutive stages — the session-
+    // style knob product analytics actually ships (an unbounded funnel
+    // credits conversions days apart). Same per-stage keyed frontier
+    // loop; the bound is one extra filter clause per stage.
+    QueryDef("q154_funnel_windowed",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 360 MINUTE GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 360 MINUTE GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.ordered(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), maxGapMinutes = Some(360L))
     }
   )
 }

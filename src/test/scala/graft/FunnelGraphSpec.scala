@@ -41,6 +41,22 @@ class FunnelGraphSpec extends SparkSpec {
     assert(got == List((1, "view", 1L), (2, "click", 1L)))
   }
 
+  test("funnel: max-gap bound drops conversions beyond the window") {
+    // u1 clicks 5 min after viewing (inside a 10-min gap); u2 clicks 30
+    // min after (outside) — only u1 reaches stage 2 under the bound,
+    // both do unbounded
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(5)),
+      (2L, "view", ts(0)), (2L, "click", ts(30))
+    ).toDF("user_id", "event_type", "ts")
+    val bounded = Funnel.ordered(events, Seq("view", "click"),
+      maxGapMinutes = Some(10L)).as[(Int, String, Long)].collect().toList
+    assert(bounded == List((1, "view", 2L), (2, "click", 1L)))
+    val unbounded = Funnel.ordered(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toList
+    assert(unbounded == List((1, "view", 2L), (2, "click", 2L)))
+  }
+
   test("retention: offset 0 equals cohort size; no negative offsets") {
     val act = Seq(
       (1L, Timestamp.valueOf("2024-01-05 00:00:00")),
