@@ -20,8 +20,9 @@ import graft.operators.DtoMapping.{BrowseExclusionFolder, ConnectionEntity}
   *     matching the reference's EF-migrations shape
   *     (`Migrations/ApplicationDbContextModelSnapshot.cs:24-93`): parent
   *     PK on id, child FK with ON DELETE CASCADE. Exercised live against
-  *     embedded Derby (ControlPlaneJdbcSpec); the DDL below is ANSI and
-  *     runs unchanged on Postgres.
+  *     embedded Derby (ControlPlaneJdbcSpec); a [[JdbcConfigStore.Dialect]]
+  *     switch (binary column type + already-exists SQLState) makes the
+  *     same store drop-in for the reference's Postgres deployment.
   *
   * Both stores hold control-plane-sized data (tens of rows — the
   * reference's client-connection list), so whole-set replace per mutation
@@ -115,10 +116,12 @@ object FileConfigStore {
   * `ReloadPolling()` the same way (`Controllers/ClientController.cs:62`).
   */
 final class JdbcConfigStore(connect: () => Connection,
-                            reloadMarker: Option[File] = None) extends ConfigStore {
+                            reloadMarker: Option[File] = None,
+                            dialect: JdbcConfigStore.Dialect = JdbcConfigStore.Derby)
+    extends ConfigStore {
   import JdbcConfigStore._
 
-  bootstrap(connect)
+  bootstrap(connect, dialect)
 
   private def withTxn[A](body: Connection => A): A = {
     val conn = connect()
@@ -195,20 +198,44 @@ object JdbcConfigStore {
   val ConnTable = "opc_client_connections"
   val FolderTable = "browse_exclusion_folders"
 
-  /** ANSI DDL mirroring the EF migrations snapshot
+  /** SQL dialect knob. The schema is ANSI except the binary column —
+    * Derby spells it BLOB, Postgres BYTEA — and each engine reports a
+    * different SQLState for "table already exists". The live spec runs
+    * Derby (embedded, zero-install); [[Postgres]] makes the store
+    * drop-in for the reference's actual deployment
+    * (`Data/ApplicationDbContext.cs:12-13` — Npgsql provider).
+    */
+  sealed trait Dialect {
+    def binaryType: String
+    /** SQLStates meaning "table already exists" — the bootstrap races
+      * a concurrent bootstrap between probe and DDL, so these are
+      * still swallowed.
+      */
+    def tableExistsStates: Set[String]
+  }
+  case object Derby extends Dialect {
+    val binaryType = "BLOB"
+    val tableExistsStates: Set[String] = Set("X0Y32")
+  }
+  case object Postgres extends Dialect {
+    val binaryType = "BYTEA"
+    val tableExistsStates: Set[String] = Set("42P07")
+  }
+
+  /** DDL mirroring the EF migrations snapshot
     * (`Migrations/ApplicationDbContextModelSnapshot.cs:24-93`).
     */
-  val CreateConnTableSql: String =
+  def createConnTableSql(dialect: Dialect): String =
     s"""CREATE TABLE $ConnTable (
        |  id INT NOT NULL PRIMARY KEY,
        |  url VARCHAR(512) NOT NULL,
        |  username VARCHAR(256) NOT NULL,
-       |  encrypted_password BLOB NOT NULL,
+       |  encrypted_password ${dialect.binaryType} NOT NULL,
        |  timeout_ms INT NOT NULL,
        |  max_search INT NOT NULL
        |)""".stripMargin
 
-  val CreateFolderTableSql: String =
+  def createFolderTableSql(dialect: Dialect): String =
     s"""CREATE TABLE $FolderTable (
        |  id BIGINT NOT NULL PRIMARY KEY,
        |  opc_client_connection_id INT NOT NULL
@@ -216,17 +243,39 @@ object JdbcConfigStore {
        |  exclusion_folder VARCHAR(512) NOT NULL
        |)""".stripMargin
 
-  /** Create-if-missing: Derby has no IF NOT EXISTS, so an
-    * already-exists failure (X0Y32) is swallowed — the S6 existence
-    * probe, JDBC-dialect-portable.
+  val CreateConnTableSql: String = createConnTableSql(Derby)
+  val CreateFolderTableSql: String = createFolderTableSql(Derby)
+
+  /** Dialect-neutral existence check via JDBC metadata. Unquoted
+    * identifiers fold to UPPER in Derby and lower in Postgres, so both
+    * foldings are probed.
     */
-  def bootstrap(connect: () => Connection): Unit = {
+  def tableExists(conn: Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    Seq(table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** Create-if-missing — the S6 existence probe. The primary check is
+    * the DatabaseMetaData probe (dialect-neutral, so re-instantiating
+    * against an existing schema works on any engine); the dialect's
+    * already-exists SQLState is still swallowed to close the
+    * probe→DDL race against a concurrent bootstrap.
+    */
+  def bootstrap(connect: () => Connection, dialect: Dialect = Derby): Unit = {
     val conn = connect()
     try {
-      for (ddl <- Seq(CreateConnTableSql, CreateFolderTableSql)) {
+      val ddls = Seq(ConnTable -> createConnTableSql(dialect),
+        FolderTable -> createFolderTableSql(dialect))
+      for ((table, ddl) <- ddls if !tableExists(conn, table)) {
         val st = conn.createStatement()
         try st.execute(ddl)
-        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+        catch {
+          case e: java.sql.SQLException
+              if dialect.tableExistsStates.contains(e.getSQLState) => ()
+        }
         finally st.close()
       }
     } finally conn.close()

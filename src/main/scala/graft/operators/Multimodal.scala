@@ -526,6 +526,11 @@ object Multimodal {
       require(isJpeg(b), "not a JPEG (SOI missing)")
       def u8(p: Int): Int = { require(p < b.length, "truncated JPEG"); b(p) & 0xFF }
       def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+      // every marker segment length includes its own 2 bytes; a forged
+      // length < 2 would make the `p += len` walk loop forever
+      def segLen(p: Int): Int = {
+        val len = u16(p); require(len >= 2, s"bad segment length $len"); len
+      }
 
       val qt = Array.ofDim[Int](4, 64)
       // Huffman tables: [class 0=DC,1=AC][id] -> (mincode, maxcode, valptr, values)
@@ -556,7 +561,7 @@ object Multimodal {
         m match {
           case 0xD8 => // stray SOI — ignore
           case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
-            val len = u16(p)
+            val len = segLen(p)
             require(u8(p + 2) == 8, "only 8-bit precision supported")
             height = u16(p + 3); width = u16(p + 5)
             require(width > 0 && height > 0 && width <= (1 << 16) && height <= (1 << 16),
@@ -577,7 +582,7 @@ object Multimodal {
           case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             throw new IllegalArgumentException(f"unsupported SOF marker $m%02x")
           case 0xDB => // DQT
-            val len = u16(p); var q = p + 2
+            val len = segLen(p); var q = p + 2
             while (q < p + len) {
               val pq = u8(q) >> 4; val tq = u8(q) & 15
               require(tq < 4, "bad DQT id")
@@ -591,7 +596,7 @@ object Multimodal {
             }
             p += len
           case 0xC4 => // DHT
-            val len = u16(p); var q = p + 2
+            val len = segLen(p); var q = p + 2
             while (q < p + len) {
               val tc = u8(q) >> 4; val th = u8(q) & 15
               require(tc <= 1 && th < 4, "bad DHT id")
@@ -616,10 +621,10 @@ object Multimodal {
             }
             p += len
           case 0xDD => // DRI
-            restartInterval = u16(p + 2); p += u16(p)
+            restartInterval = u16(p + 2); p += segLen(p)
           case 0xDA => // SOS
             require(sawSof, "SOS before SOF")
-            val len = u16(p)
+            val len = segLen(p)
             val ns = u8(p + 2)
             require(ns == comps.length, "scan/frame component mismatch")
             var i = 0
@@ -627,13 +632,17 @@ object Multimodal {
               val cs = u8(p + 3 + 2 * i); val tt = u8(p + 4 + 2 * i)
               val c = comps.find(_.id == cs).getOrElse(
                 throw new IllegalArgumentException(s"scan references unknown component $cs"))
+              // table slots are huff(2)(4) — an unchecked id up to 15
+              // would escape as ArrayIndexOutOfBounds past the corrupt-row
+              // catch (IllegalArgumentException | IOException)
+              require((tt >> 4) <= 3 && (tt & 15) <= 3, s"bad scan table ids $tt")
               c.dcTab = tt >> 4; c.acTab = tt & 15
               i += 1
             }
             scanStart = p + len
           case 0xD9 => throw new IllegalArgumentException("EOI before scan data")
           case _ => // APPn, COM, anything else with a length field
-            p += u16(p)
+            p += segLen(p)
         }
       }
 

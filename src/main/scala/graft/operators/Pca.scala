@@ -24,11 +24,15 @@ import org.apache.spark.sql.types._
   * Projections p = Σ q_i·v_i stream map-side with the eigenvector as a
   * broadcast literal.
   *
-  * Overflow budget (all exact): |q| ≤ 0.6·2¹⁰, so S_ij ≤ n·2¹⁹ and
-  * w_i ≤ d·S·2²⁰ — at d = 64 that caps n below ~2²⁰ vectors per exact
-  * run. At corpus scale, sample the Gram pass (PC direction is a
-  * statistic, the projections stay exact) or raise the scale-down shift;
-  * the fixture sizes are orders of magnitude inside the budget.
+  * Overflow budget (all exact): |q| ≤ 0.6·2¹⁰, so S_ij ≤ n·2¹⁹ and the
+  * matvec accumulates w_i ≤ d·S_ij·|v| ≈ 64·n·2¹⁸·⁵·2²⁰ ≈ n·2⁴⁵ — Long
+  * exactness therefore caps n at ~2¹⁷–2¹⁸ vectors per exact run (NOT
+  * 2²⁰; the d·|v| factors cost ~8 bits). [[topComponentInt]] enforces
+  * the bound on the ACTUAL collected Gram magnitudes, so an oversized
+  * corpus fails loudly instead of wrapping silently. At corpus scale,
+  * sample the Gram pass (PC direction is a statistic, the projections
+  * stay exact) or raise the scale-down shift; the fixture sizes are
+  * orders of magnitude inside the budget.
   */
 object Pca {
 
@@ -63,6 +67,16 @@ object Pca {
     gramInt(emb, dim).collect().foreach { r =>
       s(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2)
     }
+    // wraparound guard: each matvec term is ≤ |S_ij|·max|v|, and the
+    // truncating normalization keeps max|v| < 2·VScale, so the d-term
+    // accumulator is bounded by d · maxAbsS · 2·VScale — require it
+    // fits in Long or fail loudly (silent wrap would corrupt the
+    // eigenvector without any error)
+    val maxAbsS = s.iterator.flatMap(_.iterator).map(math.abs).max
+    require(maxAbsS <= Long.MaxValue / (2L * dim * VScale),
+      s"Gram magnitudes too large for exact Long power iteration " +
+        s"(max |S_ij| = $maxAbsS, d = $dim): sample the Gram pass or " +
+        "raise the quantization shift")
     var v = Array.fill(dim)(VScale)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dim) { i =>

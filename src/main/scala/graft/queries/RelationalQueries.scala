@@ -923,8 +923,8 @@ object RelationalQueries {
         |r AS (
         |  SELECT k, tie, q,
         |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
-        |         SUM(q) OVER w AS s,
-        |         SUM(q * q) OVER w AS s2
+        |         CAST(SUM(q) OVER w AS BIGINT) AS s,
+        |         CAST(SUM(q * q) OVER w AS BIGINT) AS s2
         |  FROM o WINDOW w AS (PARTITION BY k ORDER BY tus, tie
         |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT k, tie, q, n,
@@ -960,8 +960,13 @@ object RelationalQueries {
         |SELECT p1, p2, c, lift,
         |       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS INT) AS rk
         |FROM scored QUALIFY rk <= 25 ORDER BY rk""".stripMargin) { (s, dir) =>
+      // persisted: consumed by the n_orders action, the cp marginals agg,
+      // and both sides of the pair self-join — unpersisted, each consumer
+      // replays the lineitem scan + distinct shuffle (the q61 diamond
+      // lesson). MEMORY_AND_DISK, evicted with the session.
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .persist()
       // bounded driver scalar (the q147 convention) — a 1-row crossJoin
       // would plan as BroadcastNestedLoopJoin, which PlanGuard bans
       val nOrders = op.agg(countDistinct(col("o"))).head().getLong(0)

@@ -27,6 +27,14 @@ object StreamingAnomaly {
                            dev2: Long, bound: Long)
   final case class RingState(vals: Vector[Long], lastTus: Long)
 
+  /** Event-time in µs — Timestamp.getTime is ms-truncated; the nanos
+    * field carries the full sub-second, and the batch operator orders by
+    * `unix_micros`, so parity on sub-ms data demands µs here too (the
+    * StreamingHistorian convention).
+    */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   private[streaming] def update(lookback: Int, minN: Int, k2: Long,
                                 ttlMillis: Long)(
       key: Long,
@@ -36,7 +44,7 @@ object StreamingAnomaly {
       state.remove()
       Iterator.empty
     } else {
-      val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.tie))
+      val sorted = events.toArray.sortBy(e => (micros(e.ts), e.tie))
       var ring = state.getOption.map(_.vals).getOrElse(Vector.empty)
       val out = Vector.newBuilder[Flagged]
       sorted.foreach { e =>
@@ -52,7 +60,9 @@ object StreamingAnomaly {
         ring = (ring :+ e.q).takeRight(lookback)
       }
       if (sorted.nonEmpty) {
-        state.update(RingState(ring, sorted.last.ts.getTime))
+        state.update(RingState(ring, micros(sorted.last.ts)))
+        // timeout API is ms-granular; µs precision matters only for
+        // within-batch ordering, not the TTL horizon
         state.setTimeoutTimestamp(sorted.last.ts.getTime + ttlMillis)
       }
       out.result().iterator

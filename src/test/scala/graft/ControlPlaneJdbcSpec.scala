@@ -133,4 +133,34 @@ class ControlPlaneJdbcSpec extends SparkSpec {
     assert(listed.map(_.id) == Seq(7) && listed.head.password == "pw"
       && listed.head.browseExclusionFolders == Seq("F"))
   }
+
+  test("dialect switch: Postgres DDL differs only in the binary type + SQLState") {
+    import JdbcConfigStore._
+    assert(createConnTableSql(Postgres).contains("BYTEA")
+      && !createConnTableSql(Postgres).contains("BLOB"))
+    assert(createConnTableSql(Derby).contains("BLOB"))
+    // everything but the binary column is shared ANSI
+    assert(createConnTableSql(Derby).replace("BLOB", "X")
+      == createConnTableSql(Postgres).replace("BYTEA", "X"))
+    assert(createFolderTableSql(Derby) == createFolderTableSql(Postgres))
+    assert(Postgres.tableExistsStates == Set("42P07")
+      && Derby.tableExistsStates == Set("X0Y32"))
+  }
+
+  test("bootstrap existence probe is metadata-based, not SQLState-swallowing") {
+    // a second bootstrap against an existing schema must issue NO DDL at
+    // all (the metadata probe sees the tables) — on Postgres the old
+    // Derby-only X0Y32 swallow would have thrown 42P07 here
+    val connect = freshDb()
+    JdbcConfigStore.bootstrap(connect)
+    val conn = connect()
+    try {
+      assert(JdbcConfigStore.tableExists(conn, JdbcConfigStore.ConnTable))
+      assert(JdbcConfigStore.tableExists(conn, JdbcConfigStore.FolderTable))
+      assert(!JdbcConfigStore.tableExists(conn, "no_such_table"))
+    } finally conn.close()
+    // re-bootstrap with a dialect whose already-exists SQLState does NOT
+    // match Derby's: only the metadata probe can make this a no-op
+    JdbcConfigStore.bootstrap(connect, JdbcConfigStore.Postgres)
+  }
 }

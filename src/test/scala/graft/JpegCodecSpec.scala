@@ -161,4 +161,23 @@ class JpegCodecSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { ImageCodecs.decodeJpeg(prog) }
     }
   }
+
+  test("SOS with out-of-range Huffman table ids fails as IllegalArgument") {
+    // huff slots are (2)(4); an unchecked Td/Th up to 15 used to escape
+    // as ArrayIndexOutOfBounds, past the scan pipeline's corrupt-row catch
+    val good = ImageCodecs.encodeJpeg(16, 16, (x, y) => x * y)
+    val sos = good.indexOfSlice(Seq(0xFF.toByte, 0xDA.toByte))
+    assert(sos >= 0, "fixture has no SOS marker")
+    val bad = good.clone()
+    bad(sos + 6) = 0xFF.toByte // first component's Td/Th byte → 15/15
+    intercept[IllegalArgumentException] { ImageCodecs.decodeJpeg(bad) }
+  }
+
+  test("zero-length marker segment fails instead of looping forever") {
+    // FF D8 (SOI), FF E5 (APPn) with length 0x0000 — the old walk did
+    // `p += u16(p)` and spun on the same offset
+    val bytes = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE5.toByte, 0x00, 0x00, 0x41, 0x42)
+    intercept[IllegalArgumentException] { ImageCodecs.decodeJpeg(bytes) }
+  }
 }

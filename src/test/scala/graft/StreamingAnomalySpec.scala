@@ -50,6 +50,40 @@ class StreamingAnomalySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sub-ms events: stream orders by µs like the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10 warmup events at distinct ms, then 5 events inside ONE
+    // millisecond whose tie order is the REVERSE of their µs order — an
+    // ms-truncated sort would process them by tie and diverge from the
+    // batch operator's unix_micros ordering (different n/ring at the
+    // spike → different flagged row)
+    def us(micro: Int, tie: Long, v: Double): Row4 = {
+      val t = ts(11) // all in the same millisecond
+      t.setNanos(micro * 1000)
+      Row4(1L, t, v, tie)
+    }
+    val obs = (1 to 10).map(i => Row4(1L, ts(i), 10.0 + (i % 3), i.toLong)) ++
+      Seq(us(100, 20L, 500.0), us(200, 19L, 10.0),
+        us(300, 18L, 11.0), us(400, 17L, 12.0), us(500, 16L, 10.0))
+    val batch = Historian.rollingAnomalies(
+      obs.toDF("k", "t", "v", "id"), col("k"), col("t"), col("v"), col("id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "sub-ms fixture produced no anomalies — vacuous")
+
+    val input = MemoryStream[Row4]
+    val out = StreamingAnomaly.anomalies(
+      input.toDS().toDF("k", "ts", "value", "tie"))
+    val query = out.writeStream.format("memory").queryName("sanom_subms")
+      .outputMode("append").start()
+    try {
+      input.addData(obs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sanom_subms")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"sub-ms parity: stream $streamed vs batch $batch")
+    } finally query.stop()
+  }
+
   test("state ring stays bounded: early history beyond lookback is forgotten") {
     implicit val sqlCtx = spark.sqlContext
     // device with a level shift: old level leaves the 5-obs ring, so a

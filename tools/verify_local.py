@@ -2,7 +2,15 @@
 """Local mirror of the driver's correctness gate: read each Verify output
 parquet, run the matching oracle SQL in DuckDB over the same sf dir, and
 compare (rows sorted, columns sorted by name). Usage:
-    python3 tools/verify_local.py <sfDir> <verifyOutDir>
+    python3 tools/verify_local.py <sfDir> <verifyOutDir> [--dtypes]
+
+--dtypes adds the oracle-type-hygiene lint: the driver's hash keys on
+dtype, so an oracle column that DuckDB promotes (SUM(BIGINT) -> HUGEINT,
+AVG -> DECIMAL, integer '/' -> ...) FAILS the round even when every value
+matches. The lint compares each oracle column's surfaced pandas dtype
+against the Spark parquet's and fails on any numeric-kind mismatch
+(int64 vs float64/object/decimal), which is exactly how round 6 lost its
+only red row (q148).
 """
 import json, sys, glob, os
 import duckdb
@@ -20,7 +28,24 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def dtype_mismatches(g, w):
+    """Columns whose oracle dtype would hash differently from Spark's.
+
+    The driver surfaces DuckDB HUGEINT as float64 or object and DECIMAL as
+    object — any of those against a Spark int64/float64 flips the hash.
+    The comparison is on dtype KIND (int/float/object/bool/datetime), not
+    width: int32 vs int64 hashes identically driver-side (q23 is green),
+    while int64 vs float64/object is exactly how q148 went red in r6.
+    """
+    bad = []
+    for c in g.columns:
+        gk, wk = g[c].dtype.kind, w[c].dtype.kind
+        if gk == wk or {gk, wk} <= {"i", "u"}:
+            continue
+        bad.append((c, f"spark={g[c].dtype}", f"oracle={w[c].dtype}"))
+    return bad
+
+def main(sf_dir, out_dir, check_dtypes=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -38,6 +63,10 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         g, w = norm(got), norm(want)
+        if check_dtypes:
+            bad = dtype_mismatches(g, w)
+            if bad:
+                print(f"FAIL {name}: dtype mismatch {bad}"); n_fail += 1; continue
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}"); n_fail += 1; continue
         if len(g) != len(w):
@@ -59,4 +88,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--dtypes"]
+    sys.exit(main(args[0], args[1], check_dtypes="--dtypes" in sys.argv))
