@@ -24,38 +24,66 @@ object GraphOps {
     * guarantees outdeg ≥ 1 for every node — no dangling-mass special
     * case.
     *
-    * Scale shape: `(src, dst, outdeg_src)` is computed once, persisted,
-    * and hash-partitioned by src; each round is one keyed join
-    * (ranks ⋈ edges on src) + one keyed aggregation (on dst) — the same
-    * two shuffle primitives per round regardless of graph size, and the
-    * rank frontier is node-sized, never edge-sized. Every `checkpointEvery`
-    * rounds the node-sized rank frontier is snapshotted (reliable parquet
-    * under the session checkpoint dir, else `localCheckpoint`) and the
-    * superseded snapshot reclaimed — plan depth and snapshot storage stay
-    * constant no matter how many rounds run, so `iters` = 30+ is safe.
+    * Scale shape: `(src, dst, outdeg_src)` is computed once and
+    * hash-clustered on src — in-memory (`repartition(src).persist()`,
+    * the default) or, with `adjacencyTable` set, written ONCE through
+    * [[graft.sources.Storage.writeSrcBucketed]] and re-read per round:
+    * the bucketed scan carries the same src distribution without an
+    * Exchange AND without requiring the edge set to fit in cluster
+    * memory (the cache path degrades to lineage recompute under
+    * pressure; the bucketed table just re-scans its parquet buckets) —
+    * that is the 100 TB form. Each round is one keyed join
+    * (ranks ⋈ edges on src) + one keyed aggregation (on dst), and the
+    * rank frontier is node-sized, never edge-sized. When the node count
+    * (counted once, up front) is at most `broadcastFrontierMaxNodes`,
+    * the per-round join ships the frontier as a BROADCAST instead of
+    * shuffling it — eliminating one of the two exchanges per round; a
+    * billion-node graph exceeds the threshold and keeps the shuffled
+    * join (both forms are integer-sum order-invariant, so the result is
+    * bit-identical either way). Every `checkpointEvery` rounds the
+    * node-sized rank frontier is snapshotted (reliable parquet under
+    * the session checkpoint dir, else `localCheckpoint`) and the
+    * superseded snapshot reclaimed — plan depth and snapshot storage
+    * stay constant no matter how many rounds run, so `iters` = 30+ is
+    * safe.
     *
     * At 1e9+ nodes, lower `scale` (total mass `nodes * scale` must stay
     * well under 2^63; 1e6 leaves 9e3 headroom at a billion nodes).
     */
   def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
-                  dampNum: Long = 85L, checkpointEvery: Int = 10): DataFrame = {
+                  dampNum: Long = 85L, checkpointEvery: Int = 10,
+                  broadcastFrontierMaxNodes: Long = 4000000L,
+                  adjacencyTable: Option[(String, String)] = None): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100 && checkpointEvery >= 1)
-    val snaps = new Dedup.RoundSnapshots(edges.sparkSession)
+    val spark = edges.sparkSession
+    val snaps = new Dedup.RoundSnapshots(spark)
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
       .distinct()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adj = sym.join(deg, "src")
+    val adjRaw = sym.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src"))
-      .persist()
+    val adj = adjacencyTable match {
+      case Some((tableName, path)) =>
+        graft.sources.Storage.writeSrcBucketed(adjRaw, tableName, path)
+        spark.table(tableName)
+      case None =>
+        adjRaw.repartition(col("src")).persist()
+    }
 
     val base = lit((100L - dampNum) * scale / 100L)
-    var ranks = adj.select(col("src").as("node")).distinct()
+    val frontier0 = adj.select(col("src").as("node")).distinct()
       .withColumn("rank_fp", lit(scale))
+      .persist()
+    // one up-front action: materializes the frontier (and the cached
+    // adjacency behind it) and sizes the broadcast decision
+    val nNodes = frontier0.count()
+    val small = nNodes <= broadcastFrontierMaxNodes
+    var ranks = frontier0
     var lastSnap: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val next = adj.join(ranks, col("src") === col("node"))
+      val next = adj.join(if (small) broadcast(ranks) else ranks,
+          col("src") === col("node"))
         .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg((base + expr(s"($dampNum * sum(contrib)) div 100")).as("rank_fp"))

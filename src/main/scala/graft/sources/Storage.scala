@@ -146,6 +146,25 @@ object Storage {
       .saveAsTable(tableName)
   }
 
+  /** A graph adjacency `(src, dst, outdeg)` as a TABLE bucketed by
+    * `src` — the iterative-analytics layout
+    * ([[graft.operators.GraphOps.pageRankInt]]): every round's
+    * contribution join reads the bucketed scan's hash distribution
+    * directly, so the edge-sized side of the per-round join never
+    * re-shuffles AND never needs to fit in executor memory — the
+    * cache-based path degrades to lineage recompute under pressure,
+    * the bucketed table just re-scans parquet. Build once per graph;
+    * every iteration (and every later algorithm keyed on src with the
+    * same bucket count) amortizes it.
+    */
+  def writeSrcBucketed(adj: DataFrame, tableName: String, path: String,
+                       buckets: Int = 32): Unit =
+    adj.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, "src")
+      .sortBy("src")
+      .saveAsTable(tableName)
+
   /** Persist a trained model's parameter frame (k-means centroids,
     * classifier (token, weight) rows, …) as single-file parquet with a
     * deterministic row order: training runs on a cluster, but the model

@@ -98,6 +98,56 @@ class FunnelGraphSpec extends SparkSpec {
     assert(snapped.nonEmpty)
   }
 
+  test("pagerank: shuffled-frontier path is bit-identical to broadcast path") {
+    // broadcastFrontierMaxNodes = 0 forces the billion-node form (frontier
+    // shuffled, never broadcast); integer sums are order-invariant so the
+    // two join strategies must agree on every bit
+    val edges = (1L to 50L).map(i => (i, i % 9)).toDF("src", "dst")
+    val bcast = GraphOps.pageRankInt(edges, iters = 5)
+      .as[(Long, Long)].collect().toList
+    val shuffled = GraphOps.pageRankInt(edges, iters = 5,
+      broadcastFrontierMaxNodes = 0L).as[(Long, Long)].collect().toList
+    assert(bcast == shuffled)
+    assert(bcast.nonEmpty)
+  }
+
+  test("pagerank: bucketed adjacency table matches in-memory, no adj-side exchange") {
+    val edges = (1L to 50L).map(i => (i, i % 9)).toDF("src", "dst")
+    val inMem = GraphOps.pageRankInt(edges, iters = 5)
+      .as[(Long, Long)].collect().toList
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-adj").toFile
+    val table = s"pr_adj_${System.nanoTime()}"
+    try {
+      val bucketed = GraphOps.pageRankInt(edges, iters = 5,
+        adjacencyTable = Some((table, new java.io.File(dir, "adj").getPath)))
+        .as[(Long, Long)].collect().toList
+      assert(bucketed == inMem)
+      // the round join must consume the bucketed scan's src distribution
+      // directly. Robust form of "no Exchange on the adjacency side":
+      // the same round shape over a PLAIN parquet copy of the adjacency
+      // needs exactly one more shuffle (its scan has no distribution)
+      def roundExchanges(adj: org.apache.spark.sql.DataFrame): Int = {
+        val frontier = adj.select(col("src").as("node")).distinct()
+          .withColumn("rank_fp", lit(1000000L))
+        val round = adj.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(expr("rank_fp div outdeg")).as("s"))
+        "Exchange hashpartitioning".r
+          .findAllIn(round.queryExecution.executedPlan.toString).length
+      }
+      val plainPath = new java.io.File(dir, "adj_plain").getPath
+      spark.table(table).write.parquet(plainPath)
+      val bucketedEx = roundExchanges(spark.table(table))
+      val plainEx = roundExchanges(spark.read.parquet(plainPath))
+      // bucketed: BOTH join inputs inherit the bucket distribution (the
+      // frontier is derived from the same table), so the only shuffle
+      // left is the final dst aggregation. Plain parquet needs three:
+      // adj side, frontier distinct, dst agg.
+      assert(bucketedEx == 1 && plainEx == 3,
+        s"bucketed adjacency round shape changed " +
+          s"(bucketed=$bucketedEx, plain=$plainEx)")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("triangles: K4 has 4 nodes with 3 triangles each; adding a pendant changes nothing") {
     // complete graph on {1,2,3,4} = 4 triangles, each node in 3
     val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j))
