@@ -501,19 +501,23 @@ object Multimodal {
       b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
         (b(2) & 0xFF) == 0xFF
 
-    /** Hand-written BASELINE JPEG decoder (ITU-T T.81 sequential DCT,
-      * 8-bit, Huffman) — closes the round-5 decodeStub boundary for the
-      * one ubiquitous format it still covered. Full pipeline: marker
-      * walk (DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped), canonical Huffman
+    /** Hand-written JPEG decoder (ITU-T T.81, 8-bit Huffman): BASELINE
+      * sequential DCT (SOF0/SOF1) and — round 7 — PROGRESSIVE DCT
+      * (SOF2, Annex G: spectral selection + successive approximation;
+      * real crawl data is heavily progressive). Full pipeline: marker
+      * walk (DQT/DHT/SOF/DRI/SOS, APPn/COM skipped), canonical Huffman
       * decode (mincode/maxcode/valptr exactly as T.81 F.2.2.3), byte-
       * stuffing and restart markers in the bit reader, DC prediction +
-      * EXTEND, AC run-length with ZRL/EOB, dequantize, de-zigzag,
-      * separable double-precision IDCT, chroma upsampling by sample
-      * replication for any (h,v) factors (4:2:0/4:2:2/4:4:4), BT.601
-      * YCbCr→RGB. Grayscale (1-component) and YCbCr (3-component)
-      * frames; progressive (SOF2) and arithmetic coding are rejected
-      * loudly. Cross-checked pixel-by-pixel against the JDK's own JPEG
-      * decoder in JpegCodecSpec — T.81 permits small IDCT variation
+      * EXTEND, AC run-length with ZRL/EOB (plus EOBn runs and
+      * correction-bit refinement for progressive scans, G.1.2.2-G.1.2.3),
+      * dequantize, de-zigzag, separable double-precision IDCT, triangle
+      * chroma upsampling, BT.601 YCbCr→RGB. Grayscale (1-component) and
+      * YCbCr (3-component) frames; hierarchical/lossless/arithmetic
+      * frames are rejected loudly. Progressive scans accumulate into
+      * per-component coefficient buffers (one Int per coefficient — the
+      * same memory class as the output planes) and a single IDCT pass
+      * runs at EOI. Cross-checked pixel-by-pixel against the JDK's own
+      * JPEG decoder in JpegCodecSpec — T.81 permits small IDCT variation
       * between conforming decoders, so the pin is a tight tolerance,
       * not bit equality (the other hand codecs ARE bit-pinned; lossy
       * JPEG is the one place the spec itself says decoders may differ).
@@ -546,21 +550,295 @@ object Multimodal {
       final case class Comp(id: Int, h: Int, v: Int, tq: Int,
                             var dcTab: Int = 0, var acTab: Int = 0,
                             var pred: Int = 0, var plane: Array[Int] = null,
-                            var planeW: Int = 0, var planeH: Int = 0)
+                            var planeW: Int = 0, var planeH: Int = 0,
+                            var coefs: Array[Int] = null)
       var width = 0; var height = 0
       var comps: Array[Comp] = null
       var restartInterval = 0
       var scanStart = -1
+      var progressive = false
+      var maxH = 1; var maxV = 1; var mcusX = 0; var mcusY = 0
+
+      // --- entropy-coded bit reader with stuffing + restart handling ---
+      var bp = 0
+      var bitBuf = 0; var bitCnt = 0
+      var eobrun = 0
+      def fillBit(): Int = {
+        if (bitCnt == 0) {
+          require(bp < b.length, "truncated scan data")
+          var byte = u8(bp); bp += 1
+          if (byte == 0xFF) {
+            val nxt = u8(bp)
+            if (nxt == 0x00) bp += 1 // stuffed data byte
+            else {
+              // a real marker ends the entropy segment: pad with zeros
+              // (trailing partial MCU / scan over-read, T.81 F.1.2.3)
+              // and leave bp ON the FF so the marker walk resumes here
+              require(nxt == 0xD9 || progressive, f"unexpected marker $nxt%02x in scan")
+              bp -= 1
+              byte = 0
+            }
+          }
+          bitBuf = byte; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | fillBit(); i += 1 }; v }
+      def extend(v: Int, n: Int): Int = if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+      def decodeHuff(hf: Huff): Int = {
+        require(hf != null, "scan uses undefined Huffman table")
+        var code = fillBit(); var l = 1
+        while (l <= 16 && (hf.maxCode(l) < 0 || code > hf.maxCode(l))) {
+          code = (code << 1) | fillBit(); l += 1
+        }
+        require(l <= 16, "invalid Huffman code")
+        hf.values(hf.valPtr(l) + code - hf.minCode(l))
+      }
+      def restart(): Unit = {
+        bitCnt = 0
+        require(bp + 1 < b.length && u8(bp) == 0xFF && (u8(bp + 1) & 0xF8) == 0xD0,
+          "RST marker expected")
+        bp += 2
+        comps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+      // COS(a)(u) = C(u)·cos((2a+1)uπ/16) — the constant halves of the
+      // separable IDCT, hoisted out of the per-block loops
+      val COS = Array.tabulate(8, 8) { (a, u) =>
+        (if (u == 0) 0.70710678118654752 else 1.0) *
+          math.cos((2 * a + 1) * u * math.Pi / 16)
+      }
+      // qt is stored in zigzag order (DQT streams it that way); coef
+      // buffers are natural order after de-zigzag — map natural index
+      // back to its zigzag position for the dequantize multiply
+      lazy val zigInv: Array[Int] = { val a = new Array[Int](64); var i = 0; while (i < 64) { a(Zigzag(i)) = i; i += 1 }; a }
+      def zigOf(natural: Int): Int = zigInv(natural)
+      val blk = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      def idct8x8(m: Array[Double], t: Array[Double]): Unit = {
+        var u = 0
+        while (u < 8) { // rows: sum over v for each output x
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += COS(x)(v) * m(u * 8 + v); v += 1 }
+            t(u * 8 + x) = acc / 2
+            x += 1
+          }
+          u += 1
+        }
+        var x = 0
+        while (x < 8) { // columns: sum over u for each output y
+          var y = 0
+          while (y < 8) {
+            var acc = 0.0
+            var u2 = 0
+            while (u2 < 8) { acc += COS(y)(u2) * t(u2 * 8 + x); u2 += 1 }
+            m(y * 8 + x) = acc / 2
+            y += 1
+          }
+          x += 1
+        }
+      }
+      /** Dequantize (natural-order coefficients at `off`) + IDCT +
+        * level-shift into the component plane at block (bx, by) — shared
+        * by the sequential per-block path and the progressive final pass.
+        */
+      def outputBlock(c: Comp, coefArr: Array[Int], off: Int, bx: Int, by: Int): Unit = {
+        val q = qt(c.tq)
+        var i = 0
+        while (i < 64) { blk(i) = coefArr(off + i).toDouble * q(zigOf(i)); i += 1 }
+        idct8x8(blk, tmp)
+        val x0 = bx * 8; val y0 = by * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val v = math.round(blk(yy * 8 + xx) + 128.0).toInt
+            c.plane((y0 + yy) * c.planeW + (x0 + xx)) =
+              if (v < 0) 0 else if (v > 255) 255 else v
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+
+      /** One progressive scan (T.81 Annex G): a DC scan (interleaved
+        * over MCUs when it carries several components) or a single-
+        * component AC scan in block-raster order over the component's
+        * TRUE (unpadded) block grid (A.2.2). `ah == 0` scans establish
+        * coefficients at approximation `al`; `ah > 0` scans append one
+        * correction bit per coefficient (G.1.2.3). Coefficients
+        * accumulate in each component's natural-order `coefs` buffer;
+        * the IDCT runs once at EOI. Returns the byte position of the
+        * next marker's 0xFF.
+        */
+      def progressiveScan(scanComps: Array[Comp], ss: Int, se: Int,
+                          ah: Int, al: Int, dataStart: Int): Int = {
+        require(ss >= 0 && se <= 63 && ss <= se, s"bad spectral range $ss..$se")
+        require(ah <= 13 && al <= 13, "bad approximation bits")
+        if (ss == 0) require(se == 0, "progressive DC scan must have Se = 0")
+        else require(scanComps.length == 1, "progressive AC scan must be single-component")
+        bp = dataStart; bitBuf = 0; bitCnt = 0
+        eobrun = 0
+        comps.foreach(_.pred = 0)
+        var mcu = 0
+        def maybeRestart(): Unit =
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+
+        def dcScan(c: Comp, bi: Int): Unit =
+          if (ah == 0) {
+            val t = decodeHuff(huff(0)(c.dcTab))
+            require(t <= 11, "bad DC category")
+            c.pred += extend(receive(t), t)
+            c.coefs(bi * 64) = c.pred << al
+          } else if (fillBit() == 1) c.coefs(bi * 64) |= (1 << al)
+
+        def acFirst(c: Comp, bi: Int): Unit =
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var stop = false
+            while (!stop && k <= se) {
+              val rs = decodeHuff(huff(1)(c.acTab))
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                // EOBn: this block ends; (2^r − 1 + bits) MORE blocks end
+                if (r < 15) {
+                  eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+                  stop = true
+                } else k += 16 // ZRL
+              } else {
+                k += r
+                require(k <= se, "AC run past spectral end")
+                c.coefs(bi * 64 + Zigzag(k)) = extend(receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+
+        // G.1.2.3: correction bits ride along with newly significant
+        // coefficients, and EOB-covered blocks still carry correction
+        // bits for their already-nonzero coefficients
+        def acRefine(c: Comp, bi: Int): Unit = {
+          val p1 = 1 << al; val m1 = -1 << al
+          val base = bi * 64
+          def correct(idx: Int): Unit = {
+            val v = c.coefs(idx)
+            if (fillBit() == 1 && (v & p1) == 0)
+              c.coefs(idx) = if (v > 0) v + p1 else v + m1
+          }
+          if (eobrun > 0) {
+            var k = ss
+            while (k <= se) {
+              val idx = base + Zigzag(k)
+              if (c.coefs(idx) != 0) correct(idx)
+              k += 1
+            }
+            eobrun -= 1
+          } else {
+            var k = ss
+            while (k <= se) {
+              val rs = decodeHuff(huff(1)(c.acTab))
+              var r = rs >> 4; val s = rs & 15
+              var newVal = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+                  r = 64 // no new coefficient this block: refine through Se
+                }
+              } else {
+                require(s == 1, "bad AC refinement magnitude")
+                newVal = if (fillBit() == 1) p1 else m1
+              }
+              var placed = false
+              while (!placed && k <= se) {
+                val idx = base + Zigzag(k)
+                if (c.coefs(idx) != 0) correct(idx)
+                else if (r == 0) { if (newVal != 0) c.coefs(idx) = newVal; placed = true }
+                else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+
+        if (ss == 0 && scanComps.length > 1) {
+          // interleaved DC scan: MCU order, exactly like sequential
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              scanComps.foreach { c =>
+                val bw = c.planeW / 8
+                var vv = 0
+                while (vv < c.v) {
+                  var hh = 0
+                  while (hh < c.h) {
+                    dcScan(c, (my * c.v + vv) * bw + (mx * c.h + hh))
+                    hh += 1
+                  }
+                  vv += 1
+                }
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          val c = scanComps(0)
+          val bw = c.planeW / 8
+          val cw = (width * c.h + maxH - 1) / maxH
+          val ch = (height * c.v + maxV - 1) / maxV
+          val nbx = (cw + 7) / 8; val nby = (ch + 7) / 8
+          var by = 0
+          while (by < nby) {
+            var bx = 0
+            while (bx < nbx) {
+              maybeRestart()
+              val bi = by * bw + bx
+              if (ss == 0) dcScan(c, bi)
+              else if (ah == 0) acFirst(c, bi) else acRefine(c, bi)
+              mcu += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        // resume the marker walk at the next true marker: skip stuffed
+        // FF00, restarts FFD0-FFD7, and FF fill bytes
+        var q = math.max(dataStart, bp - 1)
+        var found = -1
+        while (found < 0) {
+          require(q + 1 < b.length, "scan data ran past end of stream")
+          if (u8(q) != 0xFF) q += 1
+          else {
+            val nxt = u8(q + 1)
+            if (nxt == 0x00 || (nxt & 0xF8) == 0xD0) q += 2
+            else if (nxt == 0xFF) q += 1
+            else found = q
+          }
+        }
+        found
+      }
 
       var p = 2
       var sawSof = false
-      while (scanStart < 0) {
+      var done = false
+      while (!done) {
         require(u8(p) == 0xFF, f"marker expected at $p, got ${u8(p)}%02x")
         val m = u8(p + 1)
         p += 2
         m match {
           case 0xD8 => // stray SOI — ignore
-          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+          case 0xC0 | 0xC1 | 0xC2 => // sequential (baseline/extended) or progressive
+            require(!sawSof, "duplicate SOF")
+            progressive = m == 0xC2
             val len = segLen(p)
             require(u8(p + 2) == 8, "only 8-bit precision supported")
             height = u16(p + 3); width = u16(p + 5)
@@ -576,9 +854,19 @@ object Multimodal {
               require(c.tq < 4, "bad quant table id")
               c
             }
+            maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+            mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+            comps.foreach { c =>
+              c.planeW = mcusX * c.h * 8; c.planeH = mcusY * c.v * 8
+              require(c.planeW.toLong * c.planeH <= (1L << 26), "implausible plane size")
+              c.plane = new Array[Int](c.planeW * c.planeH)
+              // progressive scans accumulate coefficients across scans;
+              // the IDCT runs once at EOI
+              if (progressive) c.coefs = new Array[Int](c.planeW * c.planeH)
+            }
             sawSof = true
             p += len
-          case 0xC2 => throw new IllegalArgumentException("progressive JPEG not supported")
           case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             throw new IllegalArgumentException(f"unsupported SOF marker $m%02x")
           case 0xDB => // DQT
@@ -626,9 +914,8 @@ object Multimodal {
             require(sawSof, "SOS before SOF")
             val len = segLen(p)
             val ns = u8(p + 2)
-            require(ns == comps.length, "scan/frame component mismatch")
-            var i = 0
-            while (i < ns) {
+            require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
+            val scanComps = Array.tabulate(ns) { i =>
               val cs = u8(p + 3 + 2 * i); val tt = u8(p + 4 + 2 * i)
               val c = comps.find(_.id == cs).getOrElse(
                 throw new IllegalArgumentException(s"scan references unknown component $cs"))
@@ -637,77 +924,27 @@ object Multimodal {
               // catch (IllegalArgumentException | IOException)
               require((tt >> 4) <= 3 && (tt & 15) <= 3, s"bad scan table ids $tt")
               c.dcTab = tt >> 4; c.acTab = tt & 15
-              i += 1
+              c
             }
-            scanStart = p + len
-          case 0xD9 => throw new IllegalArgumentException("EOI before scan data")
+            if (!progressive) {
+              require(ns == comps.length, "scan/frame component mismatch")
+              scanStart = p + len
+              done = true
+            } else {
+              val ss = u8(p + 3 + 2 * ns); val se = u8(p + 4 + 2 * ns)
+              val aa = u8(p + 5 + 2 * ns)
+              p = progressiveScan(scanComps, ss, se, aa >> 4, aa & 15, p + len)
+            }
+          case 0xD9 => // EOI: ends a progressive stream; early otherwise
+            require(progressive && sawSof, "EOI before scan data")
+            done = true
           case _ => // APPn, COM, anything else with a length field
             p += segLen(p)
         }
       }
 
-      val maxH = comps.map(_.h).max; val maxV = comps.map(_.v).max
-      val mcuW = 8 * maxH; val mcuH = 8 * maxV
-      val mcusX = (width + mcuW - 1) / mcuW
-      val mcusY = (height + mcuH - 1) / mcuH
-      comps.foreach { c =>
-        c.planeW = mcusX * c.h * 8; c.planeH = mcusY * c.v * 8
-        require(c.planeW.toLong * c.planeH <= (1L << 26), "implausible plane size")
-        c.plane = new Array[Int](c.planeW * c.planeH)
-      }
-
-      // --- entropy-coded bit reader with stuffing + restart handling ---
-      var bp = scanStart   // byte position
-      var bitBuf = 0; var bitCnt = 0
-      def fillBit(): Int = {
-        if (bitCnt == 0) {
-          require(bp < b.length, "truncated scan data")
-          var byte = u8(bp); bp += 1
-          if (byte == 0xFF) {
-            val nxt = u8(bp)
-            if (nxt == 0x00) bp += 1 // stuffed data byte
-            else if (nxt == 0xD9) byte = 0 // EOI: pad with zeros (trailing partial MCU)
-            else throw new IllegalArgumentException(f"unexpected marker $nxt%02x in scan")
-          }
-          bitBuf = byte; bitCnt = 8
-        }
-        bitCnt -= 1
-        (bitBuf >> bitCnt) & 1
-      }
-      def receive(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | fillBit(); i += 1 }; v }
-      def extend(v: Int, n: Int): Int = if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
-      def decodeHuff(hf: Huff): Int = {
-        require(hf != null, "scan uses undefined Huffman table")
-        var code = fillBit(); var l = 1
-        while (l <= 16 && (hf.maxCode(l) < 0 || code > hf.maxCode(l))) {
-          code = (code << 1) | fillBit(); l += 1
-        }
-        require(l <= 16, "invalid Huffman code")
-        hf.values(hf.valPtr(l) + code - hf.minCode(l))
-      }
-      def restart(): Unit = {
-        bitCnt = 0
-        require(bp + 1 < b.length && u8(bp) == 0xFF && (u8(bp + 1) & 0xF8) == 0xD0,
-          "RST marker expected")
-        bp += 2
-        comps.foreach(_.pred = 0)
-      }
-
-      // COS(a)(u) = C(u)·cos((2a+1)uπ/16) — the constant halves of the
-      // separable IDCT, hoisted out of the per-block loops
-      val COS = Array.tabulate(8, 8) { (a, u) =>
-        (if (u == 0) 0.70710678118654752 else 1.0) *
-          math.cos((2 * a + 1) * u * math.Pi / 16)
-      }
-      // qt is stored in zigzag order (DQT streams it that way); blk is
-      // natural order after de-zigzag — map natural index back to its
-      // zigzag position for the dequantize multiply
-      lazy val zigInv: Array[Int] = { val a = new Array[Int](64); var i = 0; while (i < 64) { a(Zigzag(i)) = i; i += 1 }; a }
-      def zigOf(natural: Int): Int = zigInv(natural)
-      // --- per-block decode: huffman → dequant → de-zigzag → IDCT ---
+      // --- decode passes ---
       val coef = new Array[Int](64)
-      val blk = new Array[Double](64)
-      val tmp = new Array[Double](64)
       def decodeBlock(c: Comp, bx: Int, by: Int): Unit = {
         java.util.Arrays.fill(coef, 0)
         val t = decodeHuff(huff(0)(c.dcTab))
@@ -727,73 +964,49 @@ object Multimodal {
             k += 1
           }
         }
-        val q = qt(c.tq)
-        var i = 0
-        while (i < 64) { blk(i) = coef(i).toDouble * q(zigOf(i)); i += 1 }
-        idct8x8(blk, tmp)
-        val x0 = bx * 8; val y0 = by * 8
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            val v = math.round(blk(yy * 8 + xx) + 128.0).toInt
-            c.plane((y0 + yy) * c.planeW + (x0 + xx)) =
-              if (v < 0) 0 else if (v > 255) 255 else v
-            xx += 1
-          }
-          yy += 1
-        }
+        outputBlock(c, coef, 0, bx, by)
       }
 
-      def idct8x8(m: Array[Double], t: Array[Double]): Unit = {
-        var u = 0
-        while (u < 8) { // rows: sum over v for each output x
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += COS(x)(v) * m(u * 8 + v); v += 1 }
-            t(u * 8 + x) = acc / 2
-            x += 1
-          }
-          u += 1
-        }
-        var x = 0
-        while (x < 8) { // columns: sum over u for each output y
-          var y = 0
-          while (y < 8) {
-            var acc = 0.0
-            var u2 = 0
-            while (u2 < 8) { acc += COS(y)(u2) * t(u2 * 8 + x); u2 += 1 }
-            m(y * 8 + x) = acc / 2
-            y += 1
-          }
-          x += 1
-        }
-      }
-
-      // --- MCU loop with restart intervals ---
-      var mcu = 0
-      var my = 0
-      while (my < mcusY) {
-        var mx = 0
-        while (mx < mcusX) {
-          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
-          comps.foreach { c =>
-            var v = 0
-            while (v < c.v) {
-              var h = 0
-              while (h < c.h) {
-                decodeBlock(c, mx * c.h + h, my * c.v + v)
-                h += 1
+      if (!progressive) {
+        // --- sequential: single interleaved scan, MCU loop with restarts ---
+        bp = scanStart; bitBuf = 0; bitCnt = 0
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+            comps.foreach { c =>
+              var v = 0
+              while (v < c.v) {
+                var h = 0
+                while (h < c.h) {
+                  decodeBlock(c, mx * c.h + h, my * c.v + v)
+                  h += 1
+                }
+                v += 1
               }
-              v += 1
             }
+            mcu += 1
+            mx += 1
           }
-          mcu += 1
-          mx += 1
+          my += 1
         }
-        my += 1
+      } else {
+        // --- progressive: every scan already accumulated into coefs;
+        // dequantize + IDCT exactly once per block ---
+        comps.foreach { c =>
+          val bw = c.planeW / 8; val bh = c.planeH / 8
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              outputBlock(c, c.coefs, (by * bw + bx) * 64, bx, by)
+              bx += 1
+            }
+            by += 1
+          }
+        }
       }
 
       // --- upsample each component to full resolution ---

@@ -154,12 +154,95 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ImageCodecs.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
     }
-    // progressive rejection: flip SOF0 to SOF2 in an otherwise valid file
+    // SOF0 flipped to SOF2: the file then claims progressive but carries
+    // a sequential scan header (Ss=0, Se=63 — illegal for a progressive
+    // DC scan), which the scan validation must reject
     val idx = good.indexOfSlice(Seq(0xFF.toByte, 0xC0.toByte))
     if (idx >= 0) {
       val prog = good.clone(); prog(idx + 1) = 0xC2.toByte
       intercept[IllegalArgumentException] { ImageCodecs.decodeJpeg(prog) }
     }
+  }
+
+  /** A real progressive JPEG via the JDK writer's progressive mode
+    * (the IJG standard scan script: interleaved DC first, then per-
+    * component AC spectral-selection and successive-approximation
+    * passes).
+    */
+  private def encodeProgressive(img: java.awt.image.BufferedImage,
+                                quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    assert(bytes.indexOfSlice(Seq(0xFF.toByte, 0xC2.toByte)) >= 0,
+      "fixture is not progressive (no SOF2) — writer ignored progressive mode")
+    bytes
+  }
+
+  private def rgbImage(w: Int, h: Int, rgb: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    img
+  }
+
+  test("progressive: gradient agrees with the JDK decoder") {
+    val bytes = encodeProgressive(rgbImage(64, 48,
+      (x, y) => ((x * 4) << 16) | ((y * 5) << 8) | ((x + y) * 2 & 0xFF)))
+    val (maxD, meanD) = diffStats(bytes)
+    assert(maxD <= 4, s"max channel diff $maxD")
+    assert(meanD < 0.6, s"mean channel diff $meanD")
+  }
+
+  test("progressive: deterministic noise (worst case for EOB runs + refinement)") {
+    val px = lcg(7L).take(40 * 24 * 3).toArray
+    val bytes = encodeProgressive(rgbImage(40, 24, (x, y) => {
+      val o = 3 * (y * 40 + x); (px(o) << 16) | (px(o + 1) << 8) | px(o + 2)
+    }))
+    val (maxD, meanD) = diffStats(bytes)
+    assert(maxD <= 4, s"max channel diff $maxD")
+    assert(meanD < 0.7, s"mean channel diff $meanD")
+  }
+
+  test("progressive: non-multiple-of-MCU dimensions (padded-block bookkeeping)") {
+    val bytes = encodeProgressive(rgbImage(37, 23, (x, y) => (x * 7 + y * 3) & 0xFF))
+    val (maxD, _) = diffStats(bytes)
+    assert(maxD <= 4, s"max channel diff $maxD")
+  }
+
+  test("progressive: quality sweep tracks the JDK across quantization levels") {
+    for (q <- Seq(0.3f, 0.75f, 0.95f)) {
+      val bytes = encodeProgressive(rgbImage(48, 32,
+        (x, y) => ((x * y) & 0xFF) << 16 | ((x * 3) & 0xFF) << 8 | ((y * 5) & 0xFF)), q)
+      val (maxD, _) = diffStats(bytes)
+      assert(maxD <= 4, s"quality $q: max channel diff $maxD")
+    }
+  }
+
+  test("progressive: grayscale single-component scan script") {
+    val img = new java.awt.image.BufferedImage(33, 21,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 21; x <- 0 until 33) {
+      val g = (x * 8 + y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bytes = encodeProgressive(img)
+    val ours = ImageCodecs.decodeJpeg(bytes)
+    val ref = jdkDecode(bytes)
+    var maxD = 0
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      val d = math.abs((ours.rgb(x, y) & 0xFF) - ref.getRaster.getSample(x, y, 0))
+      maxD = math.max(maxD, d)
+    }
+    assert(maxD <= 4, s"max gray sample diff $maxD")
   }
 
   test("SOS with out-of-range Huffman table ids fails as IllegalArgument") {
