@@ -101,6 +101,47 @@ object GraphOps {
     out
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made DETERMINISTIC so an iterative community structure can be
+    * oracle-verified: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label (classic LPA breaks ties randomly, which is
+    * useless for a reproducible pipeline — the smallest-label rule makes
+    * every round a pure function of the graph). Fixed `rounds`
+    * (asynchronous/converged LPA is order-dependent by construction and
+    * cannot be made engine-invariant).
+    *
+    * Scale shape: the q138 pattern — edges symmetrized and persisted
+    * once; each round is one keyed join (labels ⋈ edges on src) + one
+    * (dst, label) count + one per-node argmax, all on integer counts, so
+    * the result is partition- and engine-invariant. The label frontier
+    * is node-sized. The argmax is `max(struct(cnt, -label))` — a single
+    * aggregation, no window sort.
+    *
+    * Output: (node, label) — nodes sharing a label are one community.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    // drop self loops BEFORE symmetrizing — a filter after only one
+    // union branch would let (v, v) back in through the swapped side
+    val base = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val sym = base
+      .union(base.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+    }
+    labels
+  }
+
   /** Per-node triangle participation counts via DEGREE-ORIENTED wedge
     * closure (the compact-forward / Schank-Wagner orientation): orient
     * every undirected edge from its (degree, id)-smaller endpoint to the

@@ -111,6 +111,68 @@ object Historian {
     * shuffle (the entity partition); everything else is the running sums.
     * Output: flagged rows only — (k, tie, q, n, dev2, bound).
     */
+  /** Per-key OLS trend slope with EXACT integer sufficient statistics:
+    * x = whole seconds since the key's first observation, y = the
+    * q148-style quantization round_even(value·2¹⁰). Emits the exact
+    * numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² as BIGINTs
+    * (cross-engine hash-exact — comparing two slopes compares two exact
+    * rationals) plus the one IEEE division for human consumption.
+    *
+    * Overflow budget: x ≤ time-range seconds (~3·10⁶ for a month),
+    * |q| ≤ |value|·2¹⁰; with per-key n ≤ 10⁴ the worst product
+    * n·Σx² ≈ 10⁴·10⁴·(3·10⁶)² ≈ 2⁶⁰ stays in Long. Scale shape: one
+    * keyed window (the min-ts baseline) + one keyed aggregation.
+    */
+  def trendSlope(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy("k")
+    val b = df
+      .select(key.as("k"), unix_micros(ts).as("tus"),
+        bround(value * 1024, 0).cast(LongType).as("q"))
+      .withColumn("mintus", min(col("tus")).over(w))
+      .withColumn("x", expr("(tus - mintus) div 1000000"))
+    b.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("q")).as("sy"),
+        sum(col("x") * col("q")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope",
+        when(col("den") > 0,
+          col("num").cast(DoubleType) / col("den").cast(DoubleType)))
+  }
+
+  /** CUSUM change-point per key: the observation index maximizing the
+    * n-scaled cumulative deviation |n·S_i − i·S_n| (S = prefix sum of
+    * quantized values in (ts, tiebreak) order) — the classic "where did
+    * the level shift" statistic with the division by n multiplied out,
+    * so the argmax is over exact integers and ties resolve to the
+    * EARLIEST index identically in every engine. Output: (k, n, cut_i,
+    * cut_tie, dev).
+    *
+    * Scale shape: one keyed window (prefix sum) + one keyed total + one
+    * keyed argmax — all on the same key partitioning, and the argmax is
+    * a max(struct) aggregation, not a sort.
+    */
+  def cusumChangepoint(df: DataFrame, key: Column, ts: Column, value: Column,
+                       tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("tus", "tie")
+    val p = df
+      .select(key.as("k"), unix_micros(ts).as("tus"),
+        bround(value * 1024, 0).cast(LongType).as("q"), tiebreak.as("tie"))
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("s", sum(col("q")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = p.groupBy(col("k").as("tk"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("tot"))
+    p.join(tot, col("k") === col("tk"))
+      .select(col("k"), col("n"), col("i"), col("tie"),
+        abs(col("n") * col("s") - col("i") * col("tot")).as("dev"))
+      .groupBy("k")
+      .agg(first(col("n")).as("n"),
+        max(struct(col("dev"), (-col("i")).as("ni"), col("tie").as("t"))).as("m"))
+      .select(col("k"), col("n"), (-col("m.ni")).as("cut_i"),
+        col("m.t").as("cut_tie"), col("m.dev").as("dev"))
+  }
+
   def rollingAnomalies(df: DataFrame, key: Column, ts: Column, value: Column,
                        tiebreak: Column, lookback: Int = 20, minN: Int = 8,
                        kSigma: Int = 3): DataFrame = {

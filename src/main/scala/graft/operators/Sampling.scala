@@ -38,6 +38,29 @@ object Sampling {
       .drop("__sampling_group", "__sampling_rate_bp")
   }
 
+  /** EXACTLY-k per group (deterministic reservoir): rank each group's
+    * rows by (md5Hash32(key), key) — a uniform-without-replacement draw
+    * whose membership is a pure function of the keys, like
+    * [[stratified]] but with a FIXED quota instead of a rate: "200 eval
+    * docs per language" regardless of how skewed the group sizes are.
+    *
+    * Scale: one shuffle on the group key; Spark's WindowGroupLimit
+    * pushes `rn <= k` down to a per-partition top-k before the shuffle,
+    * so a billion-row group moves only k·partitions candidates, never
+    * the group (SamplingSpec pins the optimization into the plan).
+    * Output keeps the input columns + `rn` (1-based draw order — a
+    * stable sub-sample prefix: rows with rn <= j are exactly the
+    * k=j draw).
+    */
+  def reservoirK(df: DataFrame, keyCol: Column, groupCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"reservoir size must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(graft.functions.ScalarOps.md5Hash32(keyCol), keyCol)
+    df.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+  }
+
   /** Per-row WEIGHTED (importance) sampling: keep iff
     * hash(key) < weight·[[Modulus]], `weight` any per-row expression in
     * [0, 1] (a quality score, a length ramp, an upsample factor). The

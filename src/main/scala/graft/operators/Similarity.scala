@@ -43,6 +43,55 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))
   }
 
+  /** Brute-force top-k EUCLIDEAN neighbors (same shape as
+    * [[bruteForceTopK]]). dist² is computed as q·q + d·d − 2·q·d from
+    * three [[NativeVectorOps.dot]] folds — the oracle combines the same
+    * three element-order folds with the same expression shape, so the
+    * doubles (and therefore the ranks) agree bit-for-bit cross-engine.
+    */
+  def bruteForceTopKL2(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist2",
+        NativeVectorOps.dot(embD("q_emb"), embD("q_emb"))
+          + NativeVectorOps.dot(embD("embedding"), embD("embedding"))
+          - lit(2.0) * NativeVectorOps.dot(embD("q_emb"), embD("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("dist2"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
+    * per-query rankings — the standard way to combine retrieval signals
+    * (dense ANN + lexical, or several ANN variants) without score
+    * calibration: fused(d) = Σ_lists 1/(rrfK + rank_list(d)). Scores are
+    * INTEGER-scaled (`scale div (rrfK + rk)`, truncating division in
+    * both engines), so the fused ranking is hash-exact cross-engine —
+    * the float form's summation-order sensitivity would not be.
+    *
+    * Input rankings carry (q_id, n_id, rk); output keeps the top `topK`
+    * fused items per query with ties broken by n_id. Purely
+    * rank-arithmetic: one union + one (q, item) aggregation + one
+    * bounded per-query top-k, no re-scoring — at 100 TB the inputs are
+    * already k-bounded per query, so the fusion is tiny regardless of
+    * corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, rrfK: Int = 60,
+              scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val all = rankings.map(_.select(col("q_id"), col("n_id"), col("rk")))
+      .reduce(_ unionByName _)
+    val fused = all.groupBy("q_id", "n_id")
+      .agg(sum(expr(s"$scale div ($rrfK + rk)")).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+    fused.withColumn("frk", row_number().over(w).cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("frk") <= topK)
+  }
+
   /** Sign-LSH bucket per vector: bit j = sign(v · w_j) over NumPlanes
     * deterministic pseudo-random hyperplanes (VectorOps.planeWeight).
     * Output (vec_id, bucket). The planes are literal weight arrays + the

@@ -1094,6 +1094,103 @@ object RelationalQueries {
         |ORDER BY stage""".stripMargin) { (s, dir) =>
       graft.operators.Funnel.ordered(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGapMinutes = Some(360L))
+    },
+
+    // Label-propagation communities (round 7): 3 synchronous rounds of
+    // "adopt the most frequent neighbor label, ties → smallest" over the
+    // q147 deterministic graph. Classic LPA tie-breaks randomly; the
+    // smallest-label rule makes every round a pure function of the graph,
+    // so an ITERATIVE community structure hash-matches cross-engine (the
+    // q138 trick, applied to argmax instead of integer division). The
+    // oracle replays the rounds as unrolled count/argmax CTEs.
+    QueryDef("q155_label_propagation", {
+      def round(i: Int) =
+        s"""c$i AS (SELECT e.dst AS node, l${i - 1}.label, COUNT(*) AS cnt
+           |        FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |          SELECT node, label,
+           |                 row_number() OVER (PARTITION BY node
+           |                   ORDER BY cnt DESC, label) AS rn
+           |          FROM c$i) WHERE rn = 1)""".stripMargin
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |e0 AS (SELECT DISTINCT o_custkey AS a, 1 + o_orderkey % m AS b
+         |       FROM orders, mx
+         |       WHERE o_custkey <> 1 + o_orderkey % m),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION SELECT b AS src, a AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    }) { (s, dir) =>
+      val m = Tables.customer(s, dir).agg(max(col("c_custkey"))).head().getLong(0)
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey").as("src"),
+          (lit(1L) + col("o_orderkey") % m).as("dst"))
+      graft.operators.GraphOps.labelPropagation(edges, rounds = 3)
+        .orderBy("node")
+    },
+
+    // Per-device OLS trend slope (round 7): exact integer sufficient
+    // statistics — x = seconds since the device's first observation,
+    // y = round_even(value·2¹⁰) — emitting the exact rational
+    // num/den = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) as BIGINTs plus ONE
+    // IEEE division. Trend detection over a 100 TB historian is one
+    // keyed window + one keyed agg; comparing exact rationals avoids
+    // every cross-engine float-summation trap.
+    QueryDef("q158_trend_slope",
+      """WITH o AS (SELECT user_id AS k, epoch_us(ts) AS tus,
+        |                  CAST(round_even(value * 1024, 0) AS BIGINT) AS q
+        |           FROM events),
+        |b AS (SELECT k, q,
+        |             (tus - MIN(tus) OVER (PARTITION BY k)) // 1000000 AS x
+        |      FROM o),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(q) AS BIGINT) AS sy,
+        |             CAST(SUM(x * q) AS BIGINT) AS sxy,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM b GROUP BY k)
+        |SELECT k, n,
+        |       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+        |FROM a ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.trendSlope(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"))
+        .orderBy("k")
+    },
+
+    // CUSUM change-point (round 7): per device, the observation index
+    // maximizing |n·S_i − i·S_n| over the (ts, tiebreak)-ordered prefix
+    // sums of quantized values — "where did the level shift", with the
+    // division by n multiplied out so the argmax is over exact integers
+    // and ties resolve to the earliest index in every engine.
+    QueryDef("q159_cusum_changepoint",
+      """WITH o AS (SELECT user_id AS k, epoch_us(ts) AS tus,
+        |                  CAST(round_even(value * 1024, 0) AS BIGINT) AS q,
+        |                  event_id AS tie
+        |           FROM events),
+        |p AS (SELECT k, tie,
+        |             CAST(row_number() OVER w AS BIGINT) AS i,
+        |             CAST(SUM(q) OVER w AS BIGINT) AS s
+        |      FROM o WINDOW w AS (PARTITION BY k ORDER BY tus, tie
+        |                          ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(q) AS BIGINT) AS tot
+        |      FROM o GROUP BY k),
+        |d AS (SELECT p.k, p.tie, p.i, t.n,
+        |             CAST(ABS(t.n * p.s - p.i * t.tot) AS BIGINT) AS dev
+        |      FROM p JOIN t ON p.k = t.k)
+        |SELECT k, n, i AS cut_i, tie AS cut_tie, dev FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |              ORDER BY dev DESC, i) AS rn FROM d)
+        |WHERE rn = 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.cusumChangepoint(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), col("event_id"))
+        .orderBy("k")
     }
   )
 }

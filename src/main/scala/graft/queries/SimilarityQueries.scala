@@ -683,6 +683,51 @@ object SimilarityQueries {
       val cents = graft.operators.KMeans.fitCentroids(emb, k = 5, iters = 2)
       Similarity.ivfTopKTrained(emb, cents, queryMaxId = 5L, k = 5, nprobe = 2)
         .orderBy("q_id", "rk")
+    },
+
+    // Reciprocal-rank fusion (round 7): fuse two per-query rankings over
+    // the same corpus — cosine top-20 and euclidean top-20 — by
+    // fused = SUM(scale div (60 + rank)) per item, the standard
+    // calibration-free retrieval combiner. Integer-scaled reciprocal
+    // ranks (truncating div in both engines) make the fused board
+    // hash-exact; the float form's summation order would not be. dist2
+    // is q.q + d.d - 2*q.d from the SAME element-order dot folds the
+    // oracle replays, so both input rankings agree rank-for-rank first.
+    QueryDef("q156_rrf_fusion",
+      eCte +
+        s""",
+        |cosr AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |  QUALIFY rk <= 20),
+        |l2r AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY (${VectorOps.dotSql("q.emb", "q.emb", D)}
+        |                        + ${VectorOps.dotSql("d.emb", "d.emb", D)}
+        |                        - 2 * ${VectorOps.dotSql("q.emb", "d.emb", D)}),
+        |                       d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |  QUALIFY rk <= 20),
+        |u AS (SELECT * FROM cosr UNION ALL SELECT * FROM l2r),
+        |f AS (SELECT q_id, n_id,
+        |             CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT q_id, n_id, rrf, n_lists,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY rrf DESC, n_id) AS INT) AS frk
+        |FROM f QUALIFY frk <= 10 ORDER BY q_id, frk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cosR = Similarity.bruteForceTopK(emb, 5L, 20).select("q_id", "n_id", "rk")
+      val l2R = Similarity.bruteForceTopKL2(emb, 5L, 20).select("q_id", "n_id", "rk")
+      Similarity.rrfFuse(Seq(cosR, l2R), topK = 10)
+        .select("q_id", "n_id", "rrf", "n_lists", "frk")
+        .orderBy("q_id", "frk")
     }
   )
 

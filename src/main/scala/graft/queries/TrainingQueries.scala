@@ -407,6 +407,30 @@ object TrainingQueries {
       graft.operators.QualityClassifier.selectTopFraction(scored, "lang", frac = 0.3)
         .select("doc_id", "lang", "score", "cutoff", "kept")
         .orderBy("doc_id")
+    },
+
+    // Deterministic fixed-k reservoir per group (round 7): exactly 20
+    // docs per language, drawn by (md5-hash, key) rank — the
+    // "k eval examples per stratum" primitive q63's RATE-based sampling
+    // cannot express on skewed strata. Membership is a pure function of
+    // the keys (reproducible across engines/runs/partitionings), and rn
+    // is the draw order, so any prefix rn <= j is itself the exact
+    // k = j draw. Spark pushes rn <= k into a per-partition group-limit
+    // before the shuffle (SamplingSpec pins the plan).
+    QueryDef("q157_reservoir_k",
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |              ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                       doc_id) AS INT) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.reservoirK(
+        Tables.documents(s, dir).select("lang", "doc_id"),
+        col("doc_id"), col("lang"), k = 20)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
     }
   )
 }

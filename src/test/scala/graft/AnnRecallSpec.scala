@@ -106,4 +106,37 @@ class AnnRecallSpec extends SparkSpec {
       truth.unpersist()
     } finally emb.unpersist()
   }
+
+  test("RRF fusion: consensus items outrank single-list items; integer-deterministic") {
+    import spark.implicits._
+    // two rankings for one query: item 100 is rank 1 in BOTH lists;
+    // item 200 is rank 1 in one list only. RRF must put 100 first
+    // (2/(60+1) beats 1/(60+1) + nothing), and every single-list item's
+    // fused score is dominated by any item in both lists at decent ranks.
+    val listA = Seq((0L, 100L, 1), (0L, 200L, 2), (0L, 300L, 3)).toDF("q_id", "n_id", "rk")
+    val listB = Seq((0L, 100L, 1), (0L, 400L, 2), (0L, 300L, 4)).toDF("q_id", "n_id", "rk")
+    val fused = Similarity.rrfFuse(Seq(listA, listB), topK = 10)
+      .select("n_id", "rrf", "n_lists", "frk")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(fused.head._1 == 100L, s"consensus item not first: ${fused.toList}")
+    assert(fused.head._3 == 2L, "n_lists must count both contributing lists")
+    // 300 appears in both lists (ranks 3 and 4) and must beat the
+    // single-list rank-2 items: 1e6/63 + 1e6/64 > 1e6/62
+    val byId = fused.map(f => f._1 -> f._4).toMap
+    assert(byId(300L) < byId(200L) && byId(300L) < byId(400L),
+      s"two-list item must outrank one-list items: ${fused.toList}")
+    // integer scores: exact values, no float drift
+    assert(fused.head._2 == 2L * (1000000L / 61L))
+  }
+
+  test("RRF fusion on the corpus: cosine+L2 fusion stays consistent with cosine truth") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val cosR = Similarity.bruteForceTopK(emb, QueryMaxId, K).select("q_id", "n_id", "rk")
+    val l2R = Similarity.bruteForceTopKL2(emb, QueryMaxId, K).select("q_id", "n_id", "rk")
+    val fused = Similarity.rrfFuse(Seq(cosR, l2R), topK = K)
+    // fusing two strongly-correlated rankings keeps recall near 1 vs
+    // either input; floor pinned below the measured value
+    val rec = recallVs(cosR.withColumnRenamed("rk", "r"), fused)
+    assert(rec >= 0.8, s"fused recall vs cosine list below floor: $rec")
+  }
 }

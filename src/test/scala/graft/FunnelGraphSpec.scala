@@ -148,6 +148,32 @@ class FunnelGraphSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("label propagation: two cliques with one bridge resolve to two communities") {
+    // K4 on {1..4} + K4 on {11..14} + bridge (4, 11); self loop on 2 must
+    // be ignored. Within each clique every node sees the same label
+    // multiset, so the deterministic min-tie-break converges each clique
+    // to its smallest member's label.
+    val k4a = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- 11L to 14L if a < b) yield (a, b)
+    val edges = (k4a ++ k4b :+ ((4L, 11L)) :+ ((2L, 2L))).toDF("src", "dst")
+    val labels = GraphOps.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val commA = (1L to 4L).map(labels).toSet
+    val commB = (11L to 14L).map(labels).toSet
+    assert(commA.size == 1, s"clique A fragmented: $commA")
+    assert(commB.size == 1, s"clique B fragmented: $commB")
+    assert(commA != commB, "bridge must not merge the cliques")
+  }
+
+  test("label propagation: deterministic across partition counts") {
+    val edges = (1L to 60L).map(i => (i, i % 11)).toDF("src", "dst")
+    val a = GraphOps.labelPropagation(edges.repartition(1), 3)
+      .as[(Long, Long)].collect().toSet
+    val b = GraphOps.labelPropagation(edges.repartition(7), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("triangles: K4 has 4 nodes with 3 triangles each; adding a pendant changes nothing") {
     // complete graph on {1,2,3,4} = 4 triangles, each node in 3
     val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j))

@@ -76,4 +76,44 @@ class HistorianSpec extends SparkSpec {
     val got = Historian.rollingAnomalies(obs, col("k"), col("t"), col("v"), col("id"))
     assert(got.isEmpty)
   }
+
+  test("trend slope: exact linear series recovers the exact rational slope") {
+    // v = 2·minutes + 5 → dv/dt = 2 per 60 s. x in seconds, q = v·1024:
+    // num/den must equal 2·1024/60 exactly (rational equality, no eps)
+    val obs = (0 to 9).map(i => (1L, ts(i), 2.0 * i + 5.0)).toDF("k", "t", "v")
+    val got = Historian.trendSlope(obs, col("k"), col("t"), col("v"))
+      .select("k", "num", "den").as[(Long, Long, Long)].collect().head
+    assert(got._2 * 60L == got._3 * 2L * 1024L,
+      s"num/den = ${got._2}/${got._3} is not exactly 2048/60")
+  }
+
+  test("trend slope: constant series has num = 0; single point den = 0 and null slope") {
+    val obs = ((0 to 5).map(i => (1L, ts(i), 7.0)) :+ ((2L, ts(0), 3.0)))
+      .toDF("k", "t", "v")
+    val rows = Historian.trendSlope(obs, col("k"), col("t"), col("v"))
+      .select("k", "num", "den").as[(Long, Long, Long)].collect().toList
+    val byK = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byK(1L)._1 == 0L && byK(1L)._2 > 0L)
+    assert(byK(2L) == ((0L, 0L)), "single observation must have den 0")
+  }
+
+  test("cusum: level shift is cut at the last pre-shift observation") {
+    // 10 observations at 0, then 10 at 100: |n·S_i − i·S_n| peaks at
+    // i = 10 (the boundary), the earliest-index rule breaking any tie
+    val obs = ((1 to 10).map(i => (1L, ts(i), 0.0, i.toLong)) ++
+      (11 to 20).map(i => (1L, ts(i), 100.0, i.toLong))).toDF("k", "t", "v", "id")
+    val got = Historian.cusumChangepoint(obs, col("k"), col("t"), col("v"), col("id"))
+      .select("k", "cut_i", "cut_tie").as[(Long, Long, Long)].collect().head
+    assert(got._2 == 10L && got._3 == 10L, s"cut at $got")
+  }
+
+  test("cusum: deterministic across partition counts") {
+    val obs = (1 to 60).map(i => (i % 3L, ts(i), (i * 7 % 13).toDouble, i.toLong))
+      .toDF("k", "t", "v", "id")
+    val a = Historian.cusumChangepoint(obs.repartition(1), col("k"), col("t"), col("v"), col("id"))
+      .collect().map(_.toString).sorted.toList
+    val b = Historian.cusumChangepoint(obs.repartition(7), col("k"), col("t"), col("v"), col("id"))
+      .collect().map(_.toString).sorted.toList
+    assert(a == b && a.nonEmpty)
+  }
 }

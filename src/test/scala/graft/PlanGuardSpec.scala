@@ -59,7 +59,11 @@ class PlanGuardSpec extends SparkSpec {
     // q150: the weighted-minhash probe set is all pairs of a 40-row
     // signature table — a deliberately tiny broadcast self-join (the
     // q43 brute-force shape)
-    "q150_weighted_minhash")
+    "q150_weighted_minhash",
+    // q156: both input rankings are the q40 brute-force baseline shape
+    // (corpus crossJoin broadcast 5-query set); the fusion itself is
+    // rank-arithmetic on k-bounded lists
+    "q156_rrf_fusion")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"

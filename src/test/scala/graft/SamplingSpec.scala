@@ -66,4 +66,33 @@ class SamplingSpec extends SparkSpec {
     assert(ones.count() == 4000 && ones.select(max("copy")).head().getLong(0) == 1L)
     up.unpersist()
   }
+
+  test("reservoirK: exactly k per group, deterministic, prefix-stable") {
+    val r20 = Sampling.reservoirK(rows, col("k"), col("g"), 20)
+    val sizes = r20.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("en" -> 20L, "de" -> 20L), s"sizes $sizes")
+    // deterministic across partitionings
+    val again = Sampling.reservoirK(rows.repartition(13), col("k"), col("g"), 20)
+      .select("k", "g", "rn").as[(Long, String, Int)].collect().toSet
+    assert(again == r20.select("k", "g", "rn").as[(Long, String, Int)].collect().toSet)
+    // the k=5 draw is exactly the rn <= 5 prefix of the k=20 draw
+    val r5 = Sampling.reservoirK(rows, col("k"), col("g"), 5)
+      .select("k", "g", "rn").as[(Long, String, Int)].collect().toSet
+    assert(r5 == again.filter(_._3 <= 5), "prefix property violated")
+    // a group smaller than k returns the whole group
+    val tiny = Sampling.reservoirK(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("k", "g"), col("k"), col("g"), 20)
+    assert(tiny.count() == 3)
+  }
+
+  test("reservoirK: rank filter pushes down to a per-partition group limit") {
+    // Spark's WindowGroupLimit turns rn <= k into a partial top-k BEFORE
+    // the shuffle — the property that keeps a billion-row group from
+    // moving wholesale. If the optimizer stops seeing the pattern, the
+    // operator silently degrades to a full-group sort: pin the plan.
+    val plan = Sampling.reservoirK(rows, col("k"), col("g"), 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pushdown missing from plan:\n$plan")
+  }
 }
