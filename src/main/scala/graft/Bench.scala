@@ -84,10 +84,13 @@ object Bench {
     println(line)
     // Also persist to a file: the driver's stdout capture truncates long
     // lines (q01–q16 were lost from BENCH_r03/r04), so the file is the
-    // complete record.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // complete record. FULL runs only — a filtered local-iteration run
+    // must not clobber the round's complete per-query map (that is how
+    // the r6 detail was lost).
+    if (args.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (es.nonEmpty) sys.exit(1)
   }
