@@ -119,8 +119,15 @@ object GraphOps {
     * aggregation, no window sort.
     *
     * Output: (node, label) — nodes sharing a label are one community.
+    *
+    * Like [[pageRankInt]], the node-sized label frontier rides each
+    * round's join as a BROADCAST when the node count fits
+    * `broadcastFrontierMaxNodes` (integer counts + deterministic argmax
+    * are join-strategy-invariant, so the result is identical either
+    * way); a graph past the threshold keeps the shuffled join.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       broadcastFrontierMaxNodes: Long = 4000000L): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
     // drop self loops BEFORE symmetrizing — a filter after only one
     // union branch would let (v, v) back in through the swapped side
@@ -132,8 +139,11 @@ object GraphOps {
       .persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .persist()
+    val small = labels.count() <= broadcastFrontierMaxNodes
     for (_ <- 1 to rounds) {
-      labels = sym.join(labels, col("src") === col("node"))
+      labels = sym.join(if (small) broadcast(labels) else labels,
+          col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))

@@ -64,6 +64,20 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("dist2"), col("rk"))
   }
 
+  /** Brute-force top-k cosine neighbors ranked on only the FIRST `dims`
+    * components — the Matryoshka/truncation evaluation primitive: how
+    * much ranking quality does a prefix of the embedding retain? Same
+    * shape as [[bruteForceTopK]]; the oracle's `dim`-bounded fold
+    * touches the same prefix in the same order.
+    */
+  def bruteForceTopKPrefix(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                           dims: Int): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val pre = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    bruteForceTopK(pre, queryMaxId, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
     * per-query rankings — the standard way to combine retrieval signals
     * (dense ANN + lexical, or several ANN variants) without score

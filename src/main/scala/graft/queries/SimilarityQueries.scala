@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.VectorOps
 import graft.operators.Similarity
@@ -728,6 +729,87 @@ object SimilarityQueries {
       Similarity.rrfFuse(Seq(cosR, l2R), topK = 10)
         .select("q_id", "n_id", "rrf", "n_lists", "frk")
         .orderBy("q_id", "frk")
+    },
+
+    // Matryoshka truncation eval (round 7): per query, how many of the
+    // full-dim cosine top-10 survive when ranking on only the FIRST 16
+    // of 64 components — the measurement behind "can we store/serve a
+    // prefix of the embedding". Integer overlap counts (left join +
+    // count), hash-exact; the prefix fold touches the same 16 elements
+    // in the same order in both engines.
+    QueryDef("q160_matryoshka_recall",
+      eCte +
+        s""",
+        |fd AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20 QUALIFY rk <= 10),
+        |pre AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY ${VectorOps.cosineSql("q.emb", "d.emb", 16)} DESC, d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20 QUALIFY rk <= 10)
+        |SELECT f.q_id, CAST(COUNT(p.n_id) AS BIGINT) AS n_overlap
+        |FROM fd f LEFT JOIN pre p ON p.q_id = f.q_id AND p.n_id = f.n_id
+        |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val full = Similarity.bruteForceTopK(emb, 20L, 10).select("q_id", "n_id")
+      val pre = Similarity.bruteForceTopKPrefix(emb, 20L, 10, dims = 16)
+        .select(col("q_id").as("pq"), col("n_id").as("pn"))
+      full.join(pre,
+        col("q_id") === col("pq") && col("n_id") === col("pn"), "left_outer")
+        .groupBy("q_id").agg(count(col("pn")).as("n_overlap"))
+        .orderBy("q_id")
+    },
+
+    // Deterministic contrastive negative sampling (round 7): for each
+    // query, 5 corpus items drawn by (md5-hash, id) rank — the q157
+    // reservoir draw — EXCLUDING the query's cosine top-20 (and itself):
+    // "random negatives away from the positives", the contrastive-
+    // training staple, reproducible across engines and re-runs so a
+    // training set can be rebuilt byte-identically.
+    QueryDef("q161_contrastive_negatives",
+      eCte +
+        s""",
+        |top AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10 QUALIFY rk <= 20),
+        |cand AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |neg AS (SELECT c.q_id, c.n_id FROM cand c
+        |        ANTI JOIN top t ON t.q_id = c.q_id AND t.n_id = c.n_id)
+        |SELECT q_id, n_id, rn FROM (
+        |  SELECT q_id, n_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |              ORDER BY ('0x' || substr(md5(CAST(q_id AS VARCHAR) || ':' || CAST(n_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                       n_id) AS INT) AS rn
+        |  FROM neg)
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val top = Similarity.bruteForceTopK(emb, 10L, 20)
+        .select(col("q_id").as("tq"), col("n_id").as("tn"))
+      val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      val cand = emb.select(col("vec_id").as("n_id"))
+        .crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(graft.functions.ScalarOps.md5Hash32(
+          concat(col("q_id").cast("string"), lit(":"), col("n_id").cast("string"))),
+          col("n_id"))
+      cand
+        .join(top, col("q_id") === col("tq") && col("n_id") === col("tn"), "left_anti")
+        .withColumn("rn", row_number().over(w).cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("rn") <= 5)
+        .select("q_id", "n_id", "rn")
+        .orderBy("q_id", "rn")
     }
   )
 

@@ -63,7 +63,10 @@ class PlanGuardSpec extends SparkSpec {
     // q156: both input rankings are the q40 brute-force baseline shape
     // (corpus crossJoin broadcast 5-query set); the fusion itself is
     // rank-arithmetic on k-bounded lists
-    "q156_rrf_fusion")
+    "q156_rrf_fusion",
+    // q160/q161: full- and prefix-dim brute-force rankings plus the
+    // candidate grid — all the q40 corpus × broadcast-query-set shape
+    "q160_matryoshka_recall", "q161_contrastive_negatives")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
