@@ -45,4 +45,23 @@ object SketchRollup {
     cells.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("approx_distinct"))
+
+  /** SLIDING-window distinct estimates from the stored cell table: for
+    * every (keys, day) cell, the estimate over the trailing `windowDays`
+    * days — a windowed `hll_union_agg` over the day-sized sketch table,
+    * so "7-day uniques per type per day" costs one pass over the tiny
+    * sketch table instead of `windowDays` rescans of the raw events
+    * (the rolling-dashboard query at 100 TB). `cell` must be a date.
+    */
+  def slidingDistinct(cells: DataFrame, keys: Seq[String],
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(datediff(col("cell"), lit("1970-01-01")))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    cells.withColumn("approx_distinct",
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)).over(w)))
+      .drop("sketch")
+  }
 }

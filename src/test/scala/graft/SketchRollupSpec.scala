@@ -60,4 +60,28 @@ class SketchRollupSpec extends SparkSpec {
       Seq("k")).as[(String, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("sliding window merge == direct sketch over exactly the window's rows") {
+    val dated = rows.withColumn("d",
+      date_add(lit("2024-01-01").cast("date"), col("day")))
+    val cells = SketchRollup.sketchCells(dated, Seq("k"), col("d"), col("u"))
+    val slid = SketchRollup.slidingDistinct(cells, Seq("k"), windowDays = 7)
+      .select(col("k"), datediff(col("cell"), lit("2024-01-01")).as("day"),
+        col("approx_distinct"))
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // register-lossless merge: the windowed estimate equals a direct
+    // sketch built over precisely the trailing-7-day rows
+    for ((k, day) <- Seq(("type0", 10), ("type1", 0), ("type2", 39), ("type1", 6))) {
+      val direct = rows
+        .filter(col("k") === k && col("day").between(day - 6, day))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("u"), lit(SketchRollup.LgK))).as("e"))
+        .as[Long].head()
+      assert(slid((k, day)) == direct,
+        s"($k, day $day): windowed ${slid((k, day))} != direct $direct")
+    }
+    // a partial leading window (day < 6) covers only the existing days
+    assert(slid.contains(("type0", 0)))
+  }
 }
