@@ -98,4 +98,40 @@ object HistSketch {
     cum.groupBy(k: _*)
       .agg(max("n").cast(LongType).as("n"), qCols: _*)
   }
+
+  /** SLIDING-window quantiles from the stored cell table: for every
+    * (keys, day) cell, quantiles over the trailing `windowDays` days by
+    * summing the window's histograms — the quantile counterpart of
+    * [[SketchRollup.slidingDistinct]], and like everything HistSketch
+    * the ESTIMATES themselves are integer-derived and hash-exact. The
+    * join fans each cell out ≤ `windowDays` times — sketch-table-sized,
+    * never raw-scale. `cell` must be a date.
+    */
+  def slidingQuantiles(cells: DataFrame, keys: Seq[String], windowDays: Int,
+      qs: Seq[(String, Int)]): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val k = keys.map(col)
+    val days = cells.select(k :+ col("cell").as("day"): _*).distinct()
+    val renamed = keys.foldLeft(cells.withColumnRenamed("cell", "__c_cell")) {
+      (d, kn) => d.withColumnRenamed(kn, s"__c_$kn")
+    }
+    val joinCond = (keys.map(kn => col(kn) === col(s"__c_$kn")) :+
+      col("__c_cell").between(date_sub(col("day"), windowDays - 1), col("day")))
+      .reduce(_ && _)
+    val merged = days.join(renamed, joinCond)
+      .select(k :+ col("day") :+ expr("inline(hist)"): _*)
+      .groupBy(k :+ col("day") :+ col("bin"): _*)
+      .agg(sum("cnt").as("cnt"))
+    val grp = keys.map(col) :+ col("day")
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy(grp: _*).orderBy("bin")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(grp: _*)))
+    val qCols = qs.map { case (name, pct) =>
+      (binLower(min(when(col("cum") * lit(100) >= col("n") * lit(pct),
+        col("bin")))).cast(DoubleType) / lit(Scale.toDouble)).as(name)
+    }
+    cum.groupBy(grp: _*)
+      .agg(max("n").cast(LongType).as("n"), qCols: _*)
+  }
 }

@@ -1227,6 +1227,54 @@ object RelationalQueries {
           (abs(col("approx_distinct") - col("exact_users"))
             .cast(DoubleType) / col("exact_users") <= 0.05).as("within_5pct"))
         .orderBy("event_type", "day")
+    },
+
+    // Sliding-window quantiles from the stored histogram-sketch table
+    // (round 7): trailing-7-day p50/p90 per (event_type, day) by summing
+    // the q133 daily integer histograms — the quantile counterpart of
+    // q162, with the STRONGER verdict HistSketch always gives: the
+    // estimates themselves are integer-derived and hash-exact, not just
+    // error-bounded. Join fan-out is sketch-table × 7, never raw-scale.
+    QueryDef("q163_sliding_quantiles",
+      """WITH vi AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS eday,
+        |         GREATEST(CAST(FLOOR(value * 1048576) AS BIGINT), 1) AS v
+        |  FROM events),
+        |d AS (SELECT DISTINCT event_type, eday AS day FROM vi),
+        |w AS (SELECT d.event_type, d.day, vi.v
+        |      FROM d JOIN vi ON vi.event_type = d.event_type
+        |        AND vi.eday BETWEEN d.day - 6 AND d.day),
+        |bnd AS (SELECT event_type, day, v, LENGTH(BIN(v)) - 1 AS e FROM w),
+        |h AS (SELECT event_type, day,
+        |             CASE WHEN e <= 4 THEN v
+        |                  ELSE CAST(e - 4 AS BIGINT) * 16 + (v >> (e - 4)) END AS bin,
+        |             COUNT(*) AS cnt
+        |      FROM bnd GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, day, bin,
+        |             SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY bin) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY event_type, day) AS n
+        |      FROM h),
+        |q AS (SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n,
+        |             MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS b50,
+        |             MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS b90
+        |      FROM c GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+        |       CAST(CASE WHEN b50 < 32 THEN b50
+        |                 ELSE ((b50 & 15) + 16) << ((b50 >> 4) - 1) END AS DOUBLE)
+        |         / 1048576.0 AS p50_est,
+        |       CAST(CASE WHEN b90 < 32 THEN b90
+        |                 ELSE ((b90 & 15) + 16) << ((b90 >> 4) - 1) END AS DOUBLE)
+        |         / 1048576.0 AS p90_est
+        |FROM q ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import graft.functions.HistSketch
+      val cells = HistSketch.sketchCells(
+        Tables.events(s, dir), Seq("event_type"), to_date(col("ts")),
+        HistSketch.toMicros(col("value")))
+      HistSketch.slidingQuantiles(cells, Seq("event_type"), windowDays = 7,
+        Seq("p50_est" -> 50, "p90_est" -> 90))
+        .select(col("event_type"), col("day").cast(TimestampType).as("day"),
+          col("n"), col("p50_est"), col("p90_est"))
+        .orderBy("event_type", "day")
     }
   )
 }

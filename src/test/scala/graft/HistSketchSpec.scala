@@ -91,4 +91,28 @@ class HistSketchSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(run(1) == run(32))
   }
+
+  test("sliding window == rollup over exactly the window's cells") {
+    val dated = rows.withColumn("d",
+      date_add(lit("2024-01-01").cast("date"), col("day")))
+    val cells = HistSketch.sketchCells(dated, Seq("k"), col("d"),
+      HistSketch.toMicros(col("value")))
+    val qs = Seq("p50" -> 50, "p90" -> 90)
+    val slid = HistSketch.slidingQuantiles(cells, Seq("k"), 7, qs)
+      .select(col("k"), datediff(col("day"), lit("2024-01-01")).as("day"),
+        col("n"), col("p50"), col("p90"))
+      .as[(String, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    for ((k, day) <- Seq(("t0", 10), ("t1", 0), ("t2", 19), ("t1", 6))) {
+      val direct = HistSketch.rollupQuantiles(
+        HistSketch.sketchCells(
+          rows.filter(col("k") === k && col("day").between(day - 6, day)),
+          Seq("k"), col("day"), HistSketch.toMicros(col("value"))),
+        Seq("k"), qs)
+        .select(col("n"), col("p50"), col("p90"))
+        .as[(Long, Double, Double)].collect().head
+      assert(slid((k, day)) == direct,
+        s"($k, day $day): windowed ${slid((k, day))} != direct $direct")
+    }
+  }
 }
