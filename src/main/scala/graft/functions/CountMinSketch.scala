@@ -81,6 +81,75 @@ object CountMinSketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** SLIDING-window top-k from stored daily state — the top-k member of
+    * the sliding dashboard trio (q162 distinct, q163 quantiles): per
+    * (keys, day), rank the trailing `windowDays` days' heavy items by
+    * their window frequency, where
+    *   - CANDIDATES are the union of each window day's exact top-`dailyTopM`
+    *     (the per-day lists a pipeline stores alongside the CM cells;
+    *     a heuristic superset, standard practice with m ≫ k — an item
+    *     spread too thinly to make any day's top-m is not a window heavy
+    *     hitter at m ≫ k), and
+    *   - FREQUENCIES are CM estimates from the window-SUMMED counter
+    *     grids (linearity), never a raw rescan.
+    * Output carries the exact window count per candidate too, so the CM
+    * one-sided guarantee (`est ≥ exact`) is part of the verdict. Both
+    * scans of `df` are ingest-time state builds (daily counts + CM
+    * cells — one multi-aggregate pass in a real pipeline); everything
+    * after runs on day-dim-sized frames. All arithmetic integer →
+    * estimates and ranks hash-exact cross-engine.
+    */
+  def slidingHeavyHitters(df: DataFrame, keys: Seq[String], cell: Column,
+      item: Column, windowDays: Int, dailyTopM: Int, topK: Int,
+      depth: Int = Depth, width: Int = Width): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1 && dailyTopM >= topK,
+      "need windowDays >= 1 and dailyTopM >= topK")
+    val k = keys.map(col)
+    def windowed(prefix: String, extra: Column*): Column = {
+      val conds = keys.map(kn => col(kn) === col(s"$prefix$kn")) ++
+        Seq(col(s"${prefix}cell")
+          .between(date_sub(col("day"), windowDays - 1), col("day"))) ++
+        extra.toSeq
+      conds.reduce(_ && _)
+    }
+    def renamed(dfr: DataFrame, prefix: String): DataFrame =
+      keys.foldLeft(dfr.withColumnRenamed("cell", s"${prefix}cell")) {
+        (d, kn) => d.withColumnRenamed(kn, s"$prefix$kn")
+      }
+    // ingest-time state 1: exact daily per-item counts
+    val daily = df.select((k :+ cell.as("cell") :+ item.as("item")): _*)
+      .groupBy(k :+ col("cell") :+ col("item"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val wTop = Window.partitionBy(k :+ col("cell"): _*)
+      .orderBy(col("cnt").desc, col("item"))
+    val topm = daily.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= dailyTopM)
+      .select(k :+ col("cell") :+ col("item"): _*)
+    val days = daily.select(k :+ col("cell").as("day"): _*).distinct()
+    val cands = days.join(renamed(topm, "__t_"), windowed("__t_"))
+      .select(k :+ col("day") :+ col("item"): _*)
+      .distinct()
+    val exact = cands.join(
+        renamed(daily, "__d_").withColumnRenamed("item", "__d_item"),
+        windowed("__d_", col("__d_item") === col("item")))
+      .groupBy(k :+ col("day") :+ col("item"): _*)
+      .agg(sum("cnt").as("exact_cnt"))
+    // ingest-time state 2: CM cells; window-summed grids by linearity
+    val cells = sketchCells(df, keys, cell, item, depth, width)
+    val winGrid = days.join(renamed(cells, "__s_"), windowed("__s_"))
+      .groupBy(k ++ Seq(col("day"), col("j"), col("bucket")): _*)
+      .agg(sum("cnt").as("cnt"))
+    estimate(winGrid, keys :+ "day", exact, depth, width)
+      .withColumn("lower_ok", col("est_cnt") >= col("exact_cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(k :+ col("day"): _*)
+          .orderBy(col("est_cnt").desc, col("item")))
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("rk") <= topK)
+  }
+
   /** The DuckDB-side hash-row dimension (j, a, b) as a VALUES CTE — the
     * oracle embeds the SAME coefficients so both engines compute
     * identical buckets and identical estimates.

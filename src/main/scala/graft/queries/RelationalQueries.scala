@@ -1275,6 +1275,63 @@ object RelationalQueries {
         .select(col("event_type"), col("day").cast(TimestampType).as("day"),
           col("n"), col("p50_est"), col("p90_est"))
         .orderBy("event_type", "day")
+    },
+
+    // Sliding-window heavy hitters (round 7): top-5 users per
+    // (event_type, day) over the trailing 7 days — the top-k member of
+    // the sliding dashboard trio (q162 distinct, q163 quantiles).
+    // Candidates = union of each window day's exact top-10 (ingest-time
+    // state); frequencies = CM estimates from the window-SUMMED q139
+    // counter grids (linearity) — no raw rescan per day. The exact
+    // window count rides along, so the CM one-sided guarantee
+    // (est ≥ exact) is oracle-checked on every output row.
+    QueryDef("q164_sliding_heavy_hitters", {
+      val js = graft.functions.CountMinSketch.oracleJs()
+      s"""WITH $js,
+        |e AS (SELECT event_type, CAST(ts AS DATE) AS eday, user_id AS item FROM events),
+        |daily AS (SELECT event_type, eday, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM e GROUP BY 1, 2, 3),
+        |topm AS (SELECT event_type, eday, item FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY event_type, eday
+        |                      ORDER BY cnt DESC, item) AS rn FROM daily)
+        |         WHERE rn <= 10),
+        |d AS (SELECT DISTINCT event_type, eday AS day FROM daily),
+        |cands AS (SELECT DISTINCT d.event_type, d.day, t.item
+        |          FROM d JOIN topm t ON t.event_type = d.event_type
+        |            AND t.eday BETWEEN d.day - 6 AND d.day),
+        |ex AS (SELECT c.event_type, c.day, c.item,
+        |              CAST(SUM(dl.cnt) AS BIGINT) AS exact_cnt
+        |       FROM cands c JOIN daily dl ON dl.event_type = c.event_type
+        |         AND dl.item = c.item AND dl.eday BETWEEN c.day - 6 AND c.day
+        |       GROUP BY 1, 2, 3),
+        |cells AS (SELECT event_type, eday, j,
+        |                 ((item % 2147483647) * a + b) % 2147483647 % 2048 AS bucket,
+        |                 CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM e CROSS JOIN js GROUP BY 1, 2, 3, 4),
+        |grid AS (SELECT d.event_type, d.day, c.j, c.bucket,
+        |                CAST(SUM(c.cnt) AS BIGINT) AS cnt
+        |         FROM d JOIN cells c ON c.event_type = d.event_type
+        |           AND c.eday BETWEEN d.day - 6 AND d.day
+        |         GROUP BY 1, 2, 3, 4),
+        |est AS (SELECT x.event_type, x.day, x.item, x.exact_cnt,
+        |               CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_cnt
+        |        FROM ex x CROSS JOIN js
+        |        LEFT JOIN grid g ON g.event_type = x.event_type AND g.day = x.day
+        |          AND g.j = js.j
+        |          AND g.bucket = ((x.item % 2147483647) * js.a + js.b) % 2147483647 % 2048
+        |        GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, item, exact_cnt, est_cnt,
+        |       est_cnt >= exact_cnt AS lower_ok,
+        |       CAST(row_number() OVER (PARTITION BY event_type, day
+        |            ORDER BY est_cnt DESC, item) AS INT) AS rk
+        |FROM est QUALIFY rk <= 5 ORDER BY event_type, day, rk""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.CountMinSketch.slidingHeavyHitters(
+        Tables.events(s, dir), Seq("event_type"), to_date(col("ts")),
+        col("user_id"), windowDays = 7, dailyTopM = 10, topK = 5, width = 2048)
+        .select(col("event_type"), col("day").cast(TimestampType).as("day"),
+          col("item"), col("exact_cnt"), col("est_cnt"), col("lower_ok"), col("rk"))
+        .orderBy("event_type", "day", "rk")
     }
   )
 }

@@ -64,4 +64,33 @@ class CountMinSpec extends SparkSpec {
     }
     assert(run(1) == run(13))
   }
+
+  test("sliding heavy hitters: top-k matches an exact windowed recount") {
+    // skewed fixture: item i appears with frequency ~ 40/i per day, so
+    // the window top-5 is stable and the CM estimates (width 2048 on a
+    // tiny domain: no collisions) equal the exact counts — the output
+    // must therefore be the exact windowed top-5 with its own exact_cnt
+    val rows = (for {
+      day <- 0 until 12
+      item <- 1 to 40
+      rep <- 1 to (40 / item)
+    } yield ("g", day, item.toLong)).toDF("g", "day", "item")
+      .withColumn("d", date_add(lit("2024-01-01").cast("date"), col("day")))
+    val hh = CountMinSketch.slidingHeavyHitters(rows, Seq("g"), col("d"),
+      col("item"), windowDays = 7, dailyTopM = 10, topK = 5, width = 2048)
+      .select(col("g"), datediff(col("day"), lit("2024-01-01")).as("day"),
+        col("item"), col("exact_cnt"), col("est_cnt"), col("lower_ok"), col("rk"))
+      .as[(String, Int, Long, Long, Long, Boolean, Int)].collect()
+    assert(hh.nonEmpty)
+    assert(hh.forall(_._6), "CM estimate below exact — one-sided guarantee broken")
+    // per (day), the reported top-5 must be the exact windowed top-5
+    for (day <- 0 until 12) {
+      val got = hh.filter(_._2 == day).sortBy(_._7).map(_._3).toList
+      val exact = rows.filter(col("day").between(day - 6, day))
+        .groupBy("item").count()
+        .orderBy(col("count").desc, col("item"))
+        .limit(5).select("item").as[Long].collect().toList
+      assert(got == exact, s"day $day: $got != exact $exact")
+    }
+  }
 }
