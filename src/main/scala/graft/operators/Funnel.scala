@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -103,5 +103,46 @@ object Funnel {
       .groupBy("cohort_month", "offset_m")
       .agg(countDistinct(col(keyCol)).as("n_active"))
       .orderBy("cohort_month", "offset_m")
+  }
+
+  /** LAST-TOUCH attribution: for every conversion event, the most recent
+    * preceding touch event by the same user within `maxGapMinutes` —
+    * the marketing-attribution primitive (q28's as-of join answers
+    * "latest reference row"; attribution additionally needs the
+    * lookback BOUND and the touch/conversion event split). Single-pass
+    * shape: ONE shuffle on the user key, a carry-forward
+    * `last(..., ignoreNulls)` over the (event-µs, tie)-ordered stream
+    * in a deterministic ROWS frame, then the conversion filter — no
+    * join at all, so the plan is one exchange + one window regardless
+    * of how many touches precede each conversion.
+    *
+    * A touch at the SAME µs attributes only when its tiebreak orders
+    * before the conversion (the row frame is deterministic, never
+    * RANGE's all-peers). Output per conversion: (u, conv_id, touch_id,
+    * gap_s) with touch_id/gap_s null when no touch is inside the
+    * window.
+    */
+  def lastTouch(events: DataFrame, user: Column, ts: Column, etype: Column,
+                tiebreak: Column, touchType: String, convType: String,
+                maxGapMinutes: Long): DataFrame = {
+    require(maxGapMinutes > 0, "maxGapMinutes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("tus", "tie")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val gapUs = maxGapMinutes * 60000000L
+    events
+      .select(user.as("u"), unix_micros(ts).as("tus"), etype.as("t"),
+        tiebreak.as("tie"))
+      .withColumn("touch_tus",
+        last(when(col("t") === touchType, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("touch_tie",
+        last(when(col("t") === touchType, col("tie")), ignoreNulls = true).over(w))
+      .filter(col("t") === convType)
+      .withColumn("ok",
+        col("touch_tus").isNotNull && col("tus") - col("touch_tus") <= gapUs)
+      .select(col("u"), col("tie").as("conv_id"),
+        when(col("ok"), col("touch_tie")).as("touch_id"),
+        when(col("ok"), expr("(tus - touch_tus) div 1000000")).as("gap_s"))
   }
 }

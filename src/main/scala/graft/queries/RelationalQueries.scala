@@ -1332,6 +1332,35 @@ object RelationalQueries {
         .select(col("event_type"), col("day").cast(TimestampType).as("day"),
           col("item"), col("exact_cnt"), col("est_cnt"), col("lower_ok"), col("rk"))
         .orderBy("event_type", "day", "rk")
+    },
+
+    // Last-touch attribution (round 7): every purchase attributed to the
+    // user's most recent preceding click within 24 h. One shuffle + one
+    // deterministic ROWS-frame carry-forward window — no join, however
+    // many touches precede each conversion; same-µs ties resolve by the
+    // unique event_id, identically in both engines.
+    QueryDef("q165_last_touch",
+      """WITH o AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+        |                  event_type AS t, event_id AS tie
+        |           FROM events),
+        |w AS (SELECT u, tus, t, tie,
+        |             LAST_VALUE(CASE WHEN t = 'click' THEN tus END IGNORE NULLS)
+        |               OVER win AS touch_tus,
+        |             LAST_VALUE(CASE WHEN t = 'click' THEN tie END IGNORE NULLS)
+        |               OVER win AS touch_tie
+        |      FROM o WINDOW win AS (PARTITION BY u ORDER BY tus, tie
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT u, tie AS conv_id,
+        |       CASE WHEN touch_tus IS NOT NULL
+        |                 AND tus - touch_tus <= 86400000000 THEN touch_tie END AS touch_id,
+        |       CASE WHEN touch_tus IS NOT NULL
+        |                 AND tus - touch_tus <= 86400000000
+        |            THEN (tus - touch_tus) // 1000000 END AS gap_s
+        |FROM w WHERE t = 'purchase' ORDER BY u, conv_id""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.lastTouch(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        touchType = "click", convType = "purchase", maxGapMinutes = 1440L)
+        .orderBy("u", "conv_id")
     }
   )
 }

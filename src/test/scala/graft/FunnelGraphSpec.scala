@@ -57,6 +57,28 @@ class FunnelGraphSpec extends SparkSpec {
     assert(unbounded == List((1, "view", 2L), (2, "click", 2L)))
   }
 
+  test("last-touch: bound, tie order, and the no-touch null contract") {
+    // u1: click at t1, purchase at t3 → attributed, gap 120 s
+    // u2: click at t0, purchase at t0+25h → outside the 24 h bound → null
+    // u3: purchase with NO click ever → null
+    // u4: click and purchase at the SAME ts — click's smaller event_id
+    //     orders first in the ROWS frame, so it attributes with gap 0
+    val rows = Seq(
+      (1L, ts(1), "click", 10L), (1L, ts(3), "purchase", 11L),
+      (2L, ts(0), "click", 20L), (2L, ts(25 * 60), "purchase", 21L),
+      (3L, ts(5), "purchase", 30L),
+      (4L, ts(7), "click", 40L), (4L, ts(7), "purchase", 41L)
+    ).toDF("u", "t", "e", "id")
+    val got = Funnel.lastTouch(rows, col("u"), col("t"), col("e"), col("id"),
+      "click", "purchase", maxGapMinutes = 1440L)
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) == ((Some(10L), Some(120L))))
+    assert(got(2L) == ((None, None)), "25 h gap must not attribute")
+    assert(got(3L) == ((None, None)), "conversion without touch must be null")
+    assert(got(4L) == ((Some(40L), Some(0L))), "same-instant touch attributes by tie")
+  }
+
   test("retention: offset 0 equals cohort size; no negative offsets") {
     val act = Seq(
       (1L, Timestamp.valueOf("2024-01-05 00:00:00")),
