@@ -12,7 +12,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     ReferenceQueries.defs ++ ControlPlaneQueries.defs ++ RelationalQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
-      TrainingQueries.defs
+      TrainingQueries.defs ++ FeatureQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7.3 minimum slice: gates → scaling → last-value-per-key →

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{QueryDef, Tables}
+import graft.operators.FeatureEng
+
+/** ML feature-engineering coverage (operators/FeatureEng.scala): the
+  * tabular-feature-prep family a training pipeline runs downstream of the
+  * ingestion engine's typed tables. All four queries follow the board's
+  * exactness conventions — integer sufficient statistics with at most one
+  * trailing IEEE op — so every oracle is hash-exact.
+  */
+object FeatureQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Equi-depth quantile binning (QuantileDiscretizer analogue) with the
+    // engine-exact HistSketch contract: decile cut points at exact
+    // ceil(n·k/10) ranks over log-bin indices, bin_id = #{boundaries ≤ bin}.
+    // Scale shape: one sketch-sized histogram agg + bounded driver collect
+    // of 9 boundaries + pure map assignment — no row-grain shuffle at all.
+    QueryDef("q166_quantile_binning",
+      """WITH vi AS (SELECT doc_id, n_chars,
+        |                   GREATEST(CAST(n_chars AS BIGINT), 1) AS v
+        |            FROM documents),
+        |bnd AS (SELECT doc_id, n_chars, v, LENGTH(BIN(v)) - 1 AS e FROM vi),
+        |b AS (SELECT doc_id, n_chars,
+        |             CASE WHEN e <= 4 THEN v
+        |                  ELSE CAST(e - 4 AS BIGINT) * 16 + (v >> (e - 4)) END AS bin
+        |      FROM bnd),
+        |h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |             SUM(cnt) OVER () AS n
+        |      FROM h),
+        |bound AS (SELECT k, MIN(CASE WHEN cum * 10 >= n * k THEN bin END) AS bk
+        |          FROM c, (SELECT unnest(range(1, 10)) AS k) ks GROUP BY k)
+        |SELECT b.doc_id, b.n_chars,
+        |       CAST(SUM(CASE WHEN b.bin >= bound.bk THEN 1 ELSE 0 END) AS INT) AS bin_id
+        |FROM b, bound GROUP BY b.doc_id, b.n_chars
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      FeatureEng.quantileBins(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        col("n_chars").cast(LongType), nBins = 10)
+        .orderBy("doc_id")
+    },
+
+    // Smoothed target encoding of `source` against the lang='en' label:
+    // enc = (pos + m·prior)/(cnt + m) emitted as the exact rational
+    // (pos·gcnt + m·gpos)/((cnt+m)·gcnt) with one IEEE division. One
+    // category-keyed agg + a 2-long driver scalar; output is the encoder
+    // dim a pipeline broadcasts back onto the corpus.
+    QueryDef("q167_target_encoding",
+      """WITH l AS (SELECT source AS category,
+        |                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |           FROM documents),
+        |g AS (SELECT CAST(SUM(y) AS BIGINT) AS gpos,
+        |             CAST(COUNT(*) AS BIGINT) AS gcnt FROM l),
+        |c AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |             CAST(SUM(y) AS BIGINT) AS pos
+        |      FROM l GROUP BY category)
+        |SELECT category, cnt, pos,
+        |       CAST(pos * gcnt + 10 * gpos AS DOUBLE) /
+        |       CAST((cnt + 10) * gcnt AS DOUBLE) AS enc
+        |FROM c, g ORDER BY category""".stripMargin) { (s, dir) =>
+      FeatureEng.targetEncode(Tables.documents(s, dir),
+        col("source"), when(col("lang") === "en", 1L).otherwise(0L), m = 10L)
+        .orderBy("category")
+    },
+
+    // Pearson correlation matrix per returnflag over three quantized
+    // lineitem metrics, all sufficient stats from ONE scan/agg; each pair
+    // row is the exact rational (num, den_x, den_y) + one
+    // multiply/sqrt/divide in double domain — identical op order both
+    // engines. Long-exactness bound n·V ≤ 3e9 enforced in the operator.
+    QueryDef("q168_correlation",
+      """WITH m AS (SELECT l_returnflag,
+        |                  CAST(l_quantity AS BIGINT) AS qty,
+        |                  CAST(round_even(l_discount * 100, 0) AS BIGINT) AS disc,
+        |                  CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(qty) AS BIGINT) AS s_qty,
+        |             CAST(SUM(disc) AS BIGINT) AS s_disc,
+        |             CAST(SUM(price) AS BIGINT) AS s_price,
+        |             CAST(SUM(qty * qty) AS BIGINT) AS ss_qty,
+        |             CAST(SUM(disc * disc) AS BIGINT) AS ss_disc,
+        |             CAST(SUM(price * price) AS BIGINT) AS ss_price,
+        |             CAST(SUM(qty * disc) AS BIGINT) AS sp_qty_disc,
+        |             CAST(SUM(qty * price) AS BIGINT) AS sp_qty_price,
+        |             CAST(SUM(disc * price) AS BIGINT) AS sp_disc_price
+        |      FROM m GROUP BY l_returnflag),
+        |p AS (
+        |  SELECT l_returnflag, 'qty_disc' AS pair, n,
+        |         n * sp_qty_disc - s_qty * s_disc AS num,
+        |         n * ss_qty - s_qty * s_qty AS den_x,
+        |         n * ss_disc - s_disc * s_disc AS den_y FROM s
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty_price', n,
+        |         n * sp_qty_price - s_qty * s_price,
+        |         n * ss_qty - s_qty * s_qty,
+        |         n * ss_price - s_price * s_price FROM s
+        |  UNION ALL
+        |  SELECT l_returnflag, 'disc_price', n,
+        |         n * sp_disc_price - s_disc * s_price,
+        |         n * ss_disc - s_disc * s_disc,
+        |         n * ss_price - s_price * s_price FROM s)
+        |SELECT l_returnflag, pair, n, num, den_x, den_y,
+        |       CASE WHEN den_x > 0 AND den_y > 0
+        |            THEN CAST(num AS DOUBLE) /
+        |                 sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
+        |       END AS corr
+        |FROM p ORDER BY l_returnflag, pair""".stripMargin) { (s, dir) =>
+      FeatureEng.corrPairs(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        Seq("qty" -> col("l_quantity").cast(LongType),
+          "disc" -> bround(col("l_discount") * 100, 0).cast(LongType),
+          "price" -> floor(col("l_extendedprice") / 100).cast(LongType)),
+        maxAbs = 1100L, expectedMaxRows = 700000L)
+        .orderBy("l_returnflag", "pair")
+    },
+
+    // Snapshot reconciliation over the event log: last-value state of the
+    // first fortnight vs the trailing window, diffed added/removed/
+    // changed/unchanged in ONE key-grain groupBy (conditional argmax per
+    // window) — no second scan, no full outer join. The data-versioning
+    // audit a pipeline runs between ingest snapshots.
+    QueryDef("q169_snapshot_diff",
+      """WITH a AS (SELECT user_id, event_type, value FROM (
+        |             SELECT user_id, event_type, value,
+        |                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                       ORDER BY ts DESC, event_id DESC) AS rn
+        |             FROM events WHERE ts < TIMESTAMP '2024-01-16')
+        |           WHERE rn = 1),
+        |b AS (SELECT user_id, event_type, value FROM (
+        |             SELECT user_id, event_type, value,
+        |                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                       ORDER BY ts DESC, event_id DESC) AS rn
+        |             FROM events WHERE ts >= TIMESTAMP '2024-01-08')
+        |           WHERE rn = 1)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |       COALESCE(a.event_type, b.event_type) AS event_type,
+        |       a.value AS old_value, b.value AS new_value,
+        |       CASE WHEN a.user_id IS NULL THEN 'added'
+        |            WHEN b.user_id IS NULL THEN 'removed'
+        |            WHEN a.value <> b.value THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      FeatureEng.snapshotDiff(Tables.events(s, dir),
+        Seq("user_id", "event_type"), col("ts"), col("event_id"), col("value"),
+        oldWindow = col("ts") < lit("2024-01-16").cast("timestamp"),
+        newWindow = col("ts") >= lit("2024-01-08").cast("timestamp"))
+        .orderBy("user_id", "event_type")
+    }
+  )
+}

@@ -215,18 +215,14 @@ object RelationalQueries {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull ||
-            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("is_new")).over(w))
-        .groupBy("user_id", "session_id")
-        .agg(ScalarOps.tsString(min(col("ts"))).as("session_start"),
-          ScalarOps.tsString(max(col("ts"))).as("session_end"),
-          count(lit(1)).as("n_events"))
+      // routed through the factored operator so the streaming twin
+      // (StreamingSessionize) has the same batch parity target q25 pins
+      graft.operators.Sessionize.sessions(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800L)
+        .select(col("u").as("user_id"), col("session_id"),
+          ScalarOps.tsString(timestamp_micros(col("start_tus"))).as("session_start"),
+          ScalarOps.tsString(timestamp_micros(col("end_tus"))).as("session_end"),
+          col("n_events"))
         .orderBy("user_id", "session_id")
     },
 

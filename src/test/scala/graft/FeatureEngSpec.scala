@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.FeatureEng
+
+class FeatureEngSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantileBins: bin ids are monotone in value and cover the requested range") {
+    val df = (1L to 1000L).toDF("v")
+    val out = FeatureEng.quantileBins(df, col("v"), nBins = 10)
+      .orderBy("v").collect()
+    val bins = out.map(r => (r.getLong(0), r.getInt(1)))
+    assert(bins.map(_._2).min == 0)
+    assert(bins.map(_._2).max == 9)
+    // monotone: bin_id never decreases as v increases
+    assert(bins.sliding(2).forall { case Array(a, b) => a._2 <= b._2 })
+    // roughly equi-depth: every decile holds >= 5% of rows (log-bin
+    // granularity makes them inexact, never empty on a smooth input)
+    val sizes = bins.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(_ >= 50))
+  }
+
+  test("quantileBins: heavy duplicate mass collapses bins instead of splitting ties") {
+    // 90% of rows share one value -> many boundaries coincide on its bin;
+    // all equal rows must land in the SAME bin
+    val df = (Seq.fill(900)(7L) ++ (1L to 100L)).toDF("v")
+    val out = FeatureEng.quantileBins(df, col("v"), nBins = 10)
+    val binsOf7 = out.filter(col("v") === 7L).select("bin_id").distinct().collect()
+    assert(binsOf7.length == 1)
+  }
+
+  test("quantileBins is partition-invariant") {
+    val base = (1L to 500L).map(i => (i * 37L) % 499L + 1L)
+    val a = FeatureEng.quantileBins(base.toDF("v").repartition(1), col("v"), 4)
+      .orderBy("v", "bin_id").collect().toSeq
+    val b = FeatureEng.quantileBins(base.toDF("v").repartition(7), col("v"), 4)
+      .orderBy("v", "bin_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("targetEncode: exact rational smoothing toward the global prior") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 0L), ("b", 0L), ("b", 0L),
+      ("c", 1L)).toDF("cat", "y")
+    val enc = FeatureEng.targetEncode(df, col("cat"), col("y"), m = 2L)
+      .orderBy("category").collect()
+    // prior = 3/6; enc(a) = (2 + 2*0.5)/(3+2) = 0.6 via (2*6 + 2*3)/(5*6)
+    val a = enc.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)
+    assert(math.abs(a.getDouble(3) - 0.6) < 1e-15)
+    // a singleton positive is pulled well below 1.0 by the prior
+    val c = enc.find(_.getString(0) == "c").get
+    assert(math.abs(c.getDouble(3) - (1.0 * 6 + 2 * 3) / (3.0 * 6)) < 1e-15)
+  }
+
+  test("corrPairs: perfect linear, anti-linear, and constant columns") {
+    val df = (1L to 100L).map(i => (i, 2 * i + 5, 101 - i, 42L))
+      .toDF("x", "y2", "neg", "const")
+    val out = FeatureEng.corrPairs(df.withColumn("g", lit("all")), Seq("g"),
+      Seq("x" -> col("x"), "y2" -> col("y2"), "neg" -> col("neg"),
+        "const" -> col("const")),
+      maxAbs = 300L, expectedMaxRows = 1000L)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(math.abs(out("x_y2").getDouble(6) - 1.0) < 1e-12)
+    assert(math.abs(out("x_neg").getDouble(6) + 1.0) < 1e-12)
+    assert(out("x_const").isNullAt(6)) // zero variance -> null, not NaN
+  }
+
+  test("corrPairs rejects inputs past the Long-exactness bound") {
+    val df = Seq((1L, 1L)).toDF("x", "y").withColumn("g", lit("all"))
+    intercept[IllegalArgumentException] {
+      FeatureEng.corrPairs(df, Seq("g"), Seq("x" -> col("x"), "y" -> col("y")),
+        maxAbs = 100000L, expectedMaxRows = 100000L)
+    }
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; ties by id") {
+    val ev = Seq(
+      // k1: in both windows, value changed
+      (1L, "k1", 10L, 1.0), (1L, "k1", 60L, 2.0),
+      // k2: only old window -> removed
+      (2L, "k2", 10L, 5.0),
+      // k3: only new window -> added
+      (3L, "k3", 60L, 7.0),
+      // k4: same value both windows -> unchanged
+      (4L, "k4", 20L, 3.0), (4L, "k4", 70L, 3.0),
+      // k5: two rows at the SAME ts in the new window -> higher id wins
+      (5L, "k5", 10L, 1.0), (5L, "k5", 80L, 8.0), (6L, "k5", 80L, 9.0)
+    ).toDF("event_id", "key", "t", "value")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val out = FeatureEng.snapshotDiff(ev, Seq("key"), col("ts"),
+      col("event_id"), col("value"),
+      oldWindow = col("t") < 50L, newWindow = col("t") >= 15L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k1").getString(3) == "changed")
+    assert(out("k2").getString(3) == "removed" && out("k2").isNullAt(2))
+    assert(out("k3").getString(3) == "added" && out("k3").isNullAt(1))
+    assert(out("k4").getString(3) == "unchanged")
+    assert(out("k5").getDouble(2) == 9.0) // same-ts tie -> event_id 6
+  }
+
+  test("snapshotDiff is a single shuffle: no join in the plan") {
+    val ev = Seq((1L, "k", 10L, 1.0)).toDF("event_id", "key", "t", "value")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val plan = FeatureEng.snapshotDiff(ev, Seq("key"), col("ts"),
+      col("event_id"), col("value"), col("t") < 50L, col("t") >= 15L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+  }
+}
