@@ -928,6 +928,127 @@ object TextAnalysis {
     bpeTrainState(docs, nMerges)._1.toDF("rk", "lhs", "rhs", "cnt")
   }
 
+  /** WordPiece training state: the SAME distributed merge loop as
+    * [[bpeTrainState]] (word-dim segmentation, one-row argmax collect
+    * per round, map-side greedy re-segment) but ranked by the WordPiece
+    * LIKELIHOOD score `cnt(pair) / (cnt(lhs)·cnt(rhs))` instead of raw
+    * pair count — the Schuster/Nakajima criterion that prefers pairs
+    * whose parts rarely occur apart over pairs that are merely frequent.
+    * The score is ONE IEEE division of exact BIGINTs (cnt ≤ corpus
+    * tokens, cl·cr ≤ (corpus tokens)² < 2^53 at any tested SF), so the
+    * argmax is engine-exact; ties break (lhs, rhs) lexicographic.
+    *
+    * Token counts come from the CURRENT segmentation (one extra
+    * vocab-dim agg per round vs BPE — both map-side combinable, both
+    * broadcast into the pair frame). Merged symbols are plain
+    * concatenations; the continuation-marking (`##`) convention lives in
+    * [[wordpieceApply]]'s greedy matcher, not the training state.
+    */
+  def wordpieceTrainState(docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long, Double)], DataFrame) = {
+    var seg = docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        expr("filter(split(w, ''), x -> x <> '')").as("toks"), col("freq"))
+      .persist()
+    var prev: DataFrame = null
+    val merges = Vector.newBuilder[(Int, String, String, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val pairs = seg
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS lhs, toks[i] AS rhs)) " +
+            "ELSE array() END")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+      val tc = seg.select(explode(col("toks")).as("tok"), col("freq"))
+        .groupBy("tok").agg(sum("freq").as("c"))
+      val best = pairs
+        .join(broadcast(tc.select(col("tok").as("lhs"), col("c").as("cl"))), Seq("lhs"))
+        .join(broadcast(tc.select(col("tok").as("rhs"), col("c").as("cr"))), Seq("rhs"))
+        .select(col("lhs"), col("rhs"), col("cnt"),
+          (col("cnt").cast(DoubleType) /
+            (col("cl") * col("cr")).cast(DoubleType)).as("score"))
+        .orderBy(col("score").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0); val b = best(0).getString(1)
+        merges += ((r, a, b, best(0).getLong(2), best(0).getDouble(3)))
+        val next = seg
+          .select(col("w"), mergePairCol(col("toks"), a, b).as("toks"), col("freq"))
+          .persist()
+        prev = seg; seg = next
+        r += 1
+      }
+    }
+    if (prev != null) { seg.count(); prev.unpersist() }
+    (merges.result(), seg)
+  }
+
+  def wordpieceLearnDistributed(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordpieceTrainState(docs, nMerges)._1.toDF("rk", "lhs", "rhs", "cnt", "score")
+  }
+
+  /** The bounded WordPiece vocabulary: the training alphabet plus every
+    * learned merge product. Driver-sized by construction (≤ charset +
+    * nMerges entries).
+    */
+  def wordpieceVocab(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long, Double)]): Seq[String] = {
+    val alphabet = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    (alphabet ++ merges.map(m => m._2 + m._3)).distinct
+  }
+
+  /** WordPiece INFERENCE: greedy longest-match-first segmentation of
+    * each word against the trained vocabulary — the standard serving
+    * tokenizer, which can segment differently from the merge-derived
+    * training state (that difference is exactly why it gets its own
+    * operator). A position with no vocab match emits one `[UNK]` per
+    * char (the alphabet covers training chars, so UNKs mark apply-time
+    * novelty). Continuation pieces match the same plain-concatenation
+    * vocab the trainer built — the `##`-marked duplicate vocabulary of
+    * BERT's released files is a serialization convention this operator
+    * does not replicate.
+    *
+    * Scale shape: the vocab rides the closure (bounded), matching runs
+    * on the DISTINCT word dim, and the corpus pass is one broadcast
+    * join + doc-keyed agg — [[bpeApply]]'s exact shape.
+    */
+  def wordpieceApply(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vs = vocab.toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val exploded = docs.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val seg = exploded.select("w").distinct().as[String]
+      .map { w =>
+        var pos = 0; var nTok = 0L; var nUnk = 0L
+        while (pos < w.length) {
+          var l = math.min(maxLen, w.length - pos)
+          while (l >= 1 && !vs.contains(w.substring(pos, pos + l))) l -= 1
+          if (l >= 1) { pos += l; nTok += 1L }
+          else { pos += 1; nTok += 1L; nUnk += 1L }
+        }
+        (w, nTok, nUnk)
+      }.toDF("w", "n_subtokens", "n_unk")
+    exploded.join(broadcast(seg), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_subtokens").as("n_wp_tokens"),
+        sum("n_unk").as("n_unk"))
+  }
+
   /** Content-defined chunking parameters — aliases of the one source of
     * truth in [[graft.functions.CdcBoundaries]] (the native expression
     * and the q131 oracle SQL are generated from the same constants).

@@ -54,6 +54,55 @@ object TextQueries {
       |""".stripMargin + rb
   }
 
+  /** Merge rounds for the q170/q171 WordPiece pair. */
+  private val WpRounds = 8
+
+  /** DuckDB replay of `rounds` WordPiece training rounds: identical
+    * machinery to [[bpeReplaySeg]] (positions, islands-parity merge
+    * selection, positional rebuild) except the per-round argmax ranks by
+    * the LIKELIHOOD score cnt(pair)/(cnt(lhs)·cnt(rhs)) — token counts
+    * `tc_r` taken from the current segmentation — as one IEEE division
+    * of exact BIGINTs, ties (lhs, rhs) lexicographic.
+    */
+  private def wpReplaySeg(rounds: Int): String = {
+    val rb = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""px_$r AS MATERIALIZED (SELECT w, freq, toks, unnest(range(1, len(toks))) AS i FROM seg_$p),
+        |pc_$r AS (SELECT toks[i] AS lhs, toks[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        |          FROM px_$r GROUP BY 1, 2),
+        |tx_$r AS (SELECT freq, toks, unnest(range(1, len(toks)+1)) AS i FROM seg_$p),
+        |tc_$r AS (SELECT toks[i] AS tok, CAST(SUM(freq) AS BIGINT) AS c FROM tx_$r GROUP BY 1),
+        |best_$r AS MATERIALIZED (
+        |  SELECT pc.lhs, pc.rhs, pc.cnt,
+        |         CAST(pc.cnt AS DOUBLE) / CAST(cl.c * cr.c AS DOUBLE) AS score
+        |  FROM pc_$r pc
+        |  JOIN tc_$r cl ON cl.tok = pc.lhs
+        |  JOIN tc_$r cr ON cr.tok = pc.rhs
+        |  ORDER BY score DESC, pc.lhs, pc.rhs LIMIT 1),
+        |m_$r AS (SELECT px.w, px.i FROM px_$r px, best_$r b
+        |         WHERE px.toks[px.i] = b.lhs AND px.toks[px.i+1] = b.rhs),
+        |sel_$r AS (SELECT w, i FROM (
+        |             SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+        |             FROM (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+        |                   FROM m_$r)) WHERE rn % 2 = 1),
+        |seg_$r AS MATERIALIZED (
+        |  SELECT p.w, p.freq,
+        |         list(CASE WHEN s.i IS NOT NULL THEN b.lhs || b.rhs ELSE p.toks[p.i0] END
+        |              ORDER BY p.i0) AS toks
+        |  FROM (SELECT w, freq, toks, unnest(range(1, len(toks)+1)) AS i0 FROM seg_$p) p
+        |  CROSS JOIN best_$r b
+        |  LEFT JOIN sel_$r s ON s.w = p.w AND s.i = p.i0
+        |  LEFT JOIN sel_$r c ON c.w = p.w AND c.i = p.i0 - 1
+        |  WHERE c.i IS NULL
+        |  GROUP BY p.w, p.freq)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wx AS (SELECT unnest($W) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM wx WHERE len(w) >= 2 GROUP BY w),
+      |seg_0 AS MATERIALIZED (
+      |  SELECT w, freq, list_transform(range(1, len(w)+1), i -> w[i]) AS toks FROM v),
+      |""".stripMargin + rb
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace + BPE-ish pre-tokenization counts.
@@ -748,6 +797,60 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(coalesce(col("n_subtokens"), lit(1L))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Distributed WordPiece training (8 merge rounds): BPE's loop shape
+    // — pair-count agg + one-row argmax collect + map-side re-segment —
+    // ranked by the likelihood score cnt/(cnt_lhs·cnt_rhs) instead of
+    // raw count, which is what makes it WordPiece (pairs whose parts
+    // rarely occur apart win over merely-frequent pairs). The score is
+    // one division of exact integers, so the oracle replays all 8
+    // argmaxes hash-exactly, score included.
+    QueryDef("q170_wordpiece_train",
+      wpReplaySeg(WpRounds) + "\n" +
+        (1 to WpRounds).map(r =>
+          s"SELECT $r AS rk, lhs, rhs, cnt, score FROM best_$r")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rk")) { (s, dir) =>
+      TextAnalysis.wordpieceLearnDistributed(Tables.documents(s, dir), WpRounds)
+        .orderBy("rk")
+    },
+
+    // Corpus encoding under the trained WordPiece segmentation — q124's
+    // shape against the likelihood-trained state: per document the word
+    // count and subtoken count after the 8 learned merges; sub-2-char
+    // words encode as themselves. One explode + word-keyed join against
+    // the vocab-dim segmentation + doc-keyed agg.
+    QueryDef("q171_wordpiece_segment",
+      wpReplaySeg(WpRounds) +
+        s""",
+        |t AS (SELECT doc_id, unnest($W) AS w FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(coalesce(len(s.toks), 1)) AS BIGINT) AS n_wp_tokens
+        |FROM t LEFT JOIN seg_$WpRounds s USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val seg = TextAnalysis.wordpieceTrainState(docs, WpRounds)._2
+      docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .join(seg.select(col("w"), size(col("toks")).cast("long").as("n_subtokens")),
+          Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce(col("n_subtokens"), lit(1L))).as("n_wp_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // WordPiece INFERENCE: greedy longest-match against the trained
+    // vocabulary (alphabet + merge products) — the serving tokenizer,
+    // which can segment differently from the merge-derived state. The
+    // variable-iteration greedy loop is not SQL-expressible (the q96
+    // contract), so this is rows-only; TextAnalysisSpec pins the greedy
+    // semantics, the train-vs-apply divergence, and UNK handling on
+    // hand-computed fixtures.
+    QueryDef.sparkOnly("q172_wordpiece_apply") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.wordpieceTrainState(docs, WpRounds)._1
+      TextAnalysis.wordpieceApply(docs, TextAnalysis.wordpieceVocab(docs, merges))
         .orderBy("doc_id")
     },
 

@@ -259,6 +259,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 6L), (2L, 2L, 2L)))
   }
 
+  test("wordpiece: likelihood argmax diverges from BPE count argmax; exhausts; scores exact") {
+    // counts: (a,b)=4, (b,a)=4, (x,y)=2 — BPE merges (a,b) first; token
+    // counts a=8,b=8,x=2,y=2 make score(x,y)=2/4 beat score(a,b)=4/64,
+    // so WordPiece merges (x,y) first
+    val docs = Seq((1L, "ab ab ab ab ba ba ba ba xy xy")).toDF("doc_id", "text")
+    val (merges, seg) = TextAnalysis.wordpieceTrainState(docs, nMerges = 10)
+    assert(merges.map(m => (m._2, m._3)) == Seq(("x", "y"), ("a", "b"), ("b", "a")))
+    assert(merges.map(_._5) == Seq(0.5, 4.0 / 64, 4.0 / 16))
+    assert(TextAnalysis.bpeLearn(docs, nMerges = 1).head == (("a", "b")))
+    // trainer stops once nothing pairs; final state fully merged
+    val segs = seg.select("w", "toks").as[(String, Seq[String])].collect().toMap
+    assert(segs("ab") == Seq("ab") && segs("ba") == Seq("ba") && segs("xy") == Seq("xy"))
+  }
+
+  test("wordpieceApply: greedy longest match against the trained vocab; UNK per unseen char") {
+    val trainDocs = Seq((1L, "ab ab ab ab ba ba ba ba xy xy")).toDF("doc_id", "text")
+    val (merges, _) = TextAnalysis.wordpieceTrainState(trainDocs, nMerges = 10)
+    val vocab = TextAnalysis.wordpieceVocab(trainDocs, merges)
+    assert(vocab.toSet == Set("a", "b", "x", "y", "ab", "ba", "xy"))
+    val applyDocs = Seq((1L, "abab bab axby"), (2L, "aqb")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceApply(applyDocs, vocab).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // abab → ab|ab, bab → ba|b (longest-first grabs "ba", not b|ab),
+    // axby → a|x|b|y: 8 subtokens, 0 UNK; aqb → a|[UNK q]|b: 3, 1 UNK
+    assert(got == Seq((1L, 3L, 8L, 0L), (2L, 1L, 3L, 1L)))
+  }
+
   test("repeatedIntervals covers exactly dropFrequentSpans' dropped tokens; intervals are maximal") {
     // 6 docs share the run "x y z w"; doc 6 also repeats a disjoint "p q r"
     val boiler = "x y z w"
