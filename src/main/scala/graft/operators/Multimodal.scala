@@ -1554,6 +1554,80 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Q7 integer twiddle table for the [[audioSpectral]] DFT — ONE source
+    * of truth for both engines: the Spark path folds over the arrays,
+    * the DuckDB oracle embeds the SAME integers via [[sqlValues]], so
+    * cross-engine agreement never depends on two trig implementations
+    * rounding alike. Q7 (scale 128) keeps every statistic in Long:
+    * |re| ≤ 64·2000·128 ≈ 1.6e7, power ≤ 5.4e14, Σk·power ≤ 2.8e17.
+    */
+  object SpectralTrig {
+    val N = 64
+    val cos: IndexedSeq[Int] =
+      (0 until N).map(j => Math.round(Math.cos(2 * Math.PI * j / N) * 128).toInt)
+    val sin: IndexedSeq[Int] =
+      (0 until N).map(j => Math.round(Math.sin(2 * Math.PI * j / N) * 128).toInt)
+    def sqlValues: String =
+      (0 until N).map(j => s"($j, ${cos(j)}, ${sin(j)})").mkString(", ")
+  }
+
+  /** Spectral features over decoded PCM — the first REAL signal-domain
+    * audio operator (decodeAudio stops at time-domain moments): a
+    * [[SpectralTrig.N]]-point integer DFT of the first N channel-0
+    * samples, emitting the dominant AC bin (argmax power, ties to the
+    * lower bin), its power, total AC power, and the spectral centroid
+    * Σk·p_k / Σp_k — exact BIGINTs plus ONE IEEE division, the q158
+    * convention, so the oracle hash-matches everything including the
+    * centroid. Executor-side mapPartitions (decode + O(N²) fold per
+    * row — N=64 keeps it trivially cheap); rows too short for a frame,
+    * corrupt, or non-WAV are dropped (the filter semantics of a
+    * feature-extraction pass, vs decodeAudio's audit semantics).
+    */
+  def audioSpectral(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dom_bin", IntegerType),
+      StructField("dom_power", LongType),
+      StructField("total_power", LongType),
+      StructField("centroid", DoubleType)))
+    val n = SpectralTrig.N
+    val ct = SpectralTrig.cos.toArray
+    val st = SpectralTrig.sin.toArray
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val dec =
+          try {
+            if (AudioCodecs.isWav(bytes)) Some(AudioCodecs.decodeWav(bytes)) else None
+          } catch { case _: IllegalArgumentException => None }
+        dec.filter(_.frames >= n).map { a =>
+          val x = Array.tabulate(n)(i => a.sample(0, i).toLong)
+          var total = 0L; var num = 0L
+          var domBin = 0; var domPw = -1L
+          var k = 1
+          while (k <= n / 2) {
+            var re = 0L; var im = 0L; var i = 0
+            while (i < n) {
+              val j = (k * i) % n
+              re += x(i) * ct(j); im += x(i) * st(j)
+              i += 1
+            }
+            val pw = re * re + im * im
+            total += pw; num += k.toLong * pw
+            if (pw > domPw) { domPw = pw; domBin = k }
+            k += 1
+          }
+          Row(id, domBin, domPw, total,
+            if (total > 0L) java.lang.Double.valueOf(num.toDouble / total.toDouble)
+            else null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL decode: sniffs the magic bytes and decodes BMP/PPM/PNG into
     * width/height plus exact per-channel pixel sums, channel means, and
     * the top-row sums (orientation-sensitive — a bottom-up/top-down mixup

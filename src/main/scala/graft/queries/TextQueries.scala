@@ -587,6 +587,40 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Spectral audio features: 64-point integer DFT over the first 64
+    // decoded channel-0 PCM samples — dominant AC bin, its power, total
+    // AC power, spectral centroid. The twiddle factors are ONE Q7
+    // integer table (SpectralTrig) interpolated into this SQL, so the
+    // oracle replays the exact same integer arithmetic from the
+    // closed-form sample formula; centroid is the one IEEE division.
+    QueryDef("q173_audio_spectral",
+      s"""WITH m AS (SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed FROM documents),
+        |x AS (SELECT m.doc_id, gi.i,
+        |             CAST((seed + 7*gi.i + 29) % 4001 - 2000 AS BIGINT) AS v
+        |      FROM m, (SELECT unnest(range(0, 64)) AS i) gi),
+        |trig(j, c, s) AS (VALUES ${Multimodal.SpectralTrig.sqlValues}),
+        |f AS (SELECT x.doc_id, gk.k,
+        |             CAST(SUM(x.v * t.c) AS BIGINT) AS re,
+        |             CAST(SUM(x.v * t.s) AS BIGINT) AS im
+        |      FROM x, (SELECT unnest(range(1, 33)) AS k) gk
+        |      JOIN trig t ON t.j = (gk.k * x.i) % 64
+        |      GROUP BY 1, 2),
+        |p AS (SELECT doc_id, k, re*re + im*im AS pw FROM f),
+        |agg AS (SELECT doc_id, CAST(SUM(pw) AS BIGINT) AS total_power,
+        |               CAST(SUM(k * pw) AS BIGINT) AS num
+        |        FROM p GROUP BY doc_id),
+        |dom AS (SELECT doc_id, CAST(k AS INT) AS dom_bin, pw AS dom_power FROM (
+        |          SELECT doc_id, k, pw,
+        |                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pw DESC, k) AS rn
+        |          FROM p) WHERE rn = 1)
+        |SELECT a.doc_id AS media_id, d.dom_bin, d.dom_power, a.total_power,
+        |       CASE WHEN a.total_power > 0
+        |            THEN CAST(a.num AS DOUBLE) / CAST(a.total_power AS DOUBLE) END AS centroid
+        |FROM agg a JOIN dom d USING (doc_id) ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.audioSpectral(Multimodal.syntheticAudio(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    },
+
     // REAL video-container metadata: AVI bytes (RIFF, same chunk
     // discipline as WAV; every 4th file carries the JUNK padding chunk
     // real muxers emit) are synthesized from closed-form metadata and

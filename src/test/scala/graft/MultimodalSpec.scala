@@ -309,6 +309,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getString(1) == "opaque" && rows(1).isNullAt(2))
   }
 
+  test("audioSpectral: pure tones land in their DFT bin; centroid tracks; short/corrupt drop") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("media_id", LongType), StructField("bytes", BinaryType)))
+    def tone(bin: Int, amp: Double): Array[Byte] =
+      AudioCodecs.encodeWav(8000, 1, 64,
+        (_, i) => math.round(amp * math.cos(2 * math.Pi * bin * i / 64)).toInt)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, tone(5, 1000)),
+      org.apache.spark.sql.Row(2L, tone(12, 1000)),
+      org.apache.spark.sql.Row(3L, tone(5, 250)), // amplitude-invariant bin
+      org.apache.spark.sql.Row(4L, AudioCodecs.encodeWav(8000, 1, 10, (_, _) => 7)), // < 64 frames
+      org.apache.spark.sql.Row(5L, Array[Byte](1, 2, 3))) // not WAV
+    val out = Multimodal.audioSpectral(spark.createDataFrame(rows, schema))
+      .orderBy("media_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "short + corrupt rows drop")
+    assert(out(0).getInt(1) == 5 && out(1).getInt(1) == 12 && out(2).getInt(1) == 5)
+    // a pure tone's power concentrates: dominant bin carries > 90% of AC
+    out.foreach(r => assert(r.getLong(2) * 10L > r.getLong(3) * 9L, s"row $r"))
+    // centroid sits within half a bin of the tone for the clean tones
+    assert(math.abs(out(0).getDouble(4) - 5.0) < 0.5)
+    assert(math.abs(out(1).getDouble(4) - 12.0) < 0.5)
+    // exact driver recomputation of row 1 with the shared trig table
+    val x = Array.tabulate(64)(i => math.round(1000.0 * math.cos(2 * math.Pi * 5 * i / 64)))
+    var total = 0L; var num = 0L
+    for (k <- 1 to 32) {
+      var re = 0L; var im = 0L
+      for (i <- 0 until 64) {
+        val j = (k * i) % 64
+        re += x(i) * Multimodal.SpectralTrig.cos(j)
+        im += x(i) * Multimodal.SpectralTrig.sin(j)
+      }
+      val pw = re * re + im * im
+      total += pw; num += k.toLong * pw
+    }
+    assert(out(0).getLong(3) == total && out(0).getDouble(4) == num.toDouble / total.toDouble)
+  }
+
   // ------------------------------------------------------------- GIF/LZW
 
   test("GIF round-trip: every GrayPattern image survives LZW compress+decompress") {
