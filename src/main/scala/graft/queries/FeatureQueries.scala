@@ -153,6 +153,82 @@ object FeatureQueries {
         oldWindow = col("ts") < lit("2024-01-16").cast("timestamp"),
         newWindow = col("ts") >= lit("2024-01-08").cast("timestamp"))
         .orderBy("user_id", "event_type")
+    },
+
+    // One-pass column profiler (the Deequ-style table summary): every
+    // column pre-stringified with DETERMINISTIC formatting, unpivoted to
+    // (column, value) grain, aggregated twice — the table scans ONCE and
+    // the only row-grain exchange is the value-count agg. disc_band is
+    // deliberately nullable so the null accounting is exercised.
+    QueryDef("q174_data_profile",
+      """WITH u AS (
+        |  SELECT 'returnflag' AS col_name, l_returnflag AS value FROM lineitem
+        |  UNION ALL SELECT 'linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'quantity',
+        |            CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'ship_month', strftime(l_shipdate, '%Y-%m') FROM lineitem
+        |  UNION ALL SELECT 'disc_band',
+        |            CASE WHEN l_discount > 0.05 THEN 'high'
+        |                 WHEN l_discount > 0 THEN 'low' END FROM lineitem),
+        |c AS (SELECT col_name, value, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+        |               ORDER BY (value IS NULL), cnt DESC, value) AS rk FROM c)
+        |SELECT col_name,
+        |       CAST(SUM(cnt) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       MAX(CASE WHEN rk = 1 AND value IS NOT NULL THEN value END) AS top_value,
+        |       CAST(MAX(CASE WHEN rk = 1 AND value IS NOT NULL THEN cnt END) AS BIGINT) AS top_count
+        |FROM r GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, dir) =>
+      graft.operators.DataQuality.profile(Tables.lineitem(s, dir), Seq(
+        "returnflag" -> col("l_returnflag"),
+        "linestatus" -> col("l_linestatus"),
+        "quantity" -> col("l_quantity").cast(LongType),
+        "ship_month" -> date_format(col("l_shipdate"), "yyyy-MM"),
+        "disc_band" -> when(col("l_discount") > 0.05, "high")
+          .when(col("l_discount") > 0, "low")))
+        .orderBy("col_name")
+    },
+
+    // Declarative constraint checks (the expectations gate a pipeline
+    // runs before training consumption): uniqueness, referential
+    // integrity, range, non-null, accepted values — each ONE bounded
+    // agg, the report rule-dim-sized. The discount range and accepted
+    // flags are deliberately tight so the fixture shows real failures.
+    QueryDef("q175_quality_checks",
+      """WITH rules AS (
+        |  SELECT 'orders_pk_unique' AS rule, CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orders_fk', CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'discount_range',
+        |         CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+        |                       OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'custname_notnull',
+        |         CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'returnflag_accepted',
+        |         CAST(SUM(CASE WHEN l_returnflag IN ('N', 'R') THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_violations = 0 AS pass
+        |FROM rules ORDER BY rule""".stripMargin) { (s, dir) =>
+      import graft.operators.DataQuality._
+      val li = Tables.lineitem(s, dir)
+      report(Seq(
+        uniqueness("orders_pk_unique", Tables.orders(s, dir), Seq("o_orderkey")),
+        referential("lineitem_orders_fk", li, col("l_orderkey"),
+          Tables.orders(s, dir), col("o_orderkey")),
+        inRange("discount_range", li, col("l_discount"), 0.0, 0.05),
+        notNull("custname_notnull", Tables.customer(s, dir), col("c_name")),
+        acceptedValues("returnflag_accepted", li, col("l_returnflag"), Seq("N", "R"))))
+        .orderBy("rule")
     }
   )
 }

@@ -101,6 +101,48 @@ class FeatureEngSpec extends SparkSpec {
     assert(out("k5").getDouble(2) == 9.0) // same-ts tie -> event_id 6
   }
 
+  test("profile: counts, nulls, distincts, lexicographic bounds, top ties to smaller value") {
+    import graft.operators.DataQuality
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("b", Some(2L)), ("b", None),
+      ("a", None), ("c", Some(9L))).toDF("s", "v")
+    val out = DataQuality.profile(df, Seq(
+      "s" -> col("s"), "v" -> col("v"), "allnull" -> lit(null).cast("string")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert(s.getLong(1) == 6 && s.getLong(2) == 0 && s.getLong(3) == 3)
+    assert(s.getString(4) == "a" && s.getString(5) == "c")
+    assert(s.getString(6) == "a" && s.getLong(7) == 3) // a=3 beats b=2
+    val v = out("v")
+    assert(v.getLong(1) == 6 && v.getLong(2) == 2 && v.getLong(3) == 3)
+    assert(v.getString(6) == "2" && v.getLong(7) == 2) // tie 1 vs 9 broken by count; 2 has 2
+    val an = out("allnull")
+    assert(an.getLong(2) == 6 && an.getLong(3) == 0 && an.isNullAt(6) && an.isNullAt(7))
+  }
+
+  test("quality checks: violations counted per rule, report verdicts") {
+    import graft.operators.DataQuality._
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val child = Seq((1L, "x"), (1L, "y"), (4L, "z"), (5L, "w")).toDF("fk", "s")
+    val dup = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val vals = Seq(Some(0.01), Some(0.2), None).toDF("d")
+    val byRule = report(Seq(
+      uniqueness("uniq", dup, Seq("k")),
+      referential("fk", child, col("fk"), parent, col("id")),
+      inRange("range", vals, col("d"), 0.0, 0.1),
+      notNull("nn", vals, col("d")),
+      acceptedValues("acc", child, col("s"), Seq("x", "y", "z"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byRule("uniq") == ((2L, false)))  // three 1s -> 2 extra rows
+    assert(byRule("fk") == ((2L, false)))    // 4 and 5 orphaned
+    assert(byRule("range") == ((2L, false))) // 0.2 out of range + null
+    assert(byRule("nn") == ((1L, false)))
+    assert(byRule("acc") == ((1L, false)))   // "w" not accepted
+    // a clean rule passes
+    val clean = report(Seq(uniqueness("ok", parent, Seq("id")))).collect()
+    assert(clean.head.getLong(1) == 0L && clean.head.getBoolean(2))
+  }
+
   test("snapshotDiff is a single shuffle: no join in the plan") {
     val ev = Seq((1L, "k", 10L, 1.0)).toDF("event_id", "key", "t", "value")
       .withColumn("ts", timestamp_seconds(col("t")))
