@@ -191,4 +191,66 @@ object Historian {
       .filter(col("dev2") > col("bound"))
       .select(col("k"), col("tie"), col("q"), col("n"), col("dev2"), col("bound"))
   }
+
+  /** Truncated-EWMA one-step forecast with a DYADIC decay (α = 1/2,
+    * window 16): each observation's forecast is the weighted sum of its
+    * 16 predecessors, weights 2^15…2^0 over lags 1…16, denominator
+    * 2^16−1 = 65535. The dyadic α makes every weight a power of two, so
+    * the numerator is an exact BIGINT both engines reproduce; the
+    * forecast itself is ONE IEEE division by the constant 65535·1024
+    * (folding the q-scale back out), and `resid_scaled = q·65535 − num`
+    * stays integer — the q158 exact-rational convention applied to
+    * forecasting. Rows with fewer than 16 predecessors are warm-up and
+    * dropped. One keyed window (the lags and the row_number share its
+    * sort); nothing rescans.
+    */
+  def ewmaForecast(df: DataFrame, key: Column, ts: Column, value: Column,
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("tus", "tie")
+    val base = df.select(key.as("k"), unix_micros(ts).as("tus"),
+      tiebreak.as("tie"), bround(value * 1024, 0).cast(LongType).as("q"))
+    val fnum = (1 to 16)
+      .map(j => lag(col("q"), j).over(w) * lit(1L << (16 - j)))
+      .reduce(_ + _)
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("fnum", fnum)
+      .filter(col("rn") > 16)
+      .select(col("k"), col("tie"), col("q"), col("fnum"),
+        (col("fnum").cast(DoubleType) / lit(67107840.0)).as("forecast"),
+        (col("q") * lit(65535L) - col("fnum")).as("resid_scaled"))
+  }
+
+  /** Hour-of-day seasonal baseline + residual ranking: the baseline for
+    * each (key, hour-of-day) cell is the exact rational mean (sum, cnt)
+    * of that cell's quantized observations; each observation's deviation
+    * from its cell mean is ranked as `(q·cnt − sum)/cnt` — exact integer
+    * numerator, one division so deviations are comparable across cells
+    * of different sizes. Emits the top `topN` |deviation| observations
+    * (ties by tiebreak). One cell-keyed window carries sum/cnt to every
+    * row without a second scan; the global top-N is a distributed
+    * TakeOrdered (orderBy + limit), with ranks assigned on the bounded
+    * result.
+    */
+  def seasonalResiduals(df: DataFrame, key: Column, ts: Column, value: Column,
+      tiebreak: Column, topN: Int): DataFrame = {
+    val w = Window.partitionBy("k", "hr")
+    val scored = df
+      .select(key.as("k"), hour(ts).as("hr"),
+        bround(value * 1024, 0).cast(LongType).as("q"), tiebreak.as("tie"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum(col("q")).over(w))
+      .withColumn("resid",
+        (col("q") * col("cnt") - col("s")).cast(DoubleType) /
+          col("cnt").cast(DoubleType))
+      // global top-N as a distributed TakeOrdered — never a
+      // single-partition row_number over the event-scale frame
+      .orderBy(abs(col("resid")).desc, col("tie"))
+      .limit(topN)
+    scored
+      .withColumn("rk", row_number().over( // bounded: ≤ topN rows by now
+        Window.orderBy(abs(col("resid")).desc, col("tie"))).cast(IntegerType))
+      .select(col("rk"), col("k"), col("hr"), col("q"), col("cnt"),
+        col("resid"))
+  }
 }

@@ -934,6 +934,55 @@ object RelationalQueries {
         .orderBy("k", "tie")
     },
 
+    // Truncated-EWMA one-step forecast with a DYADIC decay (α=1/2,
+    // window 16): every weight a power of two, so the numerator is an
+    // exact BIGINT and the forecast one constant IEEE division — the
+    // q158 exact-rational convention applied to forecasting. Keyed by
+    // event_type (group sizes survive warm-up at every SF); one keyed
+    // window shared by the 16 lags and the warm-up row_number.
+    QueryDef("q176_ewma_forecast",
+      s"""WITH b AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS tus, event_id AS tie,
+        |         CAST(round_even(value * 1024, 0) AS BIGINT) AS q
+        |  FROM events),
+        |l AS (SELECT k, tie, q,
+        |             ROW_NUMBER() OVER w AS rn,
+        |             ${(1 to 16).map(j => s"lag(q, $j) OVER w * ${1L << (16 - j)}")
+            .mkString(" + ")} AS fnum
+        |      FROM b WINDOW w AS (PARTITION BY k ORDER BY tus, tie))
+        |SELECT k, tie, q, CAST(fnum AS BIGINT) AS fnum,
+        |       CAST(fnum AS DOUBLE) / 67107840.0 AS forecast,
+        |       CAST(q * 65535 - fnum AS BIGINT) AS resid_scaled
+        |FROM l WHERE rn > 16 ORDER BY k, tie""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.ewmaForecast(Tables.events(s, dir),
+        col("event_type"), col("ts"), col("value"), col("event_id"))
+        .orderBy("k", "tie")
+    },
+
+    // Hour-of-day seasonal baseline + top-50 residuals: cell mean as
+    // the exact rational (sum, cnt), deviation (q·cnt − sum)/cnt with
+    // one division so cells of different sizes rank comparably; global
+    // top-N is a distributed TakeOrdered, never a single-partition
+    // window over the event frame.
+    QueryDef("q177_seasonal_residuals",
+      """WITH b AS (
+        |  SELECT event_type AS k, CAST(hour(ts) AS INT) AS hr, event_id AS tie,
+        |         CAST(round_even(value * 1024, 0) AS BIGINT) AS q
+        |  FROM events),
+        |c AS (SELECT *, COUNT(*) OVER (PARTITION BY k, hr) AS cnt,
+        |             SUM(q) OVER (PARTITION BY k, hr) AS s FROM b),
+        |r AS (SELECT k, hr, q, CAST(cnt AS BIGINT) AS cnt,
+        |             CAST(q * cnt - s AS DOUBLE) / CAST(cnt AS DOUBLE) AS resid,
+        |             tie
+        |      FROM c)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(resid) DESC, tie) AS INT) AS rk,
+        |       k, hr, q, cnt, resid
+        |FROM r QUALIFY rk <= 50 ORDER BY rk""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.seasonalResiduals(Tables.events(s, dir),
+        col("event_type"), col("ts"), col("value"), col("event_id"), topN = 50)
+        .orderBy("rk")
+    },
+
     // Market-basket lift (round 6): co-purchased part pairs with
     // support ≥ 2 scored by lift = N·c(a,b)/(c(a)·c(b)) — association
     // mining's first mile. The pair join is per-order (items/order ≈ 7

@@ -116,4 +116,49 @@ class HistorianSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toList
     assert(a == b && a.nonEmpty)
   }
+
+  test("ewma: constant series forecasts itself exactly; warm-up drops 16 rows") {
+    val obs = (1 to 30).map(i => (1L, ts(i), 2.5, i.toLong)).toDF("k", "t", "v", "id")
+    val got = Historian.ewmaForecast(obs, col("k"), col("t"), col("v"), col("id"))
+      .orderBy("tie").collect()
+    assert(got.length == 14) // 30 - 16 warm-up
+    got.foreach { r =>
+      assert(r.getLong(2) == 2560L)               // q = 2.5 * 1024
+      assert(r.getLong(3) == 2560L * 65535L)      // fnum = q * (2^16 - 1)
+      assert(r.getDouble(4) == 2560.0 * 65535.0 / 67107840.0)
+      assert(r.getLong(5) == 0L)                  // residual exactly zero
+    }
+  }
+
+  test("ewma: hand-computed numerator on a ramp; nearest lag dominates") {
+    // series q_i = i*1024 (v = i); forecast of row 17 uses lags 16..1
+    val obs = (1 to 17).map(i => (1L, ts(i), i.toDouble, i.toLong)).toDF("k", "t", "v", "id")
+    val got = Historian.ewmaForecast(obs, col("k"), col("t"), col("v"), col("id"))
+      .collect()
+    assert(got.length == 1)
+    val expected = (1 to 16).map(j => (17 - j) * 1024L * (1L << (16 - j))).sum
+    assert(got.head.getLong(3) == expected)
+    // dyadic decay: the forecast sits near the latest value, not the mean
+    assert(got.head.getDouble(4) > 14.9 && got.head.getDouble(4) < 17.0)
+  }
+
+  test("seasonal residuals: deviation from the hour cell mean, ranked; ties by id") {
+    // hour 0 cell: values 10,10,10,22 -> the 22 deviates by +9.0
+    // hour 1 cell: values 5,5 -> zero deviation
+    val rows = Seq(
+      (1L, new Timestamp(3600000L * 24 * 10), 10.0, 1L),
+      (1L, new Timestamp(3600000L * 24 * 10 + 1000), 10.0, 2L),
+      (1L, new Timestamp(3600000L * 24 * 10 + 2000), 10.0, 3L),
+      (1L, new Timestamp(3600000L * 24 * 10 + 3000), 22.0, 4L),
+      (1L, new Timestamp(3600000L * (24 * 10 + 1)), 5.0, 5L),
+      (1L, new Timestamp(3600000L * (24 * 10 + 1) + 1000), 5.0, 6L))
+      .toDF("k", "t", "v", "id")
+    val got = Historian.seasonalResiduals(rows, col("k"), col("t"), col("v"),
+      col("id"), topN = 3).orderBy("rk").collect()
+    assert(got.length == 3)
+    assert(got(0).getInt(0) == 1 && got(0).getLong(3) == 22L * 1024L)
+    assert(got(0).getDouble(5) == (22.0 - 13.0) * 1024) // dev from mean 13
+    // the three 10s deviate equally (-3): ranks 2,3 go to lowest ids
+    assert(got(1).getDouble(5) == -3.0 * 1024 && got(2).getDouble(5) == -3.0 * 1024)
+  }
 }
