@@ -229,6 +229,52 @@ object FeatureQueries {
         notNull("custname_notnull", Tables.customer(s, dir), col("c_name")),
         acceptedValues("returnflag_accepted", li, col("l_returnflag"), Seq("N", "R"))))
         .orderBy("rule")
+    },
+
+    // Record linkage (entity resolution) between two "systems": system B
+    // carries an adjacent-digit-swap corruption of each customer's key
+    // digits. Blocking on (nation, digit-sum) is corruption-INVARIANT
+    // (a swap never changes the sum), so every true pair shares a block
+    // while the candidate space stays Σ per-(block,bigram) a·b — never
+    // |A|·|B|. Score = exact bigram-set overlap; survivorship argmax
+    // ties to the smallest a_id; overlap < 4 drops.
+    QueryDef("q178_record_linkage",
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |                  substr(c_name, 10, 9) AS d FROM customer),
+        |s AS (SELECT id, nk, d,
+        |             CAST(substr(d,1,1) AS INT) + CAST(substr(d,2,1) AS INT) +
+        |             CAST(substr(d,3,1) AS INT) + CAST(substr(d,4,1) AS INT) +
+        |             CAST(substr(d,5,1) AS INT) + CAST(substr(d,6,1) AS INT) +
+        |             CAST(substr(d,7,1) AS INT) + CAST(substr(d,8,1) AS INT) +
+        |             CAST(substr(d,9,1) AS INT) AS dsum FROM c),
+        |a AS (SELECT id, CAST(nk AS VARCHAR) || ':' || CAST(dsum AS VARCHAR) AS block,
+        |             d AS key FROM s),
+        |b AS (SELECT id, CAST(nk AS VARCHAR) || ':' || CAST(dsum AS VARCHAR) AS block,
+        |             substr(d,1,3) || substr(d,5,1) || substr(d,4,1) || substr(d,6,4) AS key
+        |      FROM s),
+        |ag AS (SELECT id AS a_id, block,
+        |              unnest(list_distinct(list_transform(range(1, length(key)),
+        |                     i -> substr(key, CAST(i AS INT), 2)))) AS bigram FROM a),
+        |bg AS (SELECT id AS b_id, block,
+        |              unnest(list_distinct(list_transform(range(1, length(key)),
+        |                     i -> substr(key, CAST(i AS INT), 2)))) AS bigram FROM b),
+        |p AS (SELECT b_id, a_id, CAST(COUNT(*) AS INT) AS score
+        |      FROM ag JOIN bg USING (block, bigram) GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+        |               ORDER BY score DESC, a_id) AS rk FROM p)
+        |SELECT b_id, a_id, score FROM r WHERE rk = 1 AND score >= 4
+        |ORDER BY b_id""".stripMargin) { (s, dir) =>
+      import graft.operators.RecordLinkage
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"),
+          substring(col("c_name"), 10, 9).as("d"))
+      val dsum = (1 to 9).map(i => substring(col("d"), i, 1).cast("int")).reduce(_ + _)
+      val block = concat(col("nk").cast("string"), lit(":"), dsum.cast("string"))
+      val a = cust.select(col("id"), block.as("block"), col("d").as("key"))
+      val b = cust.select(col("id"), block.as("block"),
+        concat(substring(col("d"), 1, 3), substring(col("d"), 5, 1),
+          substring(col("d"), 4, 1), substring(col("d"), 6, 4)).as("key"))
+      RecordLinkage.link(a, b, minOverlap = 4).orderBy("b_id")
     }
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RecordLinkage
+
+/** Block → compare → resolve invariants for the entity-resolution
+  * operator.
+  */
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sys(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("id", "block", "key")
+
+  test("exact duplicate links with the full distinct-bigram score") {
+    val a = sys((1L, "x", "abcdef"))
+    val b = sys((10L, "x", "abcdef"))
+    val got = RecordLinkage.link(a, b, minOverlap = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 10L && got.head.getLong(1) == 1L &&
+      got.head.getInt(2) == 5) // 5 distinct bigrams of "abcdef"
+  }
+
+  test("adjacent-swap corruption still resolves to the true record over a decoy") {
+    val a = sys((1L, "x", "123456789"), (2L, "x", "987654321"))
+    val b = sys((10L, "x", "124356789")) // 3<->4 swapped from record 1
+    val got = RecordLinkage.link(a, b, minOverlap = 1).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 1L)
+    assert(got.head.getInt(2) >= 5, s"swap keeps most bigrams: ${got.head}")
+  }
+
+  test("threshold drops weak candidates; ties resolve to the smallest a_id") {
+    val a = sys((5L, "x", "aabb"), (3L, "x", "bbaa"))
+    val b = sys((10L, "x", "aabb"), (11L, "x", "zzzz"))
+    val got = RecordLinkage.link(a, b, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // "aabb" distinct bigrams {aa,ab,bb}; "bbaa" {bb,ba,aa} -> overlap 2;
+    // exact match scores 3 and wins; zzzz shares nothing and drops
+    assert(got == Map(10L -> ((5L, 3))))
+    // with both a-records scoring equally, the smaller a_id wins
+    val tie = RecordLinkage.link(
+      sys((5L, "x", "abab"), (3L, "x", "baba")),
+      sys((10L, "x", "ab")), minOverlap = 1).collect()
+    // "ab" single bigram hits both (abab has {ab,ba}, baba has {ba,ab})
+    assert(tie.head.getLong(1) == 3L)
+  }
+
+  test("blocking prevents cross-block pairs even for identical keys") {
+    val a = sys((1L, "x", "abcdef"))
+    val b = sys((10L, "y", "abcdef"))
+    assert(RecordLinkage.link(a, b, minOverlap = 1).isEmpty)
+  }
+
+  test("charBigrams: distinct set semantics, single char yields empty") {
+    val got = Seq("aaaa", "ab", "z").toDF("s")
+      .select(RecordLinkage.charBigrams(col("s")).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("aa") && got(1) == Seq("ab") && got(2).isEmpty)
+  }
+}
