@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -135,6 +136,33 @@ object FeatureEng {
           col("p.num").cast(DoubleType) /
             sqrt(col("p.den_x").cast(DoubleType) * col("p.den_y").cast(DoubleType)))
           .as("corr")): _*)
+  }
+
+  /** Per-group feature scaling — the two classic normalizers from ONE
+    * keyed window pass: percentile rank `(rank − 1)/(cnt − 1)` (RANK
+    * semantics, so equal values share a rank and no tiebreak is needed
+    * — the normalization stays a pure function of the value) and
+    * min-max `(v − min)/(max − min)`. Both are exact-integer rationals
+    * with one IEEE division each (null on degenerate groups: a single
+    * row, a constant group). `valueCol` must be integer-domain.
+    */
+  def scaleFeatures(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("v"))
+    val wAll = Window.partitionBy(g: _*)
+    df.select(df.columns.map(col) :+ valueCol.cast(LongType).as("v"): _*)
+      .withColumn("rnk", rank().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("vmin", min(col("v")).over(wAll))
+      .withColumn("vmax", max(col("v")).over(wAll))
+      .withColumn("pct_rank",
+        when(col("cnt") > 1, (col("rnk") - 1).cast(DoubleType) /
+          (col("cnt") - 1).cast(DoubleType)))
+      .withColumn("minmax",
+        when(col("vmax") > col("vmin"), (col("v") - col("vmin")).cast(DoubleType) /
+          (col("vmax") - col("vmin")).cast(DoubleType)))
+      .drop("cnt", "vmin", "vmax")
   }
 
   /** Snapshot reconciliation WITHOUT a join: for two (possibly

@@ -275,6 +275,34 @@ object FeatureQueries {
         concat(substring(col("d"), 1, 3), substring(col("d"), 5, 1),
           substring(col("d"), 4, 1), substring(col("d"), 6, 4)).as("key"))
       RecordLinkage.link(a, b, minOverlap = 4).orderBy("b_id")
+    },
+
+    // Per-group feature scaling: percentile rank (RANK semantics — a
+    // pure function of the value, no tiebreak needed) and min-max, both
+    // exact-integer rationals with one IEEE division, from ONE keyed
+    // window pass; degenerate groups (singleton, constant) yield null.
+    QueryDef("q179_feature_scaling",
+      """SELECT doc_id, lang, n_chars,
+        |       CAST(rnk AS BIGINT) AS rnk,
+        |       CASE WHEN cnt > 1
+        |            THEN CAST(rnk - 1 AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
+        |       END AS pct_rank,
+        |       CASE WHEN vmax > vmin
+        |            THEN CAST(n_chars - vmin AS DOUBLE) / CAST(vmax - vmin AS DOUBLE)
+        |       END AS minmax
+        |FROM (SELECT doc_id, lang, n_chars,
+        |             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+        |             COUNT(*) OVER (PARTITION BY lang) AS cnt,
+        |             MIN(n_chars) OVER (PARTITION BY lang) AS vmin,
+        |             MAX(n_chars) OVER (PARTITION BY lang) AS vmax
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      FeatureEng.scaleFeatures(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rnk").cast("long").as("rnk"), col("pct_rank"), col("minmax"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -101,6 +101,26 @@ class FeatureEngSpec extends SparkSpec {
     assert(out("k5").getDouble(2) == 9.0) // same-ts tie -> event_id 6
   }
 
+  test("scaleFeatures: rank ties share percentile; min-max exact; degenerate groups null") {
+    import graft.operators.FeatureEng
+    val df = Seq(("g1", 10L), ("g1", 20L), ("g1", 20L), ("g1", 40L),
+      ("solo", 5L), ("const", 7L), ("const", 7L)).toDF("g", "v0")
+    val out = FeatureEng.scaleFeatures(df, Seq("g"), col("v0"))
+      .select("g", "v0", "rnk", "pct_rank", "minmax")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val ten = out(("g1", 10L))
+    assert(ten.getInt(2) == 1 && ten.getDouble(3) == 0.0 && ten.getDouble(4) == 0.0)
+    val twenty = out(("g1", 20L)) // both 20s share rank 2
+    assert(twenty.getInt(2) == 2 && twenty.getDouble(3) == 1.0 / 3)
+    assert(twenty.getDouble(4) == 10.0 / 30)
+    val forty = out(("g1", 40L))
+    assert(forty.getInt(2) == 4 && forty.getDouble(3) == 1.0 && forty.getDouble(4) == 1.0)
+    assert(out(("solo", 5L)).isNullAt(3) && out(("solo", 5L)).isNullAt(4))
+    // const group: both rows share rank 1 -> pct 0; minmax degenerate
+    assert(out(("const", 7L)).getDouble(3) == 0.0)
+    assert(out(("const", 7L)).isNullAt(4))
+  }
+
   test("profile: counts, nulls, distincts, lexicographic bounds, top ties to smaller value") {
     import graft.operators.DataQuality
     val df = Seq(
