@@ -70,4 +70,30 @@ object StreamingHistorian {
       .groupByKey(_.k)
       .mapGroupsWithState[TwaState, TwaRow](GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Streaming twin of [[graft.operators.Historian.ohlc]]: hourly OHLC
+    * bars as a watermarked windowed aggregation — open/close via
+    * `min_by`/`max_by` on the (µs, tie) key, which is exactly the batch
+    * operator's (ts, tiebreak) row_number endpoints, so closed bars
+    * match the batch bars row for row (StreamingHistorianSpec pins it).
+    * Pure declarative aggregation: no custom state at all — the shape
+    * Structured Streaming maintains incrementally with map-side partial
+    * aggregation, the cheapest possible ingest-time bar build.
+    */
+  def ohlcBars(obs: DataFrame, delay: String = "60 seconds"): DataFrame = {
+    obs
+      .select(col("k").cast("long"), col("ts").cast("timestamp"),
+        col("value").as("v"), col("tie").cast("long"))
+      .withColumn("ord", struct(unix_micros(col("ts")).as("tus"), col("tie")))
+      .withWatermark("ts", delay)
+      .groupBy(col("k"), window(col("ts"), "1 hour"))
+      .agg(
+        min_by(col("v"), col("ord")).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), col("ord")).as("close"),
+        count(lit(1)).as("n_obs"))
+      .select(col("k"), col("window.start").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"), col("n_obs"))
+  }
 }

@@ -58,4 +58,38 @@ class StreamingHistorianSpec extends SparkSpec {
       assert(got.size == 1 && math.abs(got.head._2 - 42.5) < 1e-6)
     } finally query.stop()
   }
+
+  test("streaming OHLC bars equal batch bars once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2 keys, 3+ hour buckets, same-ts tie at the open of one bucket
+    val obs = (1 to 200).map(i =>
+      Row4((i % 2).toLong, ts(i), 50.0 + (i * 13 % 29) - 14, i.toLong)) ++ Seq(
+      Row4(1L, ts(1), 99.0, 1000L)) // same key+ts as tie=1: higher tie is NOT the open
+    val batch = Historian.ohlc(obs.toDF("k", "t", "v", "id"),
+      col("k"), col("t"), col("v"), col("id"))
+      .as[(Long, Timestamp, Double, Double, Double, Double, Long)]
+      .collect().toSet
+
+    val input = MemoryStream[Row4]
+    val bars = StreamingHistorian.ohlcBars(input.toDS().toDF("k", "ts", "value", "tie"))
+    val query = bars.writeStream.format("memory").queryName("sohlc")
+      .outputMode("append").start()
+    try {
+      val ordered = obs.sortBy(e => (e.ts.getTime, e.tie))
+      // sentinel far beyond the last bucket closes every real window
+      val full = ordered :+ Row4(0L, ts(100000), 1.0, 9999L)
+      full.grouped(60).foreach { g => input.addData(g: _*); query.processAllAvailable() }
+      val streamed = spark.table("sohlc")
+        .as[(Long, Timestamp, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      // the sentinel closes every real bar and its own stays open, so
+      // the emitted set IS the batch set (batch ran without the sentinel)
+      assert(batch.size >= 6, s"fixture must span bars: ${batch.size}")
+      assert(streamed == batch)
+      // the tie fixture bound: the 99.0 spike is the HIGH of its bar,
+      // never the open (tie 1000 loses the same-instant race to tie 1)
+      val spiky = batch.find(b => b._1 == 1L && b._4 == 99.0).get
+      assert(spiky._3 != 99.0, s"open must not be the higher-tie value: $spiky")
+    } finally query.stop()
+  }
 }
