@@ -1348,6 +1348,127 @@ object Multimodal {
       out
     }
 
+    /** AVI with REAL uncompressed essence: the movi LIST carries one
+      * `00db` (uncompressed DIB) chunk per frame — bottom-up BGR rows
+      * padded to 4 bytes, the BMP raster convention — so frame pixels
+      * are extractable with no codec beyond the container walk itself.
+      * This moves the video boundary from "real container, opaque
+      * essence" to "real container, real (uncompressed) essence"; only
+      * COMPRESSED essence (H.264 etc.) remains honestly out of scope.
+      */
+    def encodeAviEssence(m: AviMeta, pixel: (Int, Int, Int) => Int,
+        junk: Boolean = false): Array[Byte] = {
+      val rowBytes = (m.width * 3 + 3) & ~3
+      val frameBytes = rowBytes * m.height
+      val junkSize = if (junk) 8 + 12 else 0
+      val hdrlSize = 4 + 8 + 56
+      val moviSize = 4 + m.frames * (8 + frameBytes)
+      val total = 12 + junkSize + 8 + hdrlSize + 8 + moviSize
+      val out = new Array[Byte](total)
+      def ptag(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def pu32(o: Int, v: Long): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      ptag(0, "RIFF"); pu32(4, total - 8L); ptag(8, "AVI ")
+      var off = 12
+      if (junk) { ptag(off, "JUNK"); pu32(off + 4, 12); off += 8 + 12 }
+      ptag(off, "LIST"); pu32(off + 4, hdrlSize); ptag(off + 8, "hdrl")
+      val ah = off + 12
+      ptag(ah, "avih"); pu32(ah + 4, 56)
+      pu32(ah + 8, m.usecPerFrame)
+      pu32(ah + 12, 0); pu32(ah + 16, 0)
+      pu32(ah + 20, 0)
+      pu32(ah + 24, m.frames)
+      pu32(ah + 28, 0)
+      pu32(ah + 32, m.streams)
+      pu32(ah + 36, 0)
+      pu32(ah + 40, m.width); pu32(ah + 44, m.height)
+      off += 8 + hdrlSize
+      ptag(off, "LIST"); pu32(off + 4, moviSize); ptag(off + 8, "movi")
+      var p = off + 12
+      var f = 0
+      while (f < m.frames) {
+        ptag(p, "00db"); pu32(p + 4, frameBytes)
+        var y = 0
+        while (y < m.height) {
+          val rowOff = p + 8 + (m.height - 1 - y) * rowBytes // bottom-up
+          var x = 0
+          while (x < m.width) {
+            val rgb = pixel(f, x, y)
+            out(rowOff + x * 3) = (rgb & 0xFF).toByte
+            out(rowOff + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+            out(rowOff + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        p += 8 + frameBytes
+        f += 1
+      }
+      out
+    }
+
+    final case class FrameStats(idx: Int, sumR: Long, sumG: Long, sumB: Long,
+                                row0SumR: Long)
+
+    /** Walk movi and decode every `stride`-th `00db` DIB frame into
+      * exact channel sums — the frame-sampling feature-extraction pass.
+      * Orientation matters: row 0 of the LOGICAL image is the LAST
+      * stored row (bottom-up), same as the BMP decoder.
+      */
+    def decodeAviFrames(b: Array[Byte], stride: Int): (AviMeta, Seq[FrameStats]) = {
+      require(stride >= 1, "stride must be >= 1")
+      val meta = decodeAviMeta(b)
+      val rowBytes = (meta.width * 3 + 3) & ~3
+      val out = Vector.newBuilder[FrameStats]
+      var pos = 12L
+      while (pos + 8 <= b.length) {
+        val t = tag(b, pos.toInt)
+        val size = u32(b, pos.toInt + 4)
+        require(pos + 8 + size <= b.length, s"chunk '$t' overruns buffer")
+        if (t == "LIST" && size >= 4 && tag(b, pos.toInt + 8) == "movi") {
+          var sp = pos + 12
+          val end = pos + 8 + size
+          var idx = 0
+          while (sp + 8 <= end) {
+            val st = tag(b, sp.toInt)
+            val ss = u32(b, sp.toInt + 4)
+            require(sp + 8 + ss <= end, s"movi sub-chunk '$st' overruns list")
+            if (st == "00db" || st == "00dc") {
+              require(ss == rowBytes.toLong * meta.height,
+                s"frame $idx essence size $ss != ${rowBytes * meta.height}")
+              if (idx % stride == 0) {
+                var (sr, sg, sb, r0) = (0L, 0L, 0L, 0L)
+                val base = sp.toInt + 8
+                var y = 0
+                while (y < meta.height) {
+                  // logical row y is stored row (h-1-y): bottom-up —
+                  // row0SumR is the orientation-sensitive witness
+                  val rowOff = base + (meta.height - 1 - y) * rowBytes
+                  var x = 0
+                  while (x < meta.width) {
+                    sb += b(rowOff + x * 3) & 0xFF
+                    sg += b(rowOff + x * 3 + 1) & 0xFF
+                    val rv = b(rowOff + x * 3 + 2) & 0xFF
+                    sr += rv
+                    if (y == 0) r0 += rv
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += FrameStats(idx, sr, sg, sb, r0)
+              }
+              idx += 1
+            }
+            sp += 8 + ss + (ss & 1)
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      (meta, out.result())
+    }
+
     def decodeAviMeta(b: Array[Byte]): AviMeta = {
       require(isAvi(b), "not a RIFF/AVI")
       var pos = 12L
@@ -1386,6 +1507,84 @@ object Multimodal {
       require(meta != null, "missing hdrl/avih")
       meta
     }
+  }
+
+  /** Closed-form essence-bearing AVI — SMALL frames so the full-essence
+    * fixture stays a few KB per doc: every decoded frame feature is
+    * recomputable from (doc_id, frame, pixel index) alone, the q80
+    * idiom extended with a frame term.
+    */
+  object VideoEssencePattern {
+    def meta(id: Long): VideoCodecs.AviMeta = VideoCodecs.AviMeta(
+      width = (8 + id % 9).toInt, height = (6 + id % 7).toInt,
+      frames = (6 + id % 5).toInt, usecPerFrame = 40000, streams = 1)
+    def rgb(id: Long)(f: Int, x: Int, y: Int): Int = {
+      val seed = (id % 9973).toInt
+      val i = y * meta(id).width + x
+      val r = (seed + 3 * i + 17 * f) % 256
+      val g = (seed + 5 * i + 23 * f + 7) % 256
+      val b = (seed + 11 * i + 31 * f + 13) % 256
+      (r << 16) | (g << 8) | b
+    }
+  }
+
+  /** Synthesize REAL essence-bearing AVI bytes (full uncompressed DIB
+    * frames in movi) — every 4th id carries the JUNK chunk.
+    */
+  def syntheticVideoEssence(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("bytes", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, "video",
+          VideoCodecs.encodeAviEssence(VideoEssencePattern.meta(id),
+            VideoEssencePattern.rgb(id), junk = id % 4 == 0))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL video frame extraction: walk the container, decode every
+    * `stride`-th uncompressed DIB frame, emit exact channel sums + the
+    * mean as the one derived double — the frame-sampling feature pass a
+    * multimodal pipeline runs before any model. Corrupt bytes drop the
+    * ROW (filter semantics); executor-side mapPartitions, one pass per
+    * blob, no driver involvement.
+    */
+  def decodeVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("row0_sum_r", LongType),
+      StructField("mean_r", DoubleType)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val dec =
+          try {
+            if (VideoCodecs.isAvi(bytes))
+              Some(VideoCodecs.decodeAviFrames(bytes, stride))
+            else None
+          } catch { case _: IllegalArgumentException => None }
+        dec.toSeq.flatMap { case (m, frames) =>
+          frames.map { fs =>
+            Row(id, fs.idx, m.width, m.height, fs.sumR, fs.sumG, fs.sumB,
+              fs.row0SumR, fs.sumR.toDouble / (m.width * m.height))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Closed-form AVI metadata — the video twin of [[TestPattern]]. */

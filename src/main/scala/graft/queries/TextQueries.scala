@@ -621,6 +621,43 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // REAL video frame essence: AVI bytes whose movi LIST carries full
+    // uncompressed DIB frames (bottom-up BGR, padded rows) are
+    // synthesized from the closed-form pattern, then every 2nd frame is
+    // container-walked + decoded back to exact channel sums — the
+    // frame-sampling feature pass. The oracle recomputes every sampled
+    // frame's features from (doc_id, frame, pixel) alone; 192 = max w·h,
+    // 10 = max frames of the pattern (the q80 bounded-unnest idiom).
+    QueryDef("q180_video_frames",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 9 AS INT) AS w,
+        |         CAST(6 + doc_id % 7 AS INT) AS h,
+        |         CAST(6 + doc_id % 5 AS INT) AS nf
+        |  FROM documents),
+        |fx AS (SELECT m.*, gf.f
+        |       FROM m, (SELECT unnest(range(0, 10)) AS f) gf
+        |       WHERE gf.f < m.nf AND gf.f % 2 = 0),
+        |px AS (SELECT fx.doc_id, fx.w, fx.h, fx.f, gi.i,
+        |              (seed + 3*gi.i + 17*fx.f) % 256 AS r,
+        |              (seed + 5*gi.i + 23*fx.f + 7) % 256 AS g,
+        |              (seed + 11*gi.i + 31*fx.f + 13) % 256 AS b
+        |       FROM fx, (SELECT unnest(range(0, 192)) AS i) gi
+        |       WHERE gi.i < fx.w * fx.h)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       w AS width, h AS height,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r,
+        |       CAST(SUM(g) AS BIGINT) AS sum_g,
+        |       CAST(SUM(b) AS BIGINT) AS sum_b,
+        |       CAST(SUM(CASE WHEN i < w THEN r END) AS BIGINT) AS row0_sum_r,
+        |       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.decodeVideoFrames(
+        Multimodal.syntheticVideoEssence(Tables.documents(s, dir)), stride = 2)
+        .orderBy("media_id", "frame_idx")
+    },
+
     // REAL video-container metadata: AVI bytes (RIFF, same chunk
     // discipline as WAV; every 4th file carries the JUNK padding chunk
     // real muxers emit) are synthesized from closed-form metadata and

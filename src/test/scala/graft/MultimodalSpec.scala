@@ -309,6 +309,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getString(1) == "opaque" && rows(1).isNullAt(2))
   }
 
+  test("AVI essence: frame round-trip, stride sampling, bottom-up orientation, corrupt drop") {
+    import graft.operators.Multimodal.{VideoCodecs, VideoEssencePattern}
+    val id = 7L
+    val m = VideoEssencePattern.meta(id)
+    val bytes = VideoCodecs.encodeAviEssence(m, VideoEssencePattern.rgb(id), junk = true)
+    // stride 1: every frame, sums equal the driver recompute
+    val (meta, all) = VideoCodecs.decodeAviFrames(bytes, 1)
+    assert(meta == m && all.length == m.frames)
+    all.foreach { fs =>
+      var (sr, r0) = (0L, 0L)
+      for (y <- 0 until m.height; x <- 0 until m.width) {
+        val r = (VideoEssencePattern.rgb(id)(fs.idx, x, y) >> 16) & 0xFF
+        sr += r; if (y == 0) r0 += r
+      }
+      assert(fs.sumR == sr && fs.row0SumR == r0, s"frame ${fs.idx}")
+    }
+    // the orientation witness is load-bearing: top row != bottom row
+    val f0 = all.head
+    var bottom = 0L
+    for (x <- 0 until m.width)
+      bottom += (VideoEssencePattern.rgb(id)(0, x, m.height - 1) >> 16) & 0xFF
+    assert(f0.row0SumR != bottom, "fixture must distinguish orientation")
+    // stride 3 samples frames 0, 3, 6, ...
+    val (_, sampled) = VideoCodecs.decodeAviFrames(bytes, 3)
+    assert(sampled.map(_.idx) == (0 until m.frames by 3).toVector)
+    // a truncated essence chunk fails loudly (and the pipeline drops the row)
+    intercept[IllegalArgumentException] {
+      VideoCodecs.decodeAviFrames(bytes.dropRight(4), 1)
+    }
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("media_id", LongType), StructField("bytes", BinaryType)))
+    val bad = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, bytes),
+      org.apache.spark.sql.Row(2L, bytes.dropRight(4))), schema)
+    val rows = graft.operators.Multimodal.decodeVideoFrames(bad, 2).collect()
+    assert(rows.forall(_.getLong(0) == 1L), "corrupt blob contributes no frames")
+    assert(rows.length == (0 until m.frames by 2).length)
+  }
+
   test("audioSpectral: pure tones land in their DFT bin; centroid tracks; short/corrupt drop") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.types._
