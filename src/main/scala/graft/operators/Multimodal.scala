@@ -1469,6 +1469,68 @@ object Multimodal {
       (meta, out.result())
     }
 
+    /** Perceptual frame signature (aHash on a 4×4 grid, red channel):
+      * pixel (x,y) maps to cell `(y·4 div h)·4 + (x·4 div w)`; a cell's
+      * bit is set when its mean meets the frame mean, compared by
+      * integer cross-multiplication `cellSum·(w·h) ≥ frameSum·cellCnt`
+      * — no division anywhere, so the 16-bit signature is engine-exact.
+      * The standard frame-fingerprint for near-dup video detection.
+      */
+    def frameAHash(b: Array[Byte], stride: Int): (AviMeta, Seq[(Int, Int)]) = {
+      require(stride >= 1, "stride must be >= 1")
+      val meta = decodeAviMeta(b)
+      val rowBytes = (meta.width * 3 + 3) & ~3
+      val out = Vector.newBuilder[(Int, Int)]
+      var pos = 12L
+      while (pos + 8 <= b.length) {
+        val t = tag(b, pos.toInt)
+        val size = u32(b, pos.toInt + 4)
+        require(pos + 8 + size <= b.length, s"chunk '$t' overruns buffer")
+        if (t == "LIST" && size >= 4 && tag(b, pos.toInt + 8) == "movi") {
+          var sp = pos + 12
+          val end = pos + 8 + size
+          var idx = 0
+          while (sp + 8 <= end) {
+            val st = tag(b, sp.toInt)
+            val ss = u32(b, sp.toInt + 4)
+            require(sp + 8 + ss <= end, s"movi sub-chunk '$st' overruns list")
+            if (st == "00db" || st == "00dc") {
+              require(ss == rowBytes.toLong * meta.height,
+                s"frame $idx essence size $ss != ${rowBytes * meta.height}")
+              if (idx % stride == 0) {
+                val cs = new Array[Long](16); val cc = new Array[Long](16)
+                var total = 0L
+                val base = sp.toInt + 8
+                var y = 0
+                while (y < meta.height) {
+                  val rowOff = base + (meta.height - 1 - y) * rowBytes
+                  var x = 0
+                  while (x < meta.width) {
+                    val r = b(rowOff + x * 3 + 2) & 0xFF
+                    val c = (y * 4 / meta.height) * 4 + (x * 4 / meta.width)
+                    cs(c) += r; cc(c) += 1; total += r
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = meta.width.toLong * meta.height
+                var sig = 0; var c = 0
+                while (c < 16) {
+                  if (cc(c) > 0 && cs(c) * n >= total * cc(c)) sig |= 1 << c
+                  c += 1
+                }
+                out += ((idx, sig))
+              }
+              idx += 1
+            }
+            sp += 8 + ss + (ss & 1)
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      (meta, out.result())
+    }
+
     def decodeAviMeta(b: Array[Byte]): AviMeta = {
       require(isAvi(b), "not a RIFF/AVI")
       var pos = 12L
@@ -1581,6 +1643,34 @@ object Multimodal {
             Row(id, fs.idx, m.width, m.height, fs.sumR, fs.sumG, fs.sumB,
               fs.row0SumR, fs.sumR.toDouble / (m.width * m.height))
           }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-frame perceptual signatures over the essence fixture — the
+    * frame-fingerprint pass feeding video near-dup detection. Same
+    * mapPartitions shape as [[decodeVideoFrames]]; corrupt blobs drop.
+    */
+  def videoFrameHashes(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("sig", IntegerType)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val dec =
+          try {
+            if (VideoCodecs.isAvi(bytes))
+              Some(VideoCodecs.frameAHash(bytes, stride))
+            else None
+          } catch { case _: IllegalArgumentException => None }
+        dec.toSeq.flatMap { case (_, sigs) =>
+          sigs.map { case (idx, sig) => Row(id, idx, sig) }
         }
       }
     }

@@ -658,6 +658,91 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Perceptual frame fingerprints (aHash, 4x4 grid, red channel):
+    // every cell-vs-frame-mean comparison is an integer cross-multiply
+    // (cellSum·n ≥ frameSum·cellCnt — no division), so the 16-bit
+    // signature is engine-exact and the whole fingerprint table
+    // hash-matches. The standard per-frame signature near-dup video
+    // detection builds on.
+    QueryDef("q181_frame_phash",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 9 AS INT) AS w,
+        |         CAST(6 + doc_id % 7 AS INT) AS h,
+        |         CAST(6 + doc_id % 5 AS INT) AS nf
+        |  FROM documents),
+        |fx AS (SELECT m.*, gf.f
+        |       FROM m, (SELECT unnest(range(0, 10)) AS f) gf WHERE gf.f < m.nf),
+        |px AS (SELECT fx.doc_id, fx.w, fx.h, fx.f,
+        |              gi.i % fx.w AS x, gi.i // fx.w AS y,
+        |              (seed + 3*gi.i + 17*fx.f) % 256 AS r
+        |       FROM fx, (SELECT unnest(range(0, 192)) AS i) gi
+        |       WHERE gi.i < fx.w * fx.h),
+        |cells AS (SELECT doc_id, f, (y*4 // h)*4 + (x*4 // w) AS c,
+        |                 CAST(SUM(r) AS BIGINT) AS cs,
+        |                 CAST(COUNT(*) AS BIGINT) AS cc
+        |          FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, f, CAST(SUM(cs) AS BIGINT) AS ts,
+        |               CAST(SUM(cc) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1, 2),
+        |bits AS (SELECT cells.doc_id, cells.f, c,
+        |                CASE WHEN cs * n >= ts * cc THEN 1 ELSE 0 END AS bit
+        |         FROM cells JOIN tot USING (doc_id, f))
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(SUM(bit * (1 << c)) AS INT) AS sig
+        |FROM bits GROUP BY doc_id, f
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.videoFrameHashes(
+        Multimodal.syntheticVideoEssence(Tables.documents(s, dir)), stride = 1)
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // Video near-dup detection over the fingerprint table: candidate
+    // pairs come ONLY from the signature bucket join on DISTINCT
+    // (video, sig) rows — never all-pairs — ranked by shared-signature
+    // count with a total (shared, v1, v2) order so the top-100 cut is
+    // deterministic. The video member of the dedup family.
+    QueryDef("q182_video_neardup",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 9 AS INT) AS w,
+        |         CAST(6 + doc_id % 7 AS INT) AS h,
+        |         CAST(6 + doc_id % 5 AS INT) AS nf
+        |  FROM documents),
+        |fx AS (SELECT m.*, gf.f
+        |       FROM m, (SELECT unnest(range(0, 10)) AS f) gf WHERE gf.f < m.nf),
+        |px AS (SELECT fx.doc_id, fx.w, fx.h, fx.f,
+        |              gi.i % fx.w AS x, gi.i // fx.w AS y,
+        |              (seed + 3*gi.i + 17*fx.f) % 256 AS r
+        |       FROM fx, (SELECT unnest(range(0, 192)) AS i) gi
+        |       WHERE gi.i < fx.w * fx.h),
+        |cells AS (SELECT doc_id, f, (y*4 // h)*4 + (x*4 // w) AS c,
+        |                 CAST(SUM(r) AS BIGINT) AS cs,
+        |                 CAST(COUNT(*) AS BIGINT) AS cc
+        |          FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, f, CAST(SUM(cs) AS BIGINT) AS ts,
+        |               CAST(SUM(cc) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1, 2),
+        |sigrows AS (SELECT doc_id, f, CAST(SUM(CASE WHEN cs * n >= ts * cc
+        |                   THEN 1 ELSE 0 END * (1 << c)) AS INT) AS sig
+        |            FROM cells JOIN tot USING (doc_id, f) GROUP BY doc_id, f),
+        |sigs AS (SELECT DISTINCT doc_id, sig FROM sigrows)
+        |SELECT a.doc_id AS v1, b.doc_id AS v2,
+        |       CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY shared DESC, v1, v2 LIMIT 100""".stripMargin) { (s, dir) =>
+      val sigs = Multimodal.videoFrameHashes(
+        Multimodal.syntheticVideoEssence(Tables.documents(s, dir)), stride = 1)
+        .select("media_id", "sig").distinct()
+      sigs.select(col("media_id").as("v1"), col("sig"))
+        .join(sigs.select(col("media_id").as("v2"), col("sig")), Seq("sig"))
+        .filter(col("v1") < col("v2"))
+        .groupBy("v1", "v2").agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("v1"), col("v2"))
+        .limit(100)
+    },
+
     // REAL video-container metadata: AVI bytes (RIFF, same chunk
     // discipline as WAV; every 4th file carries the JUNK padding chunk
     // real muxers emit) are synthesized from closed-form metadata and

@@ -349,6 +349,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.length == (0 until m.frames by 2).length)
   }
 
+  test("frameAHash: cross-multiply bits match driver recompute; constant frame is all-ones") {
+    import graft.operators.Multimodal.{VideoCodecs, VideoEssencePattern}
+    val id = 11L
+    val m = VideoEssencePattern.meta(id)
+    val bytes = VideoCodecs.encodeAviEssence(m, VideoEssencePattern.rgb(id))
+    val (_, sigs) = VideoCodecs.frameAHash(bytes, 1)
+    assert(sigs.length == m.frames)
+    // driver recompute of frame 0
+    val cs = new Array[Long](16); val cc = new Array[Long](16); var total = 0L
+    for (y <- 0 until m.height; x <- 0 until m.width) {
+      val r = (VideoEssencePattern.rgb(id)(0, x, y) >> 16) & 0xFF
+      val c = (y * 4 / m.height) * 4 + (x * 4 / m.width)
+      cs(c) += r; cc(c) += 1; total += r
+    }
+    val n = m.width.toLong * m.height
+    val want = (0 until 16).filter(c => cs(c) * n >= total * cc(c))
+      .map(1 << _).sum
+    assert(sigs.head._2 == want)
+    // a constant frame: every cell mean equals the frame mean -> 0xFFFF
+    val flat = VideoCodecs.encodeAviEssence(m, (_, _, _) => 0x7F7F7F)
+    assert(VideoCodecs.frameAHash(flat, 1)._2.forall(_._2 == 0xFFFF))
+  }
+
   test("audioSpectral: pure tones land in their DFT bin; centroid tracks; short/corrupt drop") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.types._
