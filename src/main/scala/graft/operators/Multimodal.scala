@@ -1649,6 +1649,62 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Grid aHash over any decoded raster — the shared fingerprint core:
+    * 4×4 cells on the red channel, each bit an integer cross-multiply
+    * against the image mean (the [[VideoCodecs.frameAHash]] contract).
+    */
+  private def gridAHash(w: Int, h: Int, red: (Int, Int) => Int): Int = {
+    val cs = new Array[Long](16); val cc = new Array[Long](16); var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = red(x, y)
+        val c = (y * 4 / h) * 4 + (x * 4 / w)
+        cs(c) += r; cc(c) += 1; total += r
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var sig = 0; var c = 0
+    while (c < 16) {
+      if (cc(c) > 0 && cs(c) * n >= total * cc(c)) sig |= 1 << c
+      c += 1
+    }
+    sig
+  }
+
+  /** Perceptual signatures over the IMAGE corpus (every decodable
+    * format — BMP/PPM/PNG here): the image member of the fingerprint
+    * family, feeding exact-signature and Hamming-near image dedup the
+    * way q181/q182 do for video frames. Corrupt/opaque blobs drop.
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("sig", IntegerType)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val dec =
+          try {
+            if (ImageCodecs.isBmp(bytes)) Some("bmp" -> ImageCodecs.decodeBmp(bytes))
+            else if (ImageCodecs.isPpm(bytes)) Some("ppm" -> ImageCodecs.decodePpm(bytes))
+            else if (ImageCodecs.isPng(bytes)) Some("png" -> ImageCodecs.decodePng(bytes))
+            else None
+          } catch { case _: IllegalArgumentException | _: java.io.IOException => None }
+        dec.map { case (fmt, d) =>
+          Row(id, fmt, gridAHash(d.width, d.height, (x, y) => (d.rgb(x, y) >> 16) & 0xFF))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-frame perceptual signatures over the essence fixture — the
     * frame-fingerprint pass feeding video near-dup detection. Same
     * mapPartitions shape as [[decodeVideoFrames]]; corrupt blobs drop.

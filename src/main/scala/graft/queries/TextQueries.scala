@@ -658,6 +658,40 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Image perceptual hash over the REAL-bytes image corpus
+    // (BMP/PPM/PNG round-robin): the image member of the fingerprint
+    // family, same integer cross-multiply contract as q181 — the whole
+    // signature table hash-matches the closed-form pattern.
+    QueryDef("q183_image_phash",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 17 AS INT) AS w,
+        |         CAST(8 + doc_id % 11 AS INT) AS h
+        |  FROM documents),
+        |px AS (SELECT m.doc_id, m.w, m.h,
+        |              gi.i % m.w AS x, gi.i // m.w AS y,
+        |              (seed + 3*gi.i) % 256 AS r
+        |       FROM m, (SELECT unnest(range(0, 432)) AS i) gi
+        |       WHERE gi.i < m.w * m.h),
+        |cells AS (SELECT doc_id, (y*4 // h)*4 + (x*4 // w) AS c,
+        |                 CAST(SUM(r) AS BIGINT) AS cs,
+        |                 CAST(COUNT(*) AS BIGINT) AS cc
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,
+        |               CAST(SUM(cc) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1)
+        |SELECT cells.doc_id AS media_id,
+        |       CASE cells.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |            ELSE 'png' END AS format,
+        |       CAST(SUM(CASE WHEN cs * n >= ts * cc THEN 1 ELSE 0 END
+        |                * (1 << c)) AS INT) AS sig
+        |FROM cells JOIN tot USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.imageHashes(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    },
+
     // Perceptual frame fingerprints (aHash, 4x4 grid, red channel):
     // every cell-vs-frame-mean comparison is an integer cross-multiply
     // (cellSum·n ≥ frameSum·cellCnt — no division), so the 16-bit
