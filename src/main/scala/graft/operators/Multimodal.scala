@@ -1937,31 +1937,18 @@ object Multimodal {
       StructField("total_power", LongType),
       StructField("centroid", DoubleType)))
     val n = SpectralTrig.N
-    val ct = SpectralTrig.cos.toArray
-    val st = SpectralTrig.sin.toArray
     val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val dec =
-          try {
-            if (AudioCodecs.isWav(bytes)) Some(AudioCodecs.decodeWav(bytes)) else None
-          } catch { case _: IllegalArgumentException => None }
-        dec.filter(_.frames >= n).map { a =>
-          val x = Array.tabulate(n)(i => a.sample(0, i).toLong)
+        decodedForDft(bytes).map { a =>
+          val pw = dftPowers(a)
           var total = 0L; var num = 0L
           var domBin = 0; var domPw = -1L
           var k = 1
           while (k <= n / 2) {
-            var re = 0L; var im = 0L; var i = 0
-            while (i < n) {
-              val j = (k * i) % n
-              re += x(i) * ct(j); im += x(i) * st(j)
-              i += 1
-            }
-            val pw = re * re + im * im
-            total += pw; num += k.toLong * pw
-            if (pw > domPw) { domPw = pw; domBin = k }
+            total += pw(k); num += k.toLong * pw(k)
+            if (pw(k) > domPw) { domPw = pw(k); domBin = k }
             k += 1
           }
           Row(id, domBin, domPw, total,
@@ -1971,6 +1958,70 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode gate for the DFT passes: WAV with ≥ N frames, else drop. */
+  private def decodedForDft(bytes: Array[Byte]): Option[AudioCodecs.DecodedAudio] =
+    (try {
+      if (AudioCodecs.isWav(bytes)) Some(AudioCodecs.decodeWav(bytes)) else None
+    } catch { case _: IllegalArgumentException => None })
+      .filter(_.frames >= SpectralTrig.N)
+
+  /** AC power per bin (index 1..N/2) of the first N ch-0 samples. */
+  private def dftPowers(a: AudioCodecs.DecodedAudio): Array[Long] = {
+    val n = SpectralTrig.N
+    val ct = SpectralTrig.cos; val st = SpectralTrig.sin
+    val x = Array.tabulate(n)(i => a.sample(0, i).toLong)
+    val pw = new Array[Long](n / 2 + 1)
+    var k = 1
+    while (k <= n / 2) {
+      var re = 0L; var im = 0L; var i = 0
+      while (i < n) {
+        val j = (k * i) % n
+        re += x(i) * ct(j); im += x(i) * st(j)
+        i += 1
+      }
+      pw(k) = re * re + im * im
+      k += 1
+    }
+    pw
+  }
+
+  /** Audio fingerprint — the audio member of the fingerprint family:
+    * the two strongest AC bins (ties to the lower bin) packed as
+    * `sig = b1·33 + b2`, plus the count of corpus files sharing the
+    * signature (the exact-dup group size) via one sig-keyed window
+    * over the FILE-dim table. Integer-only, engine-exact.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("b1", IntegerType),
+      StructField("b2", IntegerType),
+      StructField("sig", IntegerType)))
+    val n = SpectralTrig.N
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        decodedForDft(r.getAs[Array[Byte]](1)).map { a =>
+          val pw = dftPowers(a)
+          var b1 = 1; var k = 2
+          while (k <= n / 2) { if (pw(k) > pw(b1)) b1 = k; k += 1 }
+          var b2 = if (b1 == 1) 2 else 1
+          k = 1
+          while (k <= n / 2) {
+            if (k != b1 && pw(k) > pw(b2)) b2 = k
+            k += 1
+          }
+          Row(id, b1, b2, b1 * 33 + b2)
+        }
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    spark.createDataFrame(rdd, outSchema)
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("sig")).cast(LongType))
   }
 
   /** REAL decode: sniffs the magic bytes and decodes BMP/PPM/PNG into

@@ -777,6 +777,39 @@ object TextQueries {
         .limit(100)
     },
 
+    // Audio fingerprint (the audio member of the fingerprint family):
+    // the two strongest DFT bins packed as one integer signature, plus
+    // the exact-dup group size per signature — integer-only, so the
+    // whole fingerprint table hash-matches the closed-form replay.
+    QueryDef("q184_audio_fingerprint",
+      s"""WITH m AS (SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed FROM documents),
+        |x AS (SELECT m.doc_id, gi.i,
+        |             CAST((seed + 7*gi.i + 29) % 4001 - 2000 AS BIGINT) AS v
+        |      FROM m, (SELECT unnest(range(0, 64)) AS i) gi),
+        |trig(j, c, s) AS (VALUES ${Multimodal.SpectralTrig.sqlValues}),
+        |f AS (SELECT x.doc_id, gk.k,
+        |             CAST(SUM(x.v * t.c) AS BIGINT) AS re,
+        |             CAST(SUM(x.v * t.s) AS BIGINT) AS im
+        |      FROM x, (SELECT unnest(range(1, 33)) AS k) gk
+        |      JOIN trig t ON t.j = (gk.k * x.i) % 64
+        |      GROUP BY 1, 2),
+        |p AS (SELECT doc_id, k, re*re + im*im AS pw FROM f),
+        |rk AS (SELECT doc_id, k,
+        |              ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                 ORDER BY pw DESC, k) AS rn FROM p),
+        |fp AS (SELECT doc_id,
+        |              CAST(MAX(CASE WHEN rn = 1 THEN k END) AS INT) AS b1,
+        |              CAST(MAX(CASE WHEN rn = 2 THEN k END) AS INT) AS b2
+        |       FROM rk GROUP BY doc_id)
+        |SELECT doc_id AS media_id, b1, b2,
+        |       CAST(b1 * 33 + b2 AS INT) AS sig,
+        |       CAST(COUNT(*) OVER (PARTITION BY b1 * 33 + b2) AS BIGINT) AS n_same
+        |FROM fp ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.audioFingerprints(
+        Multimodal.syntheticAudio(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    },
+
     // REAL video-container metadata: AVI bytes (RIFF, same chunk
     // discipline as WAV; every 4th file carries the JUNK padding chunk
     // real muxers emit) are synthesized from closed-form metadata and
