@@ -51,6 +51,8 @@ object FeatureEng {
     val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
       .orderBy("__bin")
       .collect() // sketch-sized: one row per occupied log-bin (≤ ~10³)
+    if (hist.isEmpty) // empty input: nothing to bin, keep the schema
+      return binned.withColumn("bin_id", lit(0).cast(IntegerType)).drop("__bin")
     val n = hist.map(_.getLong(1)).sum
     val cum = hist.map(_.getLong(1)).scanLeft(0L)(_ + _).tail
     val boundaries = (1 until nBins).map { k =>
@@ -105,6 +107,7 @@ object FeatureEng {
   def corrPairs(df: DataFrame, groupCols: Seq[String],
       metrics: Seq[(String, Column)], maxAbs: Long,
       expectedMaxRows: Long): DataFrame = {
+    require(metrics.size >= 2, "corrPairs needs at least two metrics")
     require(expectedMaxRows * maxAbs <= 3000000000L,
       s"n·V = ${expectedMaxRows * maxAbs} exceeds the Long-exactness bound 3e9")
     val named = metrics.map { case (nm, c) => nm -> c.cast(LongType) }

@@ -67,9 +67,14 @@ object StreamingSessionize {
       }
       if (st != null) {
         state.update(st)
-        if (st.n > 0L)
+        if (st.n > 0L) {
+          // clamp: a LATE event (within the watermark delay) can carry
+          // lastTus + gap already behind the watermark, and Spark
+          // rejects a timeout earlier than it — flush next tick instead
+          val want = math.floorDiv(st.lastTus, 1000L) + gapUs / 1000L
           state.setTimeoutTimestamp(
-            math.floorDiv(st.lastTus, 1000L) + gapUs / 1000L)
+            math.max(want, state.getCurrentWatermarkMs() + 1L))
+        }
       }
       out.result().iterator
     }
