@@ -692,6 +692,59 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Hamming-near fingerprint pairs (the multi-probe trick applied to
+    // perceptual hashes): each image probes its own signature plus all
+    // 16 single-bit flips, so Hamming ≤ 1 pairs surface from 17 bucket
+    // lookups per record — never an all-pairs distance scan. The same
+    // composition serves any fingerprint table at any scale.
+    QueryDef("q185_phash_hamming",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(8 + doc_id % 17 AS INT) AS w,
+        |         CAST(8 + doc_id % 11 AS INT) AS h
+        |  FROM documents),
+        |px AS (SELECT m.doc_id, m.w, m.h,
+        |              gi.i % m.w AS x, gi.i // m.w AS y,
+        |              (seed + 3*gi.i) % 256 AS r
+        |       FROM m, (SELECT unnest(range(0, 432)) AS i) gi
+        |       WHERE gi.i < m.w * m.h),
+        |cells AS (SELECT doc_id, (y*4 // h)*4 + (x*4 // w) AS c,
+        |                 CAST(SUM(r) AS BIGINT) AS cs,
+        |                 CAST(COUNT(*) AS BIGINT) AS cc
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,
+        |               CAST(SUM(cc) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1),
+        |sigs AS (SELECT cells.doc_id,
+        |                CAST(SUM(CASE WHEN cs * n >= ts * cc THEN 1 ELSE 0 END
+        |                     * (1 << c)) AS INT) AS sig
+        |         FROM cells JOIN tot USING (doc_id) GROUP BY 1),
+        |pr AS (SELECT doc_id AS v1, sig AS s1,
+        |              CASE WHEN fl = 0 THEN sig
+        |                   ELSE CAST(xor(sig, 1 << (fl - 1)) AS INT) END AS probe
+        |       FROM sigs, (SELECT unnest(range(0, 17)) AS fl) f),
+        |cand AS (SELECT DISTINCT a.v1, b.doc_id AS v2, a.s1, b.sig AS s2
+        |         FROM pr a JOIN sigs b ON a.probe = b.sig AND a.v1 < b.doc_id)
+        |SELECT v1, v2,
+        |       CAST(CASE WHEN s1 = s2 THEN 0 ELSE 1 END AS INT) AS hamming
+        |FROM cand ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+      val sigs = Multimodal.imageHashes(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("sig"))
+      val probes = sigs.select(col("media_id").as("v1"), col("sig").as("s1"),
+        explode(array((0 to 16).map(i =>
+          if (i == 0) col("sig")
+          else col("sig").bitwiseXOR(lit(1 << (i - 1)))): _*)).as("probe"))
+      probes
+        .join(sigs.select(col("media_id").as("v2"), col("sig").as("s2")),
+          col("probe") === col("s2") && col("v1") < col("v2"))
+        .select("v1", "v2", "s1", "s2").distinct()
+        .select(col("v1"), col("v2"),
+          when(col("s1") === col("s2"), 0).otherwise(1)
+            .cast("int").as("hamming"))
+        .orderBy("v1", "v2")
+    },
+
     // Perceptual frame fingerprints (aHash, 4x4 grid, red channel):
     // every cell-vs-frame-mean comparison is an integer cross-multiply
     // (cellSum·n ≥ frameSum·cellCnt — no division), so the 16-bit
