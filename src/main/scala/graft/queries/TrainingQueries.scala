@@ -73,6 +73,38 @@ object TrainingQueries {
         .orderBy("doc_id")
     },
 
+    // Packing manifest — the loader-side metadata over q75's sequences:
+    // per packed sequence its document span, token mass, and cumulative
+    // end position. This is what a training data-loader actually reads
+    // (which docs to fetch per sequence, where the pack boundary falls);
+    // seq-dim-sized output from one agg over the q75 frame.
+    QueryDef("q186_packing_manifest",
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running_tokens
+        |      FROM t),
+        |s AS (SELECT doc_id, n_tokens, running_tokens,
+        |             (running_tokens - 1) // 2048 AS seq_id
+        |      FROM r)
+        |SELECT seq_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(MAX(running_tokens) AS BIGINT) AS end_running
+        |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, dir) =>
+      graft.operators.SequencePack.pack(Tables.documents(s, dir), 2048L)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("running_tokens")).as("end_running"))
+        .orderBy("seq_id")
+    },
+
     // Deterministic train/val split: bucket = md5-hash of the KEY (never
     // random()), so membership is stable across runs, engines, and
     // re-partitioning — the property that makes a 100 TB split reproducible.
