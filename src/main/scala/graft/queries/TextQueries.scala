@@ -695,8 +695,11 @@ object TextQueries {
     // Hamming-near fingerprint pairs (the multi-probe trick applied to
     // perceptual hashes): each image probes its own signature plus all
     // 16 single-bit flips, so Hamming ≤ 1 pairs surface from 17 bucket
-    // lookups per record — never an all-pairs distance scan. The same
-    // composition serves any fingerprint table at any scale.
+    // lookups per record — never an all-pairs distance scan. Hot
+    // signatures (> 100 carriers) are dropped as fingerprint stop-words
+    // — the q182 df-cap, keeping bucket occupancy (and thus the join)
+    // linear in corpus size. The same composition serves any
+    // fingerprint table at any scale.
     QueryDef("q185_phash_hamming",
       """WITH m AS (
         |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
@@ -715,10 +718,12 @@ object TextQueries {
         |tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,
         |               CAST(SUM(cc) AS BIGINT) AS n
         |        FROM cells GROUP BY 1),
-        |sigs AS (SELECT cells.doc_id,
+        |sigs0 AS (SELECT cells.doc_id,
         |                CAST(SUM(CASE WHEN cs * n >= ts * cc THEN 1 ELSE 0 END
         |                     * (1 << c)) AS INT) AS sig
         |         FROM cells JOIN tot USING (doc_id) GROUP BY 1),
+        |sigs AS (SELECT doc_id, sig FROM sigs0
+        |         QUALIFY COUNT(*) OVER (PARTITION BY sig) <= 100),
         |pr AS (SELECT doc_id AS v1, sig AS s1,
         |              CASE WHEN fl = 0 THEN sig
         |                   ELSE CAST(xor(sig, 1 << (fl - 1)) AS INT) END AS probe
@@ -731,6 +736,9 @@ object TextQueries {
       val sigs = Multimodal.imageHashes(
         Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .select(col("media_id"), col("sig"))
+        .withColumn("__nsig", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sig")))
+        .filter(col("__nsig") <= 100).drop("__nsig")
       val probes = sigs.select(col("media_id").as("v1"), col("sig").as("s1"),
         explode(array((0 to 16).map(i =>
           if (i == 0) col("sig")
@@ -788,7 +796,12 @@ object TextQueries {
     // pairs come ONLY from the signature bucket join on DISTINCT
     // (video, sig) rows — never all-pairs — ranked by shared-signature
     // count with a total (shared, v1, v2) order so the top-100 cut is
-    // deterministic. The video member of the dedup family.
+    // deterministic. Signatures carried by more than 100 videos are
+    // DROPPED as non-discriminative (fingerprint stop-words — the
+    // PPJoin df-cap convention): without the cap a hot signature makes
+    // the bucket join quadratic in its occupancy, the superlinearity
+    // the round-7 scaling audit caught. The video member of the dedup
+    // family.
     QueryDef("q182_video_neardup",
       """WITH m AS (
         |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
@@ -813,15 +826,20 @@ object TextQueries {
         |sigrows AS (SELECT doc_id, f, CAST(SUM(CASE WHEN cs * n >= ts * cc
         |                   THEN 1 ELSE 0 END * (1 << c)) AS INT) AS sig
         |            FROM cells JOIN tot USING (doc_id, f) GROUP BY doc_id, f),
-        |sigs AS (SELECT DISTINCT doc_id, sig FROM sigrows)
+        |sigs AS (SELECT DISTINCT doc_id, sig FROM sigrows),
+        |disc AS (SELECT doc_id, sig FROM sigs
+        |         QUALIFY COUNT(*) OVER (PARTITION BY sig) <= 100)
         |SELECT a.doc_id AS v1, b.doc_id AS v2,
         |       CAST(COUNT(*) AS BIGINT) AS shared
-        |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |FROM disc a JOIN disc b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |ORDER BY shared DESC, v1, v2 LIMIT 100""".stripMargin) { (s, dir) =>
       val sigs = Multimodal.videoFrameHashes(
         Multimodal.syntheticVideoEssence(Tables.documents(s, dir)), stride = 1)
         .select("media_id", "sig").distinct()
+        .withColumn("__nsig", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sig")))
+        .filter(col("__nsig") <= 100).drop("__nsig")
       sigs.select(col("media_id").as("v1"), col("sig"))
         .join(sigs.select(col("media_id").as("v2"), col("sig")), Seq("sig"))
         .filter(col("v1") < col("v2"))
