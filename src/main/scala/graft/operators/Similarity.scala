@@ -43,6 +43,41 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"), col("rk"))
   }
 
+  /** Margin-based bitext mining (the CCMatrix/LASER criterion): for
+    * each bounded-dim source-language vector, the best target-language
+    * neighbor scored by `margin = c1 / mean(top-kAvg cosines)` — the
+    * ratio that separates genuinely-parallel pairs from hubness (a
+    * vector whose neighborhood is uniformly close scores margin ≈ 1 and
+    * is rejected). Cosines use the shared [[NativeVectorOps]] fold and
+    * the margin is a fixed left-associated sum ÷ power-of-two plus one
+    * division, so the doubles — and the accept verdicts — are
+    * engine-exact. Sources are the broadcast side (q40's bounded-dim
+    * convention); targets stream through the scan once.
+    */
+  def bitextMine(embeddings: DataFrame, srcLabel: Int, tgtLabel: Int,
+      srcMaxId: Long, threshold: Double): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val src = embeddings
+      .filter(col("label") === srcLabel && col("vec_id") < srcMaxId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val tgt = embeddings.filter(col("label") === tgtLabel)
+      .select(col("vec_id"), col("embedding"))
+    val scored = tgt.crossJoin(broadcast(src))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("q_emb"), embD("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val top = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+    val p = top.groupBy("q_id").agg(
+      max(when(col("rk") === 1, col("vec_id"))).as("tgt_id"),
+      max(when(col("rk") === 1, col("cosine"))).as("c1"),
+      max(when(col("rk") === 2, col("cosine"))).as("c2"),
+      max(when(col("rk") === 3, col("cosine"))).as("c3"),
+      max(when(col("rk") === 4, col("cosine"))).as("c4"))
+    p.select(col("q_id"), col("tgt_id"), col("c1"),
+      (col("c1") / ((col("c1") + col("c2") + col("c3") + col("c4")) / 4.0))
+        .as("margin"))
+      .withColumn("accepted", col("margin") > threshold)
+  }
+
   /** Brute-force top-k EUCLIDEAN neighbors (same shape as
     * [[bruteForceTopK]]). dist² is computed as q·q + d·d − 2·q·d from
     * three [[NativeVectorOps.dot]] folds — the oracle combines the same

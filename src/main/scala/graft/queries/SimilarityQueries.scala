@@ -810,6 +810,40 @@ object SimilarityQueries {
         .filter(col("rn") <= 5)
         .select("q_id", "n_id", "rn")
         .orderBy("q_id", "rn")
+    },
+
+    // Margin-based bitext mining (CCMatrix/LASER): best cross-"language"
+    // neighbor per source vector scored by c1/mean(top-4) — the ratio
+    // that rejects hubs whose whole neighborhood is uniformly close
+    // (margin ≈ 1). Labels stand in for languages; the margin is a fixed
+    // left-associated sum ÷ 4 + one division over the shared cosine
+    // folds, so scores AND accept verdicts hash-match.
+    QueryDef("q187_bitext_mining",
+      eCte.replace("WITH e AS (SELECT vec_id",
+        "WITH e AS (SELECT vec_id, label") +
+        s""",
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+        |      WHERE label = 0 AND vec_id < 1000),
+        |t AS (SELECT vec_id, emb FROM e WHERE label = 1),
+        |sc AS (SELECT q.q_id, t.vec_id, ${cos("q.q_emb", "t.emb")} AS cosine,
+        |              CAST(row_number() OVER (PARTITION BY q.q_id
+        |                   ORDER BY ${cos("q.q_emb", "t.emb")} DESC, t.vec_id)
+        |                   AS INT) AS rk
+        |       FROM q, t QUALIFY rk <= 4),
+        |p AS (SELECT q_id,
+        |             MAX(CASE WHEN rk = 1 THEN vec_id END) AS tgt_id,
+        |             MAX(CASE WHEN rk = 1 THEN cosine END) AS c1,
+        |             MAX(CASE WHEN rk = 2 THEN cosine END) AS c2,
+        |             MAX(CASE WHEN rk = 3 THEN cosine END) AS c3,
+        |             MAX(CASE WHEN rk = 4 THEN cosine END) AS c4
+        |      FROM sc GROUP BY q_id)
+        |SELECT q_id, tgt_id, c1,
+        |       c1 / ((c1 + c2 + c3 + c4) / 4.0) AS margin,
+        |       c1 / ((c1 + c2 + c3 + c4) / 4.0) > 1.15 AS accepted
+        |FROM p ORDER BY q_id""".stripMargin) { (s, dir) =>
+      Similarity.bitextMine(Tables.embeddings(s, dir),
+        srcLabel = 0, tgtLabel = 1, srcMaxId = 1000L, threshold = 1.15)
+        .orderBy("q_id")
     }
   )
 
