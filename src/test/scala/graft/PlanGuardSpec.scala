@@ -66,7 +66,10 @@ class PlanGuardSpec extends SparkSpec {
     "q156_rrf_fusion",
     // q160/q161: full- and prefix-dim brute-force rankings plus the
     // candidate grid — all the q40 corpus × broadcast-query-set shape
-    "q160_matryoshka_recall", "q161_contrastive_negatives")
+    "q160_matryoshka_recall", "q161_contrastive_negatives",
+    // q187: bitext mining scores the target scan against the broadcast
+    // bounded-dim source set (the q40 brute-force baseline shape)
+    "q187_bitext_mining")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
