@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, expressions}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Lexical (inverted-index) retrieval over the document corpus — the
+  * sparse half of the hybrid-retrieval story whose dense half is
+  * [[Similarity]] (brute force / LSH / IVF / PQ) and whose fusion is
+  * [[Similarity.rrfFuse]]. The reference pipeline has no retrieval
+  * surface; this is the standard training-data consumer (mining,
+  * decontamination-by-retrieval, more-like-this expansion).
+  *
+  * BM25 here is the INTEGER-SCALED ratio-idf variant: scores are exact
+  * BIGINTs built from one truncating division per term (the q156 RRF
+  * convention), so per-(query, doc) score SUMS are order-independent
+  * and the ranking hash-matches any engine — the float form's
+  * summation-order sensitivity would not. The idf uses the Robertson
+  * ratio `(N − df + 0.5)/(df + 0.5)` directly (×1000, exact integer
+  * arithmetic on doubled counts) rather than its log — the same
+  * monotone-surrogate trick [[TextAnalysis.tfidfTopK]] documents; the
+  * log changes absolute scores, not which documents win, and an exact
+  * cross-engine `ln` is not a portable contract.
+  */
+object Retrieval {
+
+  /** BM25 constants, pre-scaled: k1 = 1.2, b = 0.75, scores ×1000.
+    * All arithmetic below is exact Long provided
+    * `idf1000 · 2 200 000 · tf < 2^63`, i.e. `N · tf ≲ 6·10^9` in the
+    * df=1 worst case (idf1000 ≈ 667·N). Fine through billion-doc
+    * corpora with bounded tf; past that, shard the corpus per index
+    * partition (each partition scores against its own N — the standard
+    * distributed-IR layout) rather than widening the scale.
+    */
+  private val Scale = 1000L
+
+  /** Top-k BM25 retrieval: each document with `doc_id < queryMaxId` is a
+    * "more-like-this" query whose term set is its own distinct words;
+    * every OTHER document is scored by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * over shared terms, and the top `k` per query survive
+    * (score desc, doc_id tiebreak).
+    *
+    * Integer forms (`div` truncates toward zero in both engines):
+    * {{{
+    * idf1000 = ((2N − 2·df + 1) · 1000) div (2·df + 1)
+    * t1      = (750 · dl · N) div SDL          // 1000·b·dl/avgdl
+    * norm    = 250 + t1                        // 1000·(1−b+b·dl/avgdl)
+    * score   = (idf1000 · 2 200 000 · tf) div (tf·1 000 000 + 1200·norm)
+    * }}}
+    *
+    * Scale shape: tf is one (doc, term) aggregation; dl and df are
+    * windows over that SAME frame (one doc-keyed + one term-keyed
+    * exchange — no corpus re-scan, the q61 rewrite); N and SDL ride in
+    * as a one-row broadcast aggregate; the query term set is a bounded
+    * broadcast dim; scoring is a term-keyed broadcast join + one
+    * (q, doc) aggregation. Nothing touches the driver.
+    */
+  def bm25TopK(docs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wDoc = expressions.Window.partitionBy("doc_id")
+    val wTerm = expressions.Window.partitionBy("term")
+    val stats = tf
+      .withColumn("dl", sum("tf").over(wDoc))
+      .withColumn("df", count(lit(1)).over(wTerm))
+    // One-row corpus aggregate: N docs, SDL total corpus words.
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.words(col("text")))).as("sdl"))
+    // Query term sets: distinct words of the bounded query docs — built
+    // straight off the (pruned) doc scan, not the windowed stats frame,
+    // so the broadcast side doesn't replay the corpus windows.
+    val qTerms = docs.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("q_id"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .distinct()
+    val scored = stats
+      .join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf1000",
+        expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("norm", expr("250 + (750 * dl * n_docs) div sdl"))
+      .withColumn("s",
+        expr("(idf1000 * 2200000 * tf) div (tf * 1000000 + 1200 * norm)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("s").as("score1000"), count(lit(1)).as("n_terms"))
+    val w = expressions.Window.partitionBy("q_id")
+      .orderBy(col("score1000").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        col("score1000"), col("n_terms"), col("rk"))
+  }
+
+  /** Ranking-quality evaluation of an approximate retrieval run against
+    * exhaustive ground truth — the offline gate every ANN/lexical recall
+    * lever ([[Similarity.lshTopK]], IVF, PQ, [[bm25TopK]]) is tuned by.
+    * Both inputs carry (q_id, n_id, rk) and are already top-k-bounded
+    * per query, so the whole evaluation is k²-per-query work regardless
+    * of corpus size: one keyed join of two k-bounded lists + one
+    * per-query aggregation. Per query:
+    *
+    *  - `n_truth`     truth-list size (≤ k),
+    *  - `hits_at_k`   |truth ∩ approx| — recall@k numerator,
+    *  - `rank_true1`  the approx rank of the TRUE nearest neighbor
+    *                  (0 when the approx run missed it entirely),
+    *  - `rr1000`     `1000 div rank_true1` — integer-scaled reciprocal
+    *                  rank (truncating div, the q156 convention), whose
+    *                  mean over queries is MRR×1000.
+    *
+    * All outputs are exact integers — no float metric arithmetic to
+    * drift cross-engine.
+    */
+  def rankingEval(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("q_id"), col("n_id"), col("rk").as("t_rk"))
+    val a = approx.select(col("q_id"), col("n_id"), col("rk").as("a_rk"))
+    t.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(when(col("a_rk").isNotNull, 1L).otherwise(0L)).as("hits_at_k"),
+        max(when(col("t_rk") === 1, coalesce(col("a_rk"), lit(0))))
+          .as("rank_true1"))
+      .withColumn("rr1000",
+        when(col("rank_true1") > 0, expr("1000 div rank_true1"))
+          .otherwise(lit(0L)))
+  }
+}

@@ -844,6 +844,47 @@ object SimilarityQueries {
       Similarity.bitextMine(Tables.embeddings(s, dir),
         srcLabel = 0, tgtLabel = 1, srcMaxId = 1000L, threshold = 1.15)
         .orderBy("q_id")
+    },
+
+    // Ranking-quality eval (Retrieval.rankingEval): the single-table
+    // LSH run (q42's shape, top-10) scored against brute-force truth
+    // (q40, top-10) — per query the recall@10 numerator, the approx
+    // rank of the true nearest neighbor, and integer-scaled reciprocal
+    // rank. All-integer metrics; the eval itself is k-bounded per query
+    // regardless of corpus size.
+    QueryDef("q189_ranking_eval",
+      bucketCte +
+        s""",
+        |tr AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |              CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                   ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id)
+        |                   AS INT) AS t_rk
+        |       FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 5 QUALIFY t_rk <= 10),
+        |eb AS (SELECT e.vec_id, emb, bucket FROM e JOIN bk USING (vec_id)),
+        |ap AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |              CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                   ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id)
+        |                   AS INT) AS a_rk
+        |       FROM eb q JOIN eb d ON q.bucket = d.bucket AND d.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 5 QUALIFY a_rk <= 10),
+        |j AS (SELECT tr.q_id, tr.n_id, tr.t_rk, ap.a_rk
+        |      FROM tr LEFT JOIN ap ON tr.q_id = ap.q_id AND tr.n_id = ap.n_id),
+        |agg AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |               CAST(SUM(CASE WHEN a_rk IS NOT NULL THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS hits_at_k,
+        |               MAX(CASE WHEN t_rk = 1 THEN coalesce(a_rk, 0) END)
+        |                 AS rank_true1
+        |        FROM j GROUP BY q_id)
+        |SELECT q_id, n_truth, hits_at_k, rank_true1,
+        |       CASE WHEN rank_true1 > 0 THEN 1000 // rank_true1 ELSE 0 END
+        |         AS rr1000
+        |FROM agg ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Retrieval.rankingEval(
+        Similarity.bruteForceTopK(emb, 5L, 10),
+        Similarity.lshTopK(emb, 5L, 10))
+        .orderBy("q_id")
     }
   )
 

@@ -1489,6 +1489,43 @@ object TextQueries {
             .orderBy(col("chi2").desc, col("bigram"))).cast("int"))
         .filter(col("rk") <= 30)
         .orderBy("rk")
+    },
+
+    // BM25 lexical retrieval (integer-scaled ratio-idf variant — see
+    // Retrieval.bm25TopK): the bounded query docs (doc_id < 5) retrieve
+    // their top-10 "more-like-this" neighbors over shared terms. Every
+    // per-term score is one truncating division of exact BIGINTs, so
+    // the per-(query, doc) SUM is order-independent and the ranking
+    // hash-matches cross-engine — the property the float BM25 lacks.
+    QueryDef("q188_bm25_topk",
+      s"""WITH ws AS (SELECT doc_id, unnest($W) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM ws GROUP BY doc_id, term),
+        |st AS (SELECT doc_id, term, tf,
+        |              CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+        |              CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        |       FROM tf),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(len($W)) AS BIGINT) AS sdl FROM documents),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, term
+        |       FROM ws WHERE doc_id < 5),
+        |sc AS (SELECT qt.q_id, st.doc_id, st.tf,
+        |              ((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1) AS idf1000,
+        |              250 + (750 * dl * n_docs) // sdl AS norm
+        |       FROM st JOIN qt USING (term), c
+        |       WHERE st.doc_id <> qt.q_id),
+        |agg AS (SELECT q_id, doc_id,
+        |        CAST(SUM((idf1000 * 2200000 * tf)
+        |                 // (tf * 1000000 + 1200 * norm)) AS BIGINT) AS score1000,
+        |        CAST(COUNT(*) AS BIGINT) AS n_terms
+        |        FROM sc GROUP BY q_id, doc_id)
+        |SELECT q_id, doc_id AS n_id, score1000, n_terms,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY score1000 DESC, doc_id) AS INT) AS rk
+        |FROM agg QUALIFY rk <= 10
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
+        queryMaxId = 5L, k = 10).orderBy("q_id", "rk")
     }
   )
 

@@ -69,7 +69,12 @@ class PlanGuardSpec extends SparkSpec {
     "q160_matryoshka_recall", "q161_contrastive_negatives",
     // q187: bitext mining scores the target scan against the broadcast
     // bounded-dim source set (the q40 brute-force baseline shape)
-    "q187_bitext_mining")
+    "q187_bitext_mining",
+    // q188: the corpus (N, total-words) pair is a ONE-ROW broadcast
+    // aggregate (q61's n_docs shape) under the BM25 arithmetic
+    "q188_bm25_topk",
+    // q189: the truth side is the q40 brute-force baseline by definition
+    "q189_ranking_eval")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
