@@ -1526,6 +1526,22 @@ object TextQueries {
         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
         queryMaxId = 5L, k = 10).orderBy("q_id", "rk")
+    },
+
+    // WARC crawl-container round-trip (sources/Warc.scala): the corpus
+    // written as per-record gzip-member WARC/1.0 response records (one
+    // blob per partition — the .warc.gz shard layout), then parsed back
+    // by the Content-Length-framed reader; emitted rows come from the
+    // PARSED bytes. The oracle states what a lossless round trip must
+    // recover: URI, HTTP status, and the UTF-8 byte length of the body.
+    QueryDef("q190_warc_roundtrip",
+      """SELECT doc_id,
+        |       'https://' || source || '.example.com/docs/' ||
+        |         CAST(doc_id AS VARCHAR) AS url,
+        |       200 AS http_status,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.sources.Warc.roundTrip(Tables.documents(s, dir)).orderBy("doc_id")
     }
   )
 

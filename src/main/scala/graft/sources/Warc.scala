@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** WARC/1.0 (ISO 28500) reader/writer for web-crawl ingestion — the
+  * container Common Crawl ships, and the entry format of every
+  * crawl-derived training corpus. The reference has no crawl path; this
+  * is the standard upstream of the curation pipeline (q97 URL curation →
+  * q119 HTML strip → quality/dedup).
+  *
+  * Framing is CONTENT-LENGTH driven, never marker-driven: a record's
+  * payload may itself contain `WARC/1.0` (a crawler archiving a WARC
+  * file, or this very test), and any scanner that splits on the magic
+  * string corrupts exactly those records. Real `.warc.gz` files store
+  * each record as its own gzip MEMBER; the reader consumes concatenated
+  * members (RFC 1952 multi-member semantics) transparently.
+  *
+  * Scale shape: WARC files shard naturally (one task per file/range);
+  * build and parse are single-pass per partition with bounded buffers
+  * per record — no driver involvement, no shuffle.
+  */
+object Warc {
+
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: String,
+      date: String,
+      httpStatus: Int,
+      contentType: String,
+      body: Array[Byte])
+
+  private val Crlf = "\r\n"
+
+  /** One WARC/1.0 response record wrapping an HTTP/1.1 200 response. */
+  def buildResponse(url: String, date: String, contentType: String,
+                    body: Array[Byte]): Array[Byte] = {
+    val http =
+      (s"HTTP/1.1 200 OK$Crlf" +
+        s"Content-Type: $contentType$Crlf" +
+        s"Content-Length: ${body.length}$Crlf" +
+        Crlf).getBytes(US_ASCII) ++ body
+    val header =
+      s"WARC/1.0$Crlf" +
+        s"WARC-Type: response$Crlf" +
+        s"WARC-Target-URI: $url$Crlf" +
+        s"WARC-Date: $date$Crlf" +
+        s"Content-Type: application/http; msgtype=response$Crlf" +
+        s"Content-Length: ${http.length}$Crlf" +
+        Crlf
+    header.getBytes(US_ASCII) ++ http ++ (Crlf + Crlf).getBytes(US_ASCII)
+  }
+
+  /** Compress one record as its own gzip member (the `.warc.gz` layout:
+    * members concatenate into a valid stream and each record stays
+    * independently seekable).
+    */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(record); gz.close()
+    bos.toByteArray
+  }
+
+  private def inflateAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+    val out = new ByteArrayOutputStream(bytes.length * 4 + 64)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Index of the first CRLFCRLF at/after `from`, or -1. */
+  private def blankLine(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def headerMap(block: String): Map[String, String] =
+    block.split("\r\n").iterator.drop(1).flatMap { line =>
+      val c = line.indexOf(':')
+      if (c < 0) None
+      else Some(line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim)
+    }.toMap
+
+  /** Parse every record out of a (possibly gzip-member-compressed)
+    * concatenation of WARC records. Malformed framing throws
+    * IllegalArgumentException — callers decide the corrupt-row policy.
+    */
+  def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val raw =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        inflateAll(bytes)
+      else bytes
+    val out = Vector.newBuilder[WarcRecord]
+    var p = 0
+    while (p < raw.length) {
+      // skip inter-record CRLFs
+      while (p < raw.length && (raw(p) == '\r' || raw(p) == '\n')) p += 1
+      if (p < raw.length) {
+        val hEnd = blankLine(raw, p)
+        require(hEnd >= 0, s"unterminated WARC header at offset $p")
+        val wh = headerMap(new String(raw, p, hEnd - p, US_ASCII))
+        require(new String(raw, p, 8, US_ASCII) == "WARC/1.0",
+          s"missing WARC/1.0 version line at offset $p")
+        val clen = wh.getOrElse("content-length",
+          throw new IllegalArgumentException("record without Content-Length")).toInt
+        require(clen >= 0 && hEnd + 4 + clen <= raw.length,
+          s"Content-Length $clen overruns input at offset $p")
+        val block = java.util.Arrays.copyOfRange(raw, hEnd + 4, hEnd + 4 + clen)
+        val rec =
+          if (wh.getOrElse("warc-type", "") == "response"
+              && wh.getOrElse("content-type", "").startsWith("application/http")) {
+            val bEnd = blankLine(block, 0)
+            require(bEnd >= 0, "HTTP block without blank line")
+            val statusLine = new String(block, 0, bEnd, US_ASCII).takeWhile(_ != '\r')
+            val hh = headerMap(new String(block, 0, bEnd, US_ASCII))
+            val status = statusLine.split(" ")(1).toInt
+            WarcRecord(
+              wh.getOrElse("warc-type", ""), wh.getOrElse("warc-target-uri", ""),
+              wh.getOrElse("warc-date", ""), status,
+              hh.getOrElse("content-type", ""),
+              java.util.Arrays.copyOfRange(block, bEnd + 4, block.length))
+          } else {
+            WarcRecord(wh.getOrElse("warc-type", ""),
+              wh.getOrElse("warc-target-uri", ""), wh.getOrElse("warc-date", ""),
+              0, wh.getOrElse("content-type", ""), block)
+          }
+        out += rec
+        p = hEnd + 4 + clen
+      }
+    }
+    out.result()
+  }
+
+  private val roundTripSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("url", StringType),
+    StructField("http_status", IntegerType),
+    StructField("content_length", LongType)))
+
+  /** Corpus → per-record gzip-member WARC blobs → parse-back, one blob
+    * per partition (the `.warc.gz` shard layout). The emitted rows come
+    * from the PARSED bytes, so the query proves the full write→read
+    * path; URLs follow the q97 derivation and doc_id is recovered from
+    * the parsed URI alone.
+    */
+  def roundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = docs.select("doc_id", "source", "text").rdd.mapPartitions { it =>
+      val blob = new ByteArrayOutputStream(1 << 20)
+      it.foreach { r =>
+        val url = s"https://${r.getString(1)}.example.com/docs/${r.getLong(0)}"
+        blob.write(gzipMember(buildResponse(url, "2026-01-01T00:00:00Z",
+          "text/plain; charset=utf-8", r.getString(2).getBytes(UTF_8))))
+      }
+      val bytes = blob.toByteArray
+      if (bytes.isEmpty) Iterator.empty
+      else parseAll(bytes).iterator.map { rec =>
+        val docId = rec.targetUri.substring(rec.targetUri.lastIndexOf('/') + 1).toLong
+        Row(docId, rec.targetUri, rec.httpStatus, rec.body.length.toLong)
+      }
+    }
+    spark.createDataFrame(rows, roundTripSchema)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.Warc
+
+/** WARC/1.0 build+parse on hand fixtures: Content-Length framing (not
+  * marker scanning), gzip multi-member streams, non-response records,
+  * multibyte bodies, and loud failure on truncation.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def rec(url: String, body: String): Array[Byte] =
+    Warc.buildResponse(url, "2026-01-01T00:00:00Z", "text/plain; charset=utf-8",
+      body.getBytes(UTF_8))
+
+  test("round-trips a body that CONTAINS a WARC header (framing is length-driven)") {
+    // A marker-based splitter would cut this record in half.
+    val trap = "prefix\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nsuffix"
+    val out = Warc.parseAll(rec("https://a/1", trap) ++ rec("https://a/2", "plain"))
+    assert(out.map(_.targetUri) === Seq("https://a/1", "https://a/2"))
+    assert(new String(out.head.body, UTF_8) === trap)
+    assert(out.forall(_.httpStatus === 200))
+  }
+
+  test("concatenated gzip members parse as one stream") {
+    val bytes = Warc.gzipMember(rec("https://a/1", "one")) ++
+      Warc.gzipMember(rec("https://a/2", "two")) ++
+      Warc.gzipMember(rec("https://a/3", "three"))
+    val out = Warc.parseAll(bytes)
+    assert(out.map(r => new String(r.body, UTF_8)) === Seq("one", "two", "three"))
+  }
+
+  test("non-response records pass through with their raw block") {
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 12\r\n\r\n" +
+      "format: WARC\r\n\r\n").getBytes(UTF_8)
+    val out = Warc.parseAll(info ++ rec("https://a/1", "x"))
+    assert(out.map(_.warcType) === Seq("warcinfo", "response"))
+    assert(new String(out.head.body, UTF_8) === "format: WARC")
+    assert(out.head.httpStatus === 0)
+  }
+
+  test("multibyte bodies keep UTF-8 byte framing") {
+    val body = "héllo wörld — 你好"
+    val out = Warc.parseAll(rec("https://a/1", body) ++ rec("https://a/2", "y"))
+    assert(new String(out.head.body, UTF_8) === body)
+    assert(out.head.body.length === body.getBytes(UTF_8).length)
+    assert(out(1).targetUri === "https://a/2")
+  }
+
+  test("truncated record fails loudly instead of emitting garbage") {
+    val full = rec("https://a/1", "0123456789")
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 12)
+    intercept[IllegalArgumentException](Warc.parseAll(cut))
+  }
+
+  test("distributed round trip recovers every document") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "srcA", "alpha beta"),
+      (8L, "srcB", "γδ multibyte"),
+      (9L, "srcA", "")
+    ).toDF("doc_id", "source", "text").repartition(2)
+    val out = Warc.roundTrip(docs).orderBy("doc_id")
+      .as[(Long, String, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      (7L, "https://srcA.example.com/docs/7", 200, 10L),
+      (8L, "https://srcB.example.com/docs/8", 200, "γδ multibyte".getBytes(UTF_8).length.toLong),
+      (9L, "https://srcA.example.com/docs/9", 200, 0L)))
+  }
+}
