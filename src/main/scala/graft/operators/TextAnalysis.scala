@@ -852,33 +852,126 @@ object TextAnalysis {
     when(touches, folded).otherwise(toks)
   }
 
-  /** Segmentation state after `nMerges` rounds of DISTRIBUTED BPE
-    * training, plus the learned merge table. Same semantics as
-    * [[bpeLearn]] (count-max then lexicographically-least pair, greedy
-    * left-to-right rewrite) but the vocabulary never leaves the
-    * executors: [[bpeLearn]] collects the word dim to the driver — fine
-    * while Heaps' law keeps a curated vocab near 10⁵, but a raw 100 TB
-    * multilingual crawl has 10⁸⁺ distinct "words" (typos, URLs, code),
-    * which is corpus-shaped state. Here each round is ONE pair-count
-    * aggregation over the distributed word dim (exchange keyed on the
-    * pair), a ONE-ROW argmax collect (the bounded model state, exactly
-    * KMeans' per-round centroid rows), and a map-side `aggregate` fold
-    * re-segmenting in place — no corpus pass after the seed word count,
-    * no vocab collect, nothing driver-side but the merge table itself.
-    * Rounds persist-chain with the previous round evicted once the next
-    * materializes; a production run at vocab scale would snapshot the
-    * segmentation every ~50 rounds (the connectedComponents pattern) to
-    * truncate lineage.
+  /** Distinct-word cap under which tokenizer training runs its merge
+    * loop driver-side (the q73 connected-components hybrid convention).
+    * Heaps' law keeps a curated corpus's vocabulary near 10⁵–10⁶, so
+    * real tokenizer training fits comfortably; a raw multilingual
+    * crawl's junk-heavy word dim (10⁸⁺ typos/URLs/code tokens) exceeds
+    * the cap and takes the fully-distributed loop instead. Both paths
+    * compute the SAME argmax (count/score max, then
+    * lexicographically-least pair in unsigned UTF-8 byte order — the
+    * collation Spark's string sort and DuckDB's BINARY both use) and
+    * the same greedy left-to-right rewrite, so the trained model is
+    * path-invariant (spec-pinned).
+    */
+  val TrainDriverVocabCap = 1000000L
+
+  /** Unsigned UTF-8 byte order — Spark's UTF8String sort order and
+    * DuckDB's default BINARY collation. Java's String.compareTo
+    * (UTF-16 code units) diverges for supplementary-plane characters,
+    * so the driver-side argmax must not use it.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The shared training input: the distinct-word dim with corpus
+    * frequencies (the only corpus-scale pass either training path makes).
+    */
+  private def trainWordDim(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  private def charToks(w: String): Array[String] = w.split("").filter(_.nonEmpty)
+
+  /** Driver-side BPE merge loop over the collected word dim — exact
+    * twin of the distributed rounds below (overlap-counting pair
+    * aggregation, (cnt desc, lhs, rhs) argmax in UTF-8 byte order,
+    * greedy left-to-right rewrite).
+    */
+  private def bpeDriverLoop(vocab0: Array[(String, Array[String], Long)], nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Array[(String, Array[String], Long)]) = {
+    var words = vocab0
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+              (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+            best = kv
+        }
+        val (a, b) = best._1
+        merges += ((r, a, b, best._2))
+        words = words.map { case (w, syms, f) => (w, applyMerge(syms, (a, b)), f) }
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  private def segFromDriver(docs: DataFrame,
+      words: Array[(String, Array[String], Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.createDataset(words.toSeq.map { case (w, t, f) => (w, t.toSeq, f) })
+      .toDF("w", "toks", "freq")
+  }
+
+  /** Segmentation state after `nMerges` rounds of BPE training, plus
+    * the learned merge table — HYBRID (see [[TrainDriverVocabCap]]):
+    * the corpus-scale word count always runs distributed; the merge
+    * loop runs driver-side while the vocabulary is bounded (how every
+    * public BPE trainer structures it) and falls back to the
+    * fully-distributed rounds when it is not. In the distributed form
+    * each round is ONE pair-count aggregation over the distributed word
+    * dim (exchange keyed on the pair), a ONE-ROW argmax collect (the
+    * bounded model state, exactly KMeans' per-round centroid rows), and
+    * a map-side `aggregate` fold re-segmenting in place — no corpus
+    * pass after the seed word count. Rounds persist-chain with the
+    * previous round evicted once the next materializes; a production
+    * run at vocab scale would snapshot the segmentation every ~50
+    * rounds (the connectedComponents pattern) to truncate lineage.
     *
     * Returns (merge table rows (rk, lhs, rhs, cnt), final segmentation
     * (w, toks, freq) — the trained tokenizer state [[bpeApply]]-style
     * encoding joins against).
     */
-  def bpeTrainState(docs: DataFrame, nMerges: Int)
+  def bpeTrainState(docs: DataFrame, nMerges: Int,
+      driverVocabCap: Long = TrainDriverVocabCap)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var seg = docs.select(explode(TextOps.words(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val wordDim = trainWordDim(docs).persist()
+    if (wordDim.count() <= driverVocabCap) {
+      val vocab0 = wordDim.collect()
+        .map(r => (r.getString(0), charToks(r.getString(0)), r.getLong(1)))
+      wordDim.unpersist()
+      val (merges, words) = bpeDriverLoop(vocab0, nMerges)
+      return (merges, segFromDriver(docs, words))
+    }
+    var seg = wordDim
       .select(col("w"),
         expr("filter(split(w, ''), x -> x <> '')").as("toks"), col("freq"))
       .persist()
@@ -915,6 +1008,7 @@ object TextAnalysis {
     // materialize the final state before evicting its parent, or a later
     // reader would recompute the whole persist-chain from the raw corpus
     if (prev != null) { seg.count(); prev.unpersist() }
+    wordDim.unpersist()
     (merges.result(), seg)
   }
 
@@ -928,9 +1022,11 @@ object TextAnalysis {
     bpeTrainState(docs, nMerges)._1.toDF("rk", "lhs", "rhs", "cnt")
   }
 
-  /** WordPiece training state: the SAME distributed merge loop as
-    * [[bpeTrainState]] (word-dim segmentation, one-row argmax collect
-    * per round, map-side greedy re-segment) but ranked by the WordPiece
+  /** WordPiece training state: the SAME hybrid merge loop as
+    * [[bpeTrainState]] (driver-side while the word dim is bounded by
+    * [[TrainDriverVocabCap]], else the distributed rounds: word-dim
+    * segmentation, one-row argmax collect per round, map-side greedy
+    * re-segment) but ranked by the WordPiece
     * LIKELIHOOD score `cnt(pair) / (cnt(lhs)·cnt(rhs))` instead of raw
     * pair count — the Schuster/Nakajima criterion that prefers pairs
     * whose parts rarely occur apart over pairs that are merely frequent.
@@ -944,11 +1040,67 @@ object TextAnalysis {
     * concatenations; the continuation-marking (`##`) convention lives in
     * [[wordpieceApply]]'s greedy matcher, not the training state.
     */
-  def wordpieceTrainState(docs: DataFrame, nMerges: Int)
+  /** Driver-side WordPiece merge loop — exact twin of the distributed
+    * rounds (overlap-counting pair aggregation, current-segmentation
+    * token counts, score `cnt / (cl·cr)` as ONE IEEE division of the
+    * exact Long product, argmax (score desc, lhs, rhs) in UTF-8 byte
+    * order, greedy left-to-right rewrite).
+    */
+  private def wordpieceDriverLoop(vocab0: Array[(String, Array[String], Long)],
+      nMerges: Int)
+      : (Seq[(Int, String, String, Long, Double)], Array[(String, Array[String], Long)]) = {
+    var words = vocab0
+    val merges = Vector.newBuilder[(Int, String, String, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val tc = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (_, syms, f) =>
+        var i = 0
+        while (i < syms.length) {
+          tc.update(syms(i), tc.getOrElse(syms(i), 0L) + f)
+          if (i < syms.length - 1) {
+            val p = (syms(i), syms(i + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: (String, String) = null
+        var bestCnt = 0L
+        var bestScore = 0.0
+        counts.foreach { case (p, cnt) =>
+          val score = cnt.toDouble / (tc(p._1) * tc(p._2)).toDouble
+          if (bestPair == null || score > bestScore ||
+            (score == bestScore && (utf8Lt(p._1, bestPair._1) ||
+              (p._1 == bestPair._1 && utf8Lt(p._2, bestPair._2))))) {
+            bestPair = p; bestCnt = cnt; bestScore = score
+          }
+        }
+        val (a, b) = bestPair
+        merges += ((r, a, b, bestCnt, bestScore))
+        words = words.map { case (w, syms, f) => (w, applyMerge(syms, (a, b)), f) }
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  def wordpieceTrainState(docs: DataFrame, nMerges: Int,
+      driverVocabCap: Long = TrainDriverVocabCap)
       : (Seq[(Int, String, String, Long, Double)], DataFrame) = {
-    var seg = docs.select(explode(TextOps.words(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val wordDim = trainWordDim(docs).persist()
+    if (wordDim.count() <= driverVocabCap) {
+      val vocab0 = wordDim.collect()
+        .map(r => (r.getString(0), charToks(r.getString(0)), r.getLong(1)))
+      wordDim.unpersist()
+      val (merges, words) = wordpieceDriverLoop(vocab0, nMerges)
+      return (merges, segFromDriver(docs, words))
+    }
+    var seg = wordDim
       .select(col("w"),
         expr("filter(split(w, ''), x -> x <> '')").as("toks"), col("freq"))
       .persist()
@@ -987,6 +1139,7 @@ object TextAnalysis {
       }
     }
     if (prev != null) { seg.count(); prev.unpersist() }
+    wordDim.unpersist()
     (merges.result(), seg)
   }
 
@@ -998,13 +1151,14 @@ object TextAnalysis {
 
   /** The bounded WordPiece vocabulary: the training alphabet plus every
     * learned merge product. Driver-sized by construction (≤ charset +
-    * nMerges entries).
+    * nMerges entries). Takes the trained word-dim state
+    * ([[wordpieceTrainState]]'s second result) — its `w` column is
+    * exactly the distinct trained words, so the alphabet comes from the
+    * vocabulary-sized frame with no corpus re-scan.
     */
-  def wordpieceVocab(docs: DataFrame,
+  def wordpieceVocab(seg: DataFrame,
       merges: Seq[(Int, String, String, Long, Double)]): Seq[String] = {
-    val alphabet = docs
-      .select(explode(TextOps.words(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
+    val alphabet = seg
       .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("ch"))
       .distinct().collect().map(_.getString(0)).toSeq
     (alphabet ++ merges.map(m => m._2 + m._3)).distinct

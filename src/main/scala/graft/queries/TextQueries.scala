@@ -1143,8 +1143,8 @@ object TextQueries {
     // hand-computed fixtures.
     QueryDef.sparkOnly("q172_wordpiece_apply") { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val merges = TextAnalysis.wordpieceTrainState(docs, WpRounds)._1
-      TextAnalysis.wordpieceApply(docs, TextAnalysis.wordpieceVocab(docs, merges))
+      val (merges, seg) = TextAnalysis.wordpieceTrainState(docs, WpRounds)
+      TextAnalysis.wordpieceApply(docs, TextAnalysis.wordpieceVocab(seg, merges))
         .orderBy("doc_id")
     },
 

@@ -243,6 +243,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dist32 == dist)
   }
 
+  test("tokenizer training: driver path ≡ forced-distributed path, model and state") {
+    // equal-pair chains + ties exercise the argmax tie-break and the
+    // greedy-overlap rule on both paths; driverVocabCap = -1 forces the
+    // distributed rounds on the same input.
+    val docs = Seq((1L, "low low low lower lowest aaaa"),
+      (2L, "newest newest widest aaa banana bananas"),
+      (3L, "abcabc abcabc xyz ab ab ba xy xy")).toDF("doc_id", "text")
+    val (bpeD, bpeSegD) = TextAnalysis.bpeTrainState(docs, nMerges = 6)
+    val (bpeX, bpeSegX) = TextAnalysis.bpeTrainState(docs, nMerges = 6,
+      driverVocabCap = -1L)
+    assert(bpeD == bpeX)
+    assert(bpeSegD.select("w", "toks", "freq").as[(String, Seq[String], Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap ===
+      bpeSegX.select("w", "toks", "freq").as[(String, Seq[String], Long)]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap)
+    val (wpD, wpSegD) = TextAnalysis.wordpieceTrainState(docs, nMerges = 6)
+    val (wpX, wpSegX) = TextAnalysis.wordpieceTrainState(docs, nMerges = 6,
+      driverVocabCap = -1L)
+    assert(wpD == wpX) // includes the exact Double scores
+    assert(wpSegD.select("w", "toks").as[(String, Seq[String])].collect().toMap ===
+      wpSegX.select("w", "toks").as[(String, Seq[String])].collect().toMap)
+  }
+
   test("bpe segment + apply: merges rewrite in learning order, token counts per doc") {
     val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
     // full rule list collapses the training word; a prefix stops mid-way
@@ -275,8 +298,8 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("wordpieceApply: greedy longest match against the trained vocab; UNK per unseen char") {
     val trainDocs = Seq((1L, "ab ab ab ab ba ba ba ba xy xy")).toDF("doc_id", "text")
-    val (merges, _) = TextAnalysis.wordpieceTrainState(trainDocs, nMerges = 10)
-    val vocab = TextAnalysis.wordpieceVocab(trainDocs, merges)
+    val (merges, trainSeg) = TextAnalysis.wordpieceTrainState(trainDocs, nMerges = 10)
+    val vocab = TextAnalysis.wordpieceVocab(trainSeg, merges)
     assert(vocab.toSet == Set("a", "b", "x", "y", "ab", "ba", "xy"))
     val applyDocs = Seq((1L, "abab bab axby"), (2L, "aqb")).toDF("doc_id", "text")
     val got = TextAnalysis.wordpieceApply(applyDocs, vocab).orderBy("doc_id")
