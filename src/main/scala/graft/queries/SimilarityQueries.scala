@@ -885,6 +885,67 @@ object SimilarityQueries {
         Similarity.bruteForceTopK(emb, 5L, 10),
         Similarity.lshTopK(emb, 5L, 10))
         .orderBy("q_id")
+    },
+
+    // HYBRID retrieval — the q156 RRF fusion applied across MODALITIES:
+    // the dense cosine ranking (embeddings) fused with the sparse BM25
+    // ranking (documents, q188's integer-scaled scorer) for the same
+    // query ids (vec_id ≡ doc_id in the corpus). This is the standard
+    // production retrieval stack: neither signal alone ranks what both
+    // agree on first; all arithmetic stays integer so the fused board
+    // hash-matches cross-engine.
+    QueryDef("q191_hybrid_retrieval",
+      eCte +
+        s""",
+        |dr AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |  QUALIFY rk <= 10),
+        |ws AS (SELECT doc_id, unnest(${graft.functions.TextOps.wordsSql}) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM ws GROUP BY doc_id, term),
+        |st AS (SELECT doc_id, term, tf,
+        |              CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+        |              CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        |       FROM tf),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(len(${graft.functions.TextOps.wordsSql})) AS BIGINT)
+        |               AS sdl FROM documents),
+        |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM ws WHERE doc_id < 5),
+        |sc AS (SELECT qt.q_id, st.doc_id, st.tf,
+        |              ((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1) AS idf1000,
+        |              250 + (750 * dl * n_docs) // sdl AS norm
+        |       FROM st JOIN qt USING (term), c
+        |       WHERE st.doc_id <> qt.q_id),
+        |bagg AS (SELECT q_id, doc_id,
+        |         CAST(SUM((idf1000 * 2200000 * tf)
+        |                  // (tf * 1000000 + 1200 * norm)) AS BIGINT) AS s1000
+        |         FROM sc GROUP BY q_id, doc_id),
+        |lr AS (SELECT q_id, doc_id AS n_id,
+        |              CAST(row_number() OVER (PARTITION BY q_id
+        |                   ORDER BY s1000 DESC, doc_id) AS INT) AS rk
+        |       FROM bagg QUALIFY rk <= 10),
+        |u AS (SELECT q_id, n_id, rk FROM dr
+        |      UNION ALL SELECT q_id, n_id, rk FROM lr),
+        |f AS (SELECT q_id, n_id,
+        |             CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT q_id, n_id, rrf, n_lists,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |            ORDER BY rrf DESC, n_id) AS INT) AS frk
+        |FROM f QUALIFY frk <= 10 ORDER BY q_id, frk""".stripMargin) { (s, dir) =>
+      val dense = Similarity.bruteForceTopK(Tables.embeddings(s, dir), 5L, 10)
+        .select("q_id", "n_id", "rk")
+      val lex = graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir), 5L, 10)
+        .select("q_id", "n_id", "rk")
+      Similarity.rrfFuse(Seq(dense, lex), topK = 10)
+        .select("q_id", "n_id", "rrf", "n_lists", "frk")
+        .orderBy("q_id", "frk")
     }
   )
 

@@ -74,7 +74,10 @@ class PlanGuardSpec extends SparkSpec {
     // aggregate (q61's n_docs shape) under the BM25 arithmetic
     "q188_bm25_topk",
     // q189: the truth side is the q40 brute-force baseline by definition
-    "q189_ranking_eval")
+    "q189_ranking_eval",
+    // q191: fuses the q40 brute-force dense ranking with q188's BM25
+    // (its one-row corpus aggregate) — both documented shapes
+    "q191_hybrid_retrieval")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
