@@ -138,4 +138,26 @@ object Sampling {
       .filter(col("__mix_rk") <= col("__mix_quota"))
       .drop("__mix_group", "__mix_quota", "__mix_rk")
   }
+
+  /** Leakage-safe train/val split: the split key is the NEAR-DUP CLUSTER
+    * id, not the document id, so every member of a near-duplicate family
+    * lands in the same split — hashing raw doc ids (q53's shape) leaks
+    * val-set content into training whenever a near-copy of a val doc
+    * exists, which near-dup-heavy web corpora guarantee. `clusters` is
+    * any (id, cluster_id) assignment ([[Similarity.nearDupClusters]],
+    * [[Dedup]] MinHash components…); unclustered docs fall back to their
+    * own id (a cluster of one). Membership stays a pure hash of the key
+    * — deterministic across runs, engines, and partitionings. One keyed
+    * left join + map-side hash; no extra shuffles beyond the join.
+    */
+  def leakageSafeSplit(df: DataFrame, keyCol: Column, clusters: DataFrame,
+                       trainPct: Int): DataFrame = {
+    val cl = clusters.select(col("id").as("__ls_id"), col("cluster_id"))
+    df.join(cl, keyCol === col("__ls_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), keyCol))
+      .withColumn("split",
+        when(TextOps.hash32(col("split_key").cast("string")) % 100 < trainPct,
+          "train").otherwise("val"))
+      .drop("__ls_id", "cluster_id")
+  }
 }

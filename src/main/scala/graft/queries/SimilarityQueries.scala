@@ -26,6 +26,38 @@ object SimilarityQueries {
       |       FROM e, (SELECT unnest(range(0, ${Similarity.NumPlanes})) AS j) g),
       |bk AS (SELECT vec_id, CAST(SUM(bitv) AS BIGINT) AS bucket FROM bv GROUP BY vec_id)""".stripMargin
 
+  /** q73's near-dup connected-components chain (multi-table LSH buckets
+    * → verified near-dup edges at cosine ≥ 0.40 → recursive min-label
+    * components), ending at `cc` (v, cluster_id) and `cs` (cluster
+    * sizes). Composed by q73 and q192's leakage-safe split.
+    */
+  private lazy val ccCte =
+    eCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      s""",
+      |bvm AS (SELECT vec_id, t, j,
+      |               CASE WHEN ${VectorOps.planeDotSql("emb", "(t * 4 + j)", 64)} > 0
+      |                    THEN (1::BIGINT << j) ELSE 0 END AS bitv
+      |        FROM e, (SELECT unnest(range(0, 8)) AS t) tt,
+      |                (SELECT unnest(range(0, 4)) AS j) jj),
+      |bkm AS (SELECT vec_id, t, CAST(SUM(bitv) AS BIGINT) AS bucket
+      |        FROM bvm GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      |         FROM bkm a JOIN bkm b ON a.t = b.t AND a.bucket = b.bucket
+      |                               AND a.vec_id < b.vec_id),
+      |nd AS (SELECT c.d1, c.d2
+      |       FROM cand c JOIN e x ON x.vec_id = c.d1
+      |                   JOIN e y ON y.vec_id = c.d2
+      |       WHERE ${cos("x.emb", "y.emb")} >= 0.40),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM nd
+      |          UNION SELECT d2, d1 FROM nd),
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |r(v, label) AS (
+      |    SELECT v, v FROM verts
+      |    UNION
+      |    SELECT e2.dst, r.label FROM r JOIN edges e2 ON e2.src = r.v),
+      |cc AS (SELECT v, min(label) AS cluster_id FROM r GROUP BY v),
+      |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force top-10 cosine neighbors for queries vec_id < 5.
@@ -204,31 +236,8 @@ object SimilarityQueries {
     // the canonical survivor. Oracle walks the same graph with a
     // recursive CTE (min reachable id ≡ min propagated label).
     QueryDef("q73_neardup_clusters",
-      eCte.replaceFirst("WITH", "WITH RECURSIVE") +
-        s""",
-        |bvm AS (SELECT vec_id, t, j,
-        |               CASE WHEN ${VectorOps.planeDotSql("emb", "(t * 4 + j)", 64)} > 0
-        |                    THEN (1::BIGINT << j) ELSE 0 END AS bitv
-        |        FROM e, (SELECT unnest(range(0, 8)) AS t) tt,
-        |                (SELECT unnest(range(0, 4)) AS j) jj),
-        |bkm AS (SELECT vec_id, t, CAST(SUM(bitv) AS BIGINT) AS bucket
-        |        FROM bvm GROUP BY vec_id, t),
-        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-        |         FROM bkm a JOIN bkm b ON a.t = b.t AND a.bucket = b.bucket
-        |                               AND a.vec_id < b.vec_id),
-        |nd AS (SELECT c.d1, c.d2
-        |       FROM cand c JOIN e x ON x.vec_id = c.d1
-        |                   JOIN e y ON y.vec_id = c.d2
-        |       WHERE ${cos("x.emb", "y.emb")} >= 0.40),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM nd
-        |          UNION SELECT d2, d1 FROM nd),
-        |verts AS (SELECT DISTINCT src AS v FROM edges),
-        |r(v, label) AS (
-        |    SELECT v, v FROM verts
-        |    UNION
-        |    SELECT e2.dst, r.label FROM r JOIN edges e2 ON e2.src = r.v),
-        |cc AS (SELECT v, min(label) AS cluster_id FROM r GROUP BY v),
-        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+      ccCte +
+        """
         |SELECT cc.v AS vec_id, cc.cluster_id, cs.cluster_size
         |FROM cc JOIN cs USING (cluster_id)
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
@@ -946,6 +955,30 @@ object SimilarityQueries {
       Similarity.rrfFuse(Seq(dense, lex), topK = 10)
         .select("q_id", "n_id", "rrf", "n_lists", "frk")
         .orderBy("q_id", "frk")
+    },
+
+    // Leakage-safe split (Sampling.leakageSafeSplit): q53's hash split
+    // keyed by the NEAR-DUP CLUSTER id (q73's components) instead of
+    // the raw doc id, so a val document's near-copies cannot land in
+    // train — the contamination path raw-id splits leave open on any
+    // near-dup-heavy corpus. Unclustered docs are clusters of one.
+    QueryDef("q192_leakage_safe_split",
+      ccCte +
+        s""",
+        |sk AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS split_key
+        |       FROM documents d LEFT JOIN cc ON cc.v = d.doc_id)
+        |SELECT doc_id, split_key,
+        |       CASE WHEN (${graft.functions.TextOps.hash32Sql(
+                  "CAST(split_key AS VARCHAR)")} % 100) < 90
+        |            THEN 'train' ELSE 'val' END AS split
+        |FROM sk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val clusters = Similarity.nearDupClusters(Tables.embeddings(s, dir), 0.40)
+        .select(col("vec_id").as("id"), col("cluster_id"))
+      graft.operators.Sampling.leakageSafeSplit(
+        Tables.documents(s, dir).select("doc_id"), col("doc_id"), clusters,
+        trainPct = 90)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
     }
   )
 

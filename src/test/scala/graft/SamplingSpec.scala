@@ -95,4 +95,25 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank pushdown missing from plan:\n$plan")
   }
+
+  test("leakageSafeSplit: cluster members co-travel; singletons hash their own id") {
+    val docs = (1L to 400L).toDF("doc_id")
+    // two clusters: {1..10} labeled 1, {11..14} labeled 11; rest unclustered
+    val clusters = ((1L to 10L).map(_ -> 1L) ++ (11L to 14L).map(_ -> 11L))
+      .toDF("id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(docs, col("doc_id"), clusters, trainPct = 90)
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byDoc = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // every member of a cluster carries the cluster key and ONE split
+    assert((1L to 10L).map(byDoc(_)).toSet.size === 1)
+    assert((11L to 14L).map(byDoc(_)).toSet.size === 1)
+    assert(byDoc(3L)._1 === 1L && byDoc(12L)._1 === 11L)
+    // unclustered docs key on themselves, and both splits actually occur
+    assert(byDoc(200L)._1 === 200L)
+    assert(out.map(_._3).toSet === Set("train", "val"))
+    // ~90 % lands in train (hash-deterministic, so exact per fixture)
+    val trainFrac = out.count(_._3 == "train").toDouble / out.size
+    assert(math.abs(trainFrac - 0.9) < 0.06, s"train fraction $trainFrac")
+  }
 }
