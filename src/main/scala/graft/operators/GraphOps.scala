@@ -193,4 +193,59 @@ object GraphOps {
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** k-core subgraph via iterative peeling: repeatedly drop every node
+    * of degree < k (and its incident edges) until the graph is stable
+    * or `maxRounds` is hit — the standard link-graph quality filter
+    * (spam rings and scraped mirrors peel away; the dense core
+    * survives). Rounds are deterministic, so `maxRounds` is a semantic
+    * contract the oracle unrolls round-for-round: once a round removes
+    * nothing, further rounds are no-ops, so early convergence and the
+    * full unroll agree exactly.
+    *
+    * Per round: one degree aggregation + two node-keyed semi-joins over
+    * the snapshotted edge set — no driver state beyond the convergence
+    * counter, no corpus-shaped collect. Each round SNAPSHOTS its edge
+    * frame (the [[Dedup.RoundSnapshots]] CC/PageRank convention):
+    * a peel round references its parent three times (degrees + both
+    * semi-join sides), so chained lineage grows EXPONENTIALLY — 3^r
+    * plan copies by round r — and even plan stringification stops
+    * terminating; the snapshot keeps every round's plan flat.
+    *
+    * Output: (node, deg) for every node surviving the peel, with its
+    * degree inside the surviving subgraph (all ≥ k at convergence).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    val spark = edges.sparkSession
+    val snaps = new Dedup.RoundSnapshots(spark)
+    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = snaps.snapshot(und)
+    var lastSnap = e
+    var nEdges = e.count()
+    var r = 0
+    var converged = nEdges == 0
+    while (r < maxRounds && !converged) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      val next = snaps.snapshot(e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b"))
+      val nNext = next.count()
+      snaps.reclaim(lastSnap)
+      lastSnap = next
+      converged = nNext == nEdges
+      e = next
+      nEdges = nNext
+      r += 1
+    }
+    // the final snapshot backs the result's lineage — reclaimed by
+    // session teardown, not here (the pageRankInt convention)
+    degrees(e).filter(col("deg") >= k)
+  }
 }

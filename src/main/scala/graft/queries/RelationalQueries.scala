@@ -1406,6 +1406,56 @@ object RelationalQueries {
         col("user_id"), col("ts"), col("event_type"), col("event_id"),
         touchType = "click", convType = "purchase", maxGapMinutes = 1440L)
         .orderBy("u", "conv_id")
+    },
+
+    // k-core peel (GraphOps.kCore) on q147's synthetic customer graph:
+    // iteratively drop nodes of degree < k with their edges — the
+    // link-graph quality filter (spam rings and scraped mirrors peel
+    // away; the dense core survives). The round budget is part of the
+    // operator contract, so the oracle unrolls exactly KCoreRounds
+    // rounds (the bpeReplaySeg convention); once a round removes
+    // nothing the remaining unrolled rounds are no-ops, so early
+    // convergence and the full unroll agree exactly. k = 14 sits inside
+    // the fixture's degree distribution: the peel cascades (nodes at
+    // exactly k lose neighbors and fall below) instead of either
+    // no-op-ing or dissolving the whole graph.
+    QueryDef("q193_kcore", {
+      val rounds = (1 to KCoreRounds).map { r =>
+        val p = r - 1
+        s"""d_$r AS (SELECT n, COUNT(*) AS d FROM (
+          |         SELECT a AS n FROM e_$p UNION ALL SELECT b FROM e_$p) GROUP BY n),
+          |k_$r AS MATERIALIZED (SELECT n FROM d_$r WHERE d >= $KCoreK),
+          |e_$r AS MATERIALIZED (SELECT e_$p.a, e_$p.b FROM e_$p
+          |        JOIN k_$r ka ON ka.n = e_$p.a
+          |        JOIN k_$r kb ON kb.n = e_$p.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+        |e_0 AS MATERIALIZED (SELECT DISTINCT
+        |         LEAST(o_custkey, 1 + o_orderkey % m) AS a,
+        |         GREATEST(o_custkey, 1 + o_orderkey % m) AS b
+        |       FROM orders, mx
+        |       WHERE o_custkey <> 1 + o_orderkey % m),
+        |$rounds,
+        |df AS (SELECT n, COUNT(*) AS d FROM (
+        |         SELECT a AS n FROM e_$KCoreRounds
+        |         UNION ALL SELECT b FROM e_$KCoreRounds) GROUP BY n)
+        |SELECT n AS node, CAST(d AS BIGINT) AS deg
+        |FROM df WHERE d >= $KCoreK ORDER BY node""".stripMargin
+    }) { (s, dir) =>
+      val m = Tables.customer(s, dir).agg(max(col("c_custkey"))).head().getLong(0)
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey").as("x"),
+          (lit(1L) + col("o_orderkey") % m).as("y"))
+      graft.operators.GraphOps.kCore(edges, k = KCoreK, maxRounds = KCoreRounds)
+        .orderBy("node")
     }
   )
+
+  /** q193's peel contract: exactly this many rounds at degree floor k —
+    * the oracle unrolls the same budget, so partial peels (sf0.001
+    * needs more rounds to converge) still agree round-for-round.
+    * `def`s: `defs` above initializes first.
+    */
+  private def KCoreRounds = 6
+  private def KCoreK = 14
 }

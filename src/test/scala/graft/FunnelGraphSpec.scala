@@ -245,4 +245,37 @@ class FunnelGraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(got == List((1L, 2L, 0L)))
   }
+
+  test("kCore: cascade peels a chain hanging off a K4; the core survives intact") {
+    // K4 on 1-4 (degree 3 inside the core) + chain 4-5-6-7. k=2: node 7
+    // (deg 1) peels in round 1, which drops 6 to deg 1 (round 2), then 5
+    // (round 3) — a genuine multi-round cascade; the K4 plus nothing else
+    // survives with its internal degrees.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("x", "y")
+    val out = GraphOps.kCore(edges, k = 2, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a too-small round budget yields the documented partial peel") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("x", "y")
+    // one round: only node 7 peels; 5 and 6 still have degree ≥ 2...
+    val r1 = GraphOps.kCore(edges, k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // ...but 6 has degree 1 in the surviving subgraph → below the output
+    // floor; 5 keeps both its edges (4-5, 5-6)
+    assert(r1.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(r1(4L) === 4L && r1(5L) === 2L)
+  }
+
+  test("kCore: self-loops and duplicate/reversed edges are canonicalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (2L, 3L))
+      .toDF("x", "y")
+    // triangle 1-2-3 after canonicalization: every node degree 2
+    val out = GraphOps.kCore(edges, k = 2, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
