@@ -1542,6 +1542,51 @@ object TextQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.sources.Warc.roundTrip(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph — adjacent content words (len ≥ 3)
+    // are edges; the stationary rank surfaces the corpus's central
+    // vocabulary. Composes q138's integer PageRank verbatim (fixed-point
+    // BIGINT ranks, truncating division), so five unrolled rounds
+    // hash-match cross-engine; top-30 by rank.
+    QueryDef("q194_textrank", {
+      val rounds = (1 to 5).map { r =>
+        val p = r - 1
+        s"""r_$r AS (SELECT adj.dst AS node,
+          |       150000000 + (85 * CAST(SUM(r_$p.rank_fp // adj.outdeg) AS BIGINT)) // 100 AS rank_fp
+          |       FROM adj JOIN r_$p ON adj.src = r_$p.node GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ws0 AS (SELECT $W AS ws FROM documents),
+        |pr AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws0)),
+        |e0 AS (SELECT DISTINCT w1 AS src, w2 AS dst FROM pr
+        |       WHERE len(w1) >= 3 AND len(w2) >= 3 AND w1 <> w2),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |adj AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN d ON e.src = d.src),
+        |r_0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank_fp FROM d),
+        |$rounds
+        |SELECT node AS word, rank_fp,
+        |       CAST(row_number() OVER (ORDER BY rank_fp DESC, node) AS INT) AS rk
+        |FROM r_5 QUALIFY rk <= 30 ORDER BY rk""".stripMargin
+    }) { (s, dir) =>
+      val pairs = Tables.documents(s, dir)
+        .select(TextOps.words(col("text")).as("ws"))
+        .select(explode(expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(ws[i-1] AS w1, ws[i] AS w2)) ELSE array() END")).as("p"))
+        .select(col("p.w1").as("src"), col("p.w2").as("dst"))
+        .filter(length(col("src")) >= 3 && length(col("dst")) >= 3 &&
+          col("src") =!= col("dst"))
+      graft.operators.GraphOps.pageRankInt(pairs, iters = 5)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank_fp").desc, col("node")))
+          .cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("rk") <= 30)
+        .select(col("node").as("word"), col("rank_fp"), col("rk"))
+        .orderBy("rk")
     }
   )
 
