@@ -202,6 +202,56 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
   }
 
+  /** Density outliers via k-th-neighbor similarity (the kNN-distance
+    * outlier criterion, LOF's simpler sibling): a vector whose k-th
+    * most-similar SAME-BUCKET neighbor is still far away sits in a
+    * sparse region — exactly the mislabeled/garbage embeddings a
+    * curation pass drops. The complement of q79's centroid
+    * outliers: centroid distance finds GLOBAL strays, k-th-neighbor
+    * distance finds LOCAL ones (a tight cluster far from the centroid
+    * is fine; a point with no close neighbors anywhere is not).
+    *
+    * Bucketed, never all-pairs: candidates come from the vector's own
+    * sign-LSH bucket, hot buckets capped at `maxBucket` rows (the q185
+    * hot-bucket convention — keeps the within-bucket pair join linear
+    * in corpus size). Vectors with fewer than k same-bucket candidates
+    * get a NULL k-th cosine and sort as MOST outlying (an emptyish
+    * neighborhood is itself the signal). Cosines ride the shared
+    * [[graft.functions.NativeVectorOps]] fold, so scores — and the
+    * bottom-N board — are engine-exact.
+    *
+    * Output: the `bottomN` most isolated vectors as
+    * (vec_id, n_cand, kth_cos, rk).
+    */
+  def knnDistanceOutliers(embeddings: DataFrame, k: Int, bottomN: Int,
+                          maxBucket: Long = 200L): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val wb = Window.partitionBy("bucket")
+    val capped = lshBuckets(embeddings)
+      .withColumn("__nb", count(lit(1)).over(wb))
+      .filter(col("__nb") <= maxBucket).drop("__nb")
+    val e = embeddings.join(capped, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val pairs = e
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .withColumn("cosine", NativeVectorOps.cosine(embD("embedding"), embD("n_emb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("n_id"))
+    val kth = pairs.withColumn("rk", row_number().over(w))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_cand"),
+        max(when(col("rk") === k, col("cosine"))).as("kth_cos"))
+    capped.select("vec_id").join(kth, Seq("vec_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      // bottom-N global cut: nulls (no k-th neighbor) are most outlying
+      .orderBy(col("kth_cos").asc_nulls_first, col("vec_id"))
+      .limit(bottomN)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("kth_cos").asc_nulls_first, col("vec_id")))
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .select("vec_id", "n_cand", "kth_cos", "rk")
+  }
+
   /** ANN via multi-table LSH: candidates are the union of same-bucket
     * vectors over all tables (dedup'd per (q_id, vec_id) — one keyed
     * aggregation), then ranked by cosine. The candidate join is an

@@ -979,6 +979,41 @@ object SimilarityQueries {
         trainPct = 90)
         .select("doc_id", "split_key", "split")
         .orderBy("doc_id")
+    },
+
+    // Density outliers (Similarity.knnDistanceOutliers): the 30 vectors
+    // whose 5th-most-similar same-bucket neighbor is farthest — sparse-
+    // region/garbage embeddings a curation pass drops. Bucketed with the
+    // q185 hot-bucket cap, never all-pairs; NULL k-th cosine (thin
+    // neighborhood) sorts most-outlying. Complements q79: centroid
+    // distance finds global strays, k-th-neighbor distance local ones.
+    QueryDef("q195_knn_outliers",
+      bucketCte +
+        s""",
+        |nb AS (SELECT bucket, COUNT(*) AS n FROM bk GROUP BY bucket),
+        |cb AS (SELECT bk.vec_id, bk.bucket FROM bk
+        |       JOIN nb USING (bucket) WHERE nb.n <= 200),
+        |eb AS (SELECT cb.vec_id, e.emb, cb.bucket FROM cb JOIN e USING (vec_id)),
+        |pr AS (SELECT a.vec_id, b.vec_id AS n_id,
+        |              ${cos("a.emb", "b.emb")} AS cosine,
+        |              CAST(row_number() OVER (PARTITION BY a.vec_id
+        |                   ORDER BY ${cos("a.emb", "b.emb")} DESC, b.vec_id)
+        |                   AS INT) AS rk
+        |       FROM eb a JOIN eb b ON a.bucket = b.bucket
+        |                          AND a.vec_id <> b.vec_id),
+        |kt AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+        |              MAX(CASE WHEN rk = 5 THEN cosine END) AS kth_cos
+        |       FROM pr GROUP BY vec_id),
+        |al AS (SELECT cb.vec_id,
+        |              CAST(coalesce(kt.n_cand, 0) AS BIGINT) AS n_cand,
+        |              kt.kth_cos
+        |       FROM cb LEFT JOIN kt USING (vec_id))
+        |SELECT vec_id, n_cand, kth_cos,
+        |       CAST(row_number() OVER (ORDER BY kth_cos ASC NULLS FIRST,
+        |            vec_id) AS INT) AS rk
+        |FROM al QUALIFY rk <= 30 ORDER BY rk""".stripMargin) { (s, dir) =>
+      Similarity.knnDistanceOutliers(Tables.embeddings(s, dir), k = 5,
+        bottomN = 30).orderBy("rk")
     }
   )
 

@@ -139,4 +139,25 @@ class AnnRecallSpec extends SparkSpec {
     val rec = recallVs(cosR.withColumnRenamed("rk", "r"), fused)
     assert(rec >= 0.8, s"fused recall vs cosine list below floor: $rec")
   }
+
+  test("kNN-distance outliers: board sorted most-isolated-first, thin neighborhoods lead") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val out = Similarity.knnDistanceOutliers(emb, k = 5, bottomN = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3)))
+    assert(out.length === 30 && out.map(_._4).toSeq === (1 to 30))
+    // non-null kth cosines ascend (most isolated first)...
+    val cos = out.flatMap(_._3)
+    assert(cos.toSeq === cos.sorted.toSeq)
+    // ...and every NULL (fewer than k same-bucket neighbors) outranks
+    // every scored vector
+    val firstScored = out.indexWhere(_._3.isDefined)
+    if (firstScored >= 0)
+      assert(out.take(firstScored).forall(_._3.isEmpty) &&
+        out.drop(firstScored).forall(_._3.isDefined))
+    // the board is deterministic: re-running yields the same rows
+    val again = Similarity.knnDistanceOutliers(emb, k = 5, bottomN = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(again.toSeq === out.map(t => (t._1, t._4)).toSeq)
+  }
 }
