@@ -128,4 +128,65 @@ object Retrieval {
         when(col("rank_true1") > 0, expr("1000 div rank_true1"))
           .otherwise(lit(0L)))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily re-rank each query's candidate pool so the final k trade
+    * relevance against redundancy — `score = λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s)` — the standard answer to "my top-k are five copies of
+    * the same page" after any dedup-light retrieval run.
+    *
+    * The greedy loop is inherently sequential in k, so it runs as k
+    * UNROLLED DataFrame rounds (anti-join the selected set, max-sim
+    * against it, per-query argmax with (score desc, n_id) ties) — every
+    * frame after the candidate build is pool-bounded per query, so the
+    * rounds cost O(k·pool²) per query regardless of corpus size. Round
+    * 1 is pure relevance (`λ·rel`, the empty-set convention). Cosines
+    * ride the shared native fold and the MMR arithmetic is the same
+    * literal-double expression both engines evaluate, so picks AND
+    * scores hash-match.
+    *
+    * `candidates`: (q_id, n_id, rel, embedding) — the pool with each
+    * candidate's embedding attached (pool-bounded per query).
+    * Output: (q_id, n_id, pick 1..k, score).
+    */
+  def mmrSelect(candidates: DataFrame, k: Int, relWeight: Double = 0.7,
+                divWeight: Double = 0.3): DataFrame = {
+    require(k >= 1, "mmrSelect needs k >= 1")
+    graft.functions.NativeVectorOps.register(candidates.sparkSession)
+    // divWeight is a SEPARATE literal, never computed as 1 − relWeight:
+    // 1.0 − 0.7 is 0.30000000000000004 in IEEE doubles — one ulp off
+    // the 0.3 both engines parse — and the scores stop hash-matching.
+    val lam = lit(relWeight)
+    val oneMinus = lit(divWeight)
+    val cand = candidates.select("q_id", "n_id", "rel", "embedding").persist()
+    val ec = (c: String) => col(c).cast("array<double>")
+    val sims = cand.select(col("q_id"), col("n_id").as("a"), col("embedding").as("ea"))
+      .join(cand.select(col("q_id"), col("n_id").as("b"), col("embedding").as("eb")),
+        Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", graft.functions.NativeVectorOps.cosine(ec("ea"), ec("eb")))
+      .select("q_id", "a", "b", "sim")
+      .persist()
+    val wPick = expressions.Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("n_id"))
+    var picks = cand
+      .withColumn("score", lam * col("rel"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), lit(1).as("pick"), col("score"))
+    var sel = picks.select("q_id", "n_id")
+    for (r <- 2 to k) {
+      val remaining = cand.join(sel, Seq("q_id", "n_id"), "left_anti")
+      val maxsim = sims
+        .join(sel.withColumnRenamed("n_id", "b"), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("n_id"))
+        .agg(max("sim").as("maxsim"))
+      val pick = remaining.join(maxsim, Seq("q_id", "n_id"))
+        .withColumn("score", lam * col("rel") - oneMinus * col("maxsim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(r).as("pick"), col("score"))
+      picks = picks.unionByName(pick)
+      sel = picks.select("q_id", "n_id")
+    }
+    picks
+  }
 }

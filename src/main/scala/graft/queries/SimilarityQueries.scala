@@ -1014,6 +1014,67 @@ object SimilarityQueries {
         |FROM al QUALIFY rk <= 30 ORDER BY rk""".stripMargin) { (s, dir) =>
       Similarity.knnDistanceOutliers(Tables.embeddings(s, dir), k = 5,
         bottomN = 30).orderBy("rk")
+    },
+
+    // MMR diversity selection (Retrieval.mmrSelect): greedy re-rank of
+    // each query's 20-candidate pool, score = 0.7·rel − 0.3·max-sim to
+    // the already-picked set — the standard fix for "my top-k are five
+    // copies of the same page". The greedy loop is sequential in k, so
+    // the oracle unrolls the 5 rounds (anti-join selected, max-sim,
+    // per-query argmax). Both weights are LITERALS on both sides —
+    // deriving 0.3 as 1.0−0.7 lands one ulp off the parsed literal and
+    // the scores stop hash-matching. Picks AND scores hash-match.
+    QueryDef("q196_mmr_select", {
+      def round(r: Int) = {
+        val p = r - 1
+        s"""ms_$r AS (SELECT sm.q_id, sm.a AS n_id, MAX(sm.sim) AS maxsim
+          |        FROM sm JOIN sel_$p s ON s.q_id = sm.q_id AND s.n_id = sm.b
+          |        GROUP BY 1, 2),
+          |sc_$r AS (SELECT cd.q_id, cd.n_id,
+          |               0.7 * cd.rel - 0.3 * ms.maxsim AS score
+          |        FROM cd JOIN ms_$r ms ON ms.q_id = cd.q_id AND ms.n_id = cd.n_id
+          |        WHERE NOT EXISTS (SELECT 1 FROM sel_$p s
+          |                          WHERE s.q_id = cd.q_id AND s.n_id = cd.n_id)),
+          |pk_$r AS (SELECT q_id, n_id, $r AS pick, score FROM (
+          |          SELECT q_id, n_id, score, row_number() OVER (PARTITION BY q_id
+          |                 ORDER BY score DESC, n_id) AS rn FROM sc_$r)
+          |        WHERE rn = 1),
+          |sel_$r AS (SELECT q_id, n_id FROM sel_$p
+          |         UNION ALL SELECT q_id, n_id FROM pk_$r)""".stripMargin
+      }
+      eCte +
+        s""",
+        |cd AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |         ${cos("q.emb", "d.emb")} AS rel, d.emb AS emb,
+        |         CAST(row_number() OVER (PARTITION BY q.vec_id
+        |              ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id) AS INT) AS rk
+        |  FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |  QUALIFY rk <= 20),
+        |sm AS MATERIALIZED (
+        |  SELECT a.q_id, a.n_id AS a, b.n_id AS b,
+        |         ${cos("a.emb", "b.emb")} AS sim
+        |  FROM cd a JOIN cd b USING (q_id) WHERE a.n_id <> b.n_id),
+        |pk_1 AS (SELECT q_id, n_id, 1 AS pick, 0.7 * rel AS score
+        |         FROM cd WHERE rk = 1),
+        |sel_1 AS (SELECT q_id, n_id FROM pk_1),
+        |${round(2)},
+        |${round(3)},
+        |${round(4)},
+        |${round(5)}
+        |SELECT q_id, n_id, pick, score FROM (
+        |  SELECT * FROM pk_1 UNION ALL SELECT * FROM pk_2
+        |  UNION ALL SELECT * FROM pk_3 UNION ALL SELECT * FROM pk_4
+        |  UNION ALL SELECT * FROM pk_5)
+        |ORDER BY q_id, pick""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cand = Similarity.bruteForceTopK(emb, 5L, 20)
+        .select(col("q_id"), col("n_id"), col("cosine").as("rel"))
+        .join(emb.select(col("vec_id").as("n_id"), col("embedding")), Seq("n_id"))
+      graft.operators.Retrieval.mmrSelect(cand, k = 5)
+        .orderBy("q_id", "pick")
     }
   )
 

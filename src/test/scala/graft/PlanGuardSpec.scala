@@ -77,7 +77,9 @@ class PlanGuardSpec extends SparkSpec {
     "q189_ranking_eval",
     // q191: fuses the q40 brute-force dense ranking with q188's BM25
     // (its one-row corpus aggregate) — both documented shapes
-    "q191_hybrid_retrieval")
+    "q191_hybrid_retrieval",
+    // q196: the candidate pool is the q40 brute-force baseline shape
+    "q196_mmr_select")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -74,4 +74,32 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0L) === ((3L, 2L, 3, 333L)))
     assert(out(1L) === ((2L, 0L, 0, 0L)))
   }
+
+  test("mmrSelect: a redundant near-copy of pick 1 is deferred behind a diverse item") {
+    // Candidates for q0: n=1 is the most relevant; n=2 is an exact COPY
+    // of n=1 (sim 1.0) with slightly lower relevance; n=3 is orthogonal
+    // with much lower relevance. Plain top-2 = {1, 2}; MMR's round-2
+    // score for the copy is 0.7·0.9 − 0.3·1.0 = 0.33, for the diverse
+    // item 0.7·0.5 − 0.3·0 = 0.35 → MMR picks {1, 3}.
+    val e1 = Seq(1.0f, 0.0f)
+    val e3 = Seq(0.0f, 1.0f)
+    val cand = Seq(
+      (0L, 1L, 1.0, e1), (0L, 2L, 0.9, e1), (0L, 3L, 0.5, e3)
+    ).toDF("q_id", "n_id", "rel", "embedding")
+    val picks = Retrieval.mmrSelect(cand, k = 3)
+      .orderBy("pick").select("n_id", "pick")
+      .as[(Long, Int)].collect().toSeq
+    assert(picks === Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("mmrSelect: ranks per query independently and respects k") {
+    val e = (i: Int) => Seq.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
+    val cand = (for (q <- 0L to 1L; n <- 0 to 3)
+      yield (q, n.toLong + 10, 1.0 - 0.1 * n, e(n)))
+      .toDF("q_id", "n_id", "rel", "embedding")
+    val picks = Retrieval.mmrSelect(cand, k = 2)
+      .select("q_id", "n_id", "pick").as[(Long, Long, Int)].collect()
+    assert(picks.length === 4)
+    assert(picks.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2)))
+  }
 }
