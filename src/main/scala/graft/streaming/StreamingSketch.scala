@@ -74,4 +74,33 @@ object StreamingSketch {
   def readBloom(spark: org.apache.spark.sql.SparkSession, path: String,
                 keys: Seq[String]): DataFrame =
     graft.functions.BloomTable.merge(spark.read.parquet(s"$path/batch=*"), keys)
+
+  /** HLL twin — completes the ingest-time triple (frequencies: CMS,
+    * membership: Bloom, distinct counts: HLL). One DataSketches HLL
+    * sketch per (keys, micro-batch) partition; readers union across
+    * batch partitions exactly like q132's day rollup. Same
+    * partition-overwrite idempotence story: HLL union is idempotent
+    * for REPEATED ITEMS but a replayed epoch appended as a NEW
+    * partition would still be wrong for any downstream that counts
+    * cells — the overwrite discipline stays uniform across all three.
+    */
+  def maintainHll(df: DataFrame, keys: Seq[String], path: String,
+                  trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    df.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.SketchRollup
+          .sketchCells(batch, keys, lit(batchId), col("item"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
+  /** Distinct-count estimates at the key grain from the maintained
+    * table — one sketch union, never a raw-stream rescan.
+    */
+  def readHllRolledUp(spark: org.apache.spark.sql.SparkSession, path: String,
+                      keys: Seq[String]): DataFrame =
+    graft.functions.SketchRollup.rollup(spark.read.parquet(s"$path/batch=*"), keys)
 }
