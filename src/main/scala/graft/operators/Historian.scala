@@ -253,4 +253,43 @@ object Historian {
       .select(col("rk"), col("k"), col("hr"), col("q"), col("cnt"),
         col("resid"))
   }
+
+  /** Median/MAD robust outliers — [[rollingAnomalies]]' robust twin:
+    * flag observations with `|q − median| > 3·1.4826·MAD`, the
+    * estimator an actual outlier CANNOT drag (a 3σ spike inflates the
+    * mean/σ baseline that is supposed to catch it — the classic
+    * masking failure; medians don't move). Both medians are EXACT
+    * lower-median ranks over quantized integers and the 3·1.4826
+    * consistency constant is premultiplied to the integer 44478/10⁴,
+    * so the verdict is `dev·10⁴ > 44478·mad` — integer-only, engine-
+    * and partition-invariant, no float σ anywhere.
+    *
+    * A constant key (MAD = 0) flags every deviating row — the standard
+    * MAD caveat, here the RIGHT behavior for sensor data: any change
+    * on a flatlined channel is signal.
+    *
+    * ONE exchange on the key; the two rank passes and both median
+    * broadcasts are window stages over the same partitioning.
+    */
+  def madOutliers(df: DataFrame, key: Column, value: Column,
+                  tiebreak: Column): DataFrame = {
+    val wk = Window.partitionBy("k")
+    val wq = wk.orderBy("q", "tie")
+    val lowerMed = expr("(n + 1) div 2")
+    val withMed = df
+      .select(key.as("k"), bround(value * lit(1024), 0).cast(LongType).as("q"),
+        tiebreak.as("tie"))
+      .withColumn("n", count(lit(1)).over(wk))
+      .withColumn("rn", row_number().over(wq).cast(LongType))
+      .withColumn("med",
+        max(when(col("rn") === lowerMed, col("q"))).over(wk))
+      .withColumn("dev", abs(col("q") - col("med")))
+    val wd = wk.orderBy("dev", "tie")
+    withMed
+      .withColumn("rn2", row_number().over(wd).cast(LongType))
+      .withColumn("mad",
+        max(when(col("rn2") === lowerMed, col("dev"))).over(wk))
+      .filter(col("dev") * 10000L > lit(44478L) * col("mad"))
+      .select(col("k"), col("tie"), col("q"), col("med"), col("dev"), col("mad"))
+  }
 }

@@ -1448,8 +1448,43 @@ object RelationalQueries {
           (lit(1L) + col("o_orderkey") % m).as("y"))
       graft.operators.GraphOps.kCore(edges, k = KCoreK, maxRounds = KCoreRounds)
         .orderBy("node")
-    }
+    },
+
+    q197
   )
+
+  /** q197: Historian.madOutliers — q148's robust twin. |q − median| >
+    * 3·1.4826·MAD with exact lower-median ranks over quantized
+    * integers and the consistency constant premultiplied (44478/10⁴),
+    * so the flagged set is integer-exact — the estimator an outlier
+    * cannot drag (the masking failure mean/σ baselines have).
+    */
+  private def q197 =
+    QueryDef("q197_mad_outliers",
+      """WITH o AS (SELECT user_id AS k,
+        |                 CAST(round_even(value * 1024, 0) AS BIGINT) AS q,
+        |                 event_id AS tie
+        |           FROM events),
+        |r AS (SELECT k, tie, q,
+        |             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |             CAST(row_number() OVER (PARTITION BY k ORDER BY q, tie)
+        |                  AS BIGINT) AS rn
+        |      FROM o),
+        |m AS (SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN q END)
+        |               OVER (PARTITION BY k) AS med
+        |      FROM r),
+        |d AS (SELECT *, abs(q - med) AS dev FROM m),
+        |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY k ORDER BY dev, tie)
+        |                 AS BIGINT) AS rn2 FROM d),
+        |m2 AS (SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |                OVER (PARTITION BY k) AS mad
+        |       FROM r2)
+        |SELECT k, tie, q, med, dev, mad FROM m2
+        |WHERE dev * 10000 > 44478 * mad ORDER BY k, tie""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.madOutliers(Tables.events(s, dir),
+        col("user_id"), col("value"), col("event_id"))
+        .orderBy("k", "tie")
+    }
 
   /** q193's peel contract: exactly this many rounds at degree floor k —
     * the oracle unrolls the same budget, so partial peels (sf0.001

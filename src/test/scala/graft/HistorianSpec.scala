@@ -161,4 +161,30 @@ class HistorianSpec extends SparkSpec {
     // the three 10s deviate equally (-3): ranks 2,3 go to lowest ids
     assert(got(1).getDouble(5) == -3.0 * 1024 && got(2).getDouble(5) == -3.0 * 1024)
   }
+
+  test("madOutliers: a spike the mean/sigma baseline masks is flagged; the bulk is not") {
+    // 9 values at 10.0 ± 0.1 and one spike at 50.0. The spike inflates
+    // mean AND sigma (masking); median = 10.0-ish, MAD ≈ 0.1·1024 and
+    // the spike's dev ≈ 40·1024 clears 4.4478·MAD by orders of magnitude.
+    val vals = Seq(9.9, 10.0, 10.1, 9.9, 10.0, 10.1, 9.9, 10.0, 10.1, 50.0)
+    val obs = vals.zipWithIndex.map { case (v, i) => (1L, v, i.toLong) }
+      .toDF("k", "v", "id")
+    val got = Historian.madOutliers(obs, col("k"), col("v"), col("id"))
+      .select("tie", "q", "med", "dev", "mad")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(9L), s"only the spike flags: $got")
+    val (_, q, med, dev, mad) = got.head
+    assert(q == 51200L && med == 10240L && dev == 40960L)
+    assert(mad == math.round(0.1 * 1024).toLong)
+  }
+
+  test("madOutliers: constant key flags any deviating row (MAD = 0); pure-constant flags none") {
+    val obs = (Seq.fill(8)(5.0) :+ 5.5).zipWithIndex
+      .map { case (v, i) => (1L, v, i.toLong) } ++
+      Seq.fill(6)(7.0).zipWithIndex.map { case (v, i) => (2L, v, 100L + i) }
+    val got = Historian.madOutliers(obs.toDF("k", "v", "id"),
+      col("k"), col("v"), col("id"))
+      .select("k", "tie").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 8L)), s"got $got")
+  }
 }
