@@ -57,30 +57,44 @@ object Retrieval {
     * broadcast dim; scoring is a term-keyed broadcast join + one
     * (q, doc) aggregation. Nothing touches the driver.
     */
-  def bm25TopK(docs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+  /** The posting-list frame — the INDEX: (term, doc_id, tf, dl, df).
+    * One (doc, term) aggregation; dl and df are windows over that SAME
+    * frame (one doc-keyed + one term-keyed exchange — no corpus
+    * re-scan, the q61 rewrite). Built once at ingest and persisted
+    * term-bucketed via [[graft.sources.Storage.writeInvertedIndex]],
+    * it amortizes tokenize + tf + df + dl across every future query.
+    */
+  def indexPostings(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val wDoc = expressions.Window.partitionBy("doc_id")
     val wTerm = expressions.Window.partitionBy("term")
-    val stats = tf
-      .withColumn("dl", sum("tf").over(wDoc))
+    tf.withColumn("dl", sum("tf").over(wDoc))
       .withColumn("df", count(lit(1)).over(wTerm))
-    // One-row corpus aggregate: N docs, SDL total corpus words.
-    val corpus = docs.agg(
+  }
+
+  /** One-row corpus stats the scorer needs beside the postings:
+    * (n_docs, sdl = total corpus words).
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(TextOps.words(col("text")))).as("sdl"))
-    // Query term sets: distinct words of the bounded query docs — built
-    // straight off the (pruned) doc scan, not the windowed stats frame,
-    // so the broadcast side doesn't replay the corpus windows.
-    val qTerms = docs.filter(col("doc_id") < queryMaxId)
-      .select(col("doc_id").as("q_id"),
-        explode(TextOps.words(col("text"))).as("term"))
-      .distinct()
-    val scored = stats
-      .join(broadcast(qTerms), Seq("term"))
+
+  /** BM25 scoring against a prebuilt index — `postings` as
+    * [[indexPostings]] (possibly read back from the stored table),
+    * `stats` as [[corpusStats]], `queryTerms` a bounded (q_id, term)
+    * dim. The probe is one broadcast term join + one (q, doc)
+    * aggregation + the per-query top-k window; the index never
+    * re-shuffles.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame,
+                        queryTerms: DataFrame, k: Int): DataFrame = {
+    val scored = postings
+      .join(broadcast(queryTerms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
-      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(stats))
       .withColumn("idf1000",
         expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
       .withColumn("norm", expr("250 + (750 * dl * n_docs) div sdl"))
@@ -93,6 +107,17 @@ object Retrieval {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("doc_id").as("n_id"),
         col("score1000"), col("n_terms"), col("rk"))
+  }
+
+  def bm25TopK(docs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    // Query term sets: distinct words of the bounded query docs — built
+    // straight off the (pruned) doc scan, not the windowed stats frame,
+    // so the broadcast side doesn't replay the corpus windows.
+    val qTerms = docs.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("q_id"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .distinct()
+    bm25TopKFromIndex(indexPostings(docs), corpusStats(docs), qTerms, k)
   }
 
   /** Ranking-quality evaluation of an approximate retrieval run against

@@ -146,6 +146,41 @@ object Storage {
       .saveAsTable(tableName)
   }
 
+  /** The BM25 inverted index as a TABLE: posting lists
+    * ([[graft.operators.Retrieval.indexPostings]] — term, doc_id, tf,
+    * dl, df) bucketed by `term`, plus the one-row corpus stats beside
+    * them — the lexical-retrieval 100 TB layout mirroring
+    * [[writeIvfBucketed]] for the dense side. Build once at ingest;
+    * every probe reads the tiny stats row and term-pruned postings
+    * instead of re-tokenizing the corpus. Like the IVF build, an index
+    * that silently dropped postings would make every later query
+    * quietly partial — the build recounts and fails loudly instead.
+    */
+  def writeInvertedIndex(docs: DataFrame, tableName: String, path: String,
+                         buckets: Int = 32): Unit = {
+    val postings = graft.operators.Retrieval.indexPostings(docs)
+    val built = postings.persist()
+    val nPostings = built.count()
+    built.write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/postings")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+    val stored = docs.sparkSession.table(tableName).count()
+    require(stored == nPostings,
+      s"inverted-index build lost ${nPostings - stored} of $nPostings postings")
+    built.unpersist()
+    graft.operators.Retrieval.corpusStats(docs)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** Probe-side readers for [[writeInvertedIndex]]. */
+  def readInvertedIndex(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
+  def readIndexStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/stats")
+
   /** A graph adjacency `(src, dst, outdeg)` as a TABLE bucketed by
     * `src` — the iterative-analytics layout
     * ([[graft.operators.GraphOps.pageRankInt]]): every round's

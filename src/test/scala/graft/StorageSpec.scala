@@ -173,4 +173,31 @@ class StorageSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
     assert(asn1 == asn2, "reloaded centroids assign differently")
   }
+
+  test("inverted index persists term-bucketed; probing it reproduces direct BM25 exactly") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Storage.writeInvertedIndex(docs, "bm25_idx", s"$base/idx", buckets = 4)
+    try {
+      val qTerms = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"),
+          explode(graft.functions.TextOps.words(col("text"))).as("term"))
+        .distinct()
+      val fromIndex = graft.operators.Retrieval.bm25TopKFromIndex(
+        Storage.readInvertedIndex(spark, "bm25_idx"),
+        Storage.readIndexStats(spark, s"$base/idx"), qTerms, k = 10)
+        .orderBy("q_id", "rk")
+        .collect().map(_.toSeq).toSeq
+      val direct = graft.operators.Retrieval.bm25TopK(docs, 5L, 10)
+        .orderBy("q_id", "rk")
+        .collect().map(_.toSeq).toSeq
+      assert(fromIndex == direct, "stored-index probe diverged from direct BM25")
+      // per-term work against the bucketed postings runs exchange-free
+      val perTerm = spark.table("bm25_idx").groupBy("term").count()
+      val plan = perTerm.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free bucketed aggregation, got:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS bm25_idx")
+  }
 }
