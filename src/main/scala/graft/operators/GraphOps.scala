@@ -194,6 +194,53 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Newman modularity per community — the quality metric that makes
+    * [[labelPropagation]]'s output judgeable (q117's cluster-quality
+    * role for graphs): `Q = Σ_c [ l_c/m − (d_c/2m)² ]` with l_c the
+    * intra-community edge count and d_c the community degree sum.
+    * Scaled by 4m² every contribution is the EXACT integer
+    * `4m·l_c − d_c²` — no float division, engine-invariant; Q itself
+    * is `Σ contrib / 4m²` for any reader who wants the float.
+    *
+    * Long-exactness bound: d_c ≤ 2m, so contributions need
+    * (2m)² < 2^63 — fine through ~2·10⁹ edges per graph; past that,
+    * shard by component (modularity is additive over disconnected
+    * components).
+    *
+    * Shapes: one symmetrize+distinct, one bounded edge-count scalar,
+    * then node- and label-keyed joins/aggregations only.
+    *
+    * Output per community: (label, n_nodes, intra_edges, deg_sum,
+    * contrib).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val base = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val sym = base
+      .union(base.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct()
+      .persist()
+    val und = sym.filter(col("src") < col("dst"))
+    val m = und.count() // bounded scalar: the undirected edge count
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val lab = labels.select(col("node"), col("label"))
+    val intra = und
+      .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val out = lab.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+      .join(intra, Seq("label"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .withColumn("contrib",
+        lit(4L * m) * col("intra_edges") - col("deg_sum") * col("deg_sum"))
+      .select("label", "n_nodes", "intra_edges", "deg_sum", "contrib")
+    // sym stays cached: the result's lineage reads it twice (und + deg);
+    // the session's per-query clearCache reclaims it (Bench convention)
+    out
+  }
+
   /** k-core subgraph via iterative peeling: repeatedly drop every node
     * of degree < k (and its incident edges) until the graph is stable
     * or `maxRounds` is hit — the standard link-graph quality filter

@@ -1148,27 +1148,10 @@ object RelationalQueries {
     // so an ITERATIVE community structure hash-matches cross-engine (the
     // q138 trick, applied to argmax instead of integer division). The
     // oracle replays the rounds as unrolled count/argmax CTEs.
-    QueryDef("q155_label_propagation", {
-      def round(i: Int) =
-        s"""c$i AS (SELECT e.dst AS node, l${i - 1}.label, COUNT(*) AS cnt
-           |        FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2),
-           |l$i AS (SELECT node, label FROM (
-           |          SELECT node, label,
-           |                 row_number() OVER (PARTITION BY node
-           |                   ORDER BY cnt DESC, label) AS rn
-           |          FROM c$i) WHERE rn = 1)""".stripMargin
-      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
-         |e0 AS (SELECT DISTINCT o_custkey AS a, 1 + o_orderkey % m AS b
-         |       FROM orders, mx
-         |       WHERE o_custkey <> 1 + o_orderkey % m),
-         |e AS (SELECT a AS src, b AS dst FROM e0
-         |      UNION SELECT b AS src, a AS dst FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
-         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("q155_label_propagation",
+      lpaCte +
+        """
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin) { (s, dir) =>
       val m = Tables.customer(s, dir).agg(max(col("c_custkey"))).head().getLong(0)
       val edges = Tables.orders(s, dir)
         .select(col("o_custkey").as("src"),
@@ -1450,8 +1433,70 @@ object RelationalQueries {
         .orderBy("node")
     },
 
-    q197
+    q197,
+
+    // Community modularity (GraphOps.modularity): the quality metric
+    // for q155's label-propagation communities — per community the
+    // exact integer contribution 4m·l_c − d_c² (Q scaled by 4m², no
+    // float division anywhere), q117's cluster-quality role for
+    // graphs. The oracle replays the 3 LPA rounds (shared lpaCte) and
+    // the same integer arithmetic.
+    QueryDef("q198_modularity",
+      lpaCte +
+        """,
+        |und AS (SELECT LEAST(a, b) AS s, GREATEST(a, b) AS t
+        |        FROM e0 GROUP BY 1, 2),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        |dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |       FROM e GROUP BY 1),
+        |ic AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra
+        |       FROM und JOIN l3 la ON la.node = und.s
+        |                JOIN l3 lb ON lb.node = und.t
+        |       WHERE la.label = lb.label GROUP BY 1),
+        |ds AS (SELECT l3.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |              CAST(SUM(dg.deg) AS BIGINT) AS deg_sum
+        |       FROM l3 JOIN dg USING (node) GROUP BY 1)
+        |SELECT ds.label, ds.n_nodes,
+        |       CAST(coalesce(ic.intra, 0) AS BIGINT) AS intra_edges,
+        |       ds.deg_sum,
+        |       4 * m * coalesce(ic.intra, 0) - ds.deg_sum * ds.deg_sum AS contrib
+        |FROM ds LEFT JOIN ic USING (label), mm
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      val m = Tables.customer(s, dir).agg(max(col("c_custkey"))).head().getLong(0)
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey").as("src"),
+          (lit(1L) + col("o_orderkey") % m).as("dst"))
+      graft.operators.GraphOps.modularity(edges,
+        graft.operators.GraphOps.labelPropagation(edges, rounds = 3))
+        .orderBy("label")
+    }
   )
+
+  /** q155's deterministic 3-round label propagation over the synthetic
+    * customer graph, ending at `l3` (node, label) with the symmetrized
+    * edge view `e` and canonical pre-symmetrization pairs `e0` in
+    * scope. Composed by q155 and q198's modularity metric.
+    */
+  private lazy val lpaCte = {
+    def round(i: Int) =
+      s"""c$i AS (SELECT e.dst AS node, l${i - 1}.label, COUNT(*) AS cnt
+         |        FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |          SELECT node, label,
+         |                 row_number() OVER (PARTITION BY node
+         |                   ORDER BY cnt DESC, label) AS rn
+         |          FROM c$i) WHERE rn = 1)""".stripMargin
+    s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+       |e0 AS (SELECT DISTINCT o_custkey AS a, 1 + o_orderkey % m AS b
+       |       FROM orders, mx
+       |       WHERE o_custkey <> 1 + o_orderkey % m),
+       |e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION SELECT b AS src, a AS dst FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
 
   /** q197: Historian.madOutliers — q148's robust twin. |q − median| >
     * 3·1.4826·MAD with exact lower-median ranks over quantized

@@ -270,6 +270,25 @@ class FunnelGraphSpec extends SparkSpec {
     assert(r1(4L) === 4L && r1(5L) === 2L)
   }
 
+  test("modularity: hand-computed contributions; all-one-community scores exactly zero") {
+    // two triangles bridged by one edge; m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)).toDF("x", "y")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val out = GraphOps.modularity(edges, labels)
+      .orderBy("label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // each triangle: l_c = 3, d_c = 2+2+3 = 7 → contrib = 4·7·3 − 49 = 35
+    assert(out === Seq((1L, 3L, 3L, 7L, 35L), (4L, 3L, 3L, 7L, 35L)))
+    // the degenerate one-community partition has Q = 0 exactly:
+    // l = m and d = 2m → 4m·m − (2m)² = 0
+    val one = labels.withColumn("label", lit(9L))
+    val total = GraphOps.modularity(edges, one)
+      .agg(sum("contrib")).head().getLong(0)
+    assert(total === 0L)
+  }
+
   test("kCore: self-loops and duplicate/reversed edges are canonicalized away") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L), (2L, 3L))
       .toDF("x", "y")
