@@ -168,6 +168,40 @@ object FeatureEng {
       .drop("cnt", "vmin", "vmax")
   }
 
+  /** Winsorized clipping — the robust-preprocessing step between
+    * [[scaleFeatures]] (no outlier handling) and dropping rows
+    * outright: per group, values clamp to the exact [pLo, pHi]
+    * percentile band, where percentile ranks are `ceil(n·p/100)` over
+    * the quantized integers (the quantileBins exact-rank convention —
+    * no interpolation, no floats, engine-invariant). The standard
+    * treatment for heavy-tailed features (latencies, token counts)
+    * where a handful of extremes would otherwise own the scale.
+    *
+    * ONE exchange on the group key; the rank pass and both boundary
+    * broadcasts are window stages over the same partitioning
+    * (madOutliers' shape). Output keeps every input row with
+    * (lo, hi, clipped) attached.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                tieCol: Column, pLo: Int = 10, pHi: Int = 90): DataFrame = {
+    require(1 <= pLo && pLo < pHi && pHi <= 100, s"bad band [$pLo, $pHi]")
+    val g = groupCols.map(col)
+    val wAll = Window.partitionBy(g: _*)
+    val wOrd = wAll.orderBy(col("v"), col("__wz_tie"))
+    df.select(df.columns.map(col) :+ valueCol.cast(LongType).as("v")
+        :+ tieCol.as("__wz_tie"): _*)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wOrd).cast(LongType))
+      .withColumn("lo",
+        max(when(col("rn") === expr(s"(n * $pLo + 99) div 100"), col("v")))
+          .over(wAll))
+      .withColumn("hi",
+        max(when(col("rn") === expr(s"(n * $pHi + 99) div 100"), col("v")))
+          .over(wAll))
+      .withColumn("clipped", least(greatest(col("v"), col("lo")), col("hi")))
+      .drop("n", "rn", "__wz_tie")
+  }
+
   /** Snapshot reconciliation WITHOUT a join: for two (possibly
     * overlapping) time windows over an event log, diff the
     * last-value-per-key states — `added` (key live only in the new

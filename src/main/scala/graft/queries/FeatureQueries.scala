@@ -303,6 +303,35 @@ object FeatureQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("rnk").cast("long").as("rnk"), col("pct_rank"), col("minmax"))
         .orderBy("doc_id")
+    },
+
+    // Winsorized clipping (FeatureEng.winsorize): per-language clamp of
+    // n_chars to the exact [p10, p90] band — percentile ranks are
+    // ceil(n·p/100) over integers (the q166 exact-rank convention, no
+    // interpolation), so boundaries AND clipped values hash-match. The
+    // robust-preprocessing step between q179's scaling (no outlier
+    // handling) and dropping heavy-tail rows outright.
+    QueryDef("q199_winsorize",
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |       CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |            ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |       FROM documents),
+        |b AS (SELECT *,
+        |       MAX(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_chars END)
+        |         OVER (PARTITION BY lang) AS lo,
+        |       MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END)
+        |         OVER (PARTITION BY lang) AS hi
+        |      FROM r)
+        |SELECT doc_id, lang, n_chars AS v, lo, hi,
+        |       LEAST(GREATEST(n_chars, lo), hi) AS clipped
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      FeatureEng.winsorize(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), col("n_chars"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("v"), col("lo"), col("hi"),
+          col("clipped"))
+        .orderBy("doc_id")
     }
   )
 }

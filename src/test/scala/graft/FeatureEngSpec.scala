@@ -171,4 +171,25 @@ class FeatureEngSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"))
   }
+
+  test("winsorize: exact-rank band, extremes clamp, interior passes through") {
+    // group of 10 values 1..9 plus an outlier 1000. p10 rank =
+    // ceil(10·10/100) = 1 → lo = 1; p90 rank = ceil(900/100) = 9 → hi = 9.
+    val df = ((1L to 9L).map(i => ("g", i, i)) :+ (("g", 1000L, 10L)))
+      .toDF("k", "v0", "id")
+    val out = FeatureEng.winsorize(df, Seq("k"), col("v0"), col("id"))
+      .select("v0", "lo", "hi", "clipped")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1000L) === ((1L, 9L, 9L)), s"outlier must clamp to hi: $out")
+    assert(out(5L) === ((1L, 9L, 5L)))
+    assert(out(1L) === ((1L, 9L, 1L)))
+  }
+
+  test("winsorize: a singleton group clips to itself") {
+    val df = Seq(("a", 7L, 1L)).toDF("k", "v0", "id")
+    val got = FeatureEng.winsorize(df, Seq("k"), col("v0"), col("id"))
+      .select("lo", "hi", "clipped").as[(Long, Long, Long)].collect().head
+    assert(got === ((7L, 7L, 7L)))
+  }
 }
