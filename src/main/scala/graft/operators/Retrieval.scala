@@ -154,6 +154,45 @@ object Retrieval {
           .otherwise(lit(0L)))
   }
 
+  /** nDCG position-discount weights, ×2^20: `w(r) = round(2^20 /
+    * log2(r+1))`. Computed ONCE here and interpolated as LITERALS into
+    * both engines (the SpectralTrig convention) — cross-engine
+    * agreement never depends on two log implementations rounding
+    * alike.
+    */
+  def dcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.round((1L << 20).toDouble / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** nDCG@k of an approximate ranking against exhaustive truth — the
+    * graded companion of [[rankingEval]]'s binary hits: truth position
+    * r contributes gain k+1−r, approx position r discounts by the
+    * [[dcgWeights]] table, `ndcg1e6 = dcg·10⁶ div idcg`. All integers
+    * end to end — gains, weights, both DCG sums, the final ratio — so
+    * the metric is engine- and partition-invariant. k-bounded inputs →
+    * constant work per query at any corpus size.
+    *
+    * Output: (q_id, dcg, idcg, ndcg1e6).
+    */
+  def ndcgEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val w = dcgWeights(k).zipWithIndex
+      .map { case (wt, i) => (i + 1, wt) }.toDF("rk", "wt")
+    val t = truth.filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("rk"),
+        (lit(k + 1) - col("rk")).cast("long").as("gain"))
+    val a = approx.filter(col("rk") <= k).select("q_id", "n_id", "rk")
+    val dcg = a
+      .join(t.select(col("q_id"), col("n_id"), col("gain")), Seq("q_id", "n_id"), "left")
+      .join(broadcast(w), Seq("rk"))
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("gain"), lit(0L)) * col("wt")).as("dcg"))
+    val idcg = t.join(broadcast(w), Seq("rk"))
+      .groupBy("q_id").agg(sum(col("gain") * col("wt")).as("idcg"))
+    dcg.join(idcg, Seq("q_id"))
+      .withColumn("ndcg1e6", expr("(dcg * 1000000) div idcg"))
+  }
+
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
     * greedily re-rank each query's candidate pool so the final k trade
     * relevance against redundancy — `score = λ·rel(d) − (1−λ)·max_{s∈S}

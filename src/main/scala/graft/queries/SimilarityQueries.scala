@@ -1075,6 +1075,49 @@ object SimilarityQueries {
         .join(emb.select(col("vec_id").as("n_id"), col("embedding")), Seq("n_id"))
       graft.operators.Retrieval.mmrSelect(cand, k = 5)
         .orderBy("q_id", "pick")
+    },
+
+    // nDCG@10 of the LSH run vs brute-force truth (Retrieval.ndcgEval)
+    // — the graded companion of q189's binary hits. Position-discount
+    // weights are ONE Scala-computed ×2^20 table interpolated into
+    // both engines as literals (the SpectralTrig convention), so the
+    // metric is integer end to end: gains, weights, both DCG sums, and
+    // the final ratio.
+    QueryDef("q200_ndcg", {
+      val wVals = graft.operators.Retrieval.dcgWeights(10).zipWithIndex
+        .map { case (wt, i) => s"(${i + 1}, ${wt})" }.mkString(", ")
+      bucketCte +
+        s""",
+        |tr AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |              CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                   ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id)
+        |                   AS INT) AS t_rk
+        |       FROM e q JOIN e d ON d.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 5 QUALIFY t_rk <= 10),
+        |eb AS (SELECT e.vec_id, emb, bucket FROM e JOIN bk USING (vec_id)),
+        |ap AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |              CAST(row_number() OVER (PARTITION BY q.vec_id
+        |                   ORDER BY ${cos("q.emb", "d.emb")} DESC, d.vec_id)
+        |                   AS INT) AS a_rk
+        |       FROM eb q JOIN eb d ON q.bucket = d.bucket AND d.vec_id <> q.vec_id
+        |       WHERE q.vec_id < 5 QUALIFY a_rk <= 10),
+        |w AS (SELECT * FROM (VALUES $wVals) AS t(rk, wt)),
+        |g AS (SELECT q_id, n_id, CAST(11 - t_rk AS BIGINT) AS gain, t_rk FROM tr),
+        |dc AS (SELECT ap.q_id,
+        |              CAST(SUM(coalesce(g.gain, 0) * w.wt) AS BIGINT) AS dcg
+        |       FROM ap JOIN w ON w.rk = ap.a_rk
+        |               LEFT JOIN g ON g.q_id = ap.q_id AND g.n_id = ap.n_id
+        |       GROUP BY 1),
+        |ic AS (SELECT q_id, CAST(SUM(gain * w.wt) AS BIGINT) AS idcg
+        |       FROM g JOIN w ON w.rk = g.t_rk GROUP BY 1)
+        |SELECT dc.q_id, dcg, idcg, (dcg * 1000000) // idcg AS ndcg1e6
+        |FROM dc JOIN ic USING (q_id) ORDER BY q_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Retrieval.ndcgEval(
+        Similarity.bruteForceTopK(emb, 5L, 10),
+        Similarity.lshTopK(emb, 5L, 10), k = 10)
+        .orderBy("q_id")
     }
   )
 

@@ -1587,6 +1587,29 @@ object TextQueries {
         .filter(col("rk") <= 30)
         .select(col("node").as("word"), col("rank_fp"), col("rk"))
         .orderBy("rk")
+    },
+
+    // JSONL ingest round trip (sources/Jsonl.scala): the corpus
+    // serialized to per-partition JSONL shards with deterministic
+    // truncated lines injected (the mid-write crash artifact), read
+    // back under the PERMISSIVE-with-accounting contract — a bad line
+    // neither kills the job (FAILFAST at 100 TB = one line aborts
+    // everything) nor vanishes (DROPMALFORMED loses data silently); it
+    // groups under NULL lang and is COUNTED. The oracle states what the
+    // round trip must recover: per-lang row counts and exact char mass,
+    // plus the corrupt-line ledger.
+    QueryDef("q201_jsonl_roundtrip",
+      """SELECT lang, n_rows, n_corrupt, sum_chars FROM (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(0 AS BIGINT) AS n_corrupt,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT NULL, CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM documents WHERE doc_id % 50 = 0 HAVING COUNT(*) > 0)
+        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.sources.Jsonl.roundTrip(Tables.documents(s, dir)).orderBy("lang")
     }
   )
 

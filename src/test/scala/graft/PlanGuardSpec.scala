@@ -79,7 +79,9 @@ class PlanGuardSpec extends SparkSpec {
     // (its one-row corpus aggregate) — both documented shapes
     "q191_hybrid_retrieval",
     // q196: the candidate pool is the q40 brute-force baseline shape
-    "q196_mmr_select")
+    "q196_mmr_select",
+    // q200: the truth side is the q40 brute-force baseline (q189's shape)
+    "q200_ndcg")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"

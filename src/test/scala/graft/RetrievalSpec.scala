@@ -92,6 +92,22 @@ class RetrievalSpec extends SparkSpec {
     assert(picks === Seq((1L, 1), (3L, 2), (2L, 3)))
   }
 
+  test("ndcgEval: perfect ranking scores exactly 1e6; swaps and misses lower it") {
+    val truth = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("q_id", "n_id", "rk")
+    val perfect = Retrieval.ndcgEval(truth, truth, k = 3)
+      .select("ndcg1e6").as[Long].collect().head
+    assert(perfect === 1000000L)
+    // swapping positions 1 and 2 keeps the same items → dcg < idcg
+    val swapped = Seq((0L, 11L, 1), (0L, 10L, 2), (0L, 12L, 3)).toDF("q_id", "n_id", "rk")
+    val sw = Retrieval.ndcgEval(truth, swapped, k = 3)
+      .select("ndcg1e6").as[Long].collect().head
+    // missing the top item entirely is worse than swapping it down
+    val missed = Seq((0L, 99L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("q_id", "n_id", "rk")
+    val ms = Retrieval.ndcgEval(truth, missed, k = 3)
+      .select("ndcg1e6").as[Long].collect().head
+    assert(ms < sw && sw < 1000000L, s"expected $ms < $sw < 1e6")
+  }
+
   test("mmrSelect: ranks per query independently and respects k") {
     val e = (i: Int) => Seq.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
     val cand = (for (q <- 0L to 1L; n <- 0 to 3)
