@@ -35,28 +35,6 @@ object Retrieval {
     */
   private val Scale = 1000L
 
-  /** Top-k BM25 retrieval: each document with `doc_id < queryMaxId` is a
-    * "more-like-this" query whose term set is its own distinct words;
-    * every OTHER document is scored by
-    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
-    * over shared terms, and the top `k` per query survive
-    * (score desc, doc_id tiebreak).
-    *
-    * Integer forms (`div` truncates toward zero in both engines):
-    * {{{
-    * idf1000 = ((2N − 2·df + 1) · 1000) div (2·df + 1)
-    * t1      = (750 · dl · N) div SDL          // 1000·b·dl/avgdl
-    * norm    = 250 + t1                        // 1000·(1−b+b·dl/avgdl)
-    * score   = (idf1000 · 2 200 000 · tf) div (tf·1 000 000 + 1200·norm)
-    * }}}
-    *
-    * Scale shape: tf is one (doc, term) aggregation; dl and df are
-    * windows over that SAME frame (one doc-keyed + one term-keyed
-    * exchange — no corpus re-scan, the q61 rewrite); N and SDL ride in
-    * as a one-row broadcast aggregate; the query term set is a bounded
-    * broadcast dim; scoring is a term-keyed broadcast join + one
-    * (q, doc) aggregation. Nothing touches the driver.
-    */
   /** The posting-list frame — the INDEX: (term, doc_id, tf, dl, df).
     * One (doc, term) aggregation; dl and df are windows over that SAME
     * frame (one doc-keyed + one term-keyed exchange — no corpus
@@ -85,9 +63,19 @@ object Retrieval {
   /** BM25 scoring against a prebuilt index — `postings` as
     * [[indexPostings]] (possibly read back from the stored table),
     * `stats` as [[corpusStats]], `queryTerms` a bounded (q_id, term)
-    * dim. The probe is one broadcast term join + one (q, doc)
-    * aggregation + the per-query top-k window; the index never
-    * re-shuffles.
+    * dim. Each candidate doc scores
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` over
+    * shared terms; top `k` per query survive (score desc, doc_id).
+    *
+    * Integer forms (`div` truncates toward zero in both engines):
+    * {{{
+    * idf1000 = ((2N − 2·df + 1) · 1000) div (2·df + 1)
+    * norm    = 250 + (750 · dl · N) div SDL    // 1000·(1−b+b·dl/avgdl)
+    * score   = (idf1000 · 2 200 000 · tf) div (tf·1 000 000 + 1200·norm)
+    * }}}
+    *
+    * The probe is one broadcast term join + one (q, doc) aggregation +
+    * the per-query top-k window; the index never re-shuffles.
     */
   def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame,
                         queryTerms: DataFrame, k: Int): DataFrame = {
@@ -199,15 +187,19 @@ object Retrieval {
     * sim(d, s)` — the standard answer to "my top-k are five copies of
     * the same page" after any dedup-light retrieval run.
     *
-    * The greedy loop is inherently sequential in k, so it runs as k
-    * UNROLLED DataFrame rounds (anti-join the selected set, max-sim
-    * against it, per-query argmax with (score desc, n_id) ties) — every
-    * frame after the candidate build is pool-bounded per query, so the
-    * rounds cost O(k·pool²) per query regardless of corpus size. Round
-    * 1 is pure relevance (`λ·rel`, the empty-set convention). Cosines
-    * ride the shared native fold and the MMR arithmetic is the same
-    * literal-double expression both engines evaluate, so picks AND
-    * scores hash-match.
+    * The greedy loop is inherently sequential in k but strictly LOCAL
+    * to one query's pool, so it runs inside ONE `mapGroups` pass over
+    * q_id — a single exchange of the pool-bounded candidate frame,
+    * O(k·pool²) arithmetic per group, no cluster-wide rounds. (The
+    * first cut ran k unrolled DataFrame rounds: correct, but ~10 s of
+    * pure stage-scheduling overhead at sf0.1 for frames of a hundred
+    * rows — job orchestration is the wrong tool for per-group loops.)
+    *
+    * Cosines replicate [[graft.functions.NativeVectorOps]]'s exact
+    * left-to-right fold (`s += a_i·b_i`, then dot/(√·√)) in plain
+    * Scala, and the MMR arithmetic is the same literal-double
+    * expression every engine evaluates, so picks AND scores
+    * hash-match the unrolled-SQL oracle bit for bit.
     *
     * `candidates`: (q_id, n_id, rel, embedding) — the pool with each
     * candidate's embedding attached (pool-bounded per query).
@@ -216,41 +208,60 @@ object Retrieval {
   def mmrSelect(candidates: DataFrame, k: Int, relWeight: Double = 0.7,
                 divWeight: Double = 0.3): DataFrame = {
     require(k >= 1, "mmrSelect needs k >= 1")
-    graft.functions.NativeVectorOps.register(candidates.sparkSession)
+    val spark = candidates.sparkSession
+    import spark.implicits._
     // divWeight is a SEPARATE literal, never computed as 1 − relWeight:
     // 1.0 − 0.7 is 0.30000000000000004 in IEEE doubles — one ulp off
     // the 0.3 both engines parse — and the scores stop hash-matching.
-    val lam = lit(relWeight)
-    val oneMinus = lit(divWeight)
-    val cand = candidates.select("q_id", "n_id", "rel", "embedding").persist()
-    val ec = (c: String) => col(c).cast("array<double>")
-    val sims = cand.select(col("q_id"), col("n_id").as("a"), col("embedding").as("ea"))
-      .join(cand.select(col("q_id"), col("n_id").as("b"), col("embedding").as("eb")),
-        Seq("q_id"))
-      .filter(col("a") =!= col("b"))
-      .withColumn("sim", graft.functions.NativeVectorOps.cosine(ec("ea"), ec("eb")))
-      .select("q_id", "a", "b", "sim")
-      .persist()
-    val wPick = expressions.Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("n_id"))
-    var picks = cand
-      .withColumn("score", lam * col("rel"))
-      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-      .select(col("q_id"), col("n_id"), lit(1).as("pick"), col("score"))
-    var sel = picks.select("q_id", "n_id")
-    for (r <- 2 to k) {
-      val remaining = cand.join(sel, Seq("q_id", "n_id"), "left_anti")
-      val maxsim = sims
-        .join(sel.withColumnRenamed("n_id", "b"), Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a").as("n_id"))
-        .agg(max("sim").as("maxsim"))
-      val pick = remaining.join(maxsim, Seq("q_id", "n_id"))
-        .withColumn("score", lam * col("rel") - oneMinus * col("maxsim"))
-        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-        .select(col("q_id"), col("n_id"), lit(r).as("pick"), col("score"))
-      picks = picks.unionByName(pick)
-      sel = picks.select("q_id", "n_id")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
     }
-    picks
+    candidates
+      .select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("rel").cast("double"), col("embedding").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qId, it) =>
+        val pool = it.map { case (_, n, rel, e) => (n, rel, e.toArray) }
+          .toArray.sortBy(_._1)
+        val n = pool.length
+        val norm = pool.map(p => math.sqrt(dot(p._3, p._3)))
+        def sim(i: Int, j: Int): Double =
+          dot(pool(i)._3, pool(j)._3) / (norm(i) * norm(j))
+        val taken = new Array[Boolean](n)
+        val out = Vector.newBuilder[(Long, Long, Int, Double)]
+        var pick = 1
+        var sel = List.empty[Int]
+        while (pick <= k && pick <= n) {
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              var maxsim = 0.0
+              var first = true
+              sel.foreach { s =>
+                val v = sim(i, s)
+                if (first || v > maxsim) { maxsim = v; first = false }
+              }
+              val score =
+                if (sel.isEmpty) relWeight * pool(i)._2
+                else relWeight * pool(i)._2 - divWeight * maxsim
+              // argmax (score desc, n_id asc); pool is n_id-sorted so
+              // the first strict improvement wins ties correctly
+              if (best < 0 || score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          taken(best) = true
+          sel = best :: sel
+          out += ((qId, pool(best)._1, pick, bestScore))
+          pick += 1
+        }
+        out.result().iterator
+      }
+      .toDF("q_id", "n_id", "pick", "score")
   }
 }
