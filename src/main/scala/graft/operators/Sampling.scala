@@ -139,6 +139,49 @@ object Sampling {
       .drop("__mix_group", "__mix_quota", "__mix_rk")
   }
 
+  /** Curriculum schedule: a deterministic multi-epoch training order
+    * that ANNEALS from high quality to the full corpus — epoch e admits
+    * documents whose quality decile is ≤ `epochCaps(e-1)` (decile 1 =
+    * best; deciles come from [[FeatureEng.quantileBins]]' sketch
+    * boundaries + map-side assignment, NOT a global rank window — a
+    * corpus-wide ORDER BY would serialize 100 TB through one sort), so
+    * early epochs see only the cleanest data and later epochs widen.
+    * Within an epoch, order is (shard, seq): shard = md5(key) mod
+    * nShards and seq the hash-ordered rank WITHIN (epoch, shard) — the
+    * [[graft.sources.Storage.exportTrainingShards]] layout, so trainers
+    * stream shards independently and no epoch serializes globally.
+    *
+    * Epoch membership is a map-side array filter (no non-equi join);
+    * the only exchanges are the sketch histogram aggregation and the
+    * (epoch, shard) sequence window. Everything is integer/hash
+    * deterministic — the schedule reproduces across runs, engines, and
+    * partitionings.
+    *
+    * Output: (epoch, shard, seq, key, decile).
+    */
+  def curriculum(df: DataFrame, keyCol: Column, qualityCol: Column,
+                 epochCaps: Seq[Int], nShards: Int): DataFrame = {
+    require(epochCaps.nonEmpty && epochCaps.forall(c => c >= 1 && c <= 10),
+      "epochCaps must be decile caps in 1..10")
+    require(nShards >= 1, "nShards must be >= 1")
+    val caps = epochCaps.zipWithIndex
+      .map { case (c, i) => s"struct(${i + 1} AS epoch, $c AS cap)" }
+      .mkString("array(", ", ", ")")
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__cu_hash"), col("key"))
+    FeatureEng.quantileBins(
+        df.select(keyCol.as("key"), qualityCol.cast("long").as("__cu_q")),
+        col("__cu_q"), nBins = 10)
+      .withColumn("decile", lit(10) - col("bin_id")) // bin 9 = top values
+      .withColumn("__cu_hash", TextOps.hash32(col("key").cast("string")))
+      .withColumn("shard", pmod(col("__cu_hash"), lit(nShards.toLong)))
+      .withColumn("epoch",
+        explode(expr(s"filter($caps, x -> x.cap >= decile).epoch")))
+      .withColumn("seq", row_number().over(wSeq).cast("long"))
+      .select("epoch", "shard", "seq", "key", "decile")
+  }
+
   /** Leakage-safe train/val split: the split key is the NEAR-DUP CLUSTER
     * id, not the document id, so every member of a near-duplicate family
     * lands in the same split — hashing raw doc ids (q53's shape) leaks

@@ -463,6 +463,48 @@ object TrainingQueries {
         col("doc_id"), col("lang"), k = 20)
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "rn")
+    },
+
+    // Curriculum schedule (Sampling.curriculum): three epochs annealing
+    // from the top-3 quality deciles to the full corpus (caps 3/6/10),
+    // deciles from q166's sketch boundaries (decile 1 = best — never a
+    // corpus-wide rank sort), order shard-local per epoch so trainers
+    // stream shards independently. Epoch membership is a map-side array
+    // filter; everything hash-deterministic.
+    QueryDef("q202_curriculum",
+      s"""WITH vi AS (SELECT doc_id, GREATEST(CAST(n_chars AS BIGINT), 1) AS v
+        |            FROM documents),
+        |bnd AS (SELECT doc_id, v, LENGTH(BIN(v)) - 1 AS e FROM vi),
+        |b AS (SELECT doc_id,
+        |             CASE WHEN e <= 4 THEN v
+        |                  ELSE CAST(e - 4 AS BIGINT) * 16 + (v >> (e - 4)) END AS bin
+        |      FROM bnd),
+        |h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |             SUM(cnt) OVER () AS n
+        |      FROM h),
+        |bound AS (SELECT k, MIN(CASE WHEN cum * 10 >= n * k THEN bin END) AS bk
+        |          FROM c, (SELECT unnest(range(1, 10)) AS k) ks GROUP BY k),
+        |bn AS (SELECT b.doc_id,
+        |              CAST(SUM(CASE WHEN b.bin >= bound.bk THEN 1 ELSE 0 END)
+        |                   AS INT) AS bin_id
+        |       FROM b, bound GROUP BY b.doc_id),
+        |d AS (SELECT doc_id AS key, 10 - bin_id AS decile,
+        |             ${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")} AS hsh
+        |      FROM bn),
+        |ep AS (SELECT * FROM (VALUES (1, 3), (2, 6), (3, 10)) e(epoch, cap)),
+        |x AS (SELECT ep.epoch, d.hsh % 4 AS shard, d.key, d.decile, d.hsh
+        |      FROM d JOIN ep ON ep.cap >= d.decile)
+        |SELECT epoch, shard,
+        |       CAST(row_number() OVER (PARTITION BY epoch, shard
+        |            ORDER BY hsh, key) AS BIGINT) AS seq,
+        |       key, decile
+        |FROM x ORDER BY epoch, shard, seq""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.curriculum(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"),
+        epochCaps = Seq(3, 6, 10), nShards = 4)
+        .orderBy("epoch", "shard", "seq")
     }
   )
 }

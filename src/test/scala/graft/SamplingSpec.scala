@@ -96,6 +96,33 @@ class SamplingSpec extends SparkSpec {
       s"rank pushdown missing from plan:\n$plan")
   }
 
+  test("curriculum: epochs anneal wider, final epoch is the corpus, shard seqs contiguous") {
+    val docs = (1L to 400L).map(i => (i, i)).toDF("doc_id", "q") // quality = id
+    val out = Sampling.curriculum(docs, col("doc_id"), col("q"),
+      epochCaps = Seq(3, 6, 10), nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val byEpoch = out.groupBy(_._1)
+    // strictly widening admission, everything admitted at the end
+    assert(byEpoch(1).size < byEpoch(2).size && byEpoch(2).size < byEpoch(3).size)
+    assert(byEpoch(3).size === 400)
+    // epoch 1 admits only deciles ≤ 3, and they are the HIGH-quality docs
+    assert(byEpoch(1).forall(_._5 <= 3))
+    val epoch1MinQ = byEpoch(1).map(_._4).min
+    assert(byEpoch(3).filter(_._5 > 3).forall(_._4 < epoch1MinQ),
+      "every decile>3 doc must rank below epoch-1's worst admit")
+    // per (epoch, shard) the sequence is 1..count with no gaps
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.size).toSeq)
+    }
+    // deterministic: same input, same schedule
+    val again = Sampling.curriculum(docs, col("doc_id"), col("q"),
+      epochCaps = Seq(3, 6, 10), nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(t => (t._1, t._2, t._3)).toSeq ===
+      out.map(t => (t._1, t._2, t._3, t._4)).sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
+
   test("leakageSafeSplit: cluster members co-travel; singletons hash their own id") {
     val docs = (1L to 400L).toDF("doc_id")
     // two clusters: {1..10} labeled 1, {11..14} labeled 11; rest unclustered
