@@ -144,6 +144,50 @@ object Warc {
     out.result()
   }
 
+  /** The binaryFile source's fixed schema (file streams require it
+    * explicitly).
+    */
+  private val BinaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Streaming ingest of `.warc.gz` shards landing in a directory — the
+    * crawl-side half of the ingest story: the binaryFile file-stream
+    * source delivers each NEW shard exactly once per micro-batch (file
+    * tracking is the source's checkpointed state), the framed reader
+    * parses its records, and one row per response record flows out.
+    * Each shard parses independently inside a task — no shuffle, no
+    * driver involvement; 1000 executors ingest 1000 shards at once.
+    *
+    * Quarantine posture (the Jsonl contract): a shard whose framing is
+    * corrupt (truncated mid-record) must neither kill the stream nor
+    * vanish — it yields ONE marker row (`http_status = -1`,
+    * `content_length` = the shard's byte size, null url/text) so the
+    * ledger shows exactly which file needs re-fetching.
+    */
+  def streamIngest(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(BinaryFileSchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        scala.util.Try(parseAll(bytes)) match {
+          case scala.util.Success(recs) =>
+            recs.collect { case r if r.warcType == "response" =>
+              (path, r.targetUri, r.httpStatus, r.body.length.toLong,
+                new String(r.body, UTF_8))
+            }
+          case scala.util.Failure(_) =>
+            Seq((path, null: String, -1, bytes.length.toLong, null: String))
+        }
+      }
+      .toDF("shard", "url", "http_status", "content_length", "text")
+  }
+
   private val roundTripSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("url", StringType),

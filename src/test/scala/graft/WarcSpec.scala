@@ -55,6 +55,38 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException](Warc.parseAll(cut))
   }
 
+  test("streaming shard ingest: new shards picked up incrementally, corrupt shard quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    def writeShard(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    writeShard("shard-0.warc.gz",
+      Warc.gzipMember(rec("https://a/1", "one")) ++
+        Warc.gzipMember(rec("https://a/2", "two")))
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String, Int, Long)]
+    val query = Warc.streamIngest(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= batch.collect().map(r => (new java.io.File(r.getString(0)).getName,
+          r.getString(1), r.getInt(2), r.getLong(3)))
+        ()
+      }.start()
+    try {
+      query.processAllAvailable()
+      assert(out.map(_._2).toSet === Set("https://a/1", "https://a/2"))
+      // a later micro-batch sees ONLY the new shards: one good, one
+      // truncated (the corrupt one yields its marker row, not a crash)
+      val full = Warc.gzipMember(rec("https://b/3", "three"))
+      writeShard("shard-1.warc.gz", full)
+      writeShard("shard-2.warc.gz", java.util.Arrays.copyOfRange(full, 0, 20))
+      out.clear()
+      query.processAllAvailable()
+      val byShard = out.groupBy(_._1)
+      assert(byShard("shard-1.warc.gz").map(_._2).toSeq === Seq("https://b/3"))
+      val q = byShard("shard-2.warc.gz").head
+      assert(q._2 == null && q._3 === -1 && q._4 === 20L)
+    } finally query.stop()
+  }
+
   test("distributed round trip recovers every document") {
     import spark.implicits._
     val docs = Seq(
