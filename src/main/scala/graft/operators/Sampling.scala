@@ -139,6 +139,33 @@ object Sampling {
       .drop("__mix_group", "__mix_quota", "__mix_rk")
   }
 
+  /** √-capped group sampling — the multilingual "temperature" heuristic
+    * in its exactly-verifiable form: group g keeps
+    * `min(n_g, c · floor(√n_g))` rows, so huge groups downsample ∝ √n
+    * (English stops drowning the tail languages) while groups under
+    * the cap pass through whole. `floor(√x)` is engine-exact — IEEE
+    * sqrt is correctly rounded, unlike pow/exp — which is why this is
+    * the T = 2 temperature form a cross-engine contract can actually
+    * pin. Membership is the hash-rank rule ([[reservoirK]]'s window):
+    * deterministic, reproducible, top-rank-stable under re-runs.
+    *
+    * One group-keyed count window + one rank window over the same
+    * partitioning — a single exchange.
+    */
+  def sqrtCapped(df: DataFrame, keyCol: Column, groupCol: Column,
+                 c: Long): DataFrame = {
+    require(c >= 1, "cap multiplier must be >= 1")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val wRank = wAll.orderBy(sampleHash(keyCol), keyCol)
+    df.withColumn("__sc_n", count(lit(1)).over(wAll))
+      .withColumn("__sc_quota",
+        least(col("__sc_n"),
+          lit(c) * floor(sqrt(col("__sc_n").cast("double"))).cast("long")))
+      .withColumn("__sc_rn", row_number().over(wRank).cast("long"))
+      .filter(col("__sc_rn") <= col("__sc_quota"))
+      .drop("__sc_n", "__sc_quota", "__sc_rn")
+  }
+
   /** Curriculum schedule: a deterministic multi-epoch training order
     * that ANNEALS from high quality to the full corpus — epoch e admits
     * documents whose quality decile is ≤ `epochCaps(e-1)` (decile 1 =

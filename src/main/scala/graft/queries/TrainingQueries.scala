@@ -505,6 +505,30 @@ object TrainingQueries {
         col("doc_id"), col("n_chars"),
         epochCaps = Seq(3, 6, 10), nShards = 4)
         .orderBy("epoch", "shard", "seq")
+    },
+
+    // √-capped mixture (Sampling.sqrtCapped): each language keeps
+    // min(n, 3·⌊√n⌋) docs — the multilingual temperature heuristic
+    // (T = 2) in its exactly-verifiable form: IEEE sqrt is correctly
+    // rounded in both engines (pow/exp are not), so quotas AND the
+    // hash-rank membership are engine-exact.
+    QueryDef("q203_sqrt_capped",
+      s"""WITH r AS (SELECT doc_id, lang,
+        |       CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |            ORDER BY ${TextOps.hash32Sql("CAST(doc_id AS VARCHAR)")}
+        |              % ${graft.operators.Sampling.Modulus},
+        |            doc_id) AS BIGINT) AS rn
+        |       FROM documents)
+        |SELECT doc_id, lang
+        |FROM r
+        |WHERE rn <= LEAST(n, 3 * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.sqrtCapped(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        col("doc_id"), col("lang"), c = 3L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }

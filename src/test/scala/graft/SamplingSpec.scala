@@ -96,6 +96,22 @@ class SamplingSpec extends SparkSpec {
       s"rank pushdown missing from plan:\n$plan")
   }
 
+  test("sqrtCapped: big groups downsample to c*sqrt(n), small groups pass whole") {
+    // en: 3600 rows → quota 3·60 = 180; de: 100 → 3·10 = 30; xx: 5 → min(5, 3·2=6) = 5
+    val df = ((1L to 3600L).map(i => (i, "en")) ++
+      (4001L to 4100L).map(i => (i, "de")) ++
+      (5001L to 5005L).map(i => (i, "xx"))).toDF("k", "g")
+    val kept = Sampling.sqrtCapped(df, col("k"), col("g"), c = 3L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("en" -> 180L, "de" -> 30L, "xx" -> 5L))
+    // deterministic membership, not just counts
+    val a = Sampling.sqrtCapped(df, col("k"), col("g"), c = 3L)
+      .select("k").as[Long].collect().sorted.toSeq
+    val b = Sampling.sqrtCapped(df.repartition(13), col("k"), col("g"), c = 3L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("curriculum: epochs anneal wider, final epoch is the corpus, shard seqs contiguous") {
     val docs = (1L to 400L).map(i => (i, i)).toDF("doc_id", "q") // quality = id
     val out = Sampling.curriculum(docs, col("doc_id"), col("q"),
