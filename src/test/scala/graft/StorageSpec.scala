@@ -174,6 +174,28 @@ class StorageSpec extends SparkSpec {
     assert(asn1 == asn2, "reloaded centroids assign differently")
   }
 
+  test("schema evolution: widened shards merge, old shards read null for new columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (doc_id, text); generation 2 adds quality — the
+    // standard corpus-lake evolution (a new scorer starts annotating)
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$base/gen=1")
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.2)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$base/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "gen"))
+    val rows = merged.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(merged.columns.indexOf("quality"))))
+    assert(rows.toSeq === Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+    // pushdown on the common column survives the merged footer set
+    val plan = merged.filter(col("doc_id") === 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"expected doc_id pushdown in:\n$plan")
+  }
+
   test("inverted index persists term-bucketed; probing it reproduces direct BM25 exactly") {
     import org.apache.spark.sql.functions.{col, explode}
     val base = java.nio.file.Files.createTempDirectory("graft-bm25")
