@@ -598,6 +598,44 @@ object Similarity {
       .select(col("lang"), col("vec_id"), col("centroid_cosine"), col("rk"))
   }
 
+  /** Embedding-space drift between two corpus snapshots — q122's
+    * distribution-drift monitor lifted to the EMBEDDING domain: per
+    * label, the cosine between the two snapshots' fixed-point centroids
+    * (each component a round_even(v·2²⁰) integer sum — exact and
+    * associative, so centroids are partition- and engine-invariant; one
+    * double division per component at the end). A drifted re-crawl or a
+    * silently-updated embedding model shows up as sub-1 centroid cosine
+    * BEFORE it poisons training. Snapshot = vec_id parity here; any
+    * partition predicate works.
+    *
+    * One (label, half, dim)-keyed aggregation over the posexploded
+    * corpus + a label-dim join of the two centroid sets — nothing
+    * corpus-shaped leaves the executors.
+    *
+    * Output per label: (label, n_a, n_b, drift_cosine).
+    */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    NativeVectorOps.register(embeddings.sparkSession)
+    val comp = embeddings.filter(col("embedding").isNotNull)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(embD("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", bround(col("v") * (1L << 20), 0).cast(LongType))
+      .groupBy("label", "half", "pos")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast(DoubleType) / lit(1048576.0) / col("n"))
+    val cents = comp.groupBy("label", "half")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"),
+        max("n").as("n"))
+    val a = cents.filter(col("half") === 0)
+      .select(col("label"), col("centroid").as("ca"), col("n").as("n_a"))
+    val b = cents.filter(col("half") === 1)
+      .select(col("label"), col("centroid").as("cb"), col("n").as("n_b"))
+    a.join(b, Seq("label"))
+      .withColumn("drift_cosine", NativeVectorOps.cosine(col("ca"), col("cb")))
+      .select("label", "n_a", "n_b", "drift_cosine")
+  }
+
   /** Embedding near-duplicate pairs among vec_id < maxId: global top-k
     * pairs by cosine (deterministic tie-break). The pair generation is
     * bounded by maxId² — [[nearDupPairsLsh]] is the bucketed form that

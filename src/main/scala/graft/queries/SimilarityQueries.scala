@@ -1118,6 +1118,38 @@ object SimilarityQueries {
         Similarity.bruteForceTopK(emb, 5L, 10),
         Similarity.lshTopK(emb, 5L, 10), k = 10)
         .orderBy("q_id")
+    },
+
+    // Embedding-space drift (Similarity.embeddingDrift): per label, the
+    // cosine between two snapshots' fixed-point centroids (vec_id
+    // parity stands in for the snapshots) — q122's drift monitor lifted
+    // to the embedding domain; a drifted re-crawl or silently-updated
+    // embedding model surfaces as sub-1 centroid cosine before it
+    // poisons training. Integer centroid sums (q79's convention) keep
+    // the number engine-exact.
+    QueryDef("q204_embedding_drift",
+      eCte.replace("WITH e AS (SELECT vec_id",
+        "WITH e AS (SELECT vec_id, label") +
+        s""",
+        |hx AS (SELECT label, vec_id % 2 AS half, emb FROM e),
+        |comp AS (SELECT label, half, pos,
+        |               CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT))
+        |                    AS BIGINT) AS s,
+        |               COUNT(*) AS n
+        |        FROM hx, (SELECT unnest(range(1, ${D + 1})) AS pos) p
+        |        GROUP BY label, half, pos),
+        |cent AS (SELECT label, half,
+        |                list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos)
+        |                  AS centroid,
+        |                MAX(n) AS n
+        |         FROM comp GROUP BY label, half),
+        |av AS (SELECT label, centroid AS ca, CAST(n AS BIGINT) AS n_a
+        |       FROM cent WHERE half = 0),
+        |bv AS (SELECT label, centroid AS cb, CAST(n AS BIGINT) AS n_b
+        |       FROM cent WHERE half = 1)
+        |SELECT av.label, n_a, n_b, ${cos("ca", "cb")} AS drift_cosine
+        |FROM av JOIN bv USING (label) ORDER BY label""".stripMargin) { (s, dir) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, dir)).orderBy("label")
     }
   )
 

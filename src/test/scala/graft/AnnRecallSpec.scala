@@ -140,6 +140,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(rec >= 0.8, s"fused recall vs cosine list below floor: $rec")
   }
 
+  test("embeddingDrift: identical snapshots score exactly 1.0; a shifted half scores below") {
+    import spark.implicits._
+    // label 0: both halves identical vectors → centroids equal → cos = 1.0
+    // label 1: odd half rotated toward the second axis → cos < 1
+    val rows =
+      (0L until 40L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)) ++
+        (100L until 140L).map(i => (i,
+          if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+          else Seq(0.0f, 1.0f, 0.0f, 0.0f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDrift(emb)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(0) === ((20L, 20L, 1.0)))
+    assert(out(1)._3 < 0.01, s"orthogonal halves must show full drift: ${out(1)}")
+  }
+
   test("kNN-distance outliers: board sorted most-isolated-first, thin neighborhoods lead") {
     val emb = Tables.embeddings(spark, SfDir)
     val out = Similarity.knnDistanceOutliers(emb, k = 5, bottomN = 30)
