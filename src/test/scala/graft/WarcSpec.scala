@@ -17,16 +17,16 @@ class WarcSpec extends SparkSpec {
   test("round-trips a body that CONTAINS a WARC header (framing is length-driven)") {
     // A marker-based splitter would cut this record in half.
     val trap = "prefix\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nsuffix"
-    val out = Warc.parseAll(rec("https://a/1", trap) ++ rec("https://a/2", "plain"))
-    assert(out.map(_.targetUri) === Seq("https://a/1", "https://a/2"))
+    val out = Warc.parseAll(rec("https://a.example.com/1", trap) ++ rec("https://a.example.com/2", "plain"))
+    assert(out.map(_.targetUri) === Seq("https://a.example.com/1", "https://a.example.com/2"))
     assert(new String(out.head.body, UTF_8) === trap)
     assert(out.forall(_.httpStatus === 200))
   }
 
   test("concatenated gzip members parse as one stream") {
-    val bytes = Warc.gzipMember(rec("https://a/1", "one")) ++
-      Warc.gzipMember(rec("https://a/2", "two")) ++
-      Warc.gzipMember(rec("https://a/3", "three"))
+    val bytes = Warc.gzipMember(rec("https://a.example.com/1", "one")) ++
+      Warc.gzipMember(rec("https://a.example.com/2", "two")) ++
+      Warc.gzipMember(rec("https://a.example.com/3", "three"))
     val out = Warc.parseAll(bytes)
     assert(out.map(r => new String(r.body, UTF_8)) === Seq("one", "two", "three"))
   }
@@ -35,7 +35,7 @@ class WarcSpec extends SparkSpec {
     val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
       "Content-Type: application/warc-fields\r\nContent-Length: 12\r\n\r\n" +
       "format: WARC\r\n\r\n").getBytes(UTF_8)
-    val out = Warc.parseAll(info ++ rec("https://a/1", "x"))
+    val out = Warc.parseAll(info ++ rec("https://a.example.com/1", "x"))
     assert(out.map(_.warcType) === Seq("warcinfo", "response"))
     assert(new String(out.head.body, UTF_8) === "format: WARC")
     assert(out.head.httpStatus === 0)
@@ -43,14 +43,14 @@ class WarcSpec extends SparkSpec {
 
   test("multibyte bodies keep UTF-8 byte framing") {
     val body = "héllo wörld — 你好"
-    val out = Warc.parseAll(rec("https://a/1", body) ++ rec("https://a/2", "y"))
+    val out = Warc.parseAll(rec("https://a.example.com/1", body) ++ rec("https://a.example.com/2", "y"))
     assert(new String(out.head.body, UTF_8) === body)
     assert(out.head.body.length === body.getBytes(UTF_8).length)
-    assert(out(1).targetUri === "https://a/2")
+    assert(out(1).targetUri === "https://a.example.com/2")
   }
 
   test("truncated record fails loudly instead of emitting garbage") {
-    val full = rec("https://a/1", "0123456789")
+    val full = rec("https://a.example.com/1", "0123456789")
     val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 12)
     intercept[IllegalArgumentException](Warc.parseAll(cut))
   }
@@ -60,8 +60,8 @@ class WarcSpec extends SparkSpec {
     def writeShard(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(dir.resolve(name), bytes)
     writeShard("shard-0.warc.gz",
-      Warc.gzipMember(rec("https://a/1", "one")) ++
-        Warc.gzipMember(rec("https://a/2", "two")))
+      Warc.gzipMember(rec("https://a.example.com/1", "one")) ++
+        Warc.gzipMember(rec("https://a.example.com/2", "two")))
     val out = new scala.collection.mutable.ArrayBuffer[(String, String, Int, Long)]
     val query = Warc.streamIngest(spark, dir.toString)
       .writeStream.outputMode("append")
@@ -72,16 +72,16 @@ class WarcSpec extends SparkSpec {
       }.start()
     try {
       query.processAllAvailable()
-      assert(out.map(_._2).toSet === Set("https://a/1", "https://a/2"))
+      assert(out.map(_._2).toSet === Set("https://a.example.com/1", "https://a.example.com/2"))
       // a later micro-batch sees ONLY the new shards: one good, one
       // truncated (the corrupt one yields its marker row, not a crash)
-      val full = Warc.gzipMember(rec("https://b/3", "three"))
+      val full = Warc.gzipMember(rec("https://b.example.com/3", "three"))
       writeShard("shard-1.warc.gz", full)
       writeShard("shard-2.warc.gz", java.util.Arrays.copyOfRange(full, 0, 20))
       out.clear()
       query.processAllAvailable()
       val byShard = out.groupBy(_._1)
-      assert(byShard("shard-1.warc.gz").map(_._2).toSeq === Seq("https://b/3"))
+      assert(byShard("shard-1.warc.gz").map(_._2).toSeq === Seq("https://b.example.com/3"))
       val q = byShard("shard-2.warc.gz").head
       assert(q._2 == null && q._3 === -1 && q._4 === 20L)
     } finally query.stop()

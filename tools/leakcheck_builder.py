@@ -33,7 +33,11 @@ PATTERNS = {
 def tracked_files():
     out = subprocess.run(["git", "ls-files"], capture_output=True, text=True, check=True)
     return [f for f in out.stdout.splitlines()
-            if not f.endswith((".parquet", ".png", ".jpg", ".p12", ".der"))]
+            if not f.endswith((".parquet", ".png", ".jpg", ".p12", ".der"))
+            # the scanner's own pattern definitions and its output artifacts
+            # would otherwise match themselves on every run
+            and f != "tools/leakcheck_builder.py"
+            and not f.startswith("LEAKCHECK")]
 
 def main(out_path):
     sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
