@@ -529,6 +529,28 @@ object TrainingQueries {
         col("doc_id"), col("lang"), c = 3L)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Rendezvous re-sharding movement matrix (Storage.rendezvousShard):
+    // every doc's HRW shard under n=8 vs n=9 — the minimal-movement
+    // property is VISIBLE in the output: off-diagonal mass lands only
+    // in the new shard 8 (≈1/9 of keys), where `hash mod n` would
+    // scatter nearly everything. Pure per-row scalars, both engines
+    // evaluate the same GREATEST-of-md5-scores expression.
+    QueryDef("q205_rendezvous_shards",
+      s"""WITH a AS (SELECT doc_id,
+        |  ${graft.sources.Storage.rendezvousShardSql("CAST(doc_id AS VARCHAR)", 8)}
+        |    AS old_shard,
+        |  ${graft.sources.Storage.rendezvousShardSql("CAST(doc_id AS VARCHAR)", 9)}
+        |    AS new_shard
+        |  FROM documents)
+        |SELECT old_shard, new_shard, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.sources.Storage.rendezvousShard(col("doc_id"), 8).as("old_shard"),
+        graft.sources.Storage.rendezvousShard(col("doc_id"), 9).as("new_shard"))
+        .groupBy("old_shard", "new_shard").agg(count(lit(1)).as("n"))
+        .orderBy("old_shard", "new_shard")
     }
   )
 }

@@ -146,6 +146,37 @@ object Storage {
       .saveAsTable(tableName)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * MINIMAL-MOVEMENT sharding scheme: each key goes to the shard whose
+    * keyed hash scores highest, so growing n → n+1 moves ONLY the keys
+    * the new shard wins (≈ 1/(n+1) of them) while `hash mod n` moves
+    * nearly everything — the difference between a cheap corpus
+    * rebalance and rewriting 100 TB. Pure per-row scalar (n md5 scores,
+    * one GREATEST, shard recovered from the low bits — the same
+    * expression any engine evaluates identically); no state, no
+    * coordination.
+    */
+  def rendezvousShard(key: org.apache.spark.sql.Column, nShards: Int)
+      : org.apache.spark.sql.Column = {
+    require(nShards >= 1 && nShards <= 16, "rendezvousShard supports 1..16 shards")
+    import org.apache.spark.sql.functions.{concat, greatest, lit}
+    val scores = (0 until nShards).map(s =>
+      graft.functions.ScalarOps.md5Hash32(
+        concat(key.cast("string"), lit(s":$s"))) * 16 + s)
+    (if (scores.size == 1) scores.head else greatest(scores: _*)) % 16
+  }
+
+  /** DuckDB twin of [[rendezvousShard]] (same scores, same GREATEST,
+    * same low-bit decode).
+    */
+  def rendezvousShardSql(keyExpr: String, nShards: Int): String = {
+    require(nShards >= 1 && nShards <= 16)
+    val scores = (0 until nShards).map(s =>
+      s"(${graft.functions.TextOps.hash32Sql(s"$keyExpr || ':$s'")} * 16 + $s)")
+    if (scores.size == 1) s"${scores.head} % 16"
+    else scores.mkString("GREATEST(", ", ", ") % 16")
+  }
+
   /** The BM25 inverted index as a TABLE: posting lists
     * ([[graft.operators.Retrieval.indexPostings]] — term, doc_id, tf,
     * dl, df) bucketed by `term`, plus the one-row corpus stats beside

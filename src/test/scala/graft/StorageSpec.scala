@@ -174,6 +174,27 @@ class StorageSpec extends SparkSpec {
     assert(asn1 == asn2, "reloaded centroids assign differently")
   }
 
+  test("rendezvousShard: growth moves keys ONLY to the new shard, ~1/n of them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = (1L to 4000L).toDF("k")
+    val moved = keys.select(
+        Storage.rendezvousShard(col("k"), 8).as("old8"),
+        Storage.rendezvousShard(col("k"), 9).as("new9"))
+      .filter(col("old8") =!= col("new9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every moved key lands in the ADDED shard — the HRW property that
+    // makes a rebalance touch 1/n of the corpus instead of all of it
+    assert(moved.forall(_._2 == 8L), s"moves not confined to the new shard")
+    val frac = moved.length.toDouble / 4000
+    assert(math.abs(frac - 1.0 / 9) < 0.02, s"moved fraction $frac, expected ~1/9")
+    // assignment is balanced-ish and total
+    val counts = keys.select(Storage.rendezvousShard(col("k"), 8).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet === (0L to 7L).toSet)
+    assert(counts.values.forall(c => c > 300 && c < 700), counts.toString)
+  }
+
   test("schema evolution: widened shards merge, old shards read null for new columns") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
