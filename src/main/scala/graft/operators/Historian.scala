@@ -254,6 +254,86 @@ object Historian {
         col("resid"))
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    * the standard historian/dashboard downsampler: keep first and last
+    * observations, split the interior into `buckets` equal ranges, and
+    * from each range keep the point forming the LARGEST triangle with
+    * the previously-kept point and the NEXT range's centroid — the
+    * selection that preserves visual extremes where plain striding
+    * flattens them.
+    *
+    * Engine-exact arithmetic: x quantizes to whole seconds from the
+    * key's first observation, y to the q148 value·1024 integers, and
+    * the triangle comparison multiplies the centroid out —
+    * `|(cn·xP−Sx)(cn·yC−Sy) − (cn·xC−Sx)(cn·yP−Sy)|` — so every area
+    * is an exact BIGINT both engines reproduce (Long-exact while
+    * `bucket_n² · x_span · y_span < 2^63`; rescale x for
+    * multi-year-span series). Ties break to the earliest (ts, tie)
+    * candidate.
+    *
+    * The selection chain is sequential in the bucket index but LOCAL
+    * to one key's series, so it runs inside one mapGroups pass (the
+    * MMR lesson: job orchestration is the wrong tool for per-group
+    * loops) — one exchange on the key, O(n) work per series. Keys with
+    * fewer than `buckets`+2 observations are left out (nothing to
+    * downsample; every bucket must be non-empty for the chain).
+    *
+    * Output: (k, sel_idx 0..buckets+1, tie, x_s, q).
+    */
+  def lttb(df: DataFrame, key: Column, ts: Column, value: Column,
+           tiebreak: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "lttb needs at least one interior bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets
+    df.select(key.cast("long").as("k"), unix_micros(ts).as("tus"),
+        bround(value * lit(1024), 0).cast(LongType).as("q"),
+        tiebreak.cast("long").as("tie"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val pts = it.map { case (_, tus, q, tie) => (tus, tie, q) }
+          .toArray.sortBy(p => (p._1, p._2))
+        val n = pts.length
+        if (n < b + 2) Iterator.empty
+        else {
+          val x0 = pts.head._1
+          def xs(i: Int): Long = (pts(i)._1 - x0) / 1000000L
+          val nInt = n - 2
+          def bucketOf(i: Int): Int = (((i - 1).toLong * b) / nInt).toInt
+          val bucketIdx = Array.fill(b)(Vector.newBuilder[Int])
+          var i = 1
+          while (i < n - 1) { bucketIdx(bucketOf(i)) += i; i += 1 }
+          val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
+          out += ((k, 0, pts(0)._2, xs(0), pts(0)._3))
+          var prev = 0
+          var bi = 0
+          while (bi < b) {
+            val (cn, sx, sy) =
+              if (bi == b - 1) (1L, xs(n - 1), pts(n - 1)._3)
+              else {
+                val ids = bucketIdx(bi + 1).result()
+                (ids.size.toLong, ids.map(xs).sum, ids.map(pts(_)._3).sum)
+              }
+            val px = xs(prev); val py = pts(prev)._3
+            var best = -1
+            var bestA = -1L
+            bucketIdx(bi).result().foreach { c =>
+              val a = math.abs((cn * px - sx) * (cn * pts(c)._3 - sy)
+                - (cn * xs(c) - sx) * (cn * py - sy))
+              if (a > bestA) { best = c; bestA = a } // first-wins = (ts, tie) tie-break
+            }
+            out += ((k, bi + 1, pts(best)._2, xs(best), pts(best)._3))
+            prev = best
+            bi += 1
+          }
+          out += ((k, b + 1, pts(n - 1)._2, xs(n - 1), pts(n - 1)._3))
+          out.result().iterator
+        }
+      }
+      .toDF("k", "sel_idx", "tie", "x_s", "q")
+  }
+
   /** Median/MAD robust outliers — [[rollingAnomalies]]' robust twin:
     * flag observations with `|q − median| > 3·1.4826·MAD`, the
     * estimator an actual outlier CANNOT drag (a 3σ spike inflates the

@@ -1469,7 +1469,9 @@ object RelationalQueries {
       graft.operators.GraphOps.modularity(edges,
         graft.operators.GraphOps.labelPropagation(edges, rounds = 3))
         .orderBy("label")
-    }
+    },
+
+    q206
   )
 
   /** q155's deterministic 3-round label propagation over the synthetic
@@ -1530,6 +1532,63 @@ object RelationalQueries {
         col("user_id"), col("value"), col("event_id"))
         .orderBy("k", "tie")
     }
+
+  /** q206: Historian.lttb — Largest-Triangle-Three-Buckets downsampling
+    * with the centroid multiplied out so every triangle comparison is
+    * an exact BIGINT. The bucket chain is sequential, so the oracle
+    * unrolls all 10 rounds (the MMR/bpeReplaySeg convention); ties
+    * break to the earliest (ts, tie) candidate via the rank column.
+    */
+  private def q206 = {
+    val B = 10
+    val rounds = (0 until B).map { r =>
+      val prev = if (r == 0) "s_first" else s"s_${r - 1}"
+      s"""s_$r AS (SELECT k, tie, x, q FROM (
+        |   SELECT ib.k, ib.tie, ib.x, ib.q,
+        |          row_number() OVER (PARTITION BY ib.k ORDER BY
+        |            abs((an.cn * s.x - an.sx) * (an.cn * ib.q - an.sy)
+        |                - (an.cn * ib.x - an.sx) * (an.cn * s.q - an.sy)) DESC,
+        |            ib.rn) AS rnk
+        |   FROM ib JOIN $prev s ON s.k = ib.k
+        |           JOIN an ON an.k = ib.k AND an.b = $r
+        |   WHERE ib.b = $r) WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until B)
+      .map(r => s"UNION ALL SELECT k, ${r + 1}, tie, x, q FROM s_$r")
+      .mkString("\n  ")
+    QueryDef("q206_lttb",
+      s"""WITH o AS (SELECT user_id AS k, epoch_us(ts) AS tus, event_id AS tie,
+        |            CAST(round_even(value * 1024, 0) AS BIGINT) AS q
+        |     FROM events),
+        |r0 AS (SELECT k, tie, q,
+        |          CAST(row_number() OVER (PARTITION BY k ORDER BY tus, tie)
+        |               AS BIGINT) AS rn,
+        |          CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |          (tus - MIN(tus) OVER (PARTITION BY k)) // 1000000 AS x
+        |       FROM o),
+        |g AS (SELECT * FROM r0 WHERE n >= ${B + 2}),
+        |ib AS MATERIALIZED (
+        |   SELECT k, tie, q, x, rn, ((rn - 2) * $B) // (n - 2) AS b
+        |   FROM g WHERE rn >= 2 AND rn <= n - 1),
+        |cent AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(q) AS BIGINT) AS sy
+        |         FROM ib GROUP BY 1, 2),
+        |lastp AS (SELECT k, tie, x, q FROM g WHERE rn = n),
+        |s_first AS (SELECT k, tie, x, q FROM g WHERE rn = 1),
+        |an AS MATERIALIZED (
+        |   SELECT k, b - 1 AS b, cn, sx, sy FROM cent WHERE b >= 1
+        |   UNION ALL SELECT k, ${B - 1} AS b, CAST(1 AS BIGINT), x, q FROM lastp),
+        |$rounds
+        |SELECT k, sel_idx, tie, x AS x_s, q FROM (
+        |  SELECT k, 0 AS sel_idx, tie, x, q FROM s_first
+        |  $unions
+        |  UNION ALL SELECT k, ${B + 1}, tie, x, q FROM lastp)
+        |ORDER BY k, sel_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Historian.lttb(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), col("event_id"), buckets = B)
+        .orderBy("k", "sel_idx")
+    }
+  }
 
   /** q193's peel contract: exactly this many rounds at degree floor k —
     * the oracle unrolls the same budget, so partial peels (sf0.001

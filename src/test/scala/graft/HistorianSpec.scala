@@ -162,6 +162,35 @@ class HistorianSpec extends SparkSpec {
     assert(got(1).getDouble(5) == -3.0 * 1024 && got(2).getDouble(5) == -3.0 * 1024)
   }
 
+  test("lttb: endpoints always kept, the spike survives its bucket, short keys drop") {
+    // key 1: 42 points, flat at 10.0 except a spike of 500.0 at i = 17 —
+    // LTTB must keep the spike (largest triangle in its bucket); a
+    // plain stride would skip it. key 2: too short (< buckets+2) → out.
+    val rows = (0 until 42).map { i =>
+      (1L, ts(i + 1), if (i == 17) 500.0 else 10.0, i.toLong)
+    } ++ (0 until 5).map(i => (2L, ts(i + 1), 1.0, 100L + i))
+    val out = Historian.lttb(rows.toDF("k", "t", "v", "id"),
+      col("k"), col("t"), col("v"), col("id"), buckets = 10)
+      .select("k", "sel_idx", "tie", "q")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet === Set(1L), "short key must be excluded")
+    assert(out.size === 12 && out.map(_._2).sorted === (0 to 11))
+    val byIdx = out.map(t => t._2 -> t._3).toMap
+    assert(byIdx(0) === 0L && byIdx(11) === 41L, "endpoints always kept")
+    assert(out.exists(_._4 === 500L * 1024), s"spike must survive: $out")
+  }
+
+  test("lttb: deterministic across partitionings") {
+    val rows = (0 until 60).map(i => (1L, ts(i + 1), (i * 37 % 11).toDouble, i.toLong))
+    val a = Historian.lttb(rows.toDF("k", "t", "v", "id"),
+      col("k"), col("t"), col("v"), col("id"))
+      .select("sel_idx", "tie").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val b = Historian.lttb(rows.toDF("k", "t", "v", "id").repartition(13),
+      col("k"), col("t"), col("v"), col("id"))
+      .select("sel_idx", "tie").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("madOutliers: a spike the mean/sigma baseline masks is flagged; the bulk is not") {
     // 9 values at 10.0 ± 0.1 and one spike at 50.0. The spike inflates
     // mean AND sigma (masking); median = 10.0-ish, MAD ≈ 0.1·1024 and
