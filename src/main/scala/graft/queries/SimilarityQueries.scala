@@ -1150,6 +1150,44 @@ object SimilarityQueries {
         |SELECT av.label, n_a, n_b, ${cos("ca", "cb")} AS drift_cosine
         |FROM av JOIN bv USING (label) ORDER BY label""".stripMargin) { (s, dir) =>
       Similarity.embeddingDrift(Tables.embeddings(s, dir)).orderBy("label")
+    },
+
+    // Embedding-table audit gate — the DataQuality posture applied to
+    // the vector column: per label, how many vectors are NULL, carry a
+    // wrong dimension, contain a non-finite component, or are all-zero
+    // (cosine-undefined). Every ANN/dedup operator upstream assumes
+    // these are zero; the audit is the loud check that assumption rides
+    // on. One map-side pass + one label-keyed aggregation.
+    QueryDef("q208_embedding_audit",
+      s"""SELECT label,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null,
+        |       CAST(SUM(CASE WHEN embedding IS NOT NULL
+        |                     AND len(embedding) <> $D THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_wrong_dim,
+        |       CAST(SUM(CASE WHEN embedding IS NOT NULL AND
+        |                 len(list_filter(embedding,
+        |                     x -> isnan(x) OR isinf(x))) > 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |       CAST(SUM(CASE WHEN embedding IS NOT NULL AND
+        |                 len(list_filter(embedding, x -> x <> 0)) = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = col("embedding")
+      Tables.embeddings(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(e.isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(e.isNotNull && size(e) =!= Similarity.Dim, 1L).otherwise(0L))
+            .as("n_wrong_dim"),
+          sum(when(e.isNotNull &&
+            size(filter(e, x => isnan(x) || x === Double.PositiveInfinity ||
+              x === Double.NegativeInfinity)) > 0, 1L).otherwise(0L))
+            .as("n_nonfinite"),
+          sum(when(e.isNotNull && size(filter(e, x => x =!= 0f)) === 0, 1L)
+            .otherwise(0L)).as("n_zero"))
+        .orderBy("label")
     }
   )
 

@@ -1610,6 +1610,47 @@ object TextQueries {
         |  FROM documents WHERE doc_id % 50 = 0 HAVING COUNT(*) > 0)
         |ORDER BY lang NULLS FIRST""".stripMargin) { (s, dir) =>
       graft.sources.Jsonl.roundTrip(Tables.documents(s, dir)).orderBy("lang")
+    },
+
+    // Vocabulary coverage curve: what fraction of corpus TOKEN MASS do
+    // the top-k vocabulary entries cover (k = 10/20/30/50) — the number
+    // a vocab-size decision actually needs (Heaps/Zipf make the curve
+    // steep; the tail buys almost nothing). Exact integers: token
+    // counts, frequency-ranked cumulative sums, and a 10⁶-scaled
+    // coverage ratio via truncating division. Vocab ranking is a
+    // vocab-dim window, never a corpus sort. A k beyond the vocabulary
+    // size is omitted — coverage is already total there (the fixture's
+    // 30-word vocab drops the k=50 row in both engines).
+    QueryDef("q207_vocab_coverage",
+      s"""WITH wx AS (SELECT unnest($W) AS w FROM documents),
+        |v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wx GROUP BY w),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v),
+        |r AS (SELECT w, c,
+        |             CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk,
+        |             CAST(SUM(c) OVER (ORDER BY c DESC, w
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                  AS BIGINT) AS cum
+        |      FROM v)
+        |SELECT ks.k, r.cum AS covered, t.total,
+        |       (r.cum * 1000000) // t.total AS coverage_1e6
+        |FROM (SELECT unnest([10, 20, 30, 50]) AS k) ks
+        |JOIN r ON r.rk = ks.k, t
+        |ORDER BY ks.k""".stripMargin) { (s, dir) =>
+      val v = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      val total = v.agg(sum("c").as("total"))
+      val r = v.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("cum", sum("c").over(
+          wRank.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      import s.implicits._
+      r.join(Seq(10L, 20L, 30L, 50L).toDF("k"), col("rk") === col("k"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("cum").as("covered"), col("total"),
+          expr("(cum * 1000000) div total").as("coverage_1e6"))
+        .orderBy("k")
     }
   )
 

@@ -81,7 +81,10 @@ class PlanGuardSpec extends SparkSpec {
     // q196: the candidate pool is the q40 brute-force baseline shape
     "q196_mmr_select",
     // q200: the truth side is the q40 brute-force baseline (q189's shape)
-    "q200_ndcg")
+    "q200_ndcg",
+    // q207: the corpus token total is a ONE-ROW broadcast aggregate
+    // (q61's n_docs shape)
+    "q207_vocab_coverage")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
