@@ -12,6 +12,53 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Funnel {
 
+  /** U-shaped (position-based) multi-touch attribution — the
+    * multi-touch companion of `lastTouch`: every touch inside the
+    * lookback window shares the conversion's credit, 40 % to the first
+    * touch, 40 % to the last, 20 % split across the middles. Credit is
+    * EXACT INTEGER BASIS POINTS: middles get `2000 div (n−2)` each and
+    * the division remainder rides on the FIRST touch (a float split
+    * would neither sum to exactly 10000 nor hash-match); n = 1 takes
+    * all 10000, n = 2 splits 5000/5000. Per conversion, credits sum to
+    * exactly 10000 — spec-pinned.
+    *
+    * Shapes: the touch↔conversion pairing is the bucketed
+    * [[RangeJoin.within]] equi-join (never a theta join), the position
+    * window is keyed per conversion — bounded by touches-per-window,
+    * not corpus size.
+    *
+    * Output: (conv_id, touch_id, rn, n_t, bp).
+    */
+  def positionAttribution(events: DataFrame, userCol: Column, tsCol: Column,
+                          typeCol: Column, idCol: Column,
+                          touchType: String, convType: String,
+                          windowMinutes: Long): DataFrame = {
+    val base = events.select(userCol.as("u"), tsCol.as("ts"),
+      typeCol.as("t"), idCol.as("id"))
+    val convs = base.filter(col("t") === convType)
+      .select(col("u"), col("ts"), col("id").as("conv_id"))
+    val touches = base.filter(col("t") === touchType)
+      .select(col("u"), col("ts"), col("id"))
+    val tolUs = windowMinutes * 60L * 1000000L
+    val paired = RangeJoin.within(convs, touches, "u", "ts", "ts", tolUs)
+      .filter(unix_micros(col("r_ts")) <= unix_micros(col("ts")))
+      .select(col("conv_id"), col("r_id").as("touch_id"),
+        col("r_ts").as("touch_ts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    val wOrd = w.orderBy(col("touch_ts"), col("touch_id"))
+    paired
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n_t", count(lit(1)).over(w))
+      .withColumn("bp",
+        when(col("n_t") === 1, lit(10000L))
+          .when(col("n_t") === 2, lit(5000L))
+          .when(col("rn") === 1,
+            lit(4000L) + expr("2000 % (n_t - 2)"))
+          .when(col("rn") === col("n_t"), lit(4000L))
+          .otherwise(expr("2000 div (n_t - 2)")))
+      .select("conv_id", "touch_id", "rn", "n_t", "bp")
+  }
+
   /** Strictly-ordered conversion funnel: a user reaches stage k iff they
     * emitted `stages(k)` at a timestamp strictly after their stage-(k-1)
     * completion time (earliest-completion semantics: each stage binds to

@@ -1471,7 +1471,39 @@ object RelationalQueries {
         .orderBy("label")
     },
 
-    q206
+    q206,
+
+    // U-shaped multi-touch attribution (Funnel.positionAttribution):
+    // q165's last-touch companion — every click inside the 24 h
+    // lookback shares the purchase's credit 40/20/40 in EXACT integer
+    // basis points (middle remainder rides on the first touch, so each
+    // conversion sums to exactly 10000 — a float split would neither
+    // sum exactly nor hash-match).
+    QueryDef("q209_position_attribution",
+      """WITH p AS (SELECT user_id AS u, epoch_us(ts) AS ptus, event_id AS conv_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS u, epoch_us(ts) AS ctus, event_id AS tid
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.conv_id, c.tid AS touch_id, c.ctus
+        |      FROM p JOIN c ON p.u = c.u AND c.ctus <= p.ptus
+        |                    AND p.ptus - c.ctus <= 86400000000),
+        |r AS (SELECT conv_id, touch_id,
+        |             CAST(row_number() OVER (PARTITION BY conv_id
+        |                  ORDER BY ctus, touch_id) AS BIGINT) AS rn,
+        |             CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_t
+        |      FROM j)
+        |SELECT conv_id, touch_id, rn, n_t,
+        |       CASE WHEN n_t = 1 THEN 10000
+        |            WHEN n_t = 2 THEN 5000
+        |            WHEN rn = 1 THEN 4000 + 2000 % (n_t - 2)
+        |            WHEN rn = n_t THEN 4000
+        |            ELSE 2000 // (n_t - 2) END AS bp
+        |FROM r ORDER BY conv_id, rn""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.positionAttribution(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        touchType = "click", convType = "purchase", windowMinutes = 1440L)
+        .orderBy("conv_id", "rn")
+    }
   )
 
   /** q155's deterministic 3-round label propagation over the synthetic

@@ -270,6 +270,30 @@ class FunnelGraphSpec extends SparkSpec {
     assert(r1(4L) === 4L && r1(5L) === 2L)
   }
 
+  test("positionAttribution: 40/20/40 with exact remainders; credit sums to 10000") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // conv 100 has 5 touches (middles: 2000/3 = 666 each, remainder 2 to
+    // first → 4002); conv 200 has 1 touch; conv 300 has 2.
+    val rows = (Seq((1L, t(60), "purchase", 100L), (2L, t(50), "purchase", 200L),
+      (3L, t(40), "purchase", 300L)) ++
+      (0 until 5).map(i => (1L, t(10 + i), "click", 10L + i)) ++
+      Seq((2L, t(45), "click", 20L)) ++
+      Seq((3L, t(30), "click", 30L), (3L, t(35), "click", 31L)))
+      .toDF("u", "ts", "t", "id")
+    val got = Funnel.positionAttribution(rows, col("u"), col("ts"), col("t"),
+      col("id"), "click", "purchase", windowMinutes = 1440L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    val byConv = got.groupBy(_._1)
+    assert(byConv(100L).map(_._3).sum === 10000L)
+    val c100 = byConv(100L).map(x => x._2 -> x._3).toMap
+    assert(c100(10L) === 4002L && c100(14L) === 4000L)
+    assert(c100(11L) === 666L && c100(12L) === 666L && c100(13L) === 666L)
+    assert(byConv(200L).map(_._3) === Seq(10000L))
+    assert(byConv(300L).map(_._3).sorted === Seq(5000L, 5000L))
+    assert(byConv.values.forall(_.map(_._3).sum === 10000L))
+  }
+
   test("modularity: hand-computed contributions; all-one-community scores exactly zero") {
     // two triangles bridged by one edge; m = 7
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
