@@ -1503,6 +1503,38 @@ object RelationalQueries {
         col("user_id"), col("ts"), col("event_type"), col("event_id"),
         touchType = "click", convType = "purchase", windowMinutes = 1440L)
         .orderBy("conv_id", "rn")
+    },
+
+    // Top session paths (Sessionize.pathTrigrams): the most frequent
+    // 3-step event-type sequences within q25's 30-minute sessions —
+    // trigrams never cross a session boundary (leads scoped to the
+    // (user, session) window). One keyed window pass + one path agg +
+    // a TakeOrdered top-20.
+    QueryDef("q210_session_paths",
+      """WITH x AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS tus, event_id AS tie,
+        |         event_type AS t,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY u ORDER BY tus, tie)
+        |                AS BIGINT) AS session_id
+        |      FROM x),
+        |p AS (SELECT t || '>' || lead(t, 1) OVER ws || '>' || lead(t, 2) OVER ws
+        |               AS path,
+        |             lead(t, 2) OVER ws AS t3
+        |      FROM s WINDOW ws AS (PARTITION BY u, session_id ORDER BY tus, tie)),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p WHERE t3 IS NOT NULL GROUP BY path)
+        |SELECT path, n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rk
+        |FROM c QUALIFY rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.pathTrigrams(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        gapSeconds = 1800L, topK = 20)
+        .orderBy("rk")
     }
   )
 

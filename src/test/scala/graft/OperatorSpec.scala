@@ -104,4 +104,20 @@ class OperatorSpec extends SparkSpec {
     assert(twoPhase.sliding(2).forall { case Seq(a, b) =>
       b._3 > a._3 && b._4 >= a._4; case _ => true })
   }
+
+  test("pathTrigrams: sequences never cross a session boundary; counts and ties exact") {
+    // user 1: session A = a,b,c,d (trigrams a>b>c, b>c>d); then a 2-hour
+    // gap; session B = a,b,c (trigram a>b>c). A naive lead over the USER
+    // would invent d>a>b and c>d>a across the gap.
+    def t(m: Int) = Timestamp.valueOf(f"2024-03-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val rows = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "b"), (1L, t(2), 3L, "c"),
+      (1L, t(3), 4L, "d"),
+      (1L, t(150), 5L, "a"), (1L, t(151), 6L, "b"), (1L, t(152), 7L, "c"))
+      .toDF("u", "ts", "id", "t")
+    val got = graft.operators.Sessionize.pathTrigrams(rows,
+      col("u"), col("ts"), col("id"), col("t"), gapSeconds = 1800L, topK = 10)
+      .select("path", "n", "rk").as[(String, Long, Int)].collect().toSeq
+    assert(got === Seq(("a>b>c", 2L, 1), ("b>c>d", 1L, 2)))
+  }
 }
