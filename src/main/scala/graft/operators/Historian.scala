@@ -301,9 +301,10 @@ object Historian {
           def xs(i: Int): Long = (pts(i)._1 - x0) / 1000000L
           val nInt = n - 2
           def bucketOf(i: Int): Int = (((i - 1).toLong * b) / nInt).toInt
-          val bucketIdx = Array.fill(b)(Vector.newBuilder[Int])
+          val builders = Array.fill(b)(Vector.newBuilder[Int])
           var i = 1
-          while (i < n - 1) { bucketIdx(bucketOf(i)) += i; i += 1 }
+          while (i < n - 1) { builders(bucketOf(i)) += i; i += 1 }
+          val bucketIdx = builders.map(_.result())
           val out = Vector.newBuilder[(Long, Int, Long, Long, Long)]
           out += ((k, 0, pts(0)._2, xs(0), pts(0)._3))
           var prev = 0
@@ -312,13 +313,13 @@ object Historian {
             val (cn, sx, sy) =
               if (bi == b - 1) (1L, xs(n - 1), pts(n - 1)._3)
               else {
-                val ids = bucketIdx(bi + 1).result()
+                val ids = bucketIdx(bi + 1)
                 (ids.size.toLong, ids.map(xs).sum, ids.map(pts(_)._3).sum)
               }
             val px = xs(prev); val py = pts(prev)._3
             var best = -1
             var bestA = -1L
-            bucketIdx(bi).result().foreach { c =>
+            bucketIdx(bi).foreach { c =>
               val a = math.abs((cn * px - sx) * (cn * pts(c)._3 - sy)
                 - (cn * xs(c) - sx) * (cn * py - sy))
               if (a > bestA) { best = c; bestA = a } // first-wins = (ts, tie) tie-break

@@ -25,15 +25,13 @@ import graft.functions.TextOps
   */
 object Retrieval {
 
-  /** BM25 constants, pre-scaled: k1 = 1.2, b = 0.75, scores ×1000.
-    * All arithmetic below is exact Long provided
-    * `idf1000 · 2 200 000 · tf < 2^63`, i.e. `N · tf ≲ 6·10^9` in the
-    * df=1 worst case (idf1000 ≈ 667·N). Fine through billion-doc
-    * corpora with bounded tf; past that, shard the corpus per index
-    * partition (each partition scores against its own N — the standard
-    * distributed-IR layout) rather than widening the scale.
-    */
-  private val Scale = 1000L
+  // BM25 constants, pre-scaled into the expressions below: k1 = 1.2,
+  // b = 0.75, scores ×1000. All arithmetic is exact Long provided
+  // `idf1000 · 2 200 000 · tf < 2^63`, i.e. `N · tf ≲ 6·10^9` in the
+  // df=1 worst case (idf1000 ≈ 667·N). Fine through billion-doc
+  // corpora with bounded tf; past that, shard the corpus per index
+  // partition (each partition scores against its own N — the standard
+  // distributed-IR layout) rather than widening the scale.
 
   /** The posting-list frame — the INDEX: (term, doc_id, tf, dl, df).
     * One (doc, term) aggregation; dl and df are windows over that SAME
