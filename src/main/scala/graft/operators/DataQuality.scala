@@ -91,4 +91,20 @@ object DataQuality {
     rules.reduce(_ unionAll _)
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** k-anonymity audit — the release gate for shared corpora: every
+    * quasi-identifier combination (the columns an adversary can link
+    * on) must cover at least `k` rows, or those rows are re-identifiable
+    * and must be suppressed/generalized before release. One grouped
+    * aggregation at the quasi-identifier grain; output one row per
+    * combination with its size and the suppression verdict — the
+    * summary a release pipeline joins back to drop or coarsen
+    * offenders.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppress", col("n") < k)
+  }
 }

@@ -332,6 +332,26 @@ object FeatureQueries {
         .select(col("doc_id"), col("lang"), col("v"), col("lo"), col("hi"),
           col("clipped"))
         .orderBy("doc_id")
+    },
+
+    // k-anonymity audit (DataQuality.kAnonymity): every (lang, source,
+    // length-bucket) quasi-identifier combination must cover ≥ 10 docs
+    // or its rows are re-identifiable and flagged for suppression — the
+    // release gate for shared corpora. One grouped aggregation at the
+    // quasi grain.
+    QueryDef("q211_k_anonymity",
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       COUNT(*) < 10 AS suppress
+        |FROM documents
+        |GROUP BY lang, source, len_bucket
+        |ORDER BY lang, source, len_bucket""".stripMargin) { (s, dir) =>
+      graft.operators.DataQuality.kAnonymity(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 10L)
+        .orderBy("lang", "source", "len_bucket")
     }
   )
 }

@@ -186,6 +186,16 @@ class FeatureEngSpec extends SparkSpec {
     assert(out(1L) === ((1L, 9L, 1L)))
   }
 
+  test("kAnonymity: combinations under k flag for suppression, others pass") {
+    val df = (Seq.fill(12)(("en", "web")) ++ Seq.fill(3)(("en", "books")) ++
+      Seq.fill(10)(("de", "web"))).toDF("lang", "src")
+    val got = graft.operators.DataQuality.kAnonymity(df, Seq("lang", "src"), k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got === Set(("en", "web", 12L, false), ("en", "books", 3L, true),
+      ("de", "web", 10L, false)))
+  }
+
   test("winsorize: a singleton group clips to itself") {
     val df = Seq(("a", 7L, 1L)).toDF("k", "v0", "id")
     val got = FeatureEng.winsorize(df, Seq("k"), col("v0"), col("id"))
