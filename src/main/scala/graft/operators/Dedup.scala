@@ -47,6 +47,26 @@ object Dedup {
       .withColumn("shingle", explode(TextOps.shingles3("ws")))
       .select("doc_id", "shingle").distinct()
 
+  /** Per-document shingle novelty — the template/boilerplate signal the
+    * pair-grain dedup family doesn't give directly: the fraction of a
+    * document's distinct 3-gram shingles appearing in NO other document
+    * (10⁶-scaled truncating ratio — exact integers). A near-template
+    * doc scores close to 0 even when no single pair clears a Jaccard
+    * threshold — mass-produced boilerplate with per-page substitutions
+    * looks exactly like this. One shingle-keyed df aggregation (a
+    * window over the same exchange) + one doc-keyed rollup.
+    */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    shingles(docs)
+      .withColumn("d", count(lit(1)).over(wSh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_1e6",
+        expr("((n_shingles - n_shared) * 1000000) div n_shingles"))
+  }
+
   /** Universal-hash permutation family over M = 2³¹−1: permutation j maps a
     * base hash to (a_j·base + b_j) mod M. ONE md5 per shingle feeds all
     * permutations (vs hashing "j:shingle" per permutation — n× fewer md5

@@ -338,6 +338,28 @@ object DedupQueries {
           (col("tw1") + col("tw2") - coalesce(col("num"), lit(0L))).as("wj_den"))
         .filter(col("sig_matches") >= 4 || col("wj_num") > 0)
         .orderBy("d1", "d2")
+    },
+
+    // Per-document shingle novelty (Dedup.shingleNovelty): the fraction
+    // of a doc's distinct 3-gram shingles appearing in NO other doc —
+    // the template/boilerplate signal pair-grain dedup misses
+    // (mass-produced near-templates score ~0 without any single pair
+    // clearing a Jaccard threshold). Exact integers; one shingle-keyed
+    // df pass + one doc rollup.
+    QueryDef("q212_novelty",
+      shinglesCte +
+        """,
+        |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS d
+        |       FROM sh GROUP BY shingle),
+        |per AS (SELECT sh.doc_id,
+        |              CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |              CAST(SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_shared
+        |        FROM sh JOIN df USING (shingle) GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_shared,
+        |       ((n_shingles - n_shared) * 1000000) // n_shingles AS novelty_1e6
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.shingleNovelty(Tables.documents(s, dir)).orderBy("doc_id")
     }
   )
 }

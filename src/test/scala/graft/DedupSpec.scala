@@ -346,4 +346,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.toSeq.drop(1)).toList
     assert(sigs.size == 2 && sigs.head == sigs(1))
   }
+
+  test("shingleNovelty: template clones score zero, a unique doc scores 1e6") {
+    import spark.implicits._
+    // docs 1 and 2 are identical templates (every shingle shared);
+    // doc 3 is entirely its own; doc 4 half-shares doc 3's opening
+    val docs = Seq(
+      (1L, "terms of service apply to all users"),
+      (2L, "terms of service apply to all users"),
+      (3L, "completely original prose nothing repeats here at all"),
+      (4L, "completely original prose but then it diverges")).toDF("doc_id", "text")
+    val got = Dedup.shingleNovelty(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L)._3 === 0L && got(2L)._3 === 0L, s"template clones: $got")
+    // doc 3 shares exactly one shingle ("completely original prose") with 4
+    assert(got(3L)._1 === 6L && got(3L)._2 === 1L)
+    assert(got(3L)._3 === (5L * 1000000L) / 6L)
+    assert(got(4L)._2 === 1L && got(4L)._3 === 800000L) // 4 of 5 own
+  }
 }
