@@ -1535,6 +1535,40 @@ object RelationalQueries {
         col("user_id"), col("ts"), col("event_id"), col("event_type"),
         gapSeconds = 1800L, topK = 20)
         .orderBy("rk")
+    },
+
+    // DAU/WAU stickiness: per active day, distinct users that day over
+    // distinct users in the trailing 7 days — the engagement ratio.
+    // The trailing-window distinct CANNOT sum daily distincts (users
+    // repeat); instead each (day, user) activity row EXPLODES to the 7
+    // windows it serves — map-side, then one keyed distinct+agg — never
+    // a day×day range join. Ratio is a 10⁶-scaled truncating division;
+    // day surfaces as TIMESTAMP on both sides (the q162 DATE-dtype
+    // lesson).
+    QueryDef("q213_stickiness",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+        |wx AS (SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |                   INTERVAL 1 DAY)) AS DATE) AS wday, user_id
+        |       FROM du),
+        |wau AS (SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM wx GROUP BY wday)
+        |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+        |       (dau.dau * 1000000) // wau.wau AS stickiness_1e6
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val du = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau"),
+          expr("(dau * 1000000) div wau").as("stickiness_1e6"))
+        .orderBy("day")
     }
   )
 
