@@ -1569,6 +1569,48 @@ object RelationalQueries {
         .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau"),
           expr("(dau * 1000000) div wau").as("stickiness_1e6"))
         .orderBy("day")
+    },
+
+    // Conversion-latency percentiles: exact-rank p50/p90/p99 of the
+    // click→purchase gap (q165's attribution gaps), rank = ceil(n·p/100)
+    // over the conversion-dim distribution — bounded by conversions, so
+    // the rank window is a dimension sort, not a corpus one. Values at a
+    // rank are tie-stable (equal gaps yield the same value whichever row
+    // the rank lands on).
+    QueryDef("q214_conversion_latency",
+      """WITH o AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type AS t,
+        |                  event_id AS tie
+        |           FROM events),
+        |w AS (SELECT u, tus, t,
+        |             LAST_VALUE(CASE WHEN t = 'click' THEN tus END IGNORE NULLS)
+        |               OVER win AS touch_tus
+        |      FROM o WINDOW win AS (PARTITION BY u ORDER BY tus, tie
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT (tus - touch_tus) // 1000000 AS gap_s FROM w
+        |      WHERE t = 'purchase' AND touch_tus IS NOT NULL
+        |        AND tus - touch_tus <= 86400000000),
+        |r AS (SELECT gap_s,
+        |             CAST(row_number() OVER (ORDER BY gap_s) AS BIGINT) AS rn,
+        |             CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |      FROM g)
+        |SELECT p.pct, r.gap_s
+        |FROM r JOIN (VALUES (50), (90), (99)) p(pct)
+        |  ON r.rn = (r.n * p.pct + 99) // 100
+        |ORDER BY p.pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val g = graft.operators.Funnel.lastTouch(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        touchType = "click", convType = "purchase", maxGapMinutes = 1440L)
+        .filter(col("gap_s").isNotNull).select("gap_s")
+      val r = g
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("gap_s")).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      r.join(Seq(50, 90, 99).toDF("pct"),
+          col("rn") === expr("(n * pct + 99) div 100"))
+        .select("pct", "gap_s")
+        .orderBy("pct")
     }
   )
 
