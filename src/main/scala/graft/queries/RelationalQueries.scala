@@ -1597,18 +1597,19 @@ object RelationalQueries {
         |FROM r JOIN (VALUES (50), (90), (99)) p(pct)
         |  ON r.rn = (r.n * p.pct + 99) // 100
         |ORDER BY p.pct""".stripMargin) { (s, dir) =>
-      import s.implicits._
       val g = graft.operators.Funnel.lastTouch(Tables.events(s, dir),
         col("user_id"), col("ts"), col("event_type"), col("event_id"),
         touchType = "click", convType = "purchase", maxGapMinutes = 1440L)
         .filter(col("gap_s").isNotNull).select("gap_s")
-      val r = g
-        .withColumn("rn", row_number().over(
+      // pct assignment is a MAP-SIDE array filter (the curriculum epoch
+      // idiom) — a non-equi join against the 3-row pct dim would plan
+      // as the BroadcastNestedLoopJoin PlanGuard bans
+      g.withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("gap_s")).cast("long"))
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
-      r.join(Seq(50, 90, 99).toDF("pct"),
-          col("rn") === expr("(n * pct + 99) div 100"))
+        .withColumn("pct",
+          explode(expr("filter(array(50, 90, 99), p -> rn = (n * p + 99) div 100)")))
         .select("pct", "gap_s")
         .orderBy("pct")
     }
