@@ -64,6 +64,46 @@ class StreamingSketchSpec extends SparkSpec {
     assert(once == twice, s"replay doubled the counters: $once -> $twice")
   }
 
+  test("streaming inverted index: stream-built probe equals direct BM25 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidx").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingIndex.maintainPostings(
+      input.toDS().toDF("doc_id", "text"), dir)
+    try {
+      val rows = docs.as[(Long, String)].collect().toSeq
+      rows.grouped(180).foreach { g => input.addData(g: _*); query.processAllAvailable() }
+    } finally query.stop()
+    val qTerms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        explode(graft.functions.TextOps.words(col("text"))).as("term"))
+      .distinct()
+    val streamed = graft.operators.Retrieval.bm25TopKFromIndex(
+      graft.streaming.StreamingIndex.readPostings(spark, dir),
+      graft.streaming.StreamingIndex.readStats(spark, dir), qTerms, k = 10)
+      .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Retrieval.bm25TopK(docs, 5L, 10)
+      .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
+    assert(streamed == direct, "stream-built index probe diverged from direct BM25")
+  }
+
+  test("streaming inverted index: replaying a batch overwrites, tf never doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidx2").toFile.getAbsolutePath
+    val batch = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    graft.streaming.StreamingIndex.writeBatch(batch, dir, batchId = 3L)
+    graft.streaming.StreamingIndex.writeBatch(batch, dir, batchId = 3L) // epoch replay
+    val p = graft.streaming.StreamingIndex.readPostings(spark, dir)
+      .select("doc_id", "term", "tf", "dl", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(p === Set((1L, "alpha", 2L, 3L, 1L), (1L, "beta", 1L, 3L, 2L),
+      (2L, "beta", 1L, 2L, 2L), (2L, "gamma", 1L, 2L, 1L)))
+    val st = graft.streaming.StreamingIndex.readStats(spark, dir)
+      .as[(Long, Long)].collect().head
+    assert(st === ((2L, 5L)))
+  }
+
   test("HLL twin: stream-built estimates equal the direct batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-shll").toFile.getAbsolutePath
