@@ -31,6 +31,23 @@ object CurrentValues {
     measures.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Point-in-time reconstruction of the current-values table — "what
+    * did modvalues say N hours ago": [[lastValuePerKey]] over only the
+    * observations at or before the cutoff (data-max "now" minus
+    * `lookbackMicros`, the q02 batch-pure now convention). The
+    * incident-review/backfill-audit query a current-values store alone
+    * cannot answer — this is why the history is day-partitioned
+    * ([[graft.sources.Storage.writeMeasureHistory]]): at 100 TB the
+    * cutoff prunes entire day partitions before the scan.
+    */
+  def asOfSnapshot(measures: DataFrame, lookbackMicros: Long): DataFrame = {
+    val now = measures.agg(max(unix_micros(col("source_ts"))).as("__now_us"))
+    lastValuePerKey(
+      measures.crossJoin(broadcast(now))
+        .filter(unix_micros(col("source_ts")) <= col("__now_us") - lookbackMicros)
+        .drop("__now_us"))
+  }
+
   /** T2 (batch) — device liveness: online=1 iff the device produced a
     * good-status value within `windowMicros` of the global max timestamp
     * (the batch-pure analogue of "updated in the last 60 s",

@@ -361,6 +361,27 @@ object ReferenceQueries {
           ScalarOps.lastUpdatedString(col("source_ts")).as("last_updated"),
           ScalarOps.absDeltaMicros(col("now_ts"), col("source_ts")).as("age_us"))
         .orderBy("event_id")
+    },
+
+    // Point-in-time snapshot (CurrentValues.asOfSnapshot): the
+    // current-values table AS OF data-max "now" minus 12 h — the
+    // incident-review query a current-values store alone cannot answer,
+    // and the reason the measure history is day-partitioned (the cutoff
+    // prunes whole partitions at scale). q05's argmax over the bounded
+    // history.
+    QueryDef("q215_as_of_snapshot",
+      M + s""", mx AS (SELECT max(source_ts) AS now_ts FROM measures)
+        |SELECT device, measure_name, raw_value AS tag_value, event_id,
+        |       strftime(source_ts, '$TS') AS source_ts_s
+        |FROM measures, mx
+        |WHERE epoch_us(source_ts) <= epoch_us(now_ts) - 43200000000
+        |QUALIFY row_number() OVER (PARTITION BY device, measure_name
+        |                           ORDER BY source_ts DESC, event_id DESC) = 1
+        |ORDER BY device, measure_name""".stripMargin) { (s, dir) =>
+      CurrentValues.asOfSnapshot(Tables.measures(s, dir), 43200000000L)
+        .select(col("device"), col("measure_name"), col("raw_value").as("tag_value"),
+          col("event_id"), ScalarOps.tsString(col("source_ts")).as("source_ts_s"))
+        .orderBy("device", "measure_name")
     }
   )
 }

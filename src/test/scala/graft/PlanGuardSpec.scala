@@ -84,7 +84,10 @@ class PlanGuardSpec extends SparkSpec {
     "q200_ndcg",
     // q207: the corpus token total is a ONE-ROW broadcast aggregate
     // (q61's n_docs shape)
-    "q207_vocab_coverage")
+    "q207_vocab_coverage",
+    // q215: the batch "now" cutoff is the q02/q15 ONE-ROW broadcast
+    // aggregate
+    "q215_as_of_snapshot")
 
   test("no query plan contains an unexpected cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
