@@ -1651,6 +1651,45 @@ object TextQueries {
         .select(col("k"), col("cum").as("covered"), col("total"),
           expr("(cum * 1000000) div total").as("coverage_1e6"))
         .orderBy("k")
+    },
+
+    // Dataset card: the one-frame release summary every shared corpus
+    // ships — document/token/char totals, language and source
+    // cardinalities, exact duplicate mass (q30's exact-dedup surplus),
+    // and length extremes, as (metric, value) rows. Each line is one
+    // bounded aggregation; the card is the artifact a release pipeline
+    // versions beside the shards.
+    QueryDef("q216_dataset_card",
+      s"""WITH base AS (SELECT doc_id, lang, source, n_chars,
+        |                     CAST(len($W) AS BIGINT) AS n_words, text
+        |              FROM documents),
+        |dup AS (SELECT CAST(SUM(cnt - 1) AS BIGINT) AS surplus
+        |        FROM (SELECT COUNT(*) AS cnt FROM base GROUP BY text))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM base
+        |  UNION ALL SELECT 'n_tokens', CAST(SUM(n_words) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'exact_dup_surplus', surplus FROM dup
+        |  UNION ALL SELECT 'min_chars', CAST(MIN(n_chars) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'max_chars', CAST(MAX(n_chars) AS BIGINT) FROM base)
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .withColumn("n_words", size(TextOps.words(col("text"))).cast("long"))
+      val dup = base.groupBy("text").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") - 1).as("v"))
+        .select(lit("exact_dup_surplus").as("metric"), col("v").as("value"))
+      val scalars = base.agg(
+        count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        sum("n_chars").as("n_chars"), countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      val rows = Seq("n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+        "min_chars", "max_chars").map(m =>
+        scalars.select(lit(m).as("metric"), col(m).cast("long").as("value")))
+      (rows :+ dup).reduce(_ unionByName _).orderBy("metric")
     }
   )
 
