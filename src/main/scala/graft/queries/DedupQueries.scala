@@ -360,6 +360,35 @@ object DedupQueries {
         |       ((n_shingles - n_shared) * 1000000) // n_shingles AS novelty_1e6
         |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.shingleNovelty(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Per-source duplication report: which crawl source produces the
+    // duplicate mass — per source, its docs, how many are exact-dup
+    // SURPLUS (non-canonical copies by normalized fingerprint, the q31
+    // rule), and the 10⁶-scaled dup rate. The monitoring view that
+    // turns corpus-wide dedup into a source-quality decision.
+    QueryDef("q217_dup_by_source",
+      s"""WITH n AS (SELECT doc_id, source, md5(${TextOps.normalizedSql}) AS fp
+        |       FROM documents),
+        |c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM n),
+        |a AS (SELECT source,
+        |             CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_dups
+        |      FROM c GROUP BY source)
+        |SELECT source, n_docs, n_dups,
+        |       (n_dups * 1000000) // n_docs AS dup_rate_1e6
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      Tables.documents(s, dir)
+        .withColumn("fp", md5(TextOps.normalized(col("text"))))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_rate_1e6", expr("(n_dups * 1000000) div n_docs"))
+        .orderBy("source")
     }
   )
 }
