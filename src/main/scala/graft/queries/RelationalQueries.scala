@@ -1612,6 +1612,42 @@ object RelationalQueries {
           explode(expr("filter(array(50, 90, 99), p -> rn = (n * p + 99) div 100)")))
         .select("pct", "gap_s")
         .orderBy("pct")
+    },
+
+    // Ingest-rate change-point: q159's CUSUM applied to HOURLY VOLUME
+    // per event type — "when did this feed's rate level-shift", the ops
+    // question behind every ingest incident. The series is the hour-dim
+    // rollup (never event-grain CUSUM state), so the detector costs one
+    // grouped count + the q159 integer argmax over a tiny frame.
+    QueryDef("q218_rate_changepoint",
+      """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS hr,
+        |                  CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |o AS (SELECT k, epoch_us(hr) AS tus,
+        |             CAST(round_even(cnt * 1024, 0) AS BIGINT) AS q,
+        |             epoch_us(hr) AS tie
+        |      FROM h),
+        |p AS (SELECT k, tie,
+        |             CAST(row_number() OVER w AS BIGINT) AS i,
+        |             CAST(SUM(q) OVER w AS BIGINT) AS s
+        |      FROM o WINDOW w AS (PARTITION BY k ORDER BY tus, tie
+        |                          ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(q) AS BIGINT) AS tot
+        |      FROM o GROUP BY k),
+        |d AS (SELECT p.k, p.tie, p.i, t.n,
+        |             CAST(ABS(t.n * p.s - p.i * t.tot) AS BIGINT) AS dev
+        |      FROM p JOIN t ON p.k = t.k)
+        |SELECT k, n, i AS cut_i, tie AS cut_tie, dev FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |              ORDER BY dev DESC, i) AS rn FROM d)
+        |WHERE rn = 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Historian.cusumChangepoint(hourly,
+        col("et"), col("hr"), col("cnt"), unix_micros(col("hr")))
+        .orderBy("k")
     }
   )
 
