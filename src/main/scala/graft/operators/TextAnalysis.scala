@@ -711,43 +711,23 @@ object TextAnalysis {
       .select("pair", "cnt", "rk")
   }
 
-  /** BPE merge-rule learning (Sennrich et al. 2016, public): the
-    * corpus-scale half — counting every distinct word with its frequency
-    * — runs distributed (one shuffle); the merge loop then iterates over
-    * the VOCABULARY in driver memory, exactly how public BPE trainers
-    * structure it (the vocab is Heaps-law small — ~10⁵ entries for
-    * billion-word corpora — while the corpus is not). Each iteration
-    * merges the (count-max, then lexicographically-least) adjacent symbol
-    * pair. Returns the ordered merge rules.
+  /** BPE merge-rule learning (Sennrich et al. 2016, public), returning
+    * the ordered merge rules as driver data (they are model state —
+    * `nMerges` rows — never corpus-sized). Delegates to the HYBRID
+    * [[bpeTrainState]]: the corpus-scale word count always runs
+    * distributed; the merge loop runs driver-side only while the
+    * distinct-word vocabulary is bounded by [[TrainDriverVocabCap]]
+    * (the Heaps-law clean-corpus case) and falls back to the fully
+    * distributed per-round aggregation above it — web-scale corpora
+    * push distinct "words" (URLs, hashes, typos) to 10⁸⁺, where an
+    * uncapped driver collect would OOM. Both paths compute the same
+    * (count-max, then UTF-8-byte-order-least) argmax, so the learned
+    * rules are path-invariant (spec-pinned).
     */
-  def bpeLearn(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    val vocab: Array[(Array[String], Long)] = docs
-      .select(explode(TextOps.words(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .collect()
-      .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
-    var words = vocab
-    val merges = Vector.newBuilder[(String, String)]
-    var it = 0
-    while (it < nMerges) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + f)
-          i += 1
-        }
-      }
-      if (counts.isEmpty) return merges.result()
-      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-      merges += best
-      words = words.map { case (syms, f) => (applyMerge(syms, best), f) }
-      it += 1
-    }
-    merges.result()
-  }
+  def bpeLearn(docs: DataFrame, nMerges: Int,
+      driverVocabCap: Long = TrainDriverVocabCap): Seq[(String, String)] =
+    bpeTrainState(docs, nMerges, driverVocabCap)._1
+      .map { case (_, lhs, rhs, _) => (lhs, rhs) }
 
   /** One merge rule applied left-to-right over a symbol sequence. */
   private def applyMerge(syms: Array[String], rule: (String, String)): Array[String] = {
