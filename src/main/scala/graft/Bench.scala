@@ -46,6 +46,12 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val times = Vector.newBuilder[(String, Double)]
+    // per-query (min, median, max) of the three timed passes: a poisoned
+    // (machine-contention) run self-identifies by its spread — two of the
+    // first seven rounds shipped official numbers that only out-of-band
+    // re-runs could adjudicate because the artifact carried medians only
+    // (see README "Reading bench artifacts").
+    val spreads = Vector.newBuilder[(String, (Double, Double, Double))]
     val errors = Vector.newBuilder[(String, String)]
     queries.foreach { case (name, fn) =>
       try {
@@ -54,8 +60,9 @@ object Bench {
           val t0 = System.nanoTime()
           materialize(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }
-        times += name -> samples.sorted.apply(1) // median of 3
+        }.sorted
+        spreads += name -> ((samples(0), samples(1), samples(2)))
+        times += name -> samples(1) // median of 3
       } catch {
         case e: Exception =>
           // strip ALL JSON-illegal chars (quotes, backslash, and every
@@ -76,11 +83,16 @@ object Bench {
     val es = errors.result()
     val qs = ts.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // "queries" stays a flat name→median map (the driver contract);
+    // "spread" carries [min, median, max] per query alongside it.
+    val spJson = spreads.result()
+      .map { case (k, (lo, med, hi)) => s"\"" + k + s"\":[$lo,$med,$hi]" }
+      .mkString("{", ",", "}")
     val errJson = es.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ts.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver's stdout capture truncates long
     // lines (q01–q16 were lost from BENCH_r03/r04), so the file is the
