@@ -19,9 +19,14 @@ import graft.functions.TextOps
   * summation-order sensitivity would not. The idf uses the Robertson
   * ratio `(N − df + 0.5)/(df + 0.5)` directly (×1000, exact integer
   * arithmetic on doubled counts) rather than its log — the same
-  * monotone-surrogate trick [[TextAnalysis.tfidfTopK]] documents; the
-  * log changes absolute scores, not which documents win, and an exact
-  * cross-engine `ln` is not a portable contract.
+  * monotone-surrogate trick [[TextAnalysis.tfidfTopK]] documents.
+  * The surrogate is monotone PER TERM only: BM25 scores are sums over
+  * query terms, and a sum of per-term monotone transforms is not a
+  * monotone transform of the sum, so multi-term rankings are a
+  * spec-pinned variant of log-idf BM25, not equivalent to it
+  * (single-term rankings are identical). The trade is deliberate: an
+  * exact cross-engine `ln` is not a portable contract, and the exact
+  * integer form keeps per-(query, doc) sums order-independent.
   */
 object Retrieval {
 
@@ -222,7 +227,14 @@ object Retrieval {
       .as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (qId, it) =>
+        // zero-norm embeddings are excluded from the pool: their cosine
+        // is NaN, and one selected NaN row would poison every later
+        // max-sim (Scala's `> bestScore` argmax then degenerates to
+        // lowest-index while DuckDB sorts NaN greatest — engines
+        // diverge). Matches the q208 audit assumption (n_zero_norm = 0
+        // on a clean table); on clean pools this filter is a no-op.
         val pool = it.map { case (_, n, rel, e) => (n, rel, e.toArray) }
+          .filter(p => dot(p._3, p._3) > 0.0)
           .toArray.sortBy(_._1)
         val n = pool.length
         val norm = pool.map(p => math.sqrt(dot(p._3, p._3)))

@@ -614,9 +614,15 @@ object Similarity {
     *
     * Output per label: (label, n_a, n_b, drift_cosine).
     */
-  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+  def embeddingDrift(embeddings: DataFrame, dim: Int = Dim): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val comp = embeddings.filter(col("embedding").isNotNull)
+    // dimension-clean rows only (mirrors the q208 audit's n_wrong_dim
+    // definition): a wrong-dimension vector would contribute to SOME
+    // positions' n but not others, skewing per-pos centroids — and
+    // engines that enumerate pos 1..dim (the oracle) vs posexplode the
+    // present components (this plan) would count it differently
+    val comp = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(col("label"), (col("vec_id") % 2).as("half"),
         posexplode(embD("embedding")).as(Seq("pos", "v")))
       .withColumn("q", bround(col("v") * (1L << 20), 0).cast(LongType))

@@ -1131,7 +1131,8 @@ object SimilarityQueries {
       eCte.replace("WITH e AS (SELECT vec_id",
         "WITH e AS (SELECT vec_id, label") +
         s""",
-        |hx AS (SELECT label, vec_id % 2 AS half, emb FROM e),
+        |hx AS (SELECT label, vec_id % 2 AS half, emb FROM e
+        |       WHERE len(emb) = $D),
         |comp AS (SELECT label, half, pos,
         |               CAST(SUM(CAST(round_even(emb[pos] * 1048576, 0) AS BIGINT))
         |                    AS BIGINT) AS s,

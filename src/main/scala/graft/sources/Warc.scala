@@ -112,10 +112,16 @@ object Warc {
         val hEnd = blankLine(raw, p)
         require(hEnd >= 0, s"unterminated WARC header at offset $p")
         val wh = headerMap(new String(raw, p, hEnd - p, US_ASCII))
-        require(new String(raw, p, 8, US_ASCII) == "WARC/1.0",
+        // bounds before magic: a header block shorter than the magic
+        // itself must fail as framing (IllegalArgumentException), not
+        // StringIndexOutOfBounds from the 8-byte read
+        require(hEnd - p >= 8 && new String(raw, p, 8, US_ASCII) == "WARC/1.0",
           s"missing WARC/1.0 version line at offset $p")
-        val clen = wh.getOrElse("content-length",
-          throw new IllegalArgumentException("record without Content-Length")).toInt
+        val clenStr = wh.getOrElse("content-length",
+          throw new IllegalArgumentException("record without Content-Length"))
+        require(clenStr.nonEmpty && clenStr.forall(_.isDigit) && clenStr.length <= 10,
+          s"non-numeric Content-Length '$clenStr' at offset $p")
+        val clen = clenStr.toInt
         require(clen >= 0 && hEnd + 4 + clen <= raw.length,
           s"Content-Length $clen overruns input at offset $p")
         val block = java.util.Arrays.copyOfRange(raw, hEnd + 4, hEnd + 4 + clen)
@@ -126,7 +132,14 @@ object Warc {
             require(bEnd >= 0, "HTTP block without blank line")
             val statusLine = new String(block, 0, bEnd, US_ASCII).takeWhile(_ != '\r')
             val hh = headerMap(new String(block, 0, bEnd, US_ASCII))
-            val status = statusLine.split(" ")(1).toInt
+            // 'HTTP/1.1' with no code, or a non-numeric code, is
+            // malformed framing — fail under the documented exception
+            // type, not ArrayIndexOutOfBounds/NumberFormat
+            val parts = statusLine.split(" ")
+            require(parts.length >= 2 && parts(1).nonEmpty &&
+              parts(1).forall(_.isDigit) && parts(1).length <= 9,
+              s"malformed HTTP status line '$statusLine' at offset $p")
+            val status = parts(1).toInt
             WarcRecord(
               wh.getOrElse("warc-type", ""), wh.getOrElse("warc-target-uri", ""),
               wh.getOrElse("warc-date", ""), status,

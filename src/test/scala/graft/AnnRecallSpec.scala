@@ -150,7 +150,7 @@ class AnnRecallSpec extends SparkSpec {
           if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
           else Seq(0.0f, 1.0f, 0.0f, 0.0f), 1))
     val emb = rows.toDF("vec_id", "embedding", "label")
-    val out = Similarity.embeddingDrift(emb)
+    val out = Similarity.embeddingDrift(emb, dim = 4)
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
         r.getDouble(3)))).toMap
     assert(out(0) === ((20L, 20L, 1.0)))

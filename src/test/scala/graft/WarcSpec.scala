@@ -55,6 +55,30 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException](Warc.parseAll(cut))
   }
 
+  test("every malformed-framing class fails under IllegalArgumentException") {
+    // contract: batch callers match on IllegalArgumentException; none of
+    // these may escape as ArrayIndexOutOfBounds/NumberFormat/StringIndex
+    def mk(statusLine: String): Array[Byte] = {
+      val http = s"$statusLine\r\nContent-Type: text/plain\r\n\r\nbody"
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://a.example.com/x\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.getBytes(UTF_8).length}\r\n\r\n" + http).getBytes(UTF_8)
+    }
+    // status line with no code / non-numeric code / overlong code
+    for (sl <- Seq("HTTP/1.1", "HTTP/1.1 OK", "HTTP/1.1 2O0 OK",
+        "HTTP/1.1 9999999999 OK"))
+      intercept[IllegalArgumentException](Warc.parseAll(mk(sl)))
+    // header block shorter than the 8-byte magic, but blank-terminated
+    intercept[IllegalArgumentException](
+      Warc.parseAll("WARC\r\n\r\n".getBytes(UTF_8)))
+    // non-numeric / negative / overlong Content-Length
+    for (cl <- Seq("abc", "-5", "99999999999999"))
+      intercept[IllegalArgumentException](Warc.parseAll(
+        (s"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: $cl\r\n\r\nx")
+          .getBytes(UTF_8)))
+  }
+
   test("streaming shard ingest: new shards picked up incrementally, corrupt shard quarantined") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
     def writeShard(name: String, bytes: Array[Byte]): Unit =
