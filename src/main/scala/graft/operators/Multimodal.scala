@@ -1101,6 +1101,92 @@ object Multimodal {
       writer.dispose(); ios.close()
       bos.toByteArray
     }
+
+    /** Hand-written BASELINE grayscale JPEG encoder, DC-only — the
+      * fixture-side counterpart of [[decodeJpeg]] for EXACT round-trip
+      * testing of lossy-format plumbing (MJPEG frame essence): every
+      * 8×8 block is a constant gray level, so its DCT has a single DC
+      * coefficient `8·(v−128)`; with an all-ones quantization table
+      * nothing is quantized away, and any conforming IDCT reproduces
+      * the constant block bit-exactly (DC-only blocks are the one
+      * JPEG input where T.81's permitted inter-decoder IDCT variation
+      * vanishes). Stream layout is the full public T.81 grammar the
+      * decoder walks: SOI, DQT (all-ones), SOF0 (8-bit, 1 component,
+      * no subsampling), DHT (Annex K luminance DC table; minimal
+      * one-code AC table carrying only EOB), SOS, entropy-coded DC
+      * diffs with byte stuffing, EOI. `blockGray(bx, by)` ∈ [0, 255];
+      * `w`/`h` must be multiples of 8 so blocks tile exactly.
+      */
+    def encodeJpegDcGray(w: Int, h: Int, blockGray: (Int, Int) => Int): Array[Byte] = {
+      require(w >= 8 && h >= 8 && w % 8 == 0 && h % 8 == 0 && w <= 4096 && h <= 4096,
+        s"encodeJpegDcGray needs 8-multiple dimensions, got ${w}x$h")
+      val bos = new java.io.ByteArrayOutputStream()
+      def p8(v: Int): Unit = bos.write(v & 0xFF)
+      def p16(v: Int): Unit = { p8(v >> 8); p8(v) }
+      def marker(m: Int): Unit = { p8(0xFF); p8(m) }
+      marker(0xD8)                         // SOI
+      marker(0xDB); p16(67); p8(0x00)      // DQT: table 0, all ones
+      var i = 0
+      while (i < 64) { p8(1); i += 1 }
+      marker(0xC0); p16(11)                // SOF0: 8-bit, 1 component
+      p8(8); p16(h); p16(w); p8(1)
+      p8(1); p8(0x11); p8(0)               // comp 1, no subsampling, Tq 0
+      // DC table: Annex K Table K.3 (luminance DC) — categories 0..11
+      val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+      marker(0xC4); p16(2 + 1 + 16 + 12); p8(0x00)
+      dcBits.foreach(p8); (0 to 11).foreach(p8)
+      // AC table: ONE code — '0' (length 1) = EOB; DC-only blocks never
+      // emit an AC coefficient
+      marker(0xC4); p16(2 + 1 + 16 + 1); p8(0x10)
+      p8(1); (1 to 15).foreach(_ => p8(0)); p8(0x00)
+      marker(0xDA); p16(8)                 // SOS
+      p8(1); p8(1); p8(0x00); p8(0); p8(63); p8(0)
+      // canonical codes for the DC table (T.81 C.2)
+      val dcCode = new Array[Int](12); val dcLen = new Array[Int](12)
+      var code = 0; var k = 0; var len = 1
+      while (len <= 16) {
+        var c = 0
+        while (c < dcBits(len - 1)) {
+          dcCode(k) = code; dcLen(k) = len; code += 1; k += 1; c += 1
+        }
+        code <<= 1; len += 1
+      }
+      // entropy-coded segment: bit writer with FF byte stuffing
+      var acc = 0; var nb = 0
+      def putBits(v: Int, n: Int): Unit = {
+        var j = n - 1
+        while (j >= 0) {
+          acc = (acc << 1) | ((v >> j) & 1); nb += 1
+          if (nb == 8) {
+            bos.write(acc); if (acc == 0xFF) bos.write(0x00)
+            acc = 0; nb = 0
+          }
+          j -= 1
+        }
+      }
+      var pred = 0
+      var by = 0
+      while (by < h / 8) {
+        var bx = 0
+        while (bx < w / 8) {
+          val v = blockGray(bx, by)
+          require(v >= 0 && v <= 255, s"gray $v out of range at block ($bx,$by)")
+          val dc = 8 * (v - 128)
+          val diff = dc - pred; pred = dc
+          val cat = if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putBits(dcCode(cat), dcLen(cat))
+          if (cat > 0)
+            putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+          putBits(0, 1)                    // EOB
+          bx += 1
+        }
+        by += 1
+      }
+      while (nb != 0) putBits(1, 1)        // pad final byte with 1s
+      marker(0xD9)                         // EOI
+      bos.toByteArray
+    }
   }
 
   /** Hand-written WAV (RIFF) codec for 16-bit PCM — the audio analogue of
@@ -1409,6 +1495,57 @@ object Multimodal {
       out
     }
 
+    /** AVI with MJPEG essence: the movi LIST carries one `00dc` chunk
+      * per frame, each a COMPLETE baseline JPEG
+      * ([[ImageCodecs.encodeJpegDcGray]] — DC-only gray blocks, the
+      * exactly-round-trippable subset), the layout real MJPEG muxers
+      * emit (frame = standalone JPEG, no inter-frame state). This
+      * closes the container↔codec gap the round-7 board flagged: the
+      * repo owned a full T.81 decoder and an AVI walker but never fed
+      * one from the other. `blockGray(f, bx, by)` gives frame f's 8×8
+      * block gray level. RIFF odd-size chunks get the pad byte.
+      */
+    def encodeAviMjpeg(m: AviMeta, blockGray: (Int, Int, Int) => Int,
+        junk: Boolean = false): Array[Byte] = {
+      val frames = (0 until m.frames).map { f =>
+        ImageCodecs.encodeJpegDcGray(m.width, m.height,
+          (bx, by) => blockGray(f, bx, by))
+      }
+      val junkSize = if (junk) 8 + 12 else 0
+      val hdrlSize = 4 + 8 + 56
+      val moviSize = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+      val total = 12 + junkSize + 8 + hdrlSize + 8 + moviSize
+      val out = new Array[Byte](total)
+      def ptag(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def pu32(o: Int, v: Long): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      ptag(0, "RIFF"); pu32(4, total - 8L); ptag(8, "AVI ")
+      var off = 12
+      if (junk) { ptag(off, "JUNK"); pu32(off + 4, 12); off += 8 + 12 }
+      ptag(off, "LIST"); pu32(off + 4, hdrlSize); ptag(off + 8, "hdrl")
+      val ah = off + 12
+      ptag(ah, "avih"); pu32(ah + 4, 56)
+      pu32(ah + 8, m.usecPerFrame)
+      pu32(ah + 12, 0); pu32(ah + 16, 0)
+      pu32(ah + 20, 0)
+      pu32(ah + 24, m.frames)
+      pu32(ah + 28, 0)
+      pu32(ah + 32, m.streams)
+      pu32(ah + 36, 0)
+      pu32(ah + 40, m.width); pu32(ah + 44, m.height)
+      off += 8 + hdrlSize
+      ptag(off, "LIST"); pu32(off + 4, moviSize); ptag(off + 8, "movi")
+      var p = off + 12
+      frames.foreach { fr =>
+        ptag(p, "00dc"); pu32(p + 4, fr.length)
+        System.arraycopy(fr, 0, out, p + 8, fr.length)
+        p += 8 + fr.length + (fr.length & 1)
+      }
+      out
+    }
+
     final case class FrameStats(idx: Int, sumR: Long, sumG: Long, sumB: Long,
                                 row0SumR: Long)
 
@@ -1436,28 +1573,59 @@ object Multimodal {
             val ss = u32(b, sp.toInt + 4)
             require(sp + 8 + ss <= end, s"movi sub-chunk '$st' overruns list")
             if (st == "00db" || st == "00dc") {
-              require(ss == rowBytes.toLong * meta.height,
-                s"frame $idx essence size $ss != ${rowBytes * meta.height}")
-              if (idx % stride == 0) {
-                var (sr, sg, sb, r0) = (0L, 0L, 0L, 0L)
-                val base = sp.toInt + 8
-                var y = 0
-                while (y < meta.height) {
-                  // logical row y is stored row (h-1-y): bottom-up —
-                  // row0SumR is the orientation-sensitive witness
-                  val rowOff = base + (meta.height - 1 - y) * rowBytes
-                  var x = 0
-                  while (x < meta.width) {
-                    sb += b(rowOff + x * 3) & 0xFF
-                    sg += b(rowOff + x * 3 + 1) & 0xFF
-                    val rv = b(rowOff + x * 3 + 2) & 0xFF
-                    sr += rv
-                    if (y == 0) r0 += rv
-                    x += 1
+              // Essence dispatch: exact-DIB-size chunks are uncompressed
+              // rasters; anything else must be a complete JPEG (MJPEG —
+              // each frame a standalone T.81 stream). The size check
+              // comes first so a DIB raster that happens to start with
+              // FF D8 FF is never misread as a JPEG.
+              if (ss == rowBytes.toLong * meta.height) {
+                if (idx % stride == 0) {
+                  var (sr, sg, sb, r0) = (0L, 0L, 0L, 0L)
+                  val base = sp.toInt + 8
+                  var y = 0
+                  while (y < meta.height) {
+                    // logical row y is stored row (h-1-y): bottom-up —
+                    // row0SumR is the orientation-sensitive witness
+                    val rowOff = base + (meta.height - 1 - y) * rowBytes
+                    var x = 0
+                    while (x < meta.width) {
+                      sb += b(rowOff + x * 3) & 0xFF
+                      sg += b(rowOff + x * 3 + 1) & 0xFF
+                      val rv = b(rowOff + x * 3 + 2) & 0xFF
+                      sr += rv
+                      if (y == 0) r0 += rv
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
+                  out += FrameStats(idx, sr, sg, sb, r0)
                 }
-                out += FrameStats(idx, sr, sg, sb, r0)
+              } else {
+                val chunk = java.util.Arrays.copyOfRange(
+                  b, sp.toInt + 8, sp.toInt + 8 + ss.toInt)
+                require(ImageCodecs.isJpeg(chunk),
+                  s"frame $idx essence is neither DIB-sized ($ss != " +
+                    s"${rowBytes.toLong * meta.height}) nor JPEG")
+                if (idx % stride == 0) {
+                  val d = ImageCodecs.decodeJpeg(chunk)
+                  require(d.width == meta.width && d.height == meta.height,
+                    s"frame $idx JPEG ${d.width}x${d.height} != container " +
+                      s"${meta.width}x${meta.height}")
+                  var (sr, sg, sb, r0) = (0L, 0L, 0L, 0L)
+                  var y = 0
+                  while (y < meta.height) {   // JPEG rasters are top-down
+                    var x = 0
+                    while (x < meta.width) {
+                      val rgb = d.rgb(x, y)
+                      val rv = (rgb >> 16) & 0xFF
+                      sr += rv; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                      if (y == 0) r0 += rv
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out += FrameStats(idx, sr, sg, sb, r0)
+                }
               }
               idx += 1
             }
@@ -1495,31 +1663,47 @@ object Multimodal {
             val ss = u32(b, sp.toInt + 4)
             require(sp + 8 + ss <= end, s"movi sub-chunk '$st' overruns list")
             if (st == "00db" || st == "00dc") {
-              require(ss == rowBytes.toLong * meta.height,
-                s"frame $idx essence size $ss != ${rowBytes * meta.height}")
-              if (idx % stride == 0) {
-                val cs = new Array[Long](16); val cc = new Array[Long](16)
-                var total = 0L
-                val base = sp.toInt + 8
-                var y = 0
-                while (y < meta.height) {
-                  val rowOff = base + (meta.height - 1 - y) * rowBytes
-                  var x = 0
-                  while (x < meta.width) {
-                    val r = b(rowOff + x * 3 + 2) & 0xFF
-                    val c = (y * 4 / meta.height) * 4 + (x * 4 / meta.width)
-                    cs(c) += r; cc(c) += 1; total += r
-                    x += 1
+              // same essence dispatch as decodeAviFrames: exact-DIB-size
+              // first, else a standalone JPEG frame (MJPEG)
+              if (ss == rowBytes.toLong * meta.height) {
+                if (idx % stride == 0) {
+                  val cs = new Array[Long](16); val cc = new Array[Long](16)
+                  var total = 0L
+                  val base = sp.toInt + 8
+                  var y = 0
+                  while (y < meta.height) {
+                    val rowOff = base + (meta.height - 1 - y) * rowBytes
+                    var x = 0
+                    while (x < meta.width) {
+                      val r = b(rowOff + x * 3 + 2) & 0xFF
+                      val c = (y * 4 / meta.height) * 4 + (x * 4 / meta.width)
+                      cs(c) += r; cc(c) += 1; total += r
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
+                  val n = meta.width.toLong * meta.height
+                  var sig = 0; var c = 0
+                  while (c < 16) {
+                    if (cc(c) > 0 && cs(c) * n >= total * cc(c)) sig |= 1 << c
+                    c += 1
+                  }
+                  out += ((idx, sig))
                 }
-                val n = meta.width.toLong * meta.height
-                var sig = 0; var c = 0
-                while (c < 16) {
-                  if (cc(c) > 0 && cs(c) * n >= total * cc(c)) sig |= 1 << c
-                  c += 1
+              } else {
+                val chunk = java.util.Arrays.copyOfRange(
+                  b, sp.toInt + 8, sp.toInt + 8 + ss.toInt)
+                require(ImageCodecs.isJpeg(chunk),
+                  s"frame $idx essence is neither DIB-sized ($ss != " +
+                    s"${rowBytes.toLong * meta.height}) nor JPEG")
+                if (idx % stride == 0) {
+                  val d = ImageCodecs.decodeJpeg(chunk)
+                  require(d.width == meta.width && d.height == meta.height,
+                    s"frame $idx JPEG ${d.width}x${d.height} != container " +
+                      s"${meta.width}x${meta.height}")
+                  out += ((idx, gridAHash(d.width, d.height,
+                    (x, y) => (d.rgb(x, y) >> 16) & 0xFF)))
                 }
-                out += ((idx, sig))
               }
               idx += 1
             }
@@ -1588,6 +1772,43 @@ object Multimodal {
       val b = (seed + 11 * i + 31 * f + 13) % 256
       (r << 16) | (g << 8) | b
     }
+  }
+
+  /** Closed-form MJPEG fixture: every frame feature is recomputable
+    * from (doc_id, frame, block) alone — the [[VideoEssencePattern]]
+    * idiom at the 8×8-block granularity DC-only JPEG preserves
+    * exactly. Dimensions are 8-multiples so blocks tile the frame.
+    */
+  object MjpegPattern {
+    def meta(id: Long): VideoCodecs.AviMeta = VideoCodecs.AviMeta(
+      width = 8 * (2 + id % 3).toInt, height = 8 * (1 + id % 3).toInt,
+      frames = (3 + id % 4).toInt, usecPerFrame = 33333, streams = 1)
+    def gray(id: Long)(f: Int, bx: Int, by: Int): Int = {
+      val seed = (id % 9973).toInt
+      val bw = meta(id).width / 8
+      val j = by * bw + bx
+      (seed + 37 * j + 101 * f) % 256
+    }
+  }
+
+  /** Synthesize REAL MJPEG AVI bytes: each `00dc` chunk is a complete
+    * hand-encoded baseline JPEG — every 4th id carries the JUNK chunk.
+    */
+  def syntheticMjpeg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("bytes", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, "video",
+          VideoCodecs.encodeAviMjpeg(MjpegPattern.meta(id),
+            MjpegPattern.gray(id), junk = id % 4 == 0))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Synthesize REAL essence-bearing AVI bytes (full uncompressed DIB

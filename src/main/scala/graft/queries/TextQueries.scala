@@ -658,6 +658,44 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // REAL MJPEG frame essence: AVI bytes whose movi `00dc` chunks each
+    // carry a COMPLETE hand-encoded baseline JPEG (DC-only gray blocks —
+    // the exactly-round-trippable T.81 subset, so lossy-format plumbing
+    // gets a lossless oracle), container-walked and decoded through the
+    // repo's own JPEG decoder back to exact channel sums. The oracle
+    // recomputes every frame's features from (doc_id, frame, block)
+    // alone: each 8×8 block is constant, so sums are 64·Σv and row 0 is
+    // 8·Σv over the top block row. 12 = max blocks (4×3), 7 > max
+    // frames of the pattern (the q180 bounded-unnest idiom).
+    QueryDef("q219_mjpeg_frames",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(2 + doc_id % 3 AS INT) AS bw,
+        |         CAST(1 + doc_id % 3 AS INT) AS bh,
+        |         CAST(3 + doc_id % 4 AS INT) AS nf
+        |  FROM documents),
+        |fx AS (SELECT m.*, gf.f
+        |       FROM m, (SELECT unnest(range(0, 7)) AS f) gf
+        |       WHERE gf.f < m.nf),
+        |bx AS (SELECT fx.doc_id, fx.bw, fx.bh, fx.f, gb.j,
+        |              gb.j // fx.bw AS byi,
+        |              (seed + 37*gb.j + 101*fx.f) % 256 AS v
+        |       FROM fx, (SELECT unnest(range(0, 12)) AS j) gb
+        |       WHERE gb.j < fx.bw * fx.bh)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(8 * bw AS INT) AS width, CAST(8 * bh AS INT) AS height,
+        |       CAST(64 * SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(64 * SUM(v) AS BIGINT) AS sum_g,
+        |       CAST(64 * SUM(v) AS BIGINT) AS sum_b,
+        |       CAST(8 * SUM(CASE WHEN byi = 0 THEN v END) AS BIGINT) AS row0_sum_r,
+        |       CAST(64 * SUM(v) AS DOUBLE) / (64 * bw * bh) AS mean_r
+        |FROM bx GROUP BY doc_id, f, bw, bh
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.decodeVideoFrames(
+        Multimodal.syntheticMjpeg(Tables.documents(s, dir)), stride = 1)
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Image perceptual hash over the REAL-bytes image corpus
     // (BMP/PPM/PNG round-robin): the image member of the fingerprint
     // family, same integer cross-multiply contract as q181 — the whole
