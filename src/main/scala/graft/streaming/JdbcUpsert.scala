@@ -78,10 +78,12 @@ object JdbcUpsert {
     * SAME semantics as standard `MERGE` (Postgres 15+, Derby, H2, …) and
     * exists so the full Target — batching, transactions, rollback, the
     * heartbeat subquery — can be exercised against a LIVE embedded engine
-    * (Apache Derby ships with Spark; see JdbcDerbySpec). No live
-    * PG-dialect engine is resolvable in this environment, so the
-    * `ON CONFLICT` literal syntax itself is verified by statement-capture
-    * only (JdbcUpsertSpec) — the one remaining dialect-drift risk.
+    * (Apache Derby ships with Spark; see JdbcDerbySpec). The [[Postgres]]
+    * dialect ALSO runs live: no JDBC driver jar resolves offline, so
+    * PgLiveSpec drives a real Postgres 15 server through
+    * [[graft.control.PgWire]] (hand-written v3 wire protocol) —
+    * `ON CONFLICT` upsert/seed, reset, heartbeat, and the rollback path
+    * are all engine-verified, closing the former dialect-drift residual.
     * UPDATE-leg statements (reset, heartbeat) are ANSI and shared.
     */
   sealed trait Dialect {

@@ -15,9 +15,9 @@ import graft.operators.CurrentValues
   * in-database subquery, batch chunking, and transaction rollback on
   * mid-partition failure. The AnsiMerge dialect expresses exactly the
   * Postgres `ON CONFLICT` semantics as standard MERGE (the one statement
-  * family Derby lacks); the PG literal syntax itself remains
-  * stub-verified — the documented residual risk (no PG-dialect engine
-  * resolves in this zero-egress environment).
+  * family Derby lacks); the PG literal syntax is engine-verified too —
+  * PgLiveSpec runs the Postgres dialect against a real Postgres 15
+  * server through the hand-written PgWire client.
   */
 class JdbcDerbySpec extends AnyFunSuite {
 
