@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up for the self-audit: replicate an SF directory K×
+  * with KEY REMAPPING into a new directory, so the most expensive
+  * queries can be timed at ~10× the largest driver-provided SF and
+  * super-linear growth adjudicated (SCALING_r{N}.json). Replication is
+  * NOT naive duplication — exact copies would collapse under dedup
+  * (every row an exact dup, shingle buckets at K× occupancy) and
+  * overstate ANN bucket skew. Each copy i:
+  *
+  *   - documents: doc_id shifted; text gets a per-copy deterministic
+  *     suffix token (exact-dup structure preserved WITHIN a copy,
+  *     destroyed ACROSS copies — what a larger crawl looks like);
+  *     n_chars recomputed.
+  *   - embeddings: vec_id shifted; the vector is ROTATED by i positions
+  *     (norm-preserving, so cosine structure within a copy is intact
+  *     while LSH/IVF buckets spread across copies).
+  *   - events: event_id/user_id shifted (more users, same per-user
+  *     shape — DAU scales, session lengths don't).
+  *   - lineitem/orders/customer: order/cust keys shifted; part/supp
+  *     keys kept so dimension joins and basket sizes stay realistic;
+  *     customer names get the copy suffix (record-linkage blocking
+  *     spreads instead of collapsing).
+  *   - nation/region/part/supplier: copied once (dimensions).
+  *
+  * This preserves per-key densities (the thing that drives join/agg
+  * cost) while scaling row counts — the ratio audit's requirement.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("scaling_sf1")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(table: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val all = (0 until k).map(i => tx(base, i)).reduce(_ unionAll _)
+      all.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table x$k -> $out")
+    }
+    def copyOnce(table: String): Unit = {
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table x1 (dimension) -> $out")
+    }
+
+    copies("documents") { (df, i) =>
+      val text =
+        if (i == 0) col("text")
+        else concat(col("text"), lit(s" c${i}x"), (col("doc_id") % 97).cast("string"))
+      df.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }
+    copies("embeddings") { (df, i) =>
+      val emb =
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i % 8 + 1}, size(embedding) - ${i % 8}), " +
+          s"slice(embedding, 1, ${i % 8}))")
+      df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        emb.as("embedding"), col("label"))
+    }
+    copies("events") { (df, i) =>
+      df.select((col("event_id") + lit(i * 1000000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    copies("lineitem") { (df, i) =>
+      df.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }
+    copies("orders") { (df, i) =>
+      df.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * 1000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+    copies("customer") { (df, i) =>
+      val name = if (i == 0) col("c_name") else concat(col("c_name"), lit(s" c$i"))
+      df.select((col("c_custkey") + lit(i * 1000000L)).as("c_custkey"),
+        name.as("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }
+    Seq("nation", "region", "part", "supplier").foreach(copyOnce)
+    spark.stop()
+  }
+}

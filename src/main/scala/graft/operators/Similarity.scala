@@ -468,11 +468,30 @@ object Similarity {
     * score and threshold. Work is O(bucket collisions), and the recall of
     * the candidate step is the multi-table 1−(1−p^b)^L (AnnRecallSpec);
     * this is the production form of [[nearDupPairs]].
+    *
+    * Bucket occupancy grows with the corpus at FIXED band geometry
+    * (16 buckets/table at the 4-bit default), so within-bucket pairing is
+    * quadratic in N/buckets — the round-8 scaling audit measured 1.27M →
+    * 127.6M candidates across a 10× step (SCALING_r8.json). Two knobs
+    * bound it: widen the bands (`planesPerTable` ≈ log₂(N/targetWidth),
+    * recouping recall with more `tables`), or `capBucketWidth` — a
+    * deterministic skew guard that keeps only the `cap` lowest vec_ids
+    * per (table, bucket), turning a runaway bucket's N² into cap² at a
+    * quantified recall cost (only pairs with BOTH ends past the cap in
+    * every colliding table are lost). Defaults leave results unchanged.
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-                      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+                      tables: Int = 8, planesPerTable: Int = 4,
+                      capBucketWidth: Option[Int] = None): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val buckets = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val bucketsAll = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val buckets = capBucketWidth match {
+      case None => bucketsAll
+      case Some(cap) =>
+        val w = Window.partitionBy("t", "bucket").orderBy("vec_id")
+        bucketsAll.withColumn("bw_rn", row_number().over(w))
+          .filter(col("bw_rn") <= cap).drop("bw_rn")
+    }
     val a = buckets.select(col("vec_id").as("d1"), col("t"), col("bucket"))
     val b = buckets.select(col("vec_id").as("d2"), col("t"), col("bucket"))
     // shuffle (not broadcast) self-join: both sides canonicalize to the
@@ -547,9 +566,11 @@ object Similarity {
     */
   def nearDupClusters(embeddings: DataFrame, threshold: Double,
                       tables: Int = 8, planesPerTable: Int = 4,
-                      maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairsLsh(embeddings, threshold, tables, planesPerTable)
-      .select("d1", "d2")
+                      maxIter: Int = 20,
+                      capBucketWidth: Option[Int] = None): DataFrame = {
+    val pairs =
+      nearDupPairsLsh(embeddings, threshold, tables, planesPerTable, capBucketWidth)
+        .select("d1", "d2")
     // maxIter passes through: boilerplate corpora form LONG near-dup
     // chains (A≈B≈C≈… with dissimilar ends), and a diameter past the cap
     // must be the caller's knob, not a dead end
