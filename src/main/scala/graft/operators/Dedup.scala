@@ -426,8 +426,10 @@ object Dedup {
     * only on candidates via keyed joins. No all-pairs, no broadcast
     * corpus, no missed pairs.
     */
-  def containmentPairs(docs: DataFrame, tauPct: Int = 70): DataFrame = {
+  def containmentPairs(docs: DataFrame, tauPct: Int = 70,
+                       maxShingleDf: Option[Int] = None): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100], got $tauPct")
+    require(maxShingleDf.forall(_ > 0), "maxShingleDf must be positive when set")
     // the verification step's size(array_intersect(...)) rewrites to the
     // count-only IntersectCount when the rule is installed
     graft.plans.GraftRules.install(docs.sparkSession)
@@ -447,7 +449,22 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist()
-    val pref = ranked
+    // Per-shingle width cap (the production guard the round-8 scaling
+    // audit names for q86): a shingle shared by more than `maxShingleDf`
+    // documents fans out df² candidate pairs through the join below, and
+    // past a point such a shingle is corpus boilerplate that carries no
+    // containment signal anyway. Capping is a RECALL trade, unlike the
+    // prefix bound (which is exact): a pair is lost only if EVERY
+    // prefix shingle it shares is hotter than the cap — never a false
+    // positive, since the exact set-intersection verification still runs
+    // on whatever candidates survive. Default None keeps the operator
+    // exact (q86's pinned hashes); DedupSpec quantifies the trade on a
+    // hot-shingle fixture.
+    def capped(df: DataFrame): DataFrame = maxShingleDf match {
+      case None      => df
+      case Some(cap) => df.filter(col("df") <= cap)
+    }
+    val pref = capped(ranked)
       .filter(col("rn") <= col("sz") - expr(s"($tauPct * sz + 99) div 100") + 1)
       .select(col("doc_id").as("a"), col("rn").as("rn_a"), col("sz").as("sz_a"), col("shingle"))
     // ACCUMULATED positional bound (PPJoin's ubound, Xiao et al. WWW'08
@@ -477,7 +494,7 @@ object Dedup {
     // while our verifier is already a single hashed-set intersection
     // COUNT per pair — the probe would ship the same bytes it saves.
     val cand = pref
-      .join(ranked.select(col("doc_id").as("b"), col("rn").as("rn_b"),
+      .join(capped(ranked).select(col("doc_id").as("b"), col("rn").as("rn_b"),
         col("sz").as("sz_b"), col("shingle")), Seq("shingle"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b")

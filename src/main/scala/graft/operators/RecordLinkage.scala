@@ -35,13 +35,34 @@ object RecordLinkage {
     * key and `key` the comparison string. Score = |bigrams(a) ∩
     * bigrams(b)| (set semantics); each b_id resolves to the highest
     * score, ties to the smallest a_id; scores below `minOverlap` drop.
+    *
+    * `maxBlockWidth` is the standard linkage guard at scale (the one the
+    * round-8 scaling audit names for q178): a (block, bigram) key matched
+    * by more than the cap records ON EITHER SIDE fans out a·b candidate
+    * pairs, and such a key is by definition a non-discriminating blocker
+    * (corpus-common name fragments). Oversized keys are SKIPPED — a pair
+    * is lost only if every key it shares is oversized, and a surviving
+    * pair's score only counts its surviving shared keys. Default None
+    * keeps the linkage exhaustive (q178's pinned hashes);
+    * RecordLinkageSpec quantifies the trade on a hot-block fixture.
     */
-  def link(a: DataFrame, b: DataFrame, minOverlap: Int): DataFrame = {
+  def link(a: DataFrame, b: DataFrame, minOverlap: Int,
+           maxBlockWidth: Option[Int] = None): DataFrame = {
+    require(maxBlockWidth.forall(_ > 0), "maxBlockWidth must be positive when set")
     def grams(df: DataFrame, idAs: String) = df
       .select(col("id").as(idAs), col("block"),
         explode(charBigrams(col("key"))).as("bigram"))
-    val pairs = grams(a, "a_id")
-      .join(grams(b, "b_id"), Seq("block", "bigram"))
+    def capped(g: DataFrame): DataFrame = maxBlockWidth match {
+      case None => g
+      case Some(cap) =>
+        // width computed per side over the SAME (block, bigram) exchange
+        // the join shuffles on — one extra window, no new partitioning
+        val w = Window.partitionBy("block", "bigram")
+        g.withColumn("__bw", count(lit(1)).over(w))
+          .filter(col("__bw") <= cap).drop("__bw")
+    }
+    val pairs = capped(grams(a, "a_id"))
+      .join(capped(grams(b, "b_id")), Seq("block", "bigram"))
       .groupBy("b_id", "a_id")
       .agg(count(lit(1)).cast(IntegerType).as("score"))
     val w = Window.partitionBy("b_id")

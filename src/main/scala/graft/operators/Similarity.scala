@@ -462,6 +462,53 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell"), col("cosine"), col("rk"))
   }
 
+  /** Corpus-calibrated sign-LSH band geometry — the scale fix for the
+    * round-8 audit's one confirmed super-linear path (SCALING_r8.json:
+    * q73 candidates 1.27M → 127.6M across a 10× step, because the fixed
+    * 8-table × 4-bit default has only 16 buckets/table, making
+    * within-bucket pairing N²/16).
+    *
+    * Band width: the smallest `b ≥ planesPerTable` with
+    * 2^b ≥ ⌈n / targetBucketWidth⌉ holds EXPECTED bucket width at or
+    * under `targetBucketWidth`, so per-table candidate pairs are
+    * ~n·width/2 — linear in n at fixed width. Computed with pure integer
+    * bit math (no float log edge cases).
+    *
+    * Table count: widening bands costs recall (a b-bit table keeps a
+    * pair at similarity s with probability p(s)^b, p(s) = 1 − acos(s)/π),
+    * recouped with more tables exactly as the theory prescribes: the
+    * smallest L with 1 − (1 − p^b)^L ≥ `recallTarget` at `designSim`.
+    * L grows only like p^−b = (n/width)^(−log₂ p) ≈ (n/width)^0.22 at
+    * designSim 0.9, so TOTAL candidates grow ~n^1.22 — sub-quadratic all
+    * the way up (measured: SCALING_r9). Recall under calibrated geometry
+    * is pinned empirically in AnnRecallSpec.
+    *
+    * The floor is load-bearing for reproducibility: for n ≤
+    * targetBucketWidth·2^planesPerTable (= 2000 at the defaults) the
+    * result is EXACTLY (tables, planesPerTable), so every test-SF corpus
+    * (sf0.001/0.01 = 500, sf0.1 = 2000 vectors) keeps the default
+    * geometry and the DuckDB oracles' hard-coded 8×4 band SQL — only
+    * beyond test scale does the geometry move.
+    */
+  def calibrateLshGeometry(n: Long, tables: Int = 8, planesPerTable: Int = 4,
+                           targetBucketWidth: Int = 125,
+                           designSim: Double = 0.90, recallTarget: Double = 0.95,
+                           maxPlanes: Int = 24, maxTables: Int = 128): (Int, Int) = {
+    require(n >= 0 && targetBucketWidth > 0)
+    val needBuckets = (n + targetBucketWidth - 1) / targetBucketWidth
+    val b0 =
+      if (needBuckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(needBuckets - 1L).toInt
+    val b = math.min(math.max(b0, planesPerTable), maxPlanes)
+    if (b <= planesPerTable) (tables, planesPerTable)
+    else {
+      val p = 1.0 - math.acos(designSim) / math.Pi
+      val q = math.pow(p, b)
+      val l = math.ceil(math.log1p(-recallTarget) / math.log1p(-q)).toInt
+      (math.min(math.max(l, 2), maxTables), b)
+    }
+  }
+
   /** Embedding near-duplicates at corpus scale: pair only within
     * multi-table LSH buckets (equi-join on (table, bucket) with exchange
     * reuse — never all-pairs), dedup candidate pairs across tables, then
@@ -472,19 +519,32 @@ object Similarity {
     * Bucket occupancy grows with the corpus at FIXED band geometry
     * (16 buckets/table at the 4-bit default), so within-bucket pairing is
     * quadratic in N/buckets — the round-8 scaling audit measured 1.27M →
-    * 127.6M candidates across a 10× step (SCALING_r8.json). Two knobs
-    * bound it: widen the bands (`planesPerTable` ≈ log₂(N/targetWidth),
-    * recouping recall with more `tables`), or `capBucketWidth` — a
+    * 127.6M candidates across a 10× step (SCALING_r8.json). Both bounds
+    * are now ON by default: `calibrate = true` widens the bands from the
+    * corpus count via [[calibrateLshGeometry]] (recall recouped with more
+    * tables, no-op at test-SF sizes), and `capBucketWidth` — a
     * deterministic skew guard that keeps only the `cap` lowest vec_ids
     * per (table, bucket), turning a runaway bucket's N² into cap² at a
     * quantified recall cost (only pairs with BOTH ends past the cap in
-    * every colliding table are lost). Defaults leave results unchanged.
+    * every colliding table are lost) — defaults to 1000 = 8× the
+    * calibration's target width, so it never fires on a
+    * calibration-balanced corpus (expected width ≈125) and exists purely
+    * for adversarial skew (mass-identical vectors all hashing to one
+    * bucket in every table). Both defaults are provably no-ops at
+    * sf0.001/0.01/0.1 (N ≤ 2000 floors the geometry; measured max bucket
+    * width there is 250 < 1000).
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
                       tables: Int = 8, planesPerTable: Int = 4,
-                      capBucketWidth: Option[Int] = None): DataFrame = {
+                      capBucketWidth: Option[Int] = Some(1000),
+                      calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val bucketsAll = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val (tabs, planes) =
+      if (calibrate)
+        calibrateLshGeometry(embeddings.filter(col("embedding").isNotNull).count(),
+          tables, planesPerTable)
+      else (tables, planesPerTable)
+    val bucketsAll = lshBucketsMulti(embeddings, tabs, planes)
     val buckets = capBucketWidth match {
       case None => bucketsAll
       case Some(cap) =>
@@ -531,10 +591,18 @@ object Similarity {
     * clean under this detector) — same reporting convention as q60.
     */
   def semanticContamination(embeddings: DataFrame, threshold: Double,
-      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+      tables: Int = 8, planesPerTable: Int = 4,
+      calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
+    // same corpus-calibrated band geometry as [[nearDupPairsLsh]] — the
+    // train×eval within-bucket join has the identical N²/buckets shape
+    val (tabs, planes) =
+      if (calibrate)
+        calibrateLshGeometry(embeddings.filter(col("embedding").isNotNull).count(),
+          tables, planesPerTable)
+      else (tables, planesPerTable)
     val isTrain = graft.functions.TextOps.hash32(col("vec_id").cast("string")) % 100 < 90
-    val buckets = lshBucketsMulti(embeddings, tables, planesPerTable)
+    val buckets = lshBucketsMulti(embeddings, tabs, planes)
     val tr = buckets.filter(isTrain)
       .select(col("vec_id").as("train_id"), col("t"), col("bucket"))
     val va = buckets.filter(!isTrain)
@@ -567,9 +635,11 @@ object Similarity {
   def nearDupClusters(embeddings: DataFrame, threshold: Double,
                       tables: Int = 8, planesPerTable: Int = 4,
                       maxIter: Int = 20,
-                      capBucketWidth: Option[Int] = None): DataFrame = {
+                      capBucketWidth: Option[Int] = Some(1000),
+                      calibrate: Boolean = true): DataFrame = {
     val pairs =
-      nearDupPairsLsh(embeddings, threshold, tables, planesPerTable, capBucketWidth)
+      nearDupPairsLsh(embeddings, threshold, tables, planesPerTable,
+        capBucketWidth, calibrate)
         .select("d1", "d2")
     // maxIter passes through: boilerplate corpora form LONG near-dup
     // chains (A≈B≈C≈… with dissimilar ends), and a diameter past the cap

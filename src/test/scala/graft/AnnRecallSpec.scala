@@ -157,6 +157,98 @@ class AnnRecallSpec extends SparkSpec {
     assert(out(1)._3 < 0.01, s"orthogonal halves must show full drift: ${out(1)}")
   }
 
+  test("calibrateLshGeometry: default floor at test-SF sizes, width bound and recall target beyond") {
+    import Similarity.calibrateLshGeometry
+    // the floor is the reproducibility contract: every driver SF keeps
+    // the default 8x4 geometry the DuckDB oracles hard-code
+    assert(calibrateLshGeometry(500L) === ((8, 4)))   // sf0.001 / sf0.01
+    assert(calibrateLshGeometry(2000L) === ((8, 4)))  // sf0.1
+    assert(calibrateLshGeometry(0L) === ((8, 4)))
+    // one vector past the floor the bands widen
+    assert(calibrateLshGeometry(2001L)._2 > 4)
+    // the r8 scaling-audit corpus (20k) gets 2^8 = 256 buckets/table
+    assert(calibrateLshGeometry(20000L) === ((9, 8)))
+    for (n <- Seq(5000L, 20000L, 1000000L, 100000000L)) {
+      val (l, b) = calibrateLshGeometry(n)
+      // expected bucket width stays at or under the target
+      assert(n.toDouble / (1L << b) <= 125.0, s"n=$n geometry=($l,$b)")
+      // closed-form multi-table recall at the design similarity holds
+      val p = 1.0 - math.acos(0.90) / math.Pi
+      val r = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+      assert(r >= 0.95, s"n=$n geometry=($l,$b) design recall $r")
+      // planes never exceed the Long-bucket/codegen bound
+      assert(b <= 24 && l <= 128)
+    }
+    // monotone: more data never narrows the bands
+    val bs = Seq(2000L, 4000L, 16000L, 64000L, 1000000L)
+      .map(calibrateLshGeometry(_)._2)
+    assert(bs === bs.sorted)
+  }
+
+  test("calibrated geometry: planted near-dup recall >= target, candidate work bounded") {
+    import spark.implicits._
+    // 6000 vectors — past the 2000-vector floor, so calibration fires
+    // (expected (6, 6): 64 buckets/table). 5880 independent gaussians +
+    // 60 planted near-dup pairs at cosine ~0.995.
+    val rnd = new scala.util.Random(42)
+    def gauss(): Array[Float] = Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 5880).map(i => (i.toLong, gauss()))
+    val planted = (0 until 60).flatMap { i =>
+      val u = gauss()
+      val v = u.zip(gauss()).map { case (x, g) => x + 0.08f * g }
+      Seq((10000L + 2 * i, u), (10000L + 2 * i + 1, v))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val geo = Similarity.calibrateLshGeometry(6000L)
+    assert(geo !== ((8, 4)), "calibration must fire past the floor")
+    val got = Similarity.nearDupPairsLsh(emb, 0.90)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // random 64-dim gaussian cosines concentrate at ~N(0, 1/64): nothing
+    // unplanted clears 0.90, so found pairs ARE the planted recall
+    val truth = (0 until 60).map(i => (10000L + 2 * i, 10000L + 2 * i + 1)).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val recall = got.size.toDouble / truth.size
+    info(f"calibrated geometry=$geo planted recall=$recall%.3f")
+    assert(recall >= 0.95, s"calibrated recall below the 0.95 target: $recall")
+    // the point of calibration: within-bucket pair work under the
+    // calibrated geometry is a fraction of the default geometry's
+    def pairWork(tables: Int, planes: Int): Long =
+      Similarity.lshBucketsMulti(emb, tables, planes)
+        .groupBy("t", "bucket").count()
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr("count * (count - 1) div 2")))
+        .as[Long].head()
+    val calibrated = pairWork(geo._1, geo._2)
+    val fixed = pairWork(8, 4)
+    info(s"within-bucket candidate pairs: calibrated=$calibrated fixed-default=$fixed")
+    assert(calibrated * 2 < fixed,
+      s"calibration must at least halve candidate work: $calibrated vs $fixed")
+  }
+
+  test("capBucketWidth bounds a degenerate bucket and the lost pairs are exactly quantified") {
+    import spark.implicits._
+    // adversarial skew: 300 IDENTICAL vectors — every table maps all of
+    // them to one bucket, so uncapped pair work is C(300,2) per table
+    val v = Array.tabulate(Similarity.Dim)(d => (math.sin(d + 1).toFloat))
+    val emb = (0L until 300L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val noCap = Similarity.nearDupPairsLsh(emb, 0.99, capBucketWidth = None,
+      calibrate = false).select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(noCap.size === 300 * 299 / 2)
+    val capped = Similarity.nearDupPairsLsh(emb, 0.99, capBucketWidth = Some(50),
+      calibrate = false).select("d1", "d2").as[(Long, Long)].collect().toSet
+    // deterministic cap: the 50 lowest vec_ids survive in every table,
+    // so the surviving pairs are exactly C(50,2) and a strict subset
+    assert(capped.size === 50 * 49 / 2)
+    assert(capped.subsetOf(noCap))
+    assert(capped.forall { case (a, b) => a < 50 && b < 50 })
+    info(s"cap=50 on a 300-wide degenerate bucket: kept=${capped.size} " +
+      s"lost=${noCap.size - capped.size} of ${noCap.size}")
+    // and the default cap (1000) is a no-op here — widths under it
+    val dflt = Similarity.nearDupPairsLsh(emb, 0.99, calibrate = false)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(dflt === noCap)
+  }
+
   test("kNN-distance outliers: board sorted most-isolated-first, thin neighborhoods lead") {
     val emb = Tables.embeddings(spark, SfDir)
     val out = Similarity.knnDistanceOutliers(emb, k = 5, bottomN = 30)

@@ -221,6 +221,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment maxShingleDf: hot-shingle pairs are the only loss, clean pairs survive intact") {
+    // 40 docs that are containment pairs ONLY through a shared hot
+    // boilerplate sentence (its interior shingles hit df=40), plus one
+    // clean truncation pair whose shingles are rare (df=2). The cap
+    // drops shingles hotter than 5 from the candidate join: boilerplate
+    // pairs vanish (bounded work), the clean pair is untouched.
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val hot = (1L to 40L).map(i => (i, s"$boiler tail$i"))
+    val clean = Seq(
+      (100L, "zebra quokka wombat numbat bilby dunnart"),
+      (101L, "zebra quokka wombat numbat bilby dunnart plus extra words here"))
+    val corpus = (hot ++ clean).toDF("doc_id", "text")
+    val full = Dedup.containmentPairs(corpus, tauPct = 70)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.containmentPairs(corpus, tauPct = 70, maxShingleDf = Some(5))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // never a false positive: the cap only loses pairs
+    assert(capped.subsetOf(full))
+    // the clean low-df pair survives with its exact scores
+    assert(capped.contains((100L, 101L)))
+    // every lost pair went through the hot boilerplate block
+    val lost = full -- capped
+    assert(lost.nonEmpty, "fixture must actually exercise the cap")
+    assert(lost.forall { case (a, b) => a <= 40L && b <= 40L },
+      s"cap must only drop boilerplate-mediated pairs: $lost")
+    info(s"maxShingleDf=5: kept=${capped.size} lost=${lost.size} of ${full.size}")
+  }
+
   test("keepCanonical: one best-quality survivor per cluster, singletons survive") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", 44L),

@@ -51,6 +51,31 @@ class RecordLinkageSpec extends SparkSpec {
     assert(RecordLinkage.link(a, b, minOverlap = 1).isEmpty)
   }
 
+  test("maxBlockWidth skips oversized (block, bigram) keys; narrow blocks resolve unchanged") {
+    // hot block: 60 a-records and 60 b-records sharing one name stem —
+    // every (block, bigram) key there is 60 wide on both sides, so the
+    // uncapped comparison space is ~3600 pairs. Clean block: one honest
+    // match whose keys are all width 1.
+    val hotA = (1L to 60L).map(i => (i, "h", s"customer common $i"))
+    val hotB = (101L to 160L).map(i => (i, "h", s"customer common ${i - 100}"))
+    val a = sys(hotA :+ ((70L, "c", "distinctive alpha")): _*)
+    val b = sys(hotB :+ ((170L, "c", "distinctive alphb")): _*)
+    val full = RecordLinkage.link(a, b, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val capped = RecordLinkage.link(a, b, minOverlap = 2, maxBlockWidth = Some(10))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // the clean block's resolution (id AND score) is untouched by the cap
+    assert(capped(170L) === full(170L))
+    // the hot block's non-discriminating keys are skipped: its b-records
+    // either drop entirely or resolve through the (narrow) per-record
+    // suffix bigrams only — never through the 60-wide stem keys
+    val hotResolved = capped.keySet.filter(_ <= 160L)
+    assert(hotResolved.size < full.keySet.count(_ <= 160L),
+      "cap must shrink the hot block's linkage")
+    info(s"maxBlockWidth=10: resolved ${capped.size} of ${full.size} b-records " +
+      s"(hot block ${hotResolved.size}/60)")
+  }
+
   test("charBigrams: distinct set semantics, single char yields empty") {
     val got = Seq("aaaa", "ab", "z").toDF("s")
       .select(RecordLinkage.charBigrams(col("s")).as("g"))
