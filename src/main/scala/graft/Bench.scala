@@ -53,14 +53,37 @@ object Bench {
     // (see README "Reading bench artifacts").
     val spreads = Vector.newBuilder[(String, (Double, Double, Double))]
     val errors = Vector.newBuilder[(String, String)]
+    // self-correcting spread (r8 verdict #5): a query whose max/min
+    // exceeds the README's 3x poisoned-run criterion re-times itself
+    // (bounded retries) and the artifact keeps the quietest round;
+    // queries still over the criterion after retries are listed under
+    // "contended" so the official number never needs out-of-band
+    // adjudication again. 0.2 s floor: sub-second queries legitimately
+    // jitter past 3x on scheduler noise alone without being poisoned.
+    val SpreadCriterion = 3.0
+    val SpreadFloorSec = 0.2
+    val MaxRetries = 2
+    val contended = Vector.newBuilder[String]
+    def noisy(s: IndexedSeq[Double]): Boolean =
+      s.last > SpreadFloorSec && s.last / s.head > SpreadCriterion
     queries.foreach { case (name, fn) =>
       try {
         materialize(fn(spark, sfDir)) // warm this query's codegen/JIT, untimed
-        val samples = (1 to 3).map { _ =>
+        def timeOnce(): IndexedSeq[Double] = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           materialize(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        var samples = timeOnce()
+        var retries = 0
+        while (noisy(samples) && retries < MaxRetries) {
+          val again = timeOnce()
+          // keep the quieter round; ties to the lower median
+          val (rA, rS) = (again.last / again.head, samples.last / samples.head)
+          if (rA < rS || (rA == rS && again(1) < samples(1))) samples = again
+          retries += 1
+        }
+        if (noisy(samples)) contended += name
         spreads += name -> ((samples(0), samples(1), samples(2)))
         times += name -> samples(1) // median of 3
       } catch {
@@ -90,9 +113,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = es.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val contJson = contended.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ts.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"contended":$contJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver's stdout capture truncates long
     // lines (q01–q16 were lost from BENCH_r03/r04), so the file is the

@@ -34,6 +34,19 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("scaling_sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    // "uniform" replicates with a per-copy text/name suffix (preserves
+    // per-key densities; inflates every shingle/name-block frequency by
+    // exactly K — the r8 audit's honest caveat). "zipf" grows the TAIL
+    // instead, the way a real K× crawl does: every 3rd word of each
+    // copy's text carries a per-copy tag (all 3-gram shingles become
+    // copy-distinct, so document frequencies keep the BASE corpus's
+    // distribution while distinct shingles grow K×), and customer name
+    // digits are remapped to the shifted key (new customers get new
+    // blocking digits, not the base corpus's digits K times over).
+    // Within-copy dup structure is preserved in both modes: the text
+    // transform is a pure function of (text, copy), never of doc_id.
+    val mode = args.lift(3).getOrElse("uniform")
+    require(mode == "uniform" || mode == "zipf", s"unknown mode '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,16 +71,24 @@ object ScaleUp {
     copies("documents") { (df, i) =>
       val text =
         if (i == 0) col("text")
+        else if (mode == "zipf")
+          expr(s"array_join(transform(split(text, ' '), (w, j) -> " +
+            s"CASE WHEN j % 3 = ${i % 3} THEN concat(w, 'z$i') ELSE w END), ' ')")
         else concat(col("text"), lit(s" c${i}x"), (col("doc_id") % 97).cast("string"))
       df.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
     }
     copies("embeddings") { (df, i) =>
+      // rotate by a DISTINCT amount per copy: i % Dim (= 64), not i % 8
+      // — under i % 8, copies 8 and 9 were byte-identical to copies 0
+      // and 1 under new vec_ids, recreating exactly the cross-copy
+      // duplicate structure replication must avoid (r8 ADVICE, medium)
+      val r = i % 64
       val emb =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i % 8 + 1}, size(embedding) - ${i % 8}), " +
-          s"slice(embedding, 1, ${i % 8}))")
+        if (r == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))")
       df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         emb.as("embedding"), col("label"))
     }
@@ -89,7 +110,15 @@ object ScaleUp {
         col("o_orderpriority"))
     }
     copies("customer") { (df, i) =>
-      val name = if (i == 0) col("c_name") else concat(col("c_name"), lit(s" c$i"))
+      val name =
+        if (i == 0) col("c_name")
+        else if (mode == "zipf")
+          // real growth: the new customer's name digits come from the
+          // NEW key, so q178's (nation, digit-sum) blocks spread over
+          // the key space instead of stacking K copies of each base name
+          concat(lit("Customer#"),
+            lpad((col("c_custkey") + lit(i * 1000000L)).cast("string"), 9, "0"))
+        else concat(col("c_name"), lit(s" c$i"))
       df.select((col("c_custkey") + lit(i * 1000000L)).as("c_custkey"),
         name.as("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }

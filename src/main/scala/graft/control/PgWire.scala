@@ -58,6 +58,12 @@ object PgWire {
       b.writeTo(out)
       out.flush()
       drain() // consume Authentication/ParameterStatus/BackendKeyData → ReadyForQuery
+      // the facade's literal rendering escapes strings by doubling
+      // quotes only, which is sound ONLY under conforming strings — pin
+      // the setting per session rather than trusting server config (a
+      // backslash-escapes server would otherwise let a value ending in
+      // '\' break out of its literal)
+      query("SET standard_conforming_strings = on")
     }
 
     private def cstring(b: Array[Byte], off: Int): (String, Int) = {

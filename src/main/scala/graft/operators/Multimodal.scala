@@ -1507,9 +1507,25 @@ object Multimodal {
       */
     def encodeAviMjpeg(m: AviMeta, blockGray: (Int, Int, Int) => Int,
         junk: Boolean = false): Array[Byte] = {
+      val dibSize = ((m.width * 3 + 3) & ~3).toLong * m.height
       val frames = (0 until m.frames).map { f =>
-        ImageCodecs.encodeJpegDcGray(m.width, m.height,
+        val jpeg = ImageCodecs.encodeJpegDcGray(m.width, m.height,
           (bx, by) => blockGray(f, bx, by))
+        // the frame walk dispatches DIB-vs-JPEG by exact chunk size
+        // first, so a JPEG whose length collides with the DIB raster
+        // size would be misread as an uncompressed raster. Splice an
+        // empty COM segment (FF FE 00 02 — skipped by every T.81
+        // decoder incl. ours) after SOI so repo-generated fixtures can
+        // never hit the ambiguity.
+        if (jpeg.length.toLong != dibSize) jpeg
+        else {
+          val padded = new Array[Byte](jpeg.length + 4)
+          padded(0) = jpeg(0); padded(1) = jpeg(1)
+          padded(2) = 0xFF.toByte; padded(3) = 0xFE.toByte
+          padded(4) = 0x00; padded(5) = 0x02
+          System.arraycopy(jpeg, 2, padded, 6, jpeg.length - 2)
+          padded
+        }
       }
       val junkSize = if (junk) 8 + 12 else 0
       val hdrlSize = 4 + 8 + 56

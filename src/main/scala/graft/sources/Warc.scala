@@ -119,7 +119,11 @@ object Warc {
           s"missing WARC/1.0 version line at offset $p")
         val clenStr = wh.getOrElse("content-length",
           throw new IllegalArgumentException("record without Content-Length"))
-        require(clenStr.nonEmpty && clenStr.forall(_.isDigit) && clenStr.length <= 10,
+        // <= 9 digits: a 10-digit value can exceed Int.MaxValue and
+        // toInt would throw NumberFormatException, bypassing this
+        // require's descriptive framing message (any real record is
+        // bounded by raw.length, itself an Int)
+        require(clenStr.nonEmpty && clenStr.forall(_.isDigit) && clenStr.length <= 9,
           s"non-numeric Content-Length '$clenStr' at offset $p")
         val clen = clenStr.toInt
         require(clen >= 0 && hEnd + 4 + clen <= raw.length,

@@ -33,6 +33,10 @@ class CodecFuzzSpec extends SparkSpec {
   private def fuzz(name: String, valid: Array[Byte])(decode: Array[Byte] => Any): Unit = {
     val rng = new Lcg(name.hashCode.toLong * 2654435761L + 42)
     var decoded = 0; var rejected = 0
+    // untimed warmup on the valid fixture: first-call JIT/classloading
+    // must not count against the hang bound (a flake class on loaded
+    // machines, not a correctness signal)
+    decode(valid)
     for (i <- 1 to N) {
       val bytes =
         if (i % 10 == 0) { // truncation (at least the first byte survives)

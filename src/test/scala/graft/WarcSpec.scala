@@ -72,11 +72,16 @@ class WarcSpec extends SparkSpec {
     // header block shorter than the 8-byte magic, but blank-terminated
     intercept[IllegalArgumentException](
       Warc.parseAll("WARC\r\n\r\n".getBytes(UTF_8)))
-    // non-numeric / negative / overlong Content-Length
-    for (cl <- Seq("abc", "-5", "99999999999999"))
-      intercept[IllegalArgumentException](Warc.parseAll(
+    // non-numeric / negative / overlong Content-Length — including the
+    // 10-digit Int-overflow window (2147483648..9999999999) that used
+    // to slip past the length<=10 guard into toInt's NumberFormatException
+    for (cl <- Seq("abc", "-5", "9999999999", "2147483648", "99999999999999")) {
+      val e = intercept[IllegalArgumentException](Warc.parseAll(
         (s"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: $cl\r\n\r\nx")
           .getBytes(UTF_8)))
+      assert(!e.isInstanceOf[NumberFormatException],
+        s"Content-Length '$cl' must fail via the framing require, not toInt: $e")
+    }
   }
 
   test("streaming shard ingest: new shards picked up incrementally, corrupt shard quarantined") {
