@@ -160,11 +160,14 @@ object Soak {
     val urlB = s"opc.tcp://127.0.0.1:${srvB.boundPort}"
     @volatile var bTicking = true
     @volatile var ticking = true
+    @volatile var tickerPaused = false
     val ticker = new Thread(() => {
       while (ticking) {
         Thread.sleep(250)
-        feedA.clockTicks += ticksPerFire
-        if (bTicking) feedB.clockTicks = feedA.clockTicks // resume = jump to now
+        if (!tickerPaused) {
+          feedA.clockTicks += ticksPerFire
+          if (bTicking) feedB.clockTicks = feedA.clockTicks // resume = jump to now
+        }
       }
     }, "soak-ticker")
     ticker.setDaemon(true)
@@ -217,6 +220,17 @@ object Soak {
       Option(handleRef.get()).foreach(_.stop())
       Option(watchdogRef.get()).foreach(_.stop())
       relaunches.incrementAndGet()
+      // The reference's resubscribe path bulk-resets EVERY myPV_online flag
+      // to 0 on a config change and lets live values re-online the devices
+      // that are still configured ("also works for devices perhaps not in
+      // the new config and still set online from last time but actually no
+      // longer online", `Services/OpcSubscribeService.cs:257-259`; per-server
+      // MarkRowsAsOffline at `:961,993`). Without it a deleted server's
+      // devices stay online forever — the fresh incarnation's liveness state
+      // machine never sees their keys, so no timeout can fire.
+      target.offlineReset(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now()))
       mark(s"launch: ${plane.list().map(_.url).mkString(", ")}")
       val raws = plane.list().map { conn =>
         val uri = java.net.URI.create(conn.url)
@@ -333,14 +347,29 @@ object Soak {
       mark(s"HTTP update server A -> ${mutations("update")}")
     }
     at(0.83) { bTicking = false; mark("server B clock frozen (drain before delete)") }
+    // processAllAvailable never returns while the ticker keeps minting new
+    // offsets (the 120 s smoke run hung exactly there), so every drain
+    // freezes the clock first AND runs on a bounded side thread — a drain
+    // that can't finish must surface as final-state mismatches in the
+    // artifact, not as a run that never writes one.
+    def drainBounded(maxMs: Long): Boolean = {
+      val t = new Thread(() => {
+        try Option(handleRef.get()).foreach(_.processAllAvailable())
+        catch { case _: Exception => () }
+      }, "soak-drain")
+      t.setDaemon(true); t.start(); t.join(maxMs)
+      !t.isAlive
+    }
     at(0.87) {
       // quiesce before unsubscribing B: drain the current incarnation to
       // the feeds' latest so B's tail is committed (the operator's
       // unsubscribe discipline; without it the delete races B's last rows)
-      try Option(handleRef.get()).foreach(_.processAllAvailable())
-      catch { case _: Exception => () }
+      tickerPaused = true
+      Thread.sleep(300) // let the in-flight tick land before draining
+      val drained = drainBounded(60000)
       mutations("delete") = httpCall("DELETE", "/api/client/config/delete/2", None)
-      mark(s"HTTP delete server B -> ${mutations("delete")}")
+      mark(s"HTTP delete server B -> ${mutations("delete")} (pre-delete drain ${if (drained) "complete" else "TIMED OUT"})")
+      tickerPaused = false
     }
     at(1.0) { mark("script complete; draining") }
 
@@ -349,7 +378,7 @@ object Soak {
     Thread.sleep(1500)
     val offeredA = feedA.latest()
     val offeredB = feedB.latest()
-    Option(handleRef.get()).foreach(_.processAllAvailable())
+    if (!drainBounded(120000)) mark("final drain TIMED OUT at 120 s")
     Thread.sleep(2000) // let the last foreachBatch upserts commit
     polling = false
     locally { val f = onlineFlags(); f.foreach { case (d, v) => lastFlags(d) = v } }
