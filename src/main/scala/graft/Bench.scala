@@ -32,6 +32,29 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Absolute machine anchor: seconds for a fixed single-thread integer
+    * workload (3×10⁸ xorshift64 steps), min of three. The per-query
+    * spread check catches BURSTY contention, but a run under UNIFORM
+    * concurrent load inflates all three passes equally and stays
+    * spread-quiet — three rounds shipped such artifacts and only
+    * out-of-band re-runs could adjudicate them. This anchor is
+    * data-independent and identical across rounds on the same box, so
+    * comparing `calib_sec` between artifacts separates "the queries got
+    * slower" from "the machine was busy". Measured at start AND end:
+    * contention arriving mid-run shows as a disagreeing pair.
+    */
+  private def calibrate(): Double = {
+    def spin(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < 300000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) print("")  // defeat dead-code elimination
+      dt
+    }
+    (1 to 3).map(_ => spin()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +65,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val calibBefore = calibrate()
     // optional args = query-name filter (local iteration; driver passes none)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
@@ -115,8 +139,10 @@ object Bench {
       .mkString("{", ",", "}")
     val contJson = contended.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ts.map(_._2).sum
+    val calibAfter = calibrate()
+    val calibJson = f"[$calibBefore%.3f,$calibAfter%.3f]"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"contended":$contJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"contended":$contJson,"errors":$errJson,"calib_sec":$calibJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver's stdout capture truncates long
     // lines (q01–q16 were lost from BENCH_r03/r04), so the file is the
