@@ -60,7 +60,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core. The scaling audit's
+      // synthetic 100× corpora need finer granularity (the pair-scoring
+      // shuffle carries array payloads; 32 fat tasks on one JVM thrash
+      // the unified memory manager into spill-while-spilling) — exactly
+      // the partition-sizing lever a real cluster would turn, exposed
+      // here as an env knob so audit runs don't patch code.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -80,15 +80,21 @@ object ScaleUp {
         length(text).cast("long").as("n_chars"))
     }
     copies("embeddings") { (df, i) =>
-      // rotate by a DISTINCT amount per copy: i % Dim (= 64), not i % 8
-      // — under i % 8, copies 8 and 9 were byte-identical to copies 0
-      // and 1 under new vec_ids, recreating exactly the cross-copy
-      // duplicate structure replication must avoid (r8 ADVICE, medium)
+      // a DISTINCT orthogonal transform per copy (norm- and
+      // within-copy-cosine-preserving, cross-copy structure destroyed):
+      // rotate by i % Dim (= 64) — not i % 8, under which copies 8/9
+      // were byte-identical to 0/1 (r8 ADVICE, medium) — and NEGATE for
+      // i ≥ 64 (−I is orthogonal; cos(−u,−v) = cos(u,v) within the
+      // copy, while v vs −rot(v) across copies is anti-correlated, not
+      // a near-dup). Distinct for every i < 128, covering the 100-copy
+      // second-decade audit.
+      require(i < 128, s"embedding transform family is exhausted at 128 copies (got copy $i)")
       val r = i % 64
-      val emb =
-        if (r == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-          s"slice(embedding, 1, $r))")
+      val rotS =
+        if (r == 0) "embedding"
+        else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))"
+      val emb = expr(if (i < 64) rotS else s"transform($rotS, x -> -x)")
       df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         emb.as("embedding"), col("label"))
     }
@@ -123,6 +129,58 @@ object ScaleUp {
         name.as("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }
     Seq("nation", "region", "part", "supplier").foreach(copyOnce)
+    spark.stop()
+  }
+}
+
+/** Scaling-audit probe: prints the LSH candidate-step internals for an
+  * SF directory — corpus count, the geometry [[graft.operators.Similarity.
+  * calibrateLshGeometry]] picks for it, the distinct candidate-pair count
+  * that geometry yields, and the max bucket width — one JSON line. This
+  * is the measurement behind SCALING_r{N}.json's candidate numbers (r8
+  * did it as a DuckDB replay of the bucket SQL; this runs the REAL code
+  * path, so geometry/cap changes are probed exactly as queries see them).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val n = emb.count()
+    val (tabs, planes) = Similarity.calibrateLshGeometry(n)
+    val buckets = Similarity.lshBucketsMulti(emb, tabs, planes).persist()
+    val widths = buckets.groupBy("t", "bucket").agg(count(lit(1)).as("w"))
+    val maxWidth = widths.agg(max("w")).head().getLong(0)
+    val a = buckets.select(col("vec_id").as("d1"), col("t"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("d2"), col("t"), col("bucket"))
+    val candidates = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct().count()
+    println(s"""{"metric":"lsh_probe","dir":"$dir","n":$n,"tables":$tabs,"planes":$planes,"candidates":$candidates,"max_bucket_width":$maxWidth}""")
+    // `deep`: decompose the widest buckets — width distribution and the
+    // per-copy (vec_id / 10^7, the ScaleUp shift) makeup of the single
+    // widest one, to tell apart "one tight cosine cluster" (cap
+    // territory) from "replication artifact" (same copy stacking).
+    if (args.lift(1).contains("deep")) {
+      println("[deep] top-10 bucket widths:")
+      widths.orderBy(col("w").desc).limit(10).collect()
+        .foreach(r => println(s"[deep]   t=${r.get(0)} bucket=${r.get(1)} w=${r.get(2)}"))
+      val top = widths.orderBy(col("w").desc).limit(1).collect()(0)
+      val byCopy = buckets
+        .filter(col("t") === top.get(0) && col("bucket") === top.get(1))
+        .groupBy((col("vec_id") / lit(10000000L)).cast("long").as("copy"))
+        .agg(count(lit(1)).as("c")).orderBy(col("c").desc).limit(10).collect()
+      println(s"[deep] widest bucket per-copy makeup (top 10 copies):")
+      byCopy.foreach(r => println(s"[deep]   copy=${r.getLong(0)} c=${r.getLong(1)}"))
+    }
     spark.stop()
   }
 }

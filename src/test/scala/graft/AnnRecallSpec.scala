@@ -38,8 +38,15 @@ class AnnRecallSpec extends SparkSpec {
       // trained cells must not degrade the untrained probe's floor
       assert(ivfT >= 0.40, s"trained-IVF recall collapsed: $ivfT")
       // a single 8-plane table keeps a neighbor only when all 8 signs
-      // match — it exists as the bucketing primitive, not the prod path
-      assert(lsh1 >= 0.02, s"single-table LSH recall collapsed: $lsh1")
+      // match — it exists as the bucketing primitive, not the prod path.
+      // Floor 0.005: under the DECORRELATED plane weights (round 9) the
+      // 8 bits are honest ~independent bits (256 buckets over 2000
+      // vectors), so p^8 at moderate cosine is legitimately ~1% — the
+      // old 0.02 was an artifact of the raw-LCG planes' adjacent-bit
+      // correlation making buckets effectively coarser. The check still
+      // catches collapse-to-zero; the production floors (multi-table
+      // 0.50, multi-probe 0.75) are unchanged and pass.
+      assert(lsh1 >= 0.005, s"single-table LSH recall collapsed: $lsh1")
       // 8 tables x 4 planes is the production path: 1-(1-p^4)^8
       assert(lshM >= 0.50, s"multi-table LSH recall collapsed: $lshM")
       assert(ivf >= 0.40, s"IVF recall collapsed: $ivf")
