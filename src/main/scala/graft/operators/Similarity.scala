@@ -342,21 +342,51 @@ object Similarity {
     rankCandidates(embeddings, cand, queryMaxId, k)
   }
 
+  /** Corpus-calibrated IVF seed step — the scale fix for the seed-pick
+    * IVF family, same class as [[calibrateLshGeometry]] (found by the
+    * round-9 100× audit, preemptively this time): at FIXED `step` the
+    * cell count n/step grows linearly with the corpus, so the assignment
+    * crossJoin (every vector × every centroid) is n²/step — quadratic —
+    * and the broadcast centroid set is unbounded. Seed-IVF total work
+    * (assign n²/step + within-cell pairing n·step/2, the SemDeDup term)
+    * is minimized at step = √(2n), giving ~√2·n^1.5 — the classic
+    * nlist ≈ √n prescription.
+    *
+    * Floor: for n ≤ step² the caller's step is returned unchanged, so
+    * every test-SF corpus (sf0.001/0.01 = 500, sf0.1 = 2000 ≤ 100² =
+    * 10000) keeps the oracle-pinned cell geometry bit-for-bit. Ceiling:
+    * cells are clamped to `maxCells` (the centroid broadcast stays
+    * ≤ maxCells·(id + 64 doubles + norm) ≈ 34 MB at the default 65536);
+    * past ~4.3B vectors step grows linearly instead and the documented
+    * next gear is [[ivfTopKTrained]] — sampled k-means centroids whose
+    * count the caller fixes by design, making assignment n·k linear.
+    */
+  def calibrateIvfStep(n: Long, step: Long = 100L, maxCells: Long = 65536L): Long = {
+    require(step > 0 && maxCells > 0)
+    if (n <= step * step) step
+    else math.max(math.round(math.sqrt(2.0 * n)), (n + maxCells - 1) / maxCells)
+  }
+
   /** IVF coarse quantizer: cell = the centroid (vec_id ≡ 0 mod `step`,
     * a deterministic training-free seed pick — real IVF would k-means, but
     * the Spark plumbing is identical) with max cosine to the vector.
     * Assignment is a broadcast of the centroid set + map-side scoring with
     * a partially-aggregated argmax (`max(struct(score, cell))`), so the
     * only exchange is the final per-vector combine. Output (vec_id, cell).
+    *
+    * `calibrate` (default on) resolves the step through
+    * [[calibrateIvfStep]] — a no-op at every test-SF size by the floor.
     */
-  def ivfCells(embeddings: DataFrame, step: Long = 100L): DataFrame = {
+  def ivfCells(embeddings: DataFrame, step: Long = 100L,
+               calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
+    val stepR = if (calibrate) calibrateIvfStep(embeddings.count(), step) else step
     val e = embD("embedding")
     // norms once per vector / per centroid BEFORE the |corpus|×|cents|
     // scoring — the full cosine recomputes both norms per pair, tripling
     // the dominant dot-product work. Same sqrt(dot) doubles, so the
     // scores (and the argmax) are bit-identical.
-    val cents = embeddings.filter(col("vec_id") % step === 0)
+    val cents = embeddings.filter(col("vec_id") % stepR === 0)
       .select(col("vec_id").as("cell"), e.as("c_emb"),
         sqrt(NativeVectorOps.dot(e, e)).as("c_norm"))
     embeddings
@@ -384,8 +414,9 @@ object Similarity {
     * when index reuse must be guaranteed across jobs, write the cells as
     * the bucketed table instead.
     */
-  def ivfIndex(embeddings: DataFrame, step: Long = 100L): DataFrame =
-    ivfCells(embeddings, step).persist()
+  def ivfIndex(embeddings: DataFrame, step: Long = 100L,
+               calibrate: Boolean = true): DataFrame =
+    ivfCells(embeddings, step, calibrate).persist()
 
   /** IVF probe: each query scores the centroids, probes its `nprobe` best
     * cells, and ranks only vectors assigned to those cells — candidate
@@ -394,10 +425,14 @@ object Similarity {
     * corpus vector lives in exactly one cell, so candidates need no dedup.
     */
   def ivfTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
-              nprobe: Int = 2, step: Long = 100L): DataFrame = {
+              nprobe: Int = 2, step: Long = 100L,
+              calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
+    // resolve the step ONCE here so the probe's own centroid pick and
+    // the persisted ivfIndex assignment see the same calibrated cells
+    val stepR = if (calibrate) calibrateIvfStep(embeddings.count(), step) else step
     val e = embD("embedding")
-    val cents = embeddings.filter(col("vec_id") % step === 0)
+    val cents = embeddings.filter(col("vec_id") % stepR === 0)
       .select(col("vec_id").as("cell"), e.as("c_emb"),
         sqrt(NativeVectorOps.dot(e, e)).as("c_norm"))
     val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell").desc)
@@ -412,7 +447,7 @@ object Similarity {
     // |corpus|×|cents| argmax inside every probe was the r3 regression
     val scored = embeddings
       .select(col("vec_id"), e.as("d_emb"), sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
-      .join(ivfIndex(embeddings, step), Seq("vec_id"))
+      .join(ivfIndex(embeddings, stepR, calibrate = false), Seq("vec_id"))
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
@@ -1004,14 +1039,15 @@ object Similarity {
     */
   def ivfPqTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
                 nprobe: Int = 2, step: Long = 100L,
-                candidates: Int = 20): DataFrame = {
+                candidates: Int = 20, calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
+    val stepR = if (calibrate) calibrateIvfStep(embeddings.count(), step) else step
     val cents = pqCentroids(embeddings)
-    val qCells = probeCells(embeddings, queryMaxId, nprobe, step)
+    val qCells = probeCells(embeddings, queryMaxId, nprobe, stepR)
     val dtable = pqDistanceTables(embeddings, cents, queryMaxId)
     // candidates: codes of vectors in probed cells, ADC-scored
     val adc = pqAssign(embeddings, cents).select("vec_id", "codes")
-      .join(ivfIndex(embeddings, step), Seq("vec_id"))
+      .join(ivfIndex(embeddings, stepR, calibrate = false), Seq("vec_id"))
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(dtable), Seq("q_id"))
@@ -1033,10 +1069,15 @@ object Similarity {
     * (equi-join on `cell`), never across the corpus. At 100 TB the
     * assignment is the cell-bucketed Storage table, making the self-join
     * exchange-free; the per-cell pair count is the knob `step` controls
-    * (more centroids → smaller cells → less pair work, lower recall).
+    * (more centroids → smaller cells → less pair work, lower recall),
+    * and `calibrate` resolves it to the √(2n) balance point past the
+    * test-SF floor ([[calibrateIvfStep]] — pair work and assignment work
+    * meet at ~√2·n^1.5; a fixed step keeps pairing linear but lets the
+    * assignment crossJoin go quadratic).
     * Output: every vector with its cell and a `kept` verdict.
     */
-  def semanticDedup(embeddings: DataFrame, threshold: Double, step: Long = 100L): DataFrame = {
+  def semanticDedup(embeddings: DataFrame, threshold: Double, step: Long = 100L,
+                    calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val e = embD("embedding")
     // persisted: withCell feeds the pair join's BOTH sides and the final
@@ -1045,7 +1086,7 @@ object Similarity {
     // regression class; see ivfIndex)
     val withCell = embeddings
       .select(col("vec_id"), e.as("emb"), sqrt(NativeVectorOps.dot(e, e)).as("nrm"))
-      .join(ivfCells(embeddings, step), Seq("vec_id"))
+      .join(ivfCells(embeddings, step, calibrate), Seq("vec_id"))
       .persist()
     val a = withCell.select(col("cell"), col("vec_id").as("keep_id"),
       col("emb").as("a_emb"), col("nrm").as("a_nrm"))

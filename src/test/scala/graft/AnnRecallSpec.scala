@@ -232,6 +232,57 @@ class AnnRecallSpec extends SparkSpec {
       s"calibration must at least halve candidate work: $calibrated vs $fixed")
   }
 
+  test("calibrateIvfStep: default floor at test-SF sizes, sqrt(2n) balance beyond, broadcast clamp") {
+    import Similarity.calibrateIvfStep
+    // floor: every driver SF keeps the oracle-pinned step-100 cells
+    assert(calibrateIvfStep(500L) === 100L)   // sf0.001 / sf0.01
+    assert(calibrateIvfStep(2000L) === 100L)  // sf0.1
+    assert(calibrateIvfStep(10000L) === 100L) // floor edge: n <= step^2
+    assert(calibrateIvfStep(10001L) !== 100L)
+    // sqrt(2n): where assignment work n^2/step meets pair work n*step/2
+    assert(calibrateIvfStep(200000L) === math.round(math.sqrt(400000.0)))
+    // the centroid broadcast stays bounded: cells = n/step <= 65536
+    for (n <- Seq(20000L, 200000L, 10000000L, 10000000000L)) {
+      val s = calibrateIvfStep(n)
+      assert(n / s <= 65536L, s"n=$n step=$s cells=${n / s}")
+    }
+    // monotone: more data never shrinks the step
+    val ss = Seq(10001L, 50000L, 200000L, 5000000L).map(calibrateIvfStep(_))
+    assert(ss === ss.sorted)
+  }
+
+  test("calibrated IVF cells: planted semantic dups survive calibration, no false drops") {
+    import spark.implicits._
+    // 12000 vectors — past the 10000-vector floor, so calibration fires
+    // (step 155, ~77 cells). 11880 independent gaussians + 60 planted
+    // near-dup pairs at cosine ~0.999; semanticDedup must drop exactly
+    // the higher-id twin (twins share their argmax centroid almost
+    // surely at this noise level — the recall the calibrated cell size
+    // is allowed to cost is pinned at 0.9).
+    val rnd = new scala.util.Random(43)
+    def gauss(): Array[Float] = Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 11880).map(i => (i.toLong, gauss()))
+    val planted = (0 until 60).flatMap { i =>
+      val u = gauss()
+      val v = u.zip(gauss()).map { case (x, g) => x + 0.05f * g }
+      Seq((20000L + 2 * i, u), (20000L + 2 * i + 1, v))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val step = Similarity.calibrateIvfStep(12000L)
+    assert(step !== 100L, "calibration must fire past the floor")
+    val dropped = Similarity.semanticDedup(emb, 0.90)
+      .filter(!org.apache.spark.sql.functions.col("kept"))
+      .select("vec_id").as[Long].collect().toSet
+    val expected = (0 until 60).map(i => 20000L + 2 * i + 1).toSet
+    val found = dropped.intersect(expected)
+    info(s"planted dups dropped: ${found.size}/60 under calibrated step=$step; " +
+      s"false drops: ${(dropped -- expected).size}")
+    // random 64-dim gaussian cosines are ~N(0, 1/64): 0.90 is 7.2 sigma,
+    // so any non-planted drop is a real defect, not noise
+    assert((dropped -- expected).isEmpty, s"false drops: ${dropped -- expected}")
+    assert(found.size >= 54, s"calibrated-cell dup recall collapsed: ${found.size}/60")
+  }
+
   test("capBucketWidth bounds a degenerate bucket and the lost pairs are exactly quantified") {
     import spark.implicits._
     // adversarial skew: 300 IDENTICAL vectors — every table maps all of
