@@ -606,14 +606,32 @@ object Dedup {
     * banding as a pre-filter the way q35 does for Jaccard.
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 5, prefixLen: Int = 120,
-                        bucketWidth: Int = 16): DataFrame = {
+                        bucketWidth: Int = 16,
+                        maxBlockWidth: Option[Int] = None): DataFrame = {
     require(maxDist < bucketWidth, "b/b+1 co-blocking is only complete for maxDist < bucketWidth")
-    val keyed = docs.select(col("doc_id"), col("lang"),
+    val keyedAll = docs.select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("__p"),
         length(col("text")).as("__len"),
         expr(s"length(text) div $bucketWidth").as("__b"))
       .select(col("doc_id"), col("lang"), col("__p"), col("__len"),
         explode(array(col("__b"), col("__b") + 1)).as("__k"))
+    // adversarial same-length skew guard (the capBucketWidth /
+    // containmentPairs(maxShingleDf) / RecordLinkage.link(maxBlockWidth)
+    // convention): a corpus where everything shares one length bucket
+    // makes the block self-join N² — the cap keeps the `cap` lowest
+    // doc_ids per (lang, bucket) block, bounding it to cap² at a
+    // quantified recall cost (a pair is lost only when BOTH ends sit
+    // past the cap in both of their shared blocks). Default None keeps
+    // the operator exact — the r9 zipf measurement shows realistic
+    // growth is linear without it; the knob exists for the pathological
+    // case the docstring's minhash pre-filter composition also covers.
+    val keyed = maxBlockWidth match {
+      case None => keyedAll
+      case Some(cap) =>
+        val w = Window.partitionBy("lang", "__k").orderBy("doc_id")
+        keyedAll.withColumn("__bw_rn", row_number().over(w))
+          .filter(col("__bw_rn") <= cap).drop("__bw_rn")
+    }
     val lhs = keyed.select(col("lang"), col("__k"),
       col("doc_id").as("doc_id_a"), col("__p").as("__pa"), col("__len").as("__la"))
     val rhs = keyed.select(col("lang"), col("__k"),

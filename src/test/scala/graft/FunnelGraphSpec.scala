@@ -246,6 +246,24 @@ class FunnelGraphSpec extends SparkSpec {
     assert(got == List((1L, 2L, 0L)))
   }
 
+  test("editdist: maxBlockWidth bounds a same-length skew block, lost pairs quantified") {
+    // adversarial skew: 40 docs of IDENTICAL length (and text) — one
+    // (lang, bucket) block, C(40,2) = 780 uncapped pairs (every pair
+    // dist 0). Cap 10 keeps the 10 lowest doc_ids per block: pairs
+    // survive only with BOTH ends under the cap -> C(10,2) = 45, and
+    // every survivor involves the lowest ids (the canonical-survivor
+    // convention shared with capBucketWidth).
+    val docs = (1L to 40L).map(i => (i, "q" * 32, "en")).toDF("doc_id", "text", "lang")
+    val uncapped = Dedup.editDistancePairs(docs).count()
+    assert(uncapped == 780L)
+    val capped = Dedup.editDistancePairs(docs, maxBlockWidth = Some(10))
+      .as[(Long, Long, Long)].collect()
+    assert(capped.length == 45)
+    assert(capped.forall { case (a, b, _) => a <= 10L && b <= 10L })
+    // defaults stay exact: None reproduces the uncapped result
+    assert(Dedup.editDistancePairs(docs, maxBlockWidth = None).count() == uncapped)
+  }
+
   test("kCore: cascade peels a chain hanging off a K4; the core survives intact") {
     // K4 on 1-4 (degree 3 inside the core) + chain 4-5-6-7. k=2: node 7
     // (deg 1) peels in round 1, which drops 6 to deg 1 (round 2), then 5
