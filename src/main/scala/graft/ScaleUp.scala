@@ -156,15 +156,29 @@ object ScaleProbe {
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
     val n = emb.count()
     val (tabs, planes) = Similarity.calibrateLshGeometry(n)
-    val buckets = Similarity.lshBucketsMulti(emb, tabs, planes).persist()
-    val widths = buckets.groupBy("t", "bucket").agg(count(lit(1)).as("w"))
+    val bucketsAll = Similarity.lshBucketsMulti(emb, tabs, planes).persist()
+    val widths = bucketsAll.groupBy("t", "bucket").agg(count(lit(1)).as("w"))
     val maxWidth = widths.agg(max("w")).head().getLong(0)
-    val a = buckets.select(col("vec_id").as("d1"), col("t"), col("bucket"))
-    val b = buckets.select(col("vec_id").as("d2"), col("t"), col("bucket"))
-    val candidates = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct().count()
-    println(s"""{"metric":"lsh_probe","dir":"$dir","n":$n,"tables":$tabs,"planes":$planes,"candidates":$candidates,"max_bucket_width":$maxWidth}""")
+    // BOTH counts (r9 ADVICE): `candidates` applies the shipped
+    // nearDupPairsLsh default capBucketWidth = Some(1000) so SCALING
+    // artifacts reflect the operator's real work; `candidates_uncapped`
+    // keeps the raw within-bucket pairing for defect-class comparisons
+    // with earlier rounds' numbers.
+    def pairCount(buckets: org.apache.spark.sql.DataFrame): Long = {
+      val a = buckets.select(col("vec_id").as("d1"), col("t"), col("bucket"))
+      val b = buckets.select(col("vec_id").as("d2"), col("t"), col("bucket"))
+      a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct().count()
+    }
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("t", "bucket").orderBy("vec_id")
+    val capped = bucketsAll.withColumn("bw_rn", row_number().over(wCap))
+      .filter(col("bw_rn") <= 1000).drop("bw_rn")
+    val candidates = pairCount(capped)
+    val candidatesUncapped =
+      if (maxWidth <= 1000L) candidates else pairCount(bucketsAll)
+    println(s"""{"metric":"lsh_probe","dir":"$dir","n":$n,"tables":$tabs,"planes":$planes,"candidates":$candidates,"candidates_uncapped":$candidatesUncapped,"max_bucket_width":$maxWidth}""")
     // `deep`: decompose the widest buckets — width distribution and the
     // per-copy (vec_id / 10^7, the ScaleUp shift) makeup of the single
     // widest one, to tell apart "one tight cosine cluster" (cap
@@ -174,7 +188,7 @@ object ScaleProbe {
       widths.orderBy(col("w").desc).limit(10).collect()
         .foreach(r => println(s"[deep]   t=${r.get(0)} bucket=${r.get(1)} w=${r.get(2)}"))
       val top = widths.orderBy(col("w").desc).limit(1).collect()(0)
-      val byCopy = buckets
+      val byCopy = bucketsAll
         .filter(col("t") === top.get(0) && col("bucket") === top.get(1))
         .groupBy((col("vec_id") / lit(10000000L)).cast("long").as("copy"))
         .agg(count(lit(1)).as("c")).orderBy(col("c").desc).limit(10).collect()

@@ -620,11 +620,11 @@ object Dedup {
     // convention): a corpus where everything shares one length bucket
     // makes the block self-join N² — the cap keeps the `cap` lowest
     // doc_ids per (lang, bucket) block, bounding it to cap² at a
-    // quantified recall cost (a pair is lost only when BOTH ends sit
-    // past the cap in both of their shared blocks). Default None keeps
-    // the operator exact — the r9 zipf measurement shows realistic
-    // growth is linear without it; the knob exists for the pathological
-    // case the docstring's minhash pre-filter composition also covers.
+    // quantified recall cost. The real guarantee (r9 ADVICE correction):
+    // a pair is KEPT only when both ends are within the cap of some
+    // shared (lang, bucket) block — lost whenever either end is cut in
+    // every shared block (FunnelGraphSpec's cap fixture pins exactly
+    // this: survivors at cap=10 are the pairs with both ids ≤ 10).
     val keyed = maxBlockWidth match {
       case None => keyedAll
       case Some(cap) =>

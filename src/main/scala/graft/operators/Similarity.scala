@@ -560,8 +560,11 @@ object Similarity {
     * tables, no-op at test-SF sizes), and `capBucketWidth` — a
     * deterministic skew guard that keeps only the `cap` lowest vec_ids
     * per (table, bucket), turning a runaway bucket's N² into cap² at a
-    * quantified recall cost (only pairs with BOTH ends past the cap in
-    * every colliding table are lost) — defaults to 1000 = 8× the
+    * quantified recall cost. The real guarantee (r9 ADVICE correction):
+    * a pair SURVIVES only if BOTH ends rank within the cap in at least
+    * one shared bucket — it is lost whenever either end is cut in every
+    * bucket the two share (AnnRecallSpec's cap test pins exactly this).
+    * The default 1000 = 8× the
     * calibration's target width, so it never fires on a
     * calibration-balanced corpus (expected width ≈125) and exists purely
     * for adversarial skew (mass-identical vectors all hashing to one

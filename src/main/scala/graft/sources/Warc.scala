@@ -119,15 +119,17 @@ object Warc {
           s"missing WARC/1.0 version line at offset $p")
         val clenStr = wh.getOrElse("content-length",
           throw new IllegalArgumentException("record without Content-Length"))
-        // <= 9 digits: a 10-digit value can exceed Int.MaxValue and
-        // toInt would throw NumberFormatException, bypassing this
-        // require's descriptive framing message (any real record is
-        // bounded by raw.length, itself an Int)
-        require(clenStr.nonEmpty && clenStr.forall(_.isDigit) && clenStr.length <= 9,
+        // parse as Long then bound by Int.MaxValue: the old `<= 9 digits`
+        // cap wrongly rejected valid 10-digit lengths in
+        // [1000000000, 2147483647] (r9 ADVICE); <= 18 digits keeps toLong
+        // overflow-free while still failing under the documented framing
+        // message, and any real record is bounded by raw.length (an Int)
+        require(clenStr.nonEmpty && clenStr.forall(_.isDigit) && clenStr.length <= 18,
           s"non-numeric Content-Length '$clenStr' at offset $p")
-        val clen = clenStr.toInt
-        require(clen >= 0 && hEnd + 4 + clen <= raw.length,
-          s"Content-Length $clen overruns input at offset $p")
+        val clenL = clenStr.toLong
+        require(clenL <= Int.MaxValue && hEnd + 4 + clenL <= raw.length,
+          s"Content-Length $clenL overruns input at offset $p")
+        val clen = clenL.toInt
         val block = java.util.Arrays.copyOfRange(raw, hEnd + 4, hEnd + 4 + clen)
         val rec =
           if (wh.getOrElse("warc-type", "") == "response"
