@@ -582,34 +582,60 @@ object Similarity {
         calibrateLshGeometry(embeddings.filter(col("embedding").isNotNull).count(),
           tables, planesPerTable)
       else (tables, planesPerTable)
-    val bucketsAll = lshBucketsMulti(embeddings, tabs, planes)
-    val buckets = capBucketWidth match {
-      case None => bucketsAll
-      case Some(cap) =>
-        val w = Window.partitionBy("t", "bucket").orderBy("vec_id")
-        bucketsAll.withColumn("bw_rn", row_number().over(w))
-          .filter(col("bw_rn") <= cap).drop("bw_rn")
-    }
-    val a = buckets.select(col("vec_id").as("d1"), col("t"), col("bucket"))
-    val b = buckets.select(col("vec_id").as("d2"), col("t"), col("bucket"))
+    // FUSED scoring (round 10): the vector and its once-computed norm
+    // ride the (t, bucket) exchange WITH the bucket row, cosine is
+    // computed inside the bucket self-join stage, and the cross-table
+    // dedup runs AFTER thresholding on the tiny survivor set. The r9
+    // shape (bare-id pairs → distinct → two array joins) shuffled the
+    // 64-double embeddings once per CANDIDATE PAIR — measured ~110 GB at
+    // sf10 (208M candidates), the shuffle that forced the 48 g/256-
+    // partition env overrides and q118's run-to-run variance. Here the
+    // arrays shuffle once per (vector × table) row — n·L·~550 B ≈ 1.6 GB
+    // at the same scale, 70× less — and the per-collision cosine (64
+    // mul-adds, whole-stage codegen) is far cheaper than shipping the
+    // same pair's 1 KB of arrays through an exchange. Duplicate
+    // collisions across tables recompute an identical cosine and
+    // collapse in the terminal distinct — same IEEE expression tree as
+    // the joined form, so every surviving (d1, d2, cosine) row is
+    // bit-identical to the r9 output (hashes unchanged).
+    val bucketed = bucketedWithVec(embeddings, tabs, planes, capBucketWidth)
+    val a = bucketed.select(col("vec_id").as("d1"), col("t"), col("bucket"),
+      col("__emb").as("e1"), col("__nrm").as("n1"))
+    val b = bucketed.select(col("vec_id").as("d2"), col("t"), col("bucket"),
+      col("__emb").as("e2"), col("__nrm").as("n2"))
     // shuffle (not broadcast) self-join: both sides canonicalize to the
-    // same exchange → the bucket pipeline runs once (ReusedExchange)
-    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
+    // same exchange → the bucket+vector pipeline runs once (ReusedExchange)
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    // norms computed ONCE per vector and joined in — candidate pairs far
-    // outnumber vectors, so recomputing sqrt(dot(v,v)) per pair would
-    // triple the scoring work. Same IEEE values, so cosine is unchanged.
-    val e = embD("embedding")
-    val e1 = embeddings.select(col("vec_id").as("d1"), e.as("e1"),
-      sqrt(NativeVectorOps.dot(e, e)).as("n1"))
-    val e2 = embeddings.select(col("vec_id").as("d2"), e.as("e2"),
-      sqrt(NativeVectorOps.dot(e, e)).as("n2"))
-    pairs.join(e1, Seq("d1")).join(e2, Seq("d2"))
       .withColumn("cosine",
         NativeVectorOps.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= threshold)
-      .select("d1", "d2", "cosine")
+      .select("d1", "d2", "cosine").distinct()
+  }
+
+  /** (vec_id, t, bucket, __emb, __nrm) — multi-table buckets with the
+    * double-cast vector and its norm inline, optionally width-capped:
+    * the shared candidate-side input of [[nearDupPairsLsh]] and
+    * [[semanticContamination]]. One scan, zero joins: buckets come from
+    * the same fused element-major pass as [[lshBucketsMulti]] and the
+    * norm is the identical sqrt(dot(e,e)) expression the r9 join-back
+    * form used, so downstream cosines are bit-identical.
+    */
+  private def bucketedWithVec(embeddings: DataFrame, tabs: Int, planes: Int,
+                              capBucketWidth: Option[Int]): DataFrame = {
+    val e = embD("embedding")
+    val all = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), e.as("__emb"), sqrt(NativeVectorOps.dot(e, e)).as("__nrm"),
+        posexplode(NativeVectorOps.lshBuckets(e, tabs, planes, Dim)))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"),
+        col("__emb"), col("__nrm"))
+    capBucketWidth match {
+      case None => all
+      case Some(cap) =>
+        val w = Window.partitionBy("t", "bucket").orderBy("vec_id")
+        all.withColumn("bw_rn", row_number().over(w))
+          .filter(col("bw_rn") <= cap).drop("bw_rn")
+    }
   }
 
   /** Embedding-space train→eval contamination — the SEMANTIC complement
@@ -640,19 +666,24 @@ object Similarity {
           tables, planesPerTable)
       else (tables, planesPerTable)
     val isTrain = graft.functions.TextOps.hash32(col("vec_id").cast("string")) % 100 < 90
-    val buckets = lshBucketsMulti(embeddings, tabs, planes)
-    val tr = buckets.filter(isTrain)
-      .select(col("vec_id").as("train_id"), col("t"), col("bucket"))
-    val va = buckets.filter(!isTrain)
-      .select(col("vec_id").as("eval_id"), col("t"), col("bucket"))
-    val pairs = va.hint("shuffle_hash").join(tr.hint("shuffle_hash"), Seq("t", "bucket"))
-      .select("eval_id", "train_id").distinct()
-    val e = embD("embedding")
-    val ev = embeddings.select(col("vec_id").as("eval_id"), e.as("v_emb"),
-      sqrt(NativeVectorOps.dot(e, e)).as("v_norm"))
-    val te = embeddings.select(col("vec_id").as("train_id"), e.as("t_emb"),
-      sqrt(NativeVectorOps.dot(e, e)).as("t_norm"))
-    pairs.join(ev, Seq("eval_id")).join(te, Seq("train_id"))
+    // FUSED scoring (round 10, the nearDupPairsLsh restructure): both
+    // sides carry their vector + norm through the (t, bucket) exchange
+    // and cosine is computed inside the bucket join stage. No pair-keyed
+    // distinct is needed at all here — a pair colliding in several
+    // tables recomputes an IDENTICAL cosine, and the terminal per-eval
+    // argmax (max of (cosine, train_id) structs, partially aggregated
+    // map-side) is invariant under duplicates. This removes both
+    // pair-grain shuffles the r9 shape paid (the distinct and the
+    // array join-back, ~per-candidate KB at sf10) — the source of
+    // q118's adjudicated 2.8× run-to-run spread at 200k vectors.
+    val bucketed = bucketedWithVec(embeddings, tabs, planes, None)
+    val tr = bucketed.filter(isTrain)
+      .select(col("vec_id").as("train_id"), col("t"), col("bucket"),
+        col("__emb").as("t_emb"), col("__nrm").as("t_norm"))
+    val va = bucketed.filter(!isTrain)
+      .select(col("vec_id").as("eval_id"), col("t"), col("bucket"),
+        col("__emb").as("v_emb"), col("__nrm").as("v_norm"))
+    va.hint("shuffle_hash").join(tr.hint("shuffle_hash"), Seq("t", "bucket"))
       .withColumn("cosine",
         NativeVectorOps.dot(col("v_emb"), col("t_emb")) / (col("v_norm") * col("t_norm")))
       .groupBy("eval_id")
