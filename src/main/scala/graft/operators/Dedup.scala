@@ -426,10 +426,46 @@ object Dedup {
     * only on candidates via keyed joins. No all-pairs, no broadcast
     * corpus, no missed pairs.
     */
+  /** Corpus-calibrated shingle document-frequency cap for
+    * [[containmentPairs]] — the round-10 closure of the board's last
+    * measured super-linear residual (SCALING_r9 decade-2 zipf: 15.8× for
+    * 10× data with spill, because the prefix-filter's candidate blocks
+    * grow with the 100× shingle dictionary).
+    *
+    * Cost model: candidate work is Σ over joined shingles of
+    * df_prefix(s)·df(s). A cap C bounds every term by C², so the hot
+    * tail's contribution is (#capped shingles)·C²; choosing C = 2·⌈√n⌉
+    * keeps that contribution linear in n for any df distribution with a
+    * bounded number of corpus-boilerplate shingles — the same
+    * growth-rate target calibrateLshGeometry hits for the LSH family.
+    * Below `floorDocs` (20k — 4× the largest test SF's 5k docs) the cap
+    * is None (EXACT), so q86's pinned oracle hashes are unchanged at
+    * sf0.001/0.01/0.1 by construction.
+    *
+    * Recall posture: the prefix filter joins each doc's ~(1−τ) RAREST
+    * shingles, so a capped shingle is one shared by > 2√n documents —
+    * at 500k docs a >0.28%-of-corpus boilerplate fragment. A pair is
+    * lost only if every prefix shingle it shares is that hot (DedupSpec
+    * pins the trade on a zipf fixture).
+    */
+  def calibrateShingleDfCap(nDocs: Long, floorDocs: Long = 20000L): Option[Int] =
+    if (nDocs <= floorDocs) None
+    else Some(math.max(2 * math.ceil(math.sqrt(nDocs.toDouble)).toInt,
+      2 * math.ceil(math.sqrt(floorDocs.toDouble)).toInt))
+
   def containmentPairs(docs: DataFrame, tauPct: Int = 70,
-                       maxShingleDf: Option[Int] = None): DataFrame = {
+                       maxShingleDf: Option[Int] = None,
+                       calibrate: Boolean = true): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct must be in (0,100], got $tauPct")
     require(maxShingleDf.forall(_ > 0), "maxShingleDf must be positive when set")
+    // corpus-calibrated df-cap, ON by default (round 10 — the same
+    // posture shift calibrateLshGeometry made for q73 in r9): an
+    // explicit maxShingleDf wins; otherwise the cap resolves from the
+    // corpus document count, floored to EXACT (None) at test-SF sizes
+    // so every pinned oracle hash is unchanged. One count() job — the
+    // calibrateLshGeometry cost model.
+    val dfCap = maxShingleDf.orElse(
+      if (calibrate) calibrateShingleDfCap(docs.count()) else None)
     // the verification step's size(array_intersect(...)) rewrites to the
     // count-only IntersectCount when the rule is installed
     graft.plans.GraftRules.install(docs.sparkSession)
@@ -450,17 +486,17 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist()
     // Per-shingle width cap (the production guard the round-8 scaling
-    // audit names for q86): a shingle shared by more than `maxShingleDf`
+    // audit names for q86): a shingle shared by more than the cap
     // documents fans out df² candidate pairs through the join below, and
     // past a point such a shingle is corpus boilerplate that carries no
     // containment signal anyway. Capping is a RECALL trade, unlike the
     // prefix bound (which is exact): a pair is lost only if EVERY
     // prefix shingle it shares is hotter than the cap — never a false
     // positive, since the exact set-intersection verification still runs
-    // on whatever candidates survive. Default None keeps the operator
-    // exact (q86's pinned hashes); DedupSpec quantifies the trade on a
-    // hot-shingle fixture.
-    def capped(df: DataFrame): DataFrame = maxShingleDf match {
+    // on whatever candidates survive. The calibrated default floors to
+    // None (exact) below 20k docs, covering every test SF; DedupSpec
+    // quantifies the trade on a hot-shingle zipf fixture.
+    def capped(df: DataFrame): DataFrame = dfCap match {
       case None      => df
       case Some(cap) => df.filter(col("df") <= cap)
     }
@@ -605,10 +641,30 @@ object Dedup {
     * pathological same-length skew, compose with [[minhashWide]]'s LSH
     * banding as a pre-filter the way q35 does for Jaccard.
     */
+  /** Corpus-calibrated (lang, length-bucket) block-width cap for
+    * [[editDistancePairs]] — same posture as [[calibrateShingleDfCap]]:
+    * block pair-work is width², so capping width at 4·⌈√n⌉ bounds any
+    * single block's work at 16n while real blocks (corpus length
+    * histogram spread over ~bucketWidth-char bins × languages) sit far
+    * below it; only pathological same-length stacking is cut. Floors to
+    * None (exact) below 20k docs, so q137's pinned oracle hashes are
+    * unchanged at every test SF.
+    */
+  def calibrateBlockWidthCap(nDocs: Long, floorDocs: Long = 20000L): Option[Int] =
+    if (nDocs <= floorDocs) None
+    else Some(4 * math.ceil(math.sqrt(nDocs.toDouble)).toInt)
+
   def editDistancePairs(docs: DataFrame, maxDist: Int = 5, prefixLen: Int = 120,
                         bucketWidth: Int = 16,
-                        maxBlockWidth: Option[Int] = None): DataFrame = {
+                        maxBlockWidth: Option[Int] = None,
+                        calibrate: Boolean = true): DataFrame = {
     require(maxDist < bucketWidth, "b/b+1 co-blocking is only complete for maxDist < bucketWidth")
+    // calibrated default (round 10): explicit maxBlockWidth wins;
+    // otherwise the cap resolves from the corpus count, floored to exact
+    // at test-SF sizes (one count() job, the calibrateLshGeometry cost
+    // model). calibrate = false restores the r9 always-exact behavior.
+    val widthCap = maxBlockWidth.orElse(
+      if (calibrate) calibrateBlockWidthCap(docs.count()) else None)
     val keyedAll = docs.select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("__p"),
         length(col("text")).as("__len"),
@@ -625,7 +681,7 @@ object Dedup {
     // shared (lang, bucket) block — lost whenever either end is cut in
     // every shared block (FunnelGraphSpec's cap fixture pins exactly
     // this: survivors at cap=10 are the pairs with both ids ≤ 10).
-    val keyed = maxBlockWidth match {
+    val keyed = widthCap match {
       case None => keyedAll
       case Some(cap) =>
         val w = Window.partitionBy("lang", "__k").orderBy("doc_id")

@@ -249,6 +249,49 @@ class DedupSpec extends SparkSpec {
     info(s"maxShingleDf=5: kept=${capped.size} lost=${lost.size} of ${full.size}")
   }
 
+  test("calibrateShingleDfCap: exact floor covers every test SF, √n growth past it") {
+    // the floor is load-bearing: every driver corpus (500/500/5000 docs)
+    // must resolve to None so q86's pinned oracle hashes never move
+    for (n <- Seq(0L, 500L, 5000L, 20000L))
+      assert(Dedup.calibrateShingleDfCap(n).isEmpty, s"n=$n must stay exact")
+    assert(Dedup.calibrateShingleDfCap(20001L).contains(284))  // 2·⌈√20001⌉
+    assert(Dedup.calibrateShingleDfCap(500000L).contains(1416)) // 2·⌈√500000⌉
+    // monotone non-decreasing past the floor (no calibration cliff)
+    val caps = Seq(30000L, 100000L, 1000000L, 100000000L)
+      .map(Dedup.calibrateShingleDfCap(_).get)
+    assert(caps == caps.sorted)
+  }
+
+  test("containment calibrated default: zipf fixture past the floor — boilerplate capped, clean pair exact") {
+    // zipf-shaped df distribution at n > floorDocs: one df=400 boilerplate
+    // head, a df=2 clean truncation pair, and a 20k unique-shingle tail.
+    // n = 20402 → calibrated cap = 2·⌈√20402⌉ = 286 < 400, so the cap
+    // fires on exactly the boilerplate shingles and nothing else.
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val hot = (1L to 400L).map(i => (i, s"$boiler tail$i"))
+    val clean = Seq(
+      (100100L, "zebra quokka wombat numbat bilby dunnart"),
+      (100101L, "zebra quokka wombat numbat bilby dunnart plus extra words here"))
+    val tail = (1L to 20000L).map(i => (200000L + i, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val corpus = (hot ++ clean ++ tail).toDF("doc_id", "text")
+    val calibrated = Dedup.containmentPairs(corpus, tauPct = 70)
+      .select("a", "b", "containment").as[(Long, Long, Double)].collect()
+    val pairs = calibrated.map { case (a, b, _) => (a, b) }.toSet
+    // the clean rare-shingle pair survives with its exact score
+    assert(pairs.contains((100100L, 100101L)))
+    assert(calibrated.collect { case (100100L, 100101L, c) => c }.head == 1.0)
+    // boilerplate-mediated pairs are cut (the bounded-work trade) and the
+    // unique-shingle tail generates nothing — survivors are ONLY clean
+    assert(pairs == Set((100100L, 100101L)),
+      s"calibrated cap must cut exactly the boilerplate pairs: $pairs")
+    // calibrate = false restores the exact (super-linear) behavior
+    val exactPairs = Dedup.containmentPairs(corpus, tauPct = 70, calibrate = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exactPairs) && (exactPairs -- pairs)
+      .forall { case (a, b) => a <= 400L && b <= 400L })
+    info(s"calibrated kept=${pairs.size}, exact=${exactPairs.size}")
+  }
+
   test("keepCanonical: one best-quality survivor per cluster, singletons survive") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", 44L),

@@ -260,8 +260,45 @@ class FunnelGraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(capped.length == 45)
     assert(capped.forall { case (a, b, _) => a <= 10L && b <= 10L })
-    // defaults stay exact: None reproduces the uncapped result
+    // defaults stay exact AT THIS SIZE: 40 docs is far under the 20k
+    // calibration floor, so the calibrated default resolves to None
     assert(Dedup.editDistancePairs(docs, maxBlockWidth = None).count() == uncapped)
+  }
+
+  test("editdist calibrateBlockWidthCap: exact floor at test SFs, 4√n past it") {
+    for (n <- Seq(0L, 500L, 5000L, 20000L))
+      assert(Dedup.calibrateBlockWidthCap(n).isEmpty, s"n=$n must stay exact")
+    assert(Dedup.calibrateBlockWidthCap(20001L).contains(568))   // 4·⌈√20001⌉
+    assert(Dedup.calibrateBlockWidthCap(500000L).contains(2832)) // 4·⌈√500000⌉
+  }
+
+  test("editdist calibrated default fires past the floor: skew block bounded, low-id pair kept") {
+    // 20,050 same-length docs in ONE (lang, bucket) block — the
+    // pathological stacking case. Uncapped this is 200M levenshtein
+    // pairs; the calibrated cap (4·⌈√20050⌉ = 568) keeps the 568 lowest
+    // doc_ids, so the planted low-id near-pair survives and the planted
+    // high-id near-pair is cut. All filler docs embed their id six
+    // times, so any two are ≥ 6 > maxDist apart and never pair.
+    def filler(i: Long) = { val s = f"$i%06d"; s"$s $s $s $s $s $s pad" }
+    val docs = ((3L to 20048L).map(i => (i, filler(i), "en")) ++ Seq(
+      (1L, "aaaaaa bbbbbb cccccc dddddd eeeeee ffffff pad", "en"),
+      (2L, "aaaaaa bbbbbb cccccc dddddd eeeeee ffffgg pad", "en"),   // dist 2 from 1
+      (20049L, "uuuuuu vvvvvv wwwwww xxxxxx yyyyyy zzzzzz pad", "en"),
+      (20050L, "uuuuuu vvvvvv wwwwww xxxxxx yyyyyy zzzzgg pad", "en") // dist 2, high ids
+    )).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 2L)), "low-id pair must survive the calibrated cap")
+    assert(!got.exists { case (a, b, _) => a > 568L || b > 568L },
+      "no pair may involve an id past the calibrated cap")
+    // the same high-id pair IS found below the floor (proves only the
+    // cap — not the blocking — is what cut it above)
+    val small = ((3L to 100L).map(i => (i, filler(i), "en")) ++ Seq(
+      (20049L, "uuuuuu vvvvvv wwwwww xxxxxx yyyyyy zzzzzz pad", "en"),
+      (20050L, "uuuuuu vvvvvv wwwwww xxxxxx yyyyyy zzzzgg pad", "en")
+    )).toDF("doc_id", "text", "lang")
+    assert(Dedup.editDistancePairs(small).as[(Long, Long, Long)].collect()
+      .toSet.contains((20049L, 20050L, 2L)))
   }
 
   test("kCore: cascade peels a chain hanging off a K4; the core survives intact") {
