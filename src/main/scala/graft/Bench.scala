@@ -55,19 +55,48 @@ object Bench {
     (1 to 3).map(_ => spin()).min
   }
 
+  /** Initial shuffle partitions derived from the INPUT byte count, not
+    * the CPU count (r9 verdict #4): one partition per ~4 MB of on-disk
+    * parquet, floored at one per core and capped at 4096. Rationale: the
+    * board's heavy queries expand compressed input ~20–50× through
+    * pair-grain shuffles, so 4 MB input ≈ 100–200 MB of peak shuffle
+    * per task — the granularity a production job would pick. At sf0.1
+    * (17 MB) this floors to the core count, so round-over-round bench
+    * numbers are unchanged; at the 100× audit corpus (1.5 GB) it
+    * resolves to ~375 — the same order as the hand-tuned 256 the r9
+    * sf10 legs needed to survive at all. Env override still wins.
+    */
+  private[graft] def autoShufflePartitions(inputBytes: Long, cpus: Int): Int =
+    math.max(cpus, math.min(4096L, inputBytes / (4L << 20))).toInt
+
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    val s = java.nio.file.Files.walk(p)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // input-derived shuffle sizing + driver-heap preflight: the sf10
+    // audit legs used to die "spill-while-spilling" at the default
+    // 8 g / cpu-count config until hand-tuned env landed — the harness
+    // now derives the partition count itself and WARNS (not dies) when
+    // the heap looks undersized for the corpus, so big legs run at
+    // default config and the knob remains for override only.
+    val inputBytes = try dirBytes(java.nio.file.Paths.get(sfDir)) catch { case _: Exception => 0L }
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(autoShufflePartitions(inputBytes, cpus.toInt))
+    val heap = Runtime.getRuntime.maxMemory
+    if (inputBytes * 16 > heap)
+      System.err.println(f"[bench] WARNING: input ${inputBytes / 1e6}%.0f MB vs " +
+        f"driver heap ${heap / 1e9}%.1f GB — heavy pair-grain queries may spill hard; " +
+        "consider SPARK_DRIVER_MEM=16g (or higher)")
+    System.err.println(s"[bench] input=$inputBytes B shuffle.partitions=$shufflePartitions")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // default: one shuffle partition per core. The scaling audit's
-      // synthetic 100× corpora need finer granularity (the pair-scoring
-      // shuffle carries array payloads; 32 fat tasks on one JVM thrash
-      // the unified memory manager into spill-while-spilling) — exactly
-      // the partition-sizing lever a real cluster would turn, exposed
-      // here as an env knob so audit runs don't patch code.
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -82,6 +82,14 @@ class WarcSpec extends SparkSpec {
       assert(!e.isInstanceOf[NumberFormatException],
         s"Content-Length '$cl' must fail via the framing require, not toInt: $e")
     }
+    // r9 ADVICE: a 10-digit value WITHIN Int range (1e9..2147483647) is a
+    // VALID length — it must reach the overrun check (and would parse on
+    // a big-enough buffer), not be rejected as non-numeric by digit count
+    val e = intercept[IllegalArgumentException](Warc.parseAll(
+      ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 1000000000\r\n\r\nx")
+        .getBytes(UTF_8)))
+    assert(e.getMessage.contains("overruns"),
+      s"in-range 10-digit Content-Length must fail as overrun, not framing: $e")
   }
 
   test("streaming shard ingest: new shards picked up incrementally, corrupt shard quarantined") {
