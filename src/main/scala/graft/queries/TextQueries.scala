@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextOps
-import graft.operators.{Multimodal, TextAnalysis, UnigramLm}
+import graft.operators.{H264, Multimodal, TextAnalysis, UnigramLm}
 
 /** Text-analysis + multimodal-plumbing queries over `documents`. */
 object TextQueries {
@@ -693,6 +693,42 @@ object TextQueries {
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       Multimodal.decodeVideoFrames(
         Multimodal.syntheticMjpeg(Tables.documents(s, dir)), stride = 1)
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL H.264 keyframe index: Annex-B streams (hand exp-Golomb SPS +
+    // PPS + slice NALs, IDR every 3rd frame, SEI noise on every 4th id)
+    // are synthesized from the closed-form pattern, then NAL-walked: SPS
+    // parsed for profile/level/dimensions, VCL NALs counted in stream
+    // order, one row per IDR with its payload essence (length, byte
+    // sum). Slice payload bytes are 1..251 (never zero), so the stream
+    // carries no emulation-prevention inside slices and the oracle
+    // recomputes every feature from (doc_id, frame, k) alone. 60 = max
+    // payload len, 9 > max frames (the q180 bounded-unnest idiom).
+    // Entropy decode of slice data stays the decodeStub boundary.
+    QueryDef("q220_h264_idr_index",
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
+        |         CAST(1 + doc_id % 4 AS INT) AS wmbs,
+        |         CAST(1 + doc_id % 3 AS INT) AS hmbs,
+        |         CAST(4 + doc_id % 5 AS INT) AS nf
+        |  FROM documents),
+        |fx AS (SELECT m.*, gf.f
+        |       FROM m, (SELECT unnest(range(0, 9)) AS f) gf
+        |       WHERE gf.f < m.nf AND gf.f % 3 = 0),
+        |bx AS (SELECT fx.doc_id, fx.f, fx.wmbs, fx.hmbs, gk.k,
+        |              (seed + 3*gk.k + 17*fx.f) % 251 + 1 AS v
+        |       FROM fx, (SELECT unnest(range(0, 60)) AS k) gk
+        |       WHERE gk.k < 20 + (7*fx.doc_id + 11*fx.f) % 40)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(16 * wmbs AS INT) AS width,
+        |       CAST(16 * hmbs AS INT) AS height,
+        |       CAST(66 AS INT) AS profile_idc, CAST(30 AS INT) AS level_idc,
+        |       CAST(COUNT(*) AS BIGINT) AS payload_len,
+        |       CAST(SUM(v) AS BIGINT) AS payload_sum
+        |FROM bx GROUP BY doc_id, f, wmbs, hmbs
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      H264.idrIndex(H264.syntheticStreams(Tables.documents(s, dir)))
         .orderBy("media_id", "frame_idx")
     },
 
