@@ -128,27 +128,48 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // ---- live Derby (the user-visible modvalues table) ----
-    val db = s"soak-${java.util.UUID.randomUUID()}"
-    DriverManager.getConnection(s"jdbc:derby:memory:$db;create=true").close()
-    val connect: () => Connection =
-      () => DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    // ---- the user-visible modvalues table: live Derby (default) or a
+    // live ephemeral Postgres 15 through the hand-written v3 wire client
+    // (SPARK_GRAFT_SOAK_DB=pg — the r9 verdict's stretch: the same
+    // 600 s final-state-exactness contract against the PRODUCTION
+    // dialect, with CONCURRENT upserts: Postgres needs no
+    // SerializedTarget, that lock exists only for Derby's MERGE defect).
+    val dbKind = sys.env.getOrElse("SPARK_GRAFT_SOAK_DB", "derby")
+    val ddl =
+      """CREATE TABLE modvalues (
+        |  device VARCHAR(200) NOT NULL,
+        |  measure_name VARCHAR(200) NOT NULL,
+        |  tag_value REAL,
+        |  measure_value REAL,
+        |  last_updated VARCHAR(64),
+        |  PRIMARY KEY (device, measure_name)
+        |)""".stripMargin
+    val (connect: (() => Connection), target: CurrentValuesSink.UpsertTarget,
+         stopDb: (() => Unit)) = dbKind match {
+      case "derby" =>
+        val db = s"soak-${java.util.UUID.randomUUID()}"
+        DriverManager.getConnection(s"jdbc:derby:memory:$db;create=true").close()
+        val c: () => Connection =
+          () => DriverManager.getConnection(s"jdbc:derby:memory:$db")
+        (c, new SerializedTarget(
+          new JdbcUpsert.Target(c, dialect = JdbcUpsert.AnsiMerge)), () => ())
+      case "pg" =>
+        val server = graft.control.PgEphemeral.start() match {
+          case Right(s) => s
+          case Left(reason) => sys.error(s"SPARK_GRAFT_SOAK_DB=pg but: $reason")
+        }
+        server.createDatabase("soak")
+        val c: () => Connection = () => server.connect("soak")
+        (c, new JdbcUpsert.Target(c, dialect = JdbcUpsert.Postgres),
+          () => server.stop())
+      case other => sys.error(s"unknown SPARK_GRAFT_SOAK_DB '$other' (derby|pg)")
+    }
     locally {
       val c = connect()
       val st = c.createStatement()
-      st.execute(
-        """CREATE TABLE modvalues (
-          |  device VARCHAR(200) NOT NULL,
-          |  measure_name VARCHAR(200) NOT NULL,
-          |  tag_value REAL,
-          |  measure_value REAL,
-          |  last_updated VARCHAR(64),
-          |  PRIMARY KEY (device, measure_name)
-          |)""".stripMargin)
+      st.execute(ddl)
       st.close(); c.close()
     }
-    val target = new SerializedTarget(
-      new JdbcUpsert.Target(connect, dialect = JdbcUpsert.AnsiMerge))
 
     // ---- two framed-socket feed servers ----
     val startMicros = 1704067200000000L
@@ -440,8 +461,9 @@ object Soak {
     val pass = mismatches.isEmpty && aOnline == nDevices &&
       (durationS < 420 || (bOffline == nDevices && silenceEvents.size() >= 1 &&
         mutations.values.forall(_ == 200)))
+    stopDb()
     val json =
-      f"""{"metric":"soak","duration_sec":$durationS,"offered":$offered,"offered_a":$offeredA,"offered_b":$offeredB,"delivered":$del,"delivered_vs_offered":${del.toDouble / offered}%.2f,"relaunches":${relaunches.get()},"config_mutations":{"add":${mutations.getOrElse("add", -1)},"update":${mutations.getOrElse("update", -1)},"delete":${mutations.getOrElse("delete", -1)}},"liveness_offline_transitions":${offlineTransitions.get()},"liveness_online_transitions":${onlineTransitions.get()},"watchdog_silence_events":${silenceEvents.size()},"final_a_online":$aOnline,"final_b_offline":$bOffline,"final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"zero_loss_final_state":${mismatches.isEmpty},"pass":$pass,"timeline":$timelineJson}"""
+      f"""{"metric":"soak","db":"$dbKind","duration_sec":$durationS,"offered":$offered,"offered_a":$offeredA,"offered_b":$offeredB,"delivered":$del,"delivered_vs_offered":${del.toDouble / offered}%.2f,"relaunches":${relaunches.get()},"config_mutations":{"add":${mutations.getOrElse("add", -1)},"update":${mutations.getOrElse("update", -1)},"delete":${mutations.getOrElse("delete", -1)}},"liveness_offline_transitions":${offlineTransitions.get()},"liveness_online_transitions":${onlineTransitions.get()},"watchdog_silence_events":${silenceEvents.size()},"final_a_online":$aOnline,"final_b_offline":$bOffline,"final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"zero_loss_final_state":${mismatches.isEmpty},"pass":$pass,"timeline":$timelineJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -1,9 +1,9 @@
 package graft
 
-import java.nio.file.Files
+
 import java.sql.{Connection, SQLException}
 
-import scala.sys.process._
+
 
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -16,87 +16,28 @@ import graft.streaming.CurrentValuesSink.ModRow
 /** The LIVE Postgres leg for [[JdbcConfigStore]] and [[JdbcUpsert]] —
   * the reference's actual deployment engine (EF over Npgsql). No JDBC
   * driver jar is resolvable offline, so the spec drives the server
-  * through [[PgWire]], the hand-written v3 wire-protocol client. The
-  * spec OWNS the server lifecycle: initdb (trust auth) into a temp dir,
-  * start on a free port, stop and delete afterwards. When the sandbox
-  * lacks the Postgres binaries (or a non-root user to run them as —
-  * postgres refuses root), every test cancels with the reason rather
-  * than failing: the Derby leg (ControlPlaneJdbcSpec/JdbcDerbySpec)
-  * stays the always-on live-engine matrix.
+  * through [[PgWire]], the hand-written v3 wire-protocol client. Server
+  * lifecycle (initdb trust-auth into a temp dir, free port, immediate
+  * stop + delete) lives in [[graft.control.PgEphemeral]], shared with
+  * the soak's `SPARK_GRAFT_SOAK_DB=pg` mode. When the sandbox lacks
+  * the Postgres binaries (or a non-root user to run them as — postgres
+  * refuses root), every test cancels with the reason rather than
+  * failing: the Derby leg (ControlPlaneJdbcSpec/JdbcDerbySpec) stays
+  * the always-on live-engine matrix.
   */
 class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private var dir: java.io.File = _
+  private var server: Option[graft.control.PgEphemeral.Server] = None
   private var port: Int = 0
-  private var binDir: Option[String] = None
-  private var started = false
   private var unavailable: Option[String] = None
 
-  private def sh(cmd: Seq[String]): (Int, String) = {
-    val out = new StringBuilder
-    val logger = ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n'))
-    (Process(cmd).!(logger), out.toString)
-  }
-
-  private def findBin(): Option[String] = {
-    val candidates =
-      new java.io.File("/usr/lib/postgresql").listFiles() match {
-        case null => Array.empty[java.io.File]
-        case vs => vs.sortBy(_.getName).reverse.map(v => new java.io.File(v, "bin"))
-      }
-    (candidates.toSeq :+ new java.io.File("/usr/local/bin"))
-      .find(d => new java.io.File(d, "initdb").canExecute &&
-        new java.io.File(d, "pg_ctl").canExecute)
-      .map(_.getAbsolutePath)
-  }
-
-  /** postgres refuses to run as uid 0; when the JVM is root the server
-    * runs under the `postgres` OS user via runuser.
-    */
-  private def asPg(cmd: Seq[String]): Seq[String] =
-    if ("root" == System.getProperty("user.name"))
-      Seq("runuser", "-u", "postgres", "--") ++ cmd
-    else cmd
-
-  override def beforeAll(): Unit = {
-    binDir = findBin()
-    if (binDir.isEmpty) { unavailable = Some("no Postgres binaries on this box"); return }
-    if ("root" == System.getProperty("user.name")) {
-      val (rc, _) = sh(Seq("id", "-u", "postgres"))
-      if (rc != 0) { unavailable = Some("root JVM and no postgres OS user"); return }
+  override def beforeAll(): Unit =
+    graft.control.PgEphemeral.start() match {
+      case Right(s) => server = Some(s); port = s.port
+      case Left(reason) => unavailable = Some(reason)
     }
-    val bin = binDir.get
-    dir = Files.createTempDirectory("graft-pg").toFile
-    sh(Seq("chmod", "777", dir.getAbsolutePath))
-    if ("root" == System.getProperty("user.name"))
-      sh(Seq("chown", "-R", "postgres:postgres", dir.getAbsolutePath))
-    val data = new java.io.File(dir, "data").getAbsolutePath
-    val (rcInit, initOut) = sh(asPg(Seq(s"$bin/initdb", "-A", "trust", "-D", data, "-U", "postgres")))
-    if (rcInit != 0) { unavailable = Some(s"initdb failed: ${initOut.takeRight(300)}"); return }
-    val ss = new java.net.ServerSocket(0)
-    port = ss.getLocalPort; ss.close()
-    val (rcStart, startOut) = sh(asPg(Seq(s"$bin/pg_ctl", "-D", data,
-      "-o", s"-p $port -k ${dir.getAbsolutePath} -c listen_addresses=127.0.0.1",
-      "-l", new java.io.File(dir, "pg.log").getAbsolutePath, "start")))
-    if (rcStart != 0) { unavailable = Some(s"pg_ctl start failed: ${startOut.takeRight(300)}"); return }
-    // wait for readiness through the wire client itself
-    val deadline = System.nanoTime() + 30_000_000_000L
-    var ok = false
-    while (!ok && System.nanoTime() < deadline) {
-      try { PgWire.connect("127.0.0.1", port, "postgres", "postgres").close(); ok = true }
-      catch { case _: Exception => Thread.sleep(200) }
-    }
-    if (!ok) { unavailable = Some("server did not become ready in 30s"); return }
-    started = true
-  }
 
-  override def afterAll(): Unit = {
-    if (started) {
-      val data = new java.io.File(dir, "data").getAbsolutePath
-      sh(asPg(Seq(s"${binDir.get}/pg_ctl", "-D", data, "-m", "immediate", "stop")))
-    }
-    if (dir != null) sh(Seq("rm", "-rf", dir.getAbsolutePath))
-  }
+  override def afterAll(): Unit = server.foreach(_.stop())
 
   private def live(): Unit = unavailable.foreach(r => cancel(s"live Postgres unavailable: $r"))
 
