@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.functions.HistSketch
 
@@ -97,19 +97,24 @@ object FeatureEng {
     * double domain (dens ≤ ~2^55 here, exact in IEEE), one multiply,
     * one sqrt, one divide, identical op order both engines.
     *
-    * Inputs must be pre-quantized integer columns; overflow bound (the
-    * Pca.scala convention): with |v| ≤ V and group size n, every
-    * statistic is ≤ n²·V² (num, den via n·Σx² ≤ n²·V²), so requiring
-    * n·V ≲ 3·10⁹ keeps all of them exact in Long. Callers at larger n
-    * re-quantize or shard; the bound is enforced via `maxAbs` ×
-    * `expectedMaxRows`.
+    * Inputs must be pre-quantized integer columns. Exactness bounds
+    * (round 10 — the old all-Long form capped n·V at 3·10⁹ and the 100×
+    * audit corpus blew past it into an ANSI overflow): per-ROW products
+    * x·y stay Long, so Σx² needs n·V² ≤ ~4·10¹⁸; the GROUP-level
+    * products n·Σxy and Σx·Σy are computed in Decimal(38,0) — exact
+    * through 10³⁸, i.e. n·V ≤ 10¹⁹, unbounded for any practical corpus.
+    * num/den surface as DOUBLE: each is ONE exact integer rounded once
+    * to IEEE (both engines round the same integer to the same double),
+    * so the output is engine-exact at any scale while corr keeps its
+    * one-multiply/one-sqrt/one-divide contract.
     */
   def corrPairs(df: DataFrame, groupCols: Seq[String],
       metrics: Seq[(String, Column)], maxAbs: Long,
       expectedMaxRows: Long): DataFrame = {
     require(metrics.size >= 2, "corrPairs needs at least two metrics")
-    require(expectedMaxRows * maxAbs <= 3000000000L,
-      s"n·V = ${expectedMaxRows * maxAbs} exceeds the Long-exactness bound 3e9")
+    require(BigInt(expectedMaxRows) * maxAbs * maxAbs <= BigInt("4000000000000000000"),
+      s"n·V² = ${BigInt(expectedMaxRows) * maxAbs * maxAbs} exceeds the per-row " +
+        "Long-exactness bound 4e18 — re-quantize")
     val named = metrics.map { case (nm, c) => nm -> c.cast(LongType) }
     val base = df.select(groupCols.map(col) ++
       named.map { case (nm, c) => c.as(nm) }: _*)
@@ -122,19 +127,22 @@ object FeatureEng {
       })
     val stats = base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), aggs: _*)
+    val dec = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
     val pairRows = for (i <- named.indices; j <- named.indices if i < j) yield {
       val (a, b) = (named(i)._1, named(j)._1)
       struct(lit(s"${a}_$b").as("pair"),
-        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")).as("num"),
-        (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).as("den_x"),
-        (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).as("den_y"))
+        (d(col("n")) * d(col(s"sp_${a}_$b")) - d(col(s"s_$a")) * d(col(s"s_$b"))).as("num"),
+        (d(col("n")) * d(col(s"ss_$a")) - d(col(s"s_$a")) * d(col(s"s_$a"))).as("den_x"),
+        (d(col("n")) * d(col(s"ss_$b")) - d(col(s"s_$b")) * d(col(s"s_$b"))).as("den_y"))
     }
     stats
       .select(groupCols.map(col) :+ col("n") :+
         explode(array(pairRows: _*)).as("p"): _*)
       .select(groupCols.map(col) ++ Seq(col("p.pair").as("pair"), col("n"),
-        col("p.num").as("num"), col("p.den_x").as("den_x"),
-        col("p.den_y").as("den_y"),
+        col("p.num").cast(DoubleType).as("num"),
+        col("p.den_x").cast(DoubleType).as("den_x"),
+        col("p.den_y").cast(DoubleType).as("den_y"),
         when(col("p.den_x") > 0 && col("p.den_y") > 0,
           col("p.num").cast(DoubleType) /
             sqrt(col("p.den_x").cast(DoubleType) * col("p.den_y").cast(DoubleType)))

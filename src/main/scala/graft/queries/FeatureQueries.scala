@@ -73,7 +73,10 @@ object FeatureQueries {
     // lineitem metrics, all sufficient stats from ONE scan/agg; each pair
     // row is the exact rational (num, den_x, den_y) + one
     // multiply/sqrt/divide in double domain — identical op order both
-    // engines. Long-exactness bound n·V ≤ 3e9 enforced in the operator.
+    // engines. Round 10: group-level products run in Decimal(38)/HUGEINT
+    // (the 100x audit corpus overflowed the old all-Long form at 60M
+    // rows) and num/den surface as DOUBLE — one exact integer rounded
+    // once to IEEE, identical in both engines at any scale.
     QueryDef("q168_correlation",
       """WITH m AS (SELECT l_returnflag,
         |                  CAST(l_quantity AS BIGINT) AS qty,
@@ -93,20 +96,32 @@ object FeatureQueries {
         |      FROM m GROUP BY l_returnflag),
         |p AS (
         |  SELECT l_returnflag, 'qty_disc' AS pair, n,
-        |         n * sp_qty_disc - s_qty * s_disc AS num,
-        |         n * ss_qty - s_qty * s_qty AS den_x,
-        |         n * ss_disc - s_disc * s_disc AS den_y FROM s
+        |         CAST(n AS HUGEINT) * sp_qty_disc
+        |           - CAST(s_qty AS HUGEINT) * s_disc AS num,
+        |         CAST(n AS HUGEINT) * ss_qty
+        |           - CAST(s_qty AS HUGEINT) * s_qty AS den_x,
+        |         CAST(n AS HUGEINT) * ss_disc
+        |           - CAST(s_disc AS HUGEINT) * s_disc AS den_y FROM s
         |  UNION ALL
         |  SELECT l_returnflag, 'qty_price', n,
-        |         n * sp_qty_price - s_qty * s_price,
-        |         n * ss_qty - s_qty * s_qty,
-        |         n * ss_price - s_price * s_price FROM s
+        |         CAST(n AS HUGEINT) * sp_qty_price
+        |           - CAST(s_qty AS HUGEINT) * s_price,
+        |         CAST(n AS HUGEINT) * ss_qty
+        |           - CAST(s_qty AS HUGEINT) * s_qty,
+        |         CAST(n AS HUGEINT) * ss_price
+        |           - CAST(s_price AS HUGEINT) * s_price FROM s
         |  UNION ALL
         |  SELECT l_returnflag, 'disc_price', n,
-        |         n * sp_disc_price - s_disc * s_price,
-        |         n * ss_disc - s_disc * s_disc,
-        |         n * ss_price - s_price * s_price FROM s)
-        |SELECT l_returnflag, pair, n, num, den_x, den_y,
+        |         CAST(n AS HUGEINT) * sp_disc_price
+        |           - CAST(s_disc AS HUGEINT) * s_price,
+        |         CAST(n AS HUGEINT) * ss_disc
+        |           - CAST(s_disc AS HUGEINT) * s_disc,
+        |         CAST(n AS HUGEINT) * ss_price
+        |           - CAST(s_price AS HUGEINT) * s_price FROM s)
+        |SELECT l_returnflag, pair, n,
+        |       CAST(num AS DOUBLE) AS num,
+        |       CAST(den_x AS DOUBLE) AS den_x,
+        |       CAST(den_y AS DOUBLE) AS den_y,
         |       CASE WHEN den_x > 0 AND den_y > 0
         |            THEN CAST(num AS DOUBLE) /
         |                 sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
@@ -116,7 +131,7 @@ object FeatureQueries {
         Seq("qty" -> col("l_quantity").cast(LongType),
           "disc" -> bround(col("l_discount") * 100, 0).cast(LongType),
           "price" -> floor(col("l_extendedprice") / 100).cast(LongType)),
-        maxAbs = 1100L, expectedMaxRows = 700000L)
+        maxAbs = 1100L, expectedMaxRows = 100000000L)
         .orderBy("l_returnflag", "pair")
     },
 

@@ -68,12 +68,18 @@ class FeatureEngSpec extends SparkSpec {
     assert(out("x_const").isNullAt(6)) // zero variance -> null, not NaN
   }
 
-  test("corrPairs rejects inputs past the Long-exactness bound") {
+  test("corrPairs rejects inputs past the per-row Long-exactness bound") {
     val df = Seq((1L, 1L)).toDF("x", "y").withColumn("g", lit("all"))
+    // round 10: the binding constraint is the PER-ROW Σx² bound
+    // n·V² ≤ 4e18 (group-level products now run in Decimal(38) and are
+    // effectively unbounded); 1e9 rows × (3e5)² = 9e19 exceeds it
     intercept[IllegalArgumentException] {
       FeatureEng.corrPairs(df, Seq("g"), Seq("x" -> col("x"), "y" -> col("y")),
-        maxAbs = 100000L, expectedMaxRows = 100000L)
+        maxAbs = 300000L, expectedMaxRows = 1000000000L)
     }
+    // the old 3e9 n·V limit no longer binds: 1e8 rows × V=1100 is legal
+    FeatureEng.corrPairs(df, Seq("g"), Seq("x" -> col("x"), "y" -> col("y")),
+      maxAbs = 1100L, expectedMaxRows = 100000000L)
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged; ties by id") {
