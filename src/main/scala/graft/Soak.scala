@@ -159,7 +159,13 @@ object Soak {
           case Left(reason) => sys.error(s"SPARK_GRAFT_SOAK_DB=pg but: $reason")
         }
         server.createDatabase("soak")
-        val c: () => Connection = () => server.connect("soak")
+        // capture ONLY the port (an Int): a closure over `server` drags
+        // the non-Serializable lifecycle handle into every executor task
+        // and kills the streaming writers at task-serialization time —
+        // exactly how the first pg soak run delivered 0 rows
+        val pgPort = server.port
+        val c: () => Connection =
+          () => graft.control.PgWire.connect("127.0.0.1", pgPort, "postgres", "soak")
         (c, new JdbcUpsert.Target(c, dialect = JdbcUpsert.Postgres),
           () => server.stop())
       case other => sys.error(s"unknown SPARK_GRAFT_SOAK_DB '$other' (derby|pg)")
@@ -218,7 +224,12 @@ object Soak {
     val delivered = new AtomicLong(0L)
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      // a writer that dies mid-soak must say so in the log: the first pg
+      // run failed silently (task-serialization) and only the final-state
+      // check exposed it — 600 s later
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        e.exception.foreach(msg =>
+          println(s"[soak] QUERY DIED: ${e.runId} -> ${msg.take(400)}"))
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.name == "graft-values") delivered.addAndGet(e.progress.numInputRows)
     })
