@@ -133,6 +133,49 @@ object ScaleUp {
   }
 }
 
+/** Containment-audit probe: the q86 internals for an SF directory —
+  * doc count, the calibrated df-cap, shingle volume, prefix rows
+  * surviving the cap, candidate pairs after the positional bound, and
+  * verified pairs — one JSON line. Separates "candidate blow-up" from
+  * "linear volume with spill" when adjudicating q86's decade ratios.
+  */
+object ContainmentProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val cap = Dedup.calibrateShingleDfCap(n)
+    val sh = Dedup.shingles(docs).persist()
+    val shingleRows = sh.count()
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val ranked = sh.join(dfc, Seq("shingle"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .persist()
+    def prefixRows(capped: Boolean): Long = {
+      val base = if (capped && cap.isDefined) ranked.filter(col("df") <= cap.get) else ranked
+      base.filter(col("rn") <= col("sz") - expr("(70 * sz + 99) div 100") + 1).count()
+    }
+    val prefCapped = prefixRows(capped = true)
+    val prefUncapped = prefixRows(capped = false)
+    val verified = Dedup.containmentPairs(docs, 70).count()
+    println(s"""{"metric":"containment_probe","dir":"$dir","n":$n,"df_cap":${cap.getOrElse(-1)},"shingle_rows":$shingleRows,"prefix_rows_capped":$prefCapped,"prefix_rows_uncapped":$prefUncapped,"verified_pairs":$verified}""")
+    spark.stop()
+  }
+}
+
 /** Scaling-audit probe: prints the LSH candidate-step internals for an
   * SF directory — corpus count, the geometry [[graft.operators.Similarity.
   * calibrateLshGeometry]] picks for it, the distinct candidate-pair count
