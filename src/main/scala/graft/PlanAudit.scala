@@ -13,6 +13,8 @@ object PlanAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("GRAFT_NO_AQE")).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,6 +36,17 @@ object PlanAudit {
       println(s"[audit] exchanges=$nExchange (broadcast=$nBroadcast) cartesian=$cartesian")
       scanLines.foreach(l => println(s"[audit] $l"))
       if (sys.env.contains("GRAFT_FULL_PLAN")) println(plan)
+      // AQE decides exchange reuse at RUNTIME — the initial plan shows
+      // both branches unreused even when the executed plan dedupes them.
+      // GRAFT_EXECUTE materializes and reports the executed plan's reuse.
+      if (sys.env.contains("GRAFT_EXECUTE")) {
+        df.write.format("noop").mode("overwrite").save()
+        val executed = df.queryExecution.executedPlan.toString()
+        val reused = "ReusedExchange|ReusedQueryStage|ReusedSubquery".r
+          .findAllIn(executed).length
+        println(s"[audit] executed-plan reuse nodes: $reused")
+        if (sys.env.contains("GRAFT_FULL_PLAN")) println(executed)
+      }
     }
     spark.stop()
   }

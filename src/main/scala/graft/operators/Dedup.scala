@@ -168,9 +168,12 @@ object Dedup {
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
     // shuffle (not broadcast) self-join: both sides canonicalize to the
-    // SAME exchange, so the signature pipeline runs once and the second
-    // side is a ReusedExchange — broadcasting one side would recompute the
-    // whole minhash for it (and could never broadcast at corpus scale)
+    // SAME exchange under static planning (ReusedExchange, re-verified
+    // round 10 with AQE off); Spark 4.1's AQE stage cache misses the
+    // match, so the adaptive plan runs the signature pipeline per side —
+    // accepted, see nearDupPairsLsh. Broadcasting one side would
+    // recompute the whole minhash for it (and could never broadcast at
+    // corpus scale).
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()

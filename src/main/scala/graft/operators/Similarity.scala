@@ -603,8 +603,14 @@ object Similarity {
       col("__emb").as("e1"), col("__nrm").as("n1"))
     val b = bucketed.select(col("vec_id").as("d2"), col("t"), col("bucket"),
       col("__emb").as("e2"), col("__nrm").as("n2"))
-    // shuffle (not broadcast) self-join: both sides canonicalize to the
-    // same exchange → the bucket+vector pipeline runs once (ReusedExchange)
+    // shuffle (not broadcast) self-join. Exchange-reuse reality (audited
+    // round 10 via PlanAudit GRAFT_EXECUTE): under STATIC planning both
+    // sides canonicalize to one exchange (ReusedExchange, verified with
+    // AQE off); Spark 4.1's AQE stage cache currently misses this match,
+    // so the adaptive plan runs the map-side bucket pipeline once per
+    // side. Kept as-is: AQE's runtime coalesce/skew handling outweighs
+    // the duplicated scan+codegen pass, and the pair-grain array shuffle
+    // this fused form REPLACED was ~70× the whole exchange.
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(col("d1") < col("d2"))
       .withColumn("cosine",
