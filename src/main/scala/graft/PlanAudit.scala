@@ -39,12 +39,18 @@ object PlanAudit {
       // AQE decides exchange reuse at RUNTIME — the initial plan shows
       // both branches unreused even when the executed plan dedupes them.
       // GRAFT_EXECUTE materializes and reports the executed plan's reuse.
+      // Execute THIS QueryExecution's plan (toRdd + foreach): a noop
+      // df.write builds a SEPARATE QueryExecution, leaving df's adaptive
+      // plan un-executed and its toString stuck at the initial
+      // (isFinalPlan=false) state — the round-10 review caught exactly
+      // that mis-measurement.
       if (sys.env.contains("GRAFT_EXECUTE")) {
-        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.toRdd.foreach(_ => ())
         val executed = df.queryExecution.executedPlan.toString()
         val reused = "ReusedExchange|ReusedQueryStage|ReusedSubquery".r
           .findAllIn(executed).length
-        println(s"[audit] executed-plan reuse nodes: $reused")
+        val finalPlan = executed.contains("isFinalPlan=true") || !executed.contains("isFinalPlan")
+        println(s"[audit] executed-plan reuse nodes: $reused (finalPlan=$finalPlan)")
         if (sys.env.contains("GRAFT_FULL_PLAN")) println(executed)
       }
     }

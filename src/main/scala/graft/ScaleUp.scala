@@ -152,21 +152,17 @@ object ContainmentProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Dedup
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
     val cap = Dedup.calibrateShingleDfCap(n)
     val sh = Dedup.shingles(docs).persist()
     val shingleRows = sh.count()
-    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val ranked = sh.join(dfc, Seq("shingle"))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .persist()
+    // the OPERATOR's own rank/prefix steps (shared private[graft]
+    // helpers), so these numbers cannot drift from what q86 really does
+    val ranked = Dedup.rankedShingles(sh).persist()
     def prefixRows(capped: Boolean): Long = {
       val base = if (capped && cap.isDefined) ranked.filter(col("df") <= cap.get) else ranked
-      base.filter(col("rn") <= col("sz") - expr("(70 * sz + 99) div 100") + 1).count()
+      Dedup.prefixFilter(base, tauPct = 70).count()
     }
     val prefCapped = prefixRows(capped = true)
     val prefUncapped = prefixRows(capped = false)
@@ -214,13 +210,14 @@ object ScaleProbe {
         .filter(col("d1") < col("d2"))
         .select("d1", "d2").distinct().count()
     }
+    val defaultCap = Similarity.DefaultCapBucketWidth
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy("t", "bucket").orderBy("vec_id")
     val capped = bucketsAll.withColumn("bw_rn", row_number().over(wCap))
-      .filter(col("bw_rn") <= 1000).drop("bw_rn")
+      .filter(col("bw_rn") <= defaultCap).drop("bw_rn")
     val candidates = pairCount(capped)
     val candidatesUncapped =
-      if (maxWidth <= 1000L) candidates else pairCount(bucketsAll)
+      if (maxWidth <= defaultCap.toLong) candidates else pairCount(bucketsAll)
     println(s"""{"metric":"lsh_probe","dir":"$dir","n":$n,"tables":$tabs,"planes":$planes,"candidates":$candidates,"candidates_uncapped":$candidatesUncapped,"max_bucket_width":$maxWidth}""")
     // `deep`: decompose the widest buckets — width distribution and the
     // per-copy (vec_id / 10^7, the ScaleUp shift) makeup of the single

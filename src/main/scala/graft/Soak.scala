@@ -176,6 +176,9 @@ object Soak {
       st.execute(ddl)
       st.close(); c.close()
     }
+    // the ephemeral DB must come down on EVERY exit path — a mid-run
+    // exception otherwise leaks a live postgres process + data dir
+    val rc = try {
 
     // ---- two framed-socket feed servers ----
     val startMicros = 1704067200000000L
@@ -472,7 +475,6 @@ object Soak {
     val pass = mismatches.isEmpty && aOnline == nDevices &&
       (durationS < 420 || (bOffline == nDevices && silenceEvents.size() >= 1 &&
         mutations.values.forall(_ == 200)))
-    stopDb()
     val json =
       f"""{"metric":"soak","db":"$dbKind","duration_sec":$durationS,"offered":$offered,"offered_a":$offeredA,"offered_b":$offeredB,"delivered":$del,"delivered_vs_offered":${del.toDouble / offered}%.2f,"relaunches":${relaunches.get()},"config_mutations":{"add":${mutations.getOrElse("add", -1)},"update":${mutations.getOrElse("update", -1)},"delete":${mutations.getOrElse("delete", -1)}},"liveness_offline_transitions":${offlineTransitions.get()},"liveness_online_transitions":${onlineTransitions.get()},"watchdog_silence_events":${silenceEvents.size()},"final_a_online":$aOnline,"final_b_offline":$bOffline,"final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"zero_loss_final_state":${mismatches.isEmpty},"pass":$pass,"timeline":$timelineJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -483,6 +485,8 @@ object Soak {
       mismatches.take(10).foreach(m => println(s"[soak]   $m"))
     }
     spark.stop()
-    if (!pass) sys.exit(1)
+    if (pass) 0 else 1
+    } finally stopDb()
+    if (rc != 0) sys.exit(rc)
   }
 }

@@ -61,18 +61,28 @@ object PgEphemeral {
       if (rc != 0) return Left("root JVM and no postgres OS user")
     }
     val dir = Files.createTempDirectory("graft-pg").toFile
+    // every failure path below must clean up what it started (the review
+    // caught the readiness-timeout path leaking a LIVE server plus the
+    // temp dir on all three Left returns)
+    def fail(reason: String, serverStarted: Boolean): Either[String, Server] = {
+      if (serverStarted)
+        sh(asPg(Seq(s"$binDir/pg_ctl", "-D",
+          new java.io.File(dir, "data").getAbsolutePath, "-m", "immediate", "stop")))
+      sh(Seq("rm", "-rf", dir.getAbsolutePath))
+      Left(reason)
+    }
     sh(Seq("chmod", "777", dir.getAbsolutePath))
     if ("root" == System.getProperty("user.name"))
       sh(Seq("chown", "-R", "postgres:postgres", dir.getAbsolutePath))
     val data = new java.io.File(dir, "data").getAbsolutePath
     val (rcInit, initOut) = sh(asPg(Seq(s"$binDir/initdb", "-A", "trust", "-D", data, "-U", "postgres")))
-    if (rcInit != 0) return Left(s"initdb failed: ${initOut.takeRight(300)}")
+    if (rcInit != 0) return fail(s"initdb failed: ${initOut.takeRight(300)}", serverStarted = false)
     val ss = new java.net.ServerSocket(0)
     val port = ss.getLocalPort; ss.close()
     val (rcStart, startOut) = sh(asPg(Seq(s"$binDir/pg_ctl", "-D", data,
       "-o", s"-p $port -k ${dir.getAbsolutePath} -c listen_addresses=127.0.0.1",
       "-l", new java.io.File(dir, "pg.log").getAbsolutePath, "start")))
-    if (rcStart != 0) return Left(s"pg_ctl start failed: ${startOut.takeRight(300)}")
+    if (rcStart != 0) return fail(s"pg_ctl start failed: ${startOut.takeRight(300)}", serverStarted = false)
     // wait for readiness through the wire client itself
     val deadline = System.nanoTime() + 30_000_000_000L
     var ok = false
@@ -80,7 +90,7 @@ object PgEphemeral {
       try { PgWire.connect("127.0.0.1", port, "postgres", "postgres").close(); ok = true }
       catch { case _: Exception => Thread.sleep(200) }
     }
-    if (!ok) return Left("server did not become ready in 30s")
+    if (!ok) return fail("server did not become ready in 30s", serverStarted = true)
     Right(new Server(port, binDir, dir))
   }
 }

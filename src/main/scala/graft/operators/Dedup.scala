@@ -168,12 +168,11 @@ object Dedup {
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("d2"), col("band"), col("bh"))
     // shuffle (not broadcast) self-join: both sides canonicalize to the
-    // SAME exchange under static planning (ReusedExchange, re-verified
-    // round 10 with AQE off); Spark 4.1's AQE stage cache misses the
-    // match, so the adaptive plan runs the signature pipeline per side —
-    // accepted, see nearDupPairsLsh. Broadcasting one side would
-    // recompute the whole minhash for it (and could never broadcast at
-    // corpus scale).
+    // SAME exchange, so the signature pipeline runs once and the second
+    // side is a ReusedExchange — re-verified at RUNTIME round 10 (the
+    // final adaptive plan carries the reuse node; PlanAudit
+    // GRAFT_EXECUTE). Broadcasting one side would recompute the whole
+    // minhash for it (and could never broadcast at corpus scale).
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
@@ -453,8 +452,27 @@ object Dedup {
     */
   def calibrateShingleDfCap(nDocs: Long, floorDocs: Long = 20000L): Option[Int] =
     if (nDocs <= floorDocs) None
-    else Some(math.max(2 * math.ceil(math.sqrt(nDocs.toDouble)).toInt,
-      2 * math.ceil(math.sqrt(floorDocs.toDouble)).toInt))
+    else Some(2 * math.ceil(math.sqrt(nDocs.toDouble)).toInt)
+
+  /** (doc_id, shingle, df, rn, sz): each doc's shingles ranked in the
+    * global (df, shingle) order with the doc's shingle count — the
+    * prefix-filter input shared by [[containmentPairs]] and the
+    * ContainmentProbe audit main (one definition, so probe numbers can
+    * never drift from the operator's real candidate volume).
+    */
+  private[graft] def rankedShingles(sh: DataFrame): DataFrame = {
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    sh.join(dfc, Seq("shingle"))
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** The exact PPJoin prefix bound: keep each doc's first
+    * sz − ⌈tauPct·sz/100⌉ + 1 shingles in the [[rankedShingles]] order.
+    */
+  private[graft] def prefixFilter(ranked: DataFrame, tauPct: Int): DataFrame =
+    ranked.filter(col("rn") <= col("sz") - expr(s"($tauPct * sz + 99) div 100") + 1)
 
   def containmentPairs(docs: DataFrame, tauPct: Int = 70,
                        maxShingleDf: Option[Int] = None,
@@ -476,18 +494,13 @@ object Dedup {
     // persisted so tokenize+explode+distinct runs once, not four times
     // (session-scoped and evictable, the SequencePack.pack idiom).
     val sh = shingles(docs).persist()
-    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc frequency-ascending rank; both windows are doc-keyed (the
     // corpus never sorts globally). minshared = ⌈tauPct·sz/100⌉ in pure
     // integer math; prefix = sz − minshared + 1 leading shingles.
     // `ranked` feeds BOTH candidate-join legs — persisted (doc_id,
     // shingle, rn, sz: three small cols + the shingle) so the df join and
     // the window run once, not once per leg.
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val ranked = sh.join(dfc, Seq("shingle"))
-      .withColumn("rn", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .persist()
+    val ranked = rankedShingles(sh).persist()
     // Per-shingle width cap (the production guard the round-8 scaling
     // audit names for q86): a shingle shared by more than the cap
     // documents fans out df² candidate pairs through the join below, and
@@ -503,8 +516,7 @@ object Dedup {
       case None      => df
       case Some(cap) => df.filter(col("df") <= cap)
     }
-    val pref = capped(ranked)
-      .filter(col("rn") <= col("sz") - expr(s"($tauPct * sz + 99) div 100") + 1)
+    val pref = prefixFilter(capped(ranked), tauPct)
       .select(col("doc_id").as("a"), col("rn").as("rn_a"), col("sz").as("sz_a"), col("shingle"))
     // ACCUMULATED positional bound (PPJoin's ubound, Xiao et al. WWW'08
     // §PPJoin+, in relational form): both sides rank their shingles in

@@ -94,8 +94,10 @@ object FeatureEng {
     * exact BIGINTs, then each pair row carries the exact rational
     * `num = n·Σxy − Σx·Σy`, `den_x = n·Σx² − (Σx)²` (likewise den_y)
     * and `corr = num / sqrt(den_x · den_y)` — the sqrt/product in
-    * double domain (dens ≤ ~2^55 here, exact in IEEE), one multiply,
-    * one sqrt, one divide, identical op order both engines.
+    * double domain, one multiply, one sqrt, one divide, identical op
+    * order both engines (past ~2^53 the doubles are the ROUNDED images
+    * of the exact integers — identical rounding in both engines, see
+    * the round-10 bounds below).
     *
     * Inputs must be pre-quantized integer columns. Exactness bounds
     * (round 10 — the old all-Long form capped n·V at 3·10⁹ and the 100×

@@ -73,7 +73,9 @@ object H264 {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        require(zeros <= 31, "exp-Golomb code longer than 31 leading zeros")
+        // ≤ 30: at 31 the reconstruction (1<<31)-1 + u(31) wraps Int and
+        // a corrupt field would decode to garbage instead of failing
+        require(zeros <= 30, "exp-Golomb code longer than 30 leading zeros")
       }
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }
@@ -178,6 +180,11 @@ object H264 {
     r.u(1) // gaps_in_frame_num_value_allowed_flag
     val wMbs = r.ue() + 1
     val hMap = r.ue() + 1
+    // sanity bound so a corrupt SPS DROPS (the indexer's contract)
+    // instead of emitting nonsense dimensions: the spec's level table
+    // tops out far below 1024 MBs a side (16384 px)
+    require(wMbs <= 1024 && hMap <= 1024,
+      s"implausible SPS dimensions ${16 * wMbs}x${16 * hMap}")
     val frameMbsOnly = r.u(1)
     require(frameMbsOnly == 1, "interlaced (field-coded) SPS not supported")
     r.u(1) // direct_8x8_inference_flag

@@ -572,9 +572,15 @@ object Similarity {
     * sf0.001/0.01/0.1 (N ≤ 2000 floors the geometry; measured max bucket
     * width there is 250 < 1000).
     */
+  /** The shipped skew-guard default for [[nearDupPairsLsh]] /
+    * [[nearDupClusters]] — referenced by ScaleProbe so SCALING
+    * artifacts always probe the operator's real default.
+    */
+  val DefaultCapBucketWidth = 1000
+
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
                       tables: Int = 8, planesPerTable: Int = 4,
-                      capBucketWidth: Option[Int] = Some(1000),
+                      capBucketWidth: Option[Int] = Some(DefaultCapBucketWidth),
                       calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val (tabs, planes) =
@@ -603,14 +609,13 @@ object Similarity {
       col("__emb").as("e1"), col("__nrm").as("n1"))
     val b = bucketed.select(col("vec_id").as("d2"), col("t"), col("bucket"),
       col("__emb").as("e2"), col("__nrm").as("n2"))
-    // shuffle (not broadcast) self-join. Exchange-reuse reality (audited
-    // round 10 via PlanAudit GRAFT_EXECUTE): under STATIC planning both
-    // sides canonicalize to one exchange (ReusedExchange, verified with
-    // AQE off); Spark 4.1's AQE stage cache currently misses this match,
-    // so the adaptive plan runs the map-side bucket pipeline once per
-    // side. Kept as-is: AQE's runtime coalesce/skew handling outweighs
-    // the duplicated scan+codegen pass, and the pair-grain array shuffle
-    // this fused form REPLACED was ~70× the whole exchange.
+    // shuffle (not broadcast) self-join: both sides canonicalize to the
+    // same exchange, so the bucket+vector pipeline runs ONCE and the
+    // second side reads the shuffled blocks (ReusedExchange). Verified
+    // at RUNTIME round 10 — PlanAudit GRAFT_EXECUTE executes the query's
+    // own adaptive plan and counts reuse nodes in the final plan (the
+    // initial AQE plan prints both branches unreused, which briefly
+    // mis-adjudicated this as an AQE stage-cache miss).
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("t", "bucket"))
       .filter(col("d1") < col("d2"))
       .withColumn("cosine",
@@ -710,7 +715,7 @@ object Similarity {
   def nearDupClusters(embeddings: DataFrame, threshold: Double,
                       tables: Int = 8, planesPerTable: Int = 4,
                       maxIter: Int = 20,
-                      capBucketWidth: Option[Int] = Some(1000),
+                      capBucketWidth: Option[Int] = Some(DefaultCapBucketWidth),
                       calibrate: Boolean = true): DataFrame = {
     val pairs =
       nearDupPairsLsh(embeddings, threshold, tables, planesPerTable,

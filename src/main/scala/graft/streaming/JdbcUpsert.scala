@@ -146,28 +146,59 @@ object JdbcUpsert {
                      dialect: Dialect = Postgres)
       extends UpsertTarget {
 
+    /** Transaction-abort states worth one more try: 40P01 (Postgres
+      * deadlock_detected — concurrent partition upserts vs the
+      * full-table heartbeat/offlineReset UPDATEs can acquire row locks
+      * in conflicting orders) and 40001 (serialization_failure). Every
+      * Target operation is idempotent (ON CONFLICT/MERGE upserts,
+      * insert-if-missing seed, absolute-value UPDATEs), so replaying the
+      * whole aborted transaction is safe.
+      */
+    private val RetryableStates = Set("40P01", "40001")
+    private val MaxTxRetries = 3
+
     private def withConnection(body: Connection => Unit): Unit = {
-      val conn = connect()
-      try {
-        conn.setAutoCommit(false)
-        body(conn)
-        conn.commit()
-      } catch {
-        case e: Throwable =>
-          // a rollback on a dead connection throws too — keep the ORIGINAL
-          // write failure as the propagated cause, not the rollback noise
-          try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
-          throw e
-      } finally conn.close()
+      def once(): Unit = {
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          body(conn)
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            // a rollback on a dead connection throws too — keep the ORIGINAL
+            // write failure as the propagated cause, not the rollback noise
+            try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+            throw e
+        } finally conn.close()
+      }
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { once(); done = true }
+        catch {
+          case e: java.sql.SQLException
+              if RetryableStates.contains(e.getSQLState) && attempt < MaxTxRetries =>
+            attempt += 1
+            Thread.sleep(50L * attempt)
+        }
+      }
     }
 
     override def upsertPartition(rows: Iterator[ModRow]): Unit = {
       if (!rows.hasNext) return
+      // deterministic (device, measure) order: concurrent partition
+      // transactions then acquire row locks in the SAME order, which
+      // removes upsert-vs-upsert deadlocks outright (the retry above
+      // remains for upsert-vs-full-table-UPDATE conflicts). The buffer
+      // is bounded: the per-batch keyed reduction upstream emits at most
+      // one row per (device, measure) per micro-batch.
+      val sorted = rows.toSeq.sortBy(r => (r.device, r.measure_name))
       withConnection { conn =>
         val st = conn.prepareStatement(dialect.upsertSql)
         try {
           var n = 0
-          rows.foreach { r =>
+          sorted.foreach { r =>
             dialect.bindUpsert(st, r)
             st.addBatch()
             n += 1

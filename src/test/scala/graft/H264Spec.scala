@@ -64,6 +64,27 @@ class H264Spec extends SparkSpec {
     }
   }
 
+  test("corrupt SPS dimension fields drop the row, never emit nonsense dims") {
+    // an SPS whose width field is a huge ue value (25 leading zeros) and
+    // one that would wrap Int at 31 zeros: both must fail parseSps with
+    // IllegalArgumentException (-> row drop), not decode to garbage
+    def spsWithRawWidthBits(widthBits: H264.BitWriter => Unit): Array[Byte] = {
+      val w = new H264.BitWriter
+      w.u(66, 8).u(0, 8).u(30, 8)
+      w.ue(0); w.ue(0); w.ue(0); w.ue(0); w.ue(1); w.u(0, 1)
+      widthBits(w)
+      w.ue(0) // height
+      w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+      H264.epbEscape(w.rbspTrailing())
+    }
+    // width ue with 25 leading zeros -> value ~2^25: implausible-dims require
+    val huge = spsWithRawWidthBits(w => { w.u(0, 25); w.u(1, 1); w.u(0, 25) })
+    intercept[IllegalArgumentException](H264.parseSps(huge))
+    // 31 leading zeros -> the exp-Golomb length guard, before any wrap
+    val wrap = spsWithRawWidthBits(w => { w.u(0, 31); w.u(1, 1); w.u(0, 31) })
+    intercept[IllegalArgumentException](H264.parseSps(wrap))
+  }
+
   test("corrupt streams drop the row; valid neighbors survive") {
     val good = H264.buildAnnexB(7L)
     val truncatedSps = good.take(6) // cuts inside the SPS payload
