@@ -68,6 +68,52 @@ object TextAnalysis {
       .select("doc_id", "n_chars_m", "n_words", "n_punct", "n_stop",
         "punct_ratio", "stop_ratio", "avg_word_len", "quality_score")
 
+  /** Gopher quality rules (Rae et al. 2021, App. A "quality filtering"
+    * — the published heuristic gate most large text pipelines start
+    * from), in the board's INTEGER-EXACT form: every ratio threshold is
+    * a cross-multiplied integer comparison (10·n_sym ≤ n_words instead
+    * of n_sym/n_words ≤ 0.1), so the verdict table hash-matches the
+    * oracle with no float anywhere. Line-grain rules are adapted to
+    * word grain (the fixture corpus is single-line); the thresholds:
+    *   wordcount   50 ≤ n_words ≤ 100 000
+    *   meanlen     3 ≤ char_mass/n_words ≤ 10
+    *   alpha       ≥ 80% of words contain an ASCII letter
+    *   stopwords   ≥ 2 distinct members of the 8-word required list
+    *   ellipsis    ≤ 10% of words end in "..."
+    *   symbol      ≤ 10% of words contain '#'
+    * keep = all six. Pure map-side column algebra — one scan, no
+    * shuffle beyond the caller's sort.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val flags = Seq("r_wordcount", "r_meanlen", "r_alpha", "r_stop", "r_ellipsis", "r_symbol")
+    docs
+      .withColumn("n_words", size(ws).cast(LongType))
+      .withColumn("char_mass",
+        aggregate(transform(ws, w => length(w).cast(LongType)), lit(0L), (a, x) => a + x))
+      .withColumn("n_alpha",
+        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(ws), stops)).cast(LongType))
+      .withColumn("n_ellipsis",
+        size(filter(ws, w => w.endsWith("..."))).cast(LongType))
+      .withColumn("n_symbol",
+        size(filter(ws, w => w.contains("#"))).cast(LongType))
+      .withColumn("r_wordcount",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast(IntegerType))
+      .withColumn("r_meanlen",
+        (col("char_mass") >= col("n_words") * 3 &&
+          col("char_mass") <= col("n_words") * 10).cast(IntegerType))
+      .withColumn("r_alpha", (col("n_alpha") * 5 >= col("n_words") * 4).cast(IntegerType))
+      .withColumn("r_stop", (col("n_stop_kinds") >= 2).cast(IntegerType))
+      .withColumn("r_ellipsis", (col("n_ellipsis") * 10 <= col("n_words")).cast(IntegerType))
+      .withColumn("r_symbol", (col("n_symbol") * 10 <= col("n_words")).cast(IntegerType))
+      .withColumn("keep", flags.map(col).reduce(_ * _))
+      .select(Seq("doc_id", "n_words", "char_mass", "n_alpha", "n_stop_kinds",
+        "n_ellipsis", "n_symbol").map(col) ++ flags.map(col) :+ col("keep"): _*)
+  }
+
   /** Heuristic language ID: CJK codepoints ⇒ zh; else English stopword
     * density ⇒ en / unknown. (The fixture corpus is synthetic English-like
     * text with random `lang` labels, so accuracy is meaningless — the

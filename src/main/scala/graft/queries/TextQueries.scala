@@ -696,6 +696,37 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Gopher quality rules (Rae et al. 2021) in integer-exact form: six
+    // published heuristic gates as cross-multiplied integer comparisons
+    // (no float thresholds anywhere), keep = all six. Complements q46's
+    // composite score with the binary rule-gate most pipelines run first.
+    QueryDef("q221_gopher_rules",
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS char_mass,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_intersect(list_distinct(ws),
+        |       ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_kinds,
+        |  CAST(len(list_filter(ws, x -> x LIKE '%...')) AS BIGINT) AS n_ellipsis,
+        |  CAST(len(list_filter(ws, x -> contains(x, '#'))) AS BIGINT) AS n_symbol
+        |  FROM w),
+        |r AS (SELECT *,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_wordcount,
+        |  CAST(char_mass >= n_words * 3 AND char_mass <= n_words * 10 AS INT) AS r_meanlen,
+        |  CAST(n_alpha * 5 >= n_words * 4 AS INT) AS r_alpha,
+        |  CAST(n_stop_kinds >= 2 AS INT) AS r_stop,
+        |  CAST(n_ellipsis * 10 <= n_words AS INT) AS r_ellipsis,
+        |  CAST(n_symbol * 10 <= n_words AS INT) AS r_symbol
+        |  FROM f)
+        |SELECT doc_id, n_words, char_mass, n_alpha, n_stop_kinds, n_ellipsis,
+        |       n_symbol, r_wordcount, r_meanlen, r_alpha, r_stop, r_ellipsis,
+        |       r_symbol,
+        |       r_wordcount * r_meanlen * r_alpha * r_stop * r_ellipsis * r_symbol AS keep
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // REAL H.264 keyframe index: Annex-B streams (hand exp-Golomb SPS +
     // PPS + slice NALs, IDR every 3rd frame, SEI noise on every 4th id)
     // are synthesized from the closed-form pattern, then NAL-walked: SPS

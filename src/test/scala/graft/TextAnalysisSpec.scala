@@ -486,4 +486,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select("compress_ratio").as[Double].head()
     assert(e == 0.0)
   }
+
+  test("gopherRules: each rule fails on exactly its planted violation, clean doc keeps") {
+    val good = ("the quick brown fox jumps to over a lazy dog again and " * 5).trim
+    val docs = Seq(
+      1L -> good,                                       // passes all six
+      2L -> "the of and short",                         // < 50 words
+      3L -> (Seq.fill(60)("a").mkString(" ") + " the of"), // mean word len < 3
+      4L -> (Seq.fill(60)("12345").mkString(" ") + " the of"), // <80% alphabetic
+      5L -> ("zork " * 60).trim,                        // < 2 distinct stopwords
+      6L -> (("the of " + "word... ") * 30).trim,       // >10% ellipsis words
+      7L -> (("the of " + "tag#x ") * 30).trim          // >10% '#' words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "r_wordcount", "r_meanlen", "r_alpha", "r_stop",
+        "r_ellipsis", "r_symbol", "keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 1, 1, 1, 1, 1, 1, 1)), s"clean doc: ${got(1L)}")
+    assert(got(2L)._2 == 0 && got(2L)._8 == 0, "wordcount rule")
+    assert(got(3L)._3 == 0, "mean-length rule")
+    assert(got(4L)._4 == 0, "alpha rule")
+    assert(got(5L)._5 == 0, "stopword rule")
+    assert(got(6L)._6 == 0, "ellipsis rule")
+    assert(got(7L)._7 == 0, "symbol rule")
+  }
 }
