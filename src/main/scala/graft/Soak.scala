@@ -158,7 +158,10 @@ object Soak {
           case Right(s) => s
           case Left(reason) => sys.error(s"SPARK_GRAFT_SOAK_DB=pg but: $reason")
         }
-        server.createDatabase("soak")
+        // the big try/finally below only starts AFTER this tuple is built —
+        // a failure here must bring the live postgres down itself
+        try server.createDatabase("soak")
+        catch { case e: Throwable => server.stop(); throw e }
         // capture ONLY the port (an Int): a closure over `server` drags
         // the non-Serializable lifecycle handle into every executor task
         // and kills the streaming writers at task-serialization time —
@@ -170,12 +173,14 @@ object Soak {
           () => server.stop())
       case other => sys.error(s"unknown SPARK_GRAFT_SOAK_DB '$other' (derby|pg)")
     }
-    locally {
+    // DDL runs before the rc=try/finally that owns stopDb(): a CREATE
+    // TABLE failure here must not leak the ephemeral server + temp dir
+    try {
       val c = connect()
       val st = c.createStatement()
       st.execute(ddl)
       st.close(); c.close()
-    }
+    } catch { case e: Throwable => stopDb(); throw e }
     // the ephemeral DB must come down on EVERY exit path — a mid-run
     // exception otherwise leaks a live postgres process + data dir
     val rc = try {

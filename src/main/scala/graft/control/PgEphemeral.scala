@@ -77,20 +77,33 @@ object PgEphemeral {
     val data = new java.io.File(dir, "data").getAbsolutePath
     val (rcInit, initOut) = sh(asPg(Seq(s"$binDir/initdb", "-A", "trust", "-D", data, "-U", "postgres")))
     if (rcInit != 0) return fail(s"initdb failed: ${initOut.takeRight(300)}", serverStarted = false)
-    val ss = new java.net.ServerSocket(0)
-    val port = ss.getLocalPort; ss.close()
-    val (rcStart, startOut) = sh(asPg(Seq(s"$binDir/pg_ctl", "-D", data,
-      "-o", s"-p $port -k ${dir.getAbsolutePath} -c listen_addresses=127.0.0.1",
-      "-l", new java.io.File(dir, "pg.log").getAbsolutePath, "start")))
-    if (rcStart != 0) return fail(s"pg_ctl start failed: ${startOut.takeRight(300)}", serverStarted = false)
-    // wait for readiness through the wire client itself
-    val deadline = System.nanoTime() + 30_000_000_000L
-    var ok = false
-    while (!ok && System.nanoTime() < deadline) {
-      try { PgWire.connect("127.0.0.1", port, "postgres", "postgres").close(); ok = true }
-      catch { case _: Exception => Thread.sleep(200) }
+    // probe-a-free-port then pg_ctl-start is inherently TOCTOU: another
+    // process can grab the port between the ServerSocket close and the
+    // postmaster bind, which surfaces as a readiness timeout. Bounded
+    // retry with a freshly probed port instead of failing outright.
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      val ss = new java.net.ServerSocket(0)
+      val port = ss.getLocalPort; ss.close()
+      val (rcStart, startOut) = sh(asPg(Seq(s"$binDir/pg_ctl", "-D", data,
+        "-o", s"-p $port -k ${dir.getAbsolutePath} -c listen_addresses=127.0.0.1",
+        "-l", new java.io.File(dir, "pg.log").getAbsolutePath, "start")))
+      if (rcStart != 0) return fail(s"pg_ctl start failed: ${startOut.takeRight(300)}", serverStarted = false)
+      // wait for readiness through the wire client itself
+      val deadline = System.nanoTime() + 30_000_000_000L
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        try { PgWire.connect("127.0.0.1", port, "postgres", "postgres").close(); ok = true }
+        catch { case _: Exception => Thread.sleep(200) }
+      }
+      if (ok) return Right(new Server(port, binDir, dir))
+      if (attempt < 2) {
+        System.err.println(s"[pg-ephemeral] not ready in 30s on port $port " +
+          "(possible port race) — stopping and retrying on a fresh port")
+        sh(asPg(Seq(s"$binDir/pg_ctl", "-D", data, "-m", "immediate", "stop")))
+      }
     }
-    if (!ok) return fail("server did not become ready in 30s", serverStarted = true)
-    Right(new Server(port, binDir, dir))
+    fail("server did not become ready in 30s (2 attempts, fresh port each)", serverStarted = true)
   }
 }

@@ -310,7 +310,10 @@ object H264 {
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try {
+        // NULL essence is filter semantics like corruption (drop the row),
+        // not a task failure — parseNals would NPE on it otherwise
+        if (bytes == null) Seq.empty[Row]
+        else try {
           val nals = parseNals(bytes)
           val sps = nals.find(_.nalType == NalSps)
             .map(n => parseSps(n.payload))

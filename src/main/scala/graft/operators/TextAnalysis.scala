@@ -93,7 +93,7 @@ object TextAnalysis {
       .withColumn("char_mass",
         aggregate(transform(ws, w => length(w).cast(LongType)), lit(0L), (a, x) => a + x))
       .withColumn("n_alpha",
-        size(filter(ws, w => w.rlike("[a-z]"))).cast(LongType))
+        size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast(LongType))
       .withColumn("n_stop_kinds",
         size(array_intersect(array_distinct(ws), stops)).cast(LongType))
       .withColumn("n_ellipsis",

@@ -705,7 +705,7 @@ object TextQueries {
         |f AS (SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_words,
         |  CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS char_mass,
-        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
         |  CAST(len(list_intersect(list_distinct(ws),
         |       ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_kinds,
         |  CAST(len(list_filter(ws, x -> x LIKE '%...')) AS BIGINT) AS n_ellipsis,

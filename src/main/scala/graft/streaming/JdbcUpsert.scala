@@ -180,6 +180,12 @@ object JdbcUpsert {
           case e: java.sql.SQLException
               if RetryableStates.contains(e.getSQLState) && attempt < MaxTxRetries =>
             attempt += 1
+            // never silent: deadlock/serialization aborts must be visible in
+            // soak artifacts (same posture as the QUERY DIED listener) or a
+            // lock-order regression hides inside "retry worked eventually"
+            System.err.println(
+              s"[jdbc-upsert] retryable tx abort ${e.getSQLState} " +
+                s"(attempt $attempt/$MaxTxRetries): ${e.getMessage}")
             Thread.sleep(50L * attempt)
         }
       }
