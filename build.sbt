@@ -26,6 +26,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local-cluster[...] (ClusterParity's real-executor-JVM mode) spawns
+// CoarseGrainedExecutorBackend processes through the launcher's
+// AbstractCommandBuilder, which insists on resolving a Spark home +
+// scala version even though the full classpath is already shipped via
+// spark.executor.extraClassPath. Point it at the image's Spark dist.
+run / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
