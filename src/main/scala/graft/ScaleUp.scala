@@ -155,7 +155,7 @@ object ContainmentProbe {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
     val cap = Dedup.calibrateShingleDfCap(n)
-    val sh = Dedup.shingles(docs).persist()
+    val sh = Dedup.shingleHashes(docs).persist() // the operator's real grain
     val shingleRows = sh.count()
     // the OPERATOR's own rank/prefix steps (shared private[graft]
     // helpers), so these numbers cannot drift from what q86 really does

@@ -145,8 +145,31 @@ object ThroughputBench {
       }
       .getOrElse(rawBase)
       .load()
-    val handle = IngestPipeline.start(raw, target,
-      trigger = Trigger.ProcessingTime("0 seconds"))
+    // SPARK_GRAFT_TPUT_STAGE peels the pipeline for bottleneck
+    // attribution (r10 verdict #6 — name the stage that caps the 800k
+    // leg at ~528k eps): each mode keeps the SAME source and the same
+    // numInputRows accounting, so the deltas between modes are the
+    // stages' own costs.
+    //   source — raw stream into a noop sink: the DSv2 socket pull path
+    //            alone (admission ceiling)
+    //   gated  — + exclusion gates + watermark dedup (the stateful
+    //            exchange) into noop
+    //   full   — the complete pipeline (default; value + liveness sinks)
+    val stageMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_STAGE", "full")
+    val handle = stageMode match {
+      case "source" =>
+        val q = raw.writeStream.format("noop")
+          .trigger(Trigger.ProcessingTime("0 seconds"))
+          .queryName("graft-values").start()
+        IngestPipeline.Handle(q, q)
+      case "gated" =>
+        val q = IngestPipeline.gated(raw).writeStream.format("noop")
+          .trigger(Trigger.ProcessingTime("0 seconds"))
+          .queryName("graft-values").start()
+        IngestPipeline.Handle(q, q)
+      case _ =>
+        IngestPipeline.start(raw, target, trigger = Trigger.ProcessingTime("0 seconds"))
+    }
     valueQueryId = handle.valueQuery.id
     val t0 = System.nanoTime()
     try Thread.sleep(seconds * 1000L) finally {
@@ -159,7 +182,7 @@ object ThroughputBench {
         case m: CurrentValuesSink.InMemoryTarget => m.snapshot.size.toLong
         case _ => NoOpJdbc.rowsWritten.get()
       }
-      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","security":"$secName","offered":$actualOffered,"chunk_rows":$chunkRows,"sink_rows":$sinkRows}""")
+      println(f"""{"metric":"ingest_throughput","value":$eps%.0f,"unit":"events/sec","rows":$rows,"seconds":$elapsed%.1f,"target":"$targetMode","feed":"$feedMode","security":"$secName","offered":$actualOffered,"chunk_rows":$chunkRows,"stage":"$stageMode","sink_rows":$sinkRows}""")
     }
     socketServer.foreach(_._1.close())
     spark.stop()

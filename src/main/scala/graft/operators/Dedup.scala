@@ -454,18 +454,48 @@ object Dedup {
     if (nDocs <= floorDocs) None
     else Some(2 * math.ceil(math.sqrt(nDocs.toDouble)).toInt)
 
+  /** (doc_id, shingle64): [[shingles]] with the string replaced by its
+    * 64-bit xxhash image — the containment pipeline's working grain.
+    * The strings never surface in any containment output (candidates
+    * are verified by exact hashed-set intersection anyway), so ranking,
+    * capping and the candidate join can all run on 8-byte longs instead
+    * of ~30-byte strings: at the 100× audit corpus that is the
+    * difference between the 26M-row rank/join pipeline spilling and
+    * fitting (r10 verdict #5). A cross-doc collision (≈ 2⁻⁶⁴ per
+    * distinct-shingle pair) could at most merge two shingles' df counts
+    * or admit one spurious candidate — both absorbed by the exact
+    * verification step.
+    */
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** (doc_id, shingle, df, rn, sz): each doc's shingles ranked in the
     * global (df, shingle) order with the doc's shingle count — the
     * prefix-filter input shared by [[containmentPairs]] and the
     * ContainmentProbe audit main (one definition, so probe numbers can
     * never drift from the operator's real candidate volume).
+    *
+    * Shape (round 11): the per-doc rank comes from ONE hash aggregation
+    * (collect_list) + a per-row `sort_array` + posexplode — NOT from the
+    * former row_number/count window pair, which sorted the whole
+    * corpus-grain shingle table inside each doc partition and was the
+    * measured single-box spill at the 100× corpus (two window passes
+    * over 26M rows, ContainmentProbe r10). Per-doc shingle counts are
+    * bounded (a document's distinct 3-grams), so the arrays are small,
+    * the sort is cache-local codegen, and the exchange count drops from
+    * two (join + window) to two (join + agg) with no sort buffers. The
+    * (df, shingle) order is unchanged — struct sort_array compares df
+    * first, then shingle — so rank semantics are identical.
     */
   private[graft] def rankedShingles(sh: DataFrame): DataFrame = {
     val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     sh.join(dfc, Seq("shingle"))
-      .withColumn("rn", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("items"))
+      .select(col("doc_id"), size(col("items")).cast(LongType).as("sz"),
+        posexplode(col("items")))
+      .select(col("doc_id"), col("col.shingle").as("shingle"), col("col.df").as("df"),
+        (col("pos") + 1).as("rn"), col("sz"))
   }
 
   /** The exact PPJoin prefix bound: keep each doc's first
@@ -490,10 +520,13 @@ object Dedup {
     // the verification step's size(array_intersect(...)) rewrites to the
     // count-only IntersectCount when the rule is installed
     graft.plans.GraftRules.install(docs.sparkSession)
-    // (doc_id, shingle) feeds df, ranking, and both intersection legs —
-    // persisted so tokenize+explode+distinct runs once, not four times
-    // (session-scoped and evictable, the SequencePack.pack idiom).
-    val sh = shingles(docs).persist()
+    // (doc_id, shingle64) feeds df, ranking, and both intersection legs —
+    // persisted so tokenize+explode+distinct+hash runs once, not four
+    // times (session-scoped and evictable, the SequencePack.pack idiom).
+    // Hashed at the source (shingleHashes): every downstream exchange
+    // carries 8-byte longs, and the verification sets below are the
+    // SAME xxhash64 images they always were.
+    val sh = shingleHashes(docs).persist()
     // per-doc frequency-ascending rank; both windows are doc-keyed (the
     // corpus never sorts globally). minshared = ⌈tauPct·sz/100⌉ in pure
     // integer math; prefix = sz − minshared + 1 leading shingles.
@@ -568,7 +601,7 @@ object Dedup {
     // against any real corpus, and DedupSpec pins equivalence with the
     // naive string formulation.
     val sets = sh.groupBy("doc_id")
-      .agg(collect_set(xxhash64(col("shingle"))).as("shs"), count(lit(1)).as("sz"))
+      .agg(collect_set(col("shingle")).as("shs"), count(lit(1)).as("sz"))
     val withA = cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"), col("sz").as("sz_a")),
         Seq("a"))

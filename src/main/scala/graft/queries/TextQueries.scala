@@ -1649,6 +1649,24 @@ object TextQueries {
       graft.sources.Warc.roundTrip(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // .warc.zst round-trip (Common Crawl's newer shard format): same
+    // lossless-recovery oracle as q190, but each partition blob is a
+    // leading skippable-frame dictionary (itself zstd-compressed) + one
+    // zstd frame per record compressed AGAINST that dictionary — the
+    // reader must extract the dict, decode it, and continuous-decode
+    // the member frames with it before Content-Length framing even
+    // starts. Codec is zstd-jni, the library Spark ships for its own
+    // zstd paths.
+    QueryDef("q222_warc_zstd_roundtrip",
+      """SELECT doc_id,
+        |       'https://' || source || '.example.com/docs/' ||
+        |         CAST(doc_id AS VARCHAR) AS url,
+        |       200 AS http_status,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.sources.Warc.roundTripZstd(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph — adjacent content words (len ≥ 3)
     // are edges; the stationary rank surfaces the corpus's central

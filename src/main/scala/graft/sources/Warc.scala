@@ -66,6 +66,88 @@ object Warc {
     bos.toByteArray
   }
 
+  // ---- .warc.zst (Common Crawl's newer crawls; iipc warc-specifications
+  // "WARC zstd" proposal): concatenated zstd frames, optionally preceded
+  // by ONE skippable frame (magic 0x184D2A50–5F) whose payload is a
+  // shared dictionary — raw, or itself a zstd frame (the proposal allows
+  // both; Common Crawl ships compressed). Codec via zstd-jni, the library
+  // Spark itself ships for shuffle/parquet zstd (on the unmanaged
+  // classpath — no new dependency). ----
+
+  /** First 4 bytes of every zstd data frame, little-endian on the wire. */
+  private val ZstdMagic = 0xFD2FB528
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+  private def isZstd(b: Array[Byte], p: Int): Boolean =
+    b.length >= p + 4 && le32(b, p) == ZstdMagic
+  private def isSkippable(b: Array[Byte], p: Int): Boolean =
+    b.length >= p + 8 && (le32(b, p) & 0xFFFFFFF0) == 0x184D2A50
+
+  /** Compress one record as its own zstd frame (the `.warc.zst` layout),
+    * optionally against a shared dictionary.
+    */
+  def zstdMember(record: Array[Byte], dict: Option[Array[Byte]] = None): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(3)
+      dict.foreach(ctx.loadDict)
+      ctx.compress(record)
+    } finally ctx.close()
+  }
+
+  /** A dictionary wrapped in the leading skippable frame: 4-byte magic
+    * 0x184D2A50 LE + 4-byte LE payload length + payload (here the
+    * zstd-compressed dictionary — the form Common Crawl ships).
+    */
+  def dictionaryFrame(dict: Array[Byte]): Array[Byte] = {
+    val payload = zstdMember(dict)
+    val out = new ByteArrayOutputStream(payload.length + 8)
+    def w32(v: Int): Unit =
+      (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    w32(0x184D2A50); w32(payload.length); out.write(payload)
+    out.toByteArray
+  }
+
+  /** Decompress a full `.warc.zst` byte run: extract the optional
+    * leading skippable-frame dictionary (decompressing it when it is
+    * itself a zstd frame), then stream the remaining concatenated
+    * frames through one continuous decoder with that dictionary loaded.
+    * Malformed framing throws IllegalArgumentException like the gzip
+    * path — callers keep one corrupt-row policy.
+    */
+  private def unzstdAll(bytes: Array[Byte]): Array[Byte] = {
+    var p = 0
+    var dict: Option[Array[Byte]] = None
+    if (isSkippable(bytes, 0)) {
+      val len = le32(bytes, 4)
+      require(len >= 0 && 8L + len <= bytes.length,
+        s"skippable dictionary frame length $len overruns input")
+      val payload = java.util.Arrays.copyOfRange(bytes, 8, 8 + len)
+      dict = Some(if (isZstd(payload, 0)) {
+        val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new ByteArrayInputStream(payload))
+        try readFully(in) finally in.close()
+      } else payload)
+      p = 8 + len
+    }
+    require(isZstd(bytes, p), s"no zstd data frame at offset $p")
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new ByteArrayInputStream(bytes, p, bytes.length - p))
+    try {
+      in.setContinuous(true) // concatenated members, like the gzip reader
+      dict.foreach(in.setDict)
+      readFully(in)
+    } finally in.close()
+  }
+
+  private def readFully(in: java.io.InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 16)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
   private def inflateAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
     val out = new ByteArrayOutputStream(bytes.length * 4 + 64)
@@ -102,6 +184,8 @@ object Warc {
     val raw =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         inflateAll(bytes)
+      else if (isZstd(bytes, 0) || isSkippable(bytes, 0))
+        unzstdAll(bytes)
       else bytes
     val out = Vector.newBuilder[WarcRecord]
     var p = 0
@@ -227,6 +311,48 @@ object Warc {
         val url = s"https://${r.getString(1)}.example.com/docs/${r.getLong(0)}"
         blob.write(gzipMember(buildResponse(url, "2026-01-01T00:00:00Z",
           "text/plain; charset=utf-8", r.getString(2).getBytes(UTF_8))))
+      }
+      val bytes = blob.toByteArray
+      if (bytes.isEmpty) Iterator.empty
+      else parseAll(bytes).iterator.map { rec =>
+        val docId = rec.targetUri.substring(rec.targetUri.lastIndexOf('/') + 1).toLong
+        Row(docId, rec.targetUri, rec.httpStatus, rec.body.length.toLong)
+      }
+    }
+    spark.createDataFrame(rows, roundTripSchema)
+  }
+
+  /** The WARC/HTTP boilerplate every response record shares — a useful
+    * raw-content dictionary for per-record zstd members, where each
+    * member is too small to rediscover the shared structure itself.
+    */
+  private[graft] val ResponseDict: Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://example.com/docs/\r\n" +
+      "Content-Type: application/http; msgtype=response\r\nContent-Length: \r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Length: \r\n\r\n").getBytes(US_ASCII)
+
+  /** [[roundTrip]] over the `.warc.zst` layout (r10 verdict #8): one
+    * blob per partition = a leading skippable-frame DICTIONARY (itself
+    * zstd-compressed, the Common Crawl form) + one zstd frame per
+    * record, compressed against that dictionary; parse-back goes
+    * through the same `parseAll` entry as gzip and plain. Emitted rows
+    * come from the PARSED bytes, so the query proves the full
+    * dict-frame write → extract → continuous-decode → Content-Length
+    * framing path.
+    */
+  def roundTripZstd(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = docs.select("doc_id", "source", "text").rdd.mapPartitions { it =>
+      val blob = new ByteArrayOutputStream(1 << 20)
+      var wroteDict = false
+      it.foreach { r =>
+        if (!wroteDict) { blob.write(dictionaryFrame(ResponseDict)); wroteDict = true }
+        val url = s"https://${r.getString(1)}.example.com/docs/${r.getLong(0)}"
+        blob.write(zstdMember(buildResponse(url, "2026-01-01T00:00:00Z",
+          "text/plain; charset=utf-8", r.getString(2).getBytes(UTF_8)),
+          Some(ResponseDict)))
       }
       val bytes = blob.toByteArray
       if (bytes.isEmpty) Iterator.empty

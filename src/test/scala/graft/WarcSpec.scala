@@ -138,4 +138,66 @@ class WarcSpec extends SparkSpec {
       (8L, "https://srcB.example.com/docs/8", 200, "γδ multibyte".getBytes(UTF_8).length.toLong),
       (9L, "https://srcA.example.com/docs/9", 200, 0L)))
   }
+
+  // ---- .warc.zst (concatenated zstd frames + skippable-frame dict) ----
+
+  test("concatenated zstd members parse as one stream (no dictionary)") {
+    val bytes = Warc.zstdMember(rec("https://a.example.com/1", "one")) ++
+      Warc.zstdMember(rec("https://a.example.com/2", "two")) ++
+      Warc.zstdMember(rec("https://a.example.com/3", "three"))
+    val out = Warc.parseAll(bytes)
+    assert(out.map(r => new String(r.body, UTF_8)) === Seq("one", "two", "three"))
+    assert(out.forall(_.httpStatus === 200))
+  }
+
+  test("leading skippable frame carries the dictionary; members decode only with it") {
+    val dict = Warc.ResponseDict
+    val bytes = Warc.dictionaryFrame(dict) ++
+      Warc.zstdMember(rec("https://a.example.com/1", "alpha"), Some(dict)) ++
+      Warc.zstdMember(rec("https://a.example.com/2", "beta"), Some(dict))
+    val out = Warc.parseAll(bytes)
+    assert(out.map(_.targetUri) ===
+      Seq("https://a.example.com/1", "https://a.example.com/2"))
+    assert(out.map(r => new String(r.body, UTF_8)) === Seq("alpha", "beta"))
+    // the dictionary genuinely participates: stripping the skippable
+    // frame must break the dict-compressed members loudly, not decode
+    // them to garbage
+    val headless = bytes.drop(Warc.dictionaryFrame(dict).length)
+    intercept[Exception] { Warc.parseAll(headless) }
+  }
+
+  test("raw (uncompressed) dictionary payload is accepted too") {
+    val dict = "shared prefix material for tiny members ".getBytes(UTF_8)
+    // hand-build the skippable frame with a RAW payload: magic+len+dict
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >>> (8 * i)) & 0xff))
+    w32(0x184D2A53); w32(dict.length); bos.write(dict) // any 0x...50-5F magic
+    val bytes = bos.toByteArray ++
+      Warc.zstdMember(rec("https://a.example.com/9", "via raw dict"), Some(dict))
+    val out = Warc.parseAll(bytes)
+    assert(out.map(r => new String(r.body, UTF_8)) === Seq("via raw dict"))
+  }
+
+  test("corrupt skippable-frame length fails loudly") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >>> (8 * i)) & 0xff))
+    w32(0x184D2A50); w32(1 << 30) // length overruns the input
+    bos.write(Warc.zstdMember(rec("https://a.example.com/1", "x")))
+    intercept[IllegalArgumentException] { Warc.parseAll(bos.toByteArray) }
+  }
+
+  test("distributed zstd round trip (dict frame per shard) recovers every document") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "srcA", "alpha beta"),
+      (8L, "srcB", "γδ multibyte"),
+      (9L, "srcA", "")
+    ).toDF("doc_id", "source", "text").repartition(2)
+    val out = Warc.roundTripZstd(docs).orderBy("doc_id")
+      .as[(Long, String, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      (7L, "https://srcA.example.com/docs/7", 200, 10L),
+      (8L, "https://srcB.example.com/docs/8", 200, "γδ multibyte".getBytes(UTF_8).length.toLong),
+      (9L, "https://srcA.example.com/docs/9", 200, 0L)))
+  }
 }
