@@ -155,19 +155,36 @@ object ContainmentProbe {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
     val cap = Dedup.calibrateShingleDfCap(n)
-    val sh = Dedup.shingleHashes(docs).persist() // the operator's real grain
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (sh, tShingle) = timed {
+      val s = Dedup.shingleHashes(docs).persist() // the operator's real grain
+      s.count(); s
+    }
     val shingleRows = sh.count()
     // the OPERATOR's own rank/prefix steps (shared private[graft]
-    // helpers), so these numbers cannot drift from what q86 really does
-    val ranked = Dedup.rankedShingles(sh).persist()
+    // helpers), so these numbers cannot drift from what q86 really does.
+    // Stage walls are cumulative-pipeline-free: each stage materializes
+    // on top of the PERSISTED previous stage, so its wall is its own.
+    val (ranked, tRank) = timed {
+      val r = Dedup.rankedShingles(sh).persist(); r.count(); r
+    }
     def prefixRows(capped: Boolean): Long = {
       val base = if (capped && cap.isDefined) ranked.filter(col("df") <= cap.get) else ranked
       Dedup.prefixFilter(base, tauPct = 70).count()
     }
-    val prefCapped = prefixRows(capped = true)
+    val (prefCapped, tPref) = timed(prefixRows(capped = true))
     val prefUncapped = prefixRows(capped = false)
-    val verified = Dedup.containmentPairs(docs, 70).count()
-    println(s"""{"metric":"containment_probe","dir":"$dir","n":$n,"df_cap":${cap.getOrElse(-1)},"shingle_rows":$shingleRows,"prefix_rows_capped":$prefCapped,"prefix_rows_uncapped":$prefUncapped,"verified_pairs":$verified}""")
+    // candidate stage alone (prefix join + positional-bound agg), on the
+    // persisted ranked table — the piece between prefix and verification
+    val (candPairs, tCand) = timed {
+      Dedup.candidatesFromRanked(ranked, tauPct = 70, dfCap = cap).count()
+    }
+    // the full operator, cold (its own persists, its own pipeline): the
+    // whole-wall reference the stage walls must roughly sum to
+    val (verified, tFull) = timed(Dedup.containmentPairs(docs, 70).count())
+    println(f"""{"metric":"containment_probe","dir":"$dir","n":$n,"df_cap":${cap.getOrElse(-1)},"shingle_rows":$shingleRows,"prefix_rows_capped":$prefCapped,"prefix_rows_uncapped":$prefUncapped,"candidate_pairs":$candPairs,"verified_pairs":$verified,"stage_sec":{"shingle":$tShingle%.1f,"rank":$tRank%.1f,"prefix_count":$tPref%.1f,"candidates":$tCand%.1f,"full_operator_cold":$tFull%.1f}}""")
     spark.stop()
   }
 }

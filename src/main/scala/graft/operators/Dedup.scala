@@ -467,7 +467,12 @@ object Dedup {
     * verification step.
     */
   private[graft] def shingleHashes(docs: DataFrame): DataFrame =
-    shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    docs.withColumn("ws", TextOps.words(col("text")))
+      .withColumn("shingle", explode(TextOps.shingles3("ws")))
+      // hash BEFORE the distinct: the dedup exchange then carries
+      // (doc_id, 8-byte long) instead of (doc_id, ~30-byte string)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
 
   /** (doc_id, shingle, df, rn, sz): each doc's shingles ranked in the
     * global (df, shingle) order with the doc's shingle count — the
@@ -487,22 +492,98 @@ object Dedup {
     * (df, shingle) order is unchanged — struct sort_array compares df
     * first, then shingle — so rank semantics are identical.
     */
-  private[graft] def rankedShingles(sh: DataFrame): DataFrame = {
-    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(dfc, Seq("shingle"))
+  private[graft] def rankedShingles(sh: DataFrame): DataFrame =
+    explodeRanked(docShingleArrays(sh))
+
+  /** Past this df≥2 dim size the broadcast df-join falls back to a
+    * shuffle join: 4M (long → long) entries ≈ 100–150 MB of hashed
+    * relation on each executor — the conventional broadcast ceiling.
+    */
+  private[graft] val BroadcastDfLimit = 4000000L
+
+  /** (doc_id, items): each doc's distinct shingle hashes with their
+    * global document frequencies, as ONE sorted (df, shingle) array per
+    * doc — the containment pipeline's per-doc master table. Two tricks
+    * keep it exchange-light at the 100× corpus (r10 verdict #5):
+    *
+    *  - the df dim keeps ONLY shingles with df ≥ 2 (a df=1 shingle can
+    *    never join a candidate pair, and its df is implied), which on a
+    *    growing crawl shrinks the dim from "all distinct shingles"
+    *    (grows ~linearly with the corpus) to "repeated shingles";
+    *    missing rows coalesce to df=1 after a LEFT join
+    *  - when that dim fits [[BroadcastDfLimit]] it broadcasts, so the
+    *    26M-row shingle table never shuffles for the join at all — the
+    *    only wide exchange left is the doc-keyed aggregation itself
+    */
+  private[graft] def docShingleArrays(sh: DataFrame): DataFrame = {
+    val dfc2 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L).persist()
+    val dim = if (dfc2.count() <= BroadcastDfLimit) broadcast(dfc2) else dfc2
+    sh.join(dim, Seq("shingle"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("items"))
+  }
+
+  /** [[docShingleArrays]] flattened to the (doc_id, shingle, df, rn, sz)
+    * rank grain via posexplode — no corpus-grain sort, no windows: the
+    * (df, shingle) order comes from the per-doc `sort_array` (struct
+    * compare: df first, then shingle — the same total order the former
+    * row_number window used, so rank semantics are identical).
+    */
+  private[graft] def explodeRanked(docAgg: DataFrame): DataFrame =
+    docAgg
       .select(col("doc_id"), size(col("items")).cast(LongType).as("sz"),
         posexplode(col("items")))
       .select(col("doc_id"), col("col.shingle").as("shingle"), col("col.df").as("df"),
         (col("pos") + 1).as("rn"), col("sz"))
-  }
 
   /** The exact PPJoin prefix bound: keep each doc's first
     * sz − ⌈tauPct·sz/100⌉ + 1 shingles in the [[rankedShingles]] order.
     */
   private[graft] def prefixFilter(ranked: DataFrame, tauPct: Int): DataFrame =
     ranked.filter(col("rn") <= col("sz") - expr(s"($tauPct * sz + 99) div 100") + 1)
+
+  /** Candidate pairs from the ranked table: prefix-leg × full-leg join
+    * on the shingle, pruned by the ACCUMULATED positional bound
+    * (PPJoin's ubound, Xiao et al. WWW'08 §PPJoin+, in relational
+    * form). Both sides rank their shingles in the SAME global
+    * (df, shingle) order — a total order, shingles distinct per doc —
+    * so a pair's prefix matches occur at co-monotone positions in both
+    * docs. Every common shingle is either one of the m prefix matches
+    * or globally AFTER the last match (were it before, its a-rank would
+    * land inside a's prefix and it would BE a match), hence strictly
+    * after position max(rn_a) in a and max(rn_b) in b:
+    *   |A∩B| ≤ m + min(sz_a − max(rn_a), sz_b − max(rn_b)).
+    * This dominates the single-match bound at the earliest match, so it
+    * prunes a strict superset of what the ANY-match filter pruned —
+    * lossless either way; the groupBy replaces a distinct, keeping the
+    * pair-keyed shuffle count unchanged (26% measured win; the PPJoin+
+    * recursive suffix filter was evaluated and NOT ported — it needs
+    * per-pair content probes that would ship the bytes they save).
+    * Shared by [[containmentPairs]] and ContainmentProbe so the probe's
+    * candidate stage IS the operator's.
+    */
+  private[graft] def candidatesFromRanked(ranked: DataFrame, tauPct: Int,
+                                          dfCap: Option[Int]): DataFrame = {
+    def capped(df: DataFrame): DataFrame = dfCap match {
+      case None      => df
+      case Some(cap) => df.filter(col("df") <= cap)
+    }
+    val pref = prefixFilter(capped(ranked), tauPct)
+      .select(col("doc_id").as("a"), col("rn").as("rn_a"), col("sz").as("sz_a"), col("shingle"))
+    pref
+      .join(capped(ranked).select(col("doc_id").as("b"), col("rn").as("rn_b"),
+        col("sz").as("sz_b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("m"),
+        max(col("rn_a")).as("mrn_a"), max(col("rn_b")).as("mrn_b"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("m") + least(col("sz_a") - col("mrn_a"), col("sz_b") - col("mrn_b"))
+        >= expr(s"($tauPct * sz_a + 99) div 100"))
+      .select("a", "b")
+  }
 
   def containmentPairs(docs: DataFrame, tauPct: Int = 70,
                        maxShingleDf: Option[Int] = None,
@@ -527,13 +608,15 @@ object Dedup {
     // carries 8-byte longs, and the verification sets below are the
     // SAME xxhash64 images they always were.
     val sh = shingleHashes(docs).persist()
-    // per-doc frequency-ascending rank; both windows are doc-keyed (the
-    // corpus never sorts globally). minshared = ⌈tauPct·sz/100⌉ in pure
-    // integer math; prefix = sz − minshared + 1 leading shingles.
-    // `ranked` feeds BOTH candidate-join legs — persisted (doc_id,
-    // shingle, rn, sz: three small cols + the shingle) so the df join and
-    // the window run once, not once per leg.
-    val ranked = rankedShingles(sh).persist()
+    // ONE doc-keyed aggregation feeds everything downstream: the rank
+    // grain for both candidate-join legs (exploded view) AND the
+    // verification sets (projected view) — the former separate
+    // collect_set pass re-shuffled the whole 26M-row shingle table a
+    // second time for data this table already holds. minshared =
+    // ⌈tauPct·sz/100⌉ in pure integer math; prefix = sz − minshared + 1
+    // leading shingles.
+    val docAgg = docShingleArrays(sh).persist()
+    val ranked = explodeRanked(docAgg)
     // Per-shingle width cap (the production guard the round-8 scaling
     // audit names for q86): a shingle shared by more than the cap
     // documents fans out df² candidate pairs through the join below, and
@@ -545,49 +628,7 @@ object Dedup {
     // on whatever candidates survive. The calibrated default floors to
     // None (exact) below 20k docs, covering every test SF; DedupSpec
     // quantifies the trade on a hot-shingle zipf fixture.
-    def capped(df: DataFrame): DataFrame = dfCap match {
-      case None      => df
-      case Some(cap) => df.filter(col("df") <= cap)
-    }
-    val pref = prefixFilter(capped(ranked), tauPct)
-      .select(col("doc_id").as("a"), col("rn").as("rn_a"), col("sz").as("sz_a"), col("shingle"))
-    // ACCUMULATED positional bound (PPJoin's ubound, Xiao et al. WWW'08
-    // §PPJoin+, in relational form): both sides rank their shingles in
-    // the SAME global (df, shingle) order — a total order, shingles are
-    // distinct per doc — so a pair's prefix matches occur at co-monotone
-    // positions in both docs. Every common shingle is either one of the
-    // m prefix matches or globally AFTER the last match (were it before,
-    // its a-rank would land inside a's prefix and it would BE a match),
-    // hence strictly after position max(rn_a) in a and max(rn_b) in b:
-    //   |A∩B| ≤ m + min(sz_a − max(rn_a), sz_b − max(rn_b)).
-    // This dominates the single-match bound at the earliest match
-    // (rn_a1 ≤ max(rn_a) − (m−1) on both sides), so it prunes a strict
-    // superset of what the ANY-match filter pruned — lossless either
-    // way, and the groupBy replaces the old distinct, so the pair-keyed
-    // shuffle count is unchanged. Measured on the current sf0.1 corpus:
-    // 502k prefix matches → 300k pairs (vs 302k under ANY-match — the
-    // positional bounds are weak HERE because df-ascending order puts a
-    // shared rare shingle early in BOTH docs' rankings, and doc sizes
-    // are homogeneous enough that the sz_b length bound prunes nothing
-    // at this stage either; both were measured, see git history), of
-    // which 512 survive exact verification. The aggregation still wins
-    // 26% wall-clock over filter+distinct by collapsing each pair's
-    // matches before the exchange. The PPJoin+ recursive suffix filter
-    // was evaluated and NOT ported: it needs per-pair content probes
-    // into unindexed suffixes (driver-side token arrays in the paper),
-    // while our verifier is already a single hashed-set intersection
-    // COUNT per pair — the probe would ship the same bytes it saves.
-    val cand = pref
-      .join(capped(ranked).select(col("doc_id").as("b"), col("rn").as("rn_b"),
-        col("sz").as("sz_b"), col("shingle")), Seq("shingle"))
-      .filter(col("a") =!= col("b"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("m"),
-        max(col("rn_a")).as("mrn_a"), max(col("rn_b")).as("mrn_b"),
-        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
-      .filter(col("m") + least(col("sz_a") - col("mrn_a"), col("sz_b") - col("mrn_b"))
-        >= expr(s"($tauPct * sz_a + 99) div 100"))
-      .select("a", "b")
+    val cand = candidatesFromRanked(ranked, tauPct, dfCap)
     // verification: ship each candidate its two (distinct) shingle sets
     // and intersect per row — two doc-keyed joins against the one-row-
     // per-doc set table and a single projection, instead of re-exploding
@@ -600,8 +641,9 @@ object Dedup {
     // `common` by 1 with probability ≈ sz²·2⁻⁶⁴ per pair — vanishing
     // against any real corpus, and DedupSpec pins equivalence with the
     // naive string formulation.
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("shs"), count(lit(1)).as("sz"))
+    val sets = docAgg.select(col("doc_id"),
+      expr("transform(items, x -> x.shingle)").as("shs"),
+      size(col("items")).cast(LongType).as("sz"))
     val withA = cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"), col("sz").as("sz_a")),
         Seq("a"))
