@@ -159,9 +159,16 @@ object CrashSoak {
         if (sleepMs > 0) Thread.sleep(sleepMs)
         mark(f"kill -9 child $incarnation at ${wallS}%.1f s " +
           s"(delivered so far: ${deliveredPerInc.getOrElse(incarnation, 0L)})")
+        // record the REAL exit code: a child that died on its own before
+        // the scheduled kill (OOM, source failure) must not be mislabeled
+        // as kill -9 (137) in the artifact — destroyForcibly is a no-op
+        // on an already-dead process and waitFor returns its true status
+        val alreadyDead = !child.isAlive
         child.destroyForcibly()
         child.waitFor()
-        childExits += incarnation -> 137
+        if (alreadyDead)
+          mark(s"child $incarnation was ALREADY DEAD (exit ${child.exitValue()}) before the kill")
+        childExits += incarnation -> child.exitValue()
         incarnation += 1
         child = spawn(incarnation) // same checkpoint dir: resume, not restart
       }

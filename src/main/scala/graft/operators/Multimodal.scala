@@ -104,6 +104,17 @@ object Multimodal {
     */
   object ImageCodecs {
 
+    // ImageIO's stream caches default to DISK-backed: every
+    // ImageIO.read/write/createImageOutputStream creates (and deletes) a
+    // temp FILE under java.io.tmpdir. Per-row decode at corpus scale
+    // turns that into ~10^6 serialized file ops on one directory — the
+    // r11 sf10 audit measured q80 super-linear (1.3 s at 50k rows,
+    // 49-68 s at 500k, spread widening as tmp churns) with the codec
+    // itself unchanged. Our images are bounded (tens of px), so
+    // memory-backed caches are strictly better. Object-init runs once
+    // per JVM, executors included (the flag is a JVM-wide static).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Decoded image presented as a row-major accessor: `rgb(x, y)` is
       * 0xRRGGBB at logical position (x, y), y = 0 the TOP row regardless
       * of the storage order — orientation bugs show up in the row-0
