@@ -254,15 +254,24 @@ object TextAnalysis {
       .withColumn("pass_q", col("quality_score") >= minQuality)
       .withColumn("pass_l", col("pass_q") && col("predicted_lang") === keepLang)
       .withColumn("fp", md5(TextOps.normalized(col("text"))))
-    val w = Window.partitionBy("fp")
-    val verdicts = flags
-      .withColumn("canon", min(when(col("pass_l"), col("doc_id"))).over(w))
-      .withColumn("pass_d", col("pass_l") && col("doc_id") === col("canon"))
-    val agg = verdicts.agg(
-      count(lit(1)).as("total"),
-      sum(when(col("pass_q"), 1L).otherwise(0L)).as("s_q"),
-      sum(when(col("pass_l"), 1L).otherwise(0L)).as("s_l"),
-      sum(when(col("pass_d"), 1L).otherwise(0L)).as("s_d"))
+    // The dedup stage only needs COUNTS, so the canonical-survivor
+    // window the per-doc operators use (curate) is overkill here: per
+    // fingerprint, exactly one doc is "pass_l AND the canonical min" iff
+    // ANY member passes language — sum(pass_d) == count of fps with any
+    // pass_l member. A slim fp-grain aggregation says the same thing
+    // with a map-side-combined exchange of (fp, 3 longs) instead of a
+    // corpus-grain window sort that carried text + every feature column
+    // (~2 KB/row at the 100× corpus) through the shuffle.
+    val perFp = flags.select(col("pass_q"), col("pass_l"), col("fp"))
+      .groupBy("fp").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("nq"),
+        sum(when(col("pass_l"), 1L).otherwise(0L)).as("nl"))
+    val agg = perFp.agg(
+      sum(col("n")).as("total"),
+      sum(col("nq")).as("s_q"),
+      sum(col("nl")).as("s_l"),
+      sum(when(col("nl") > 0L, 1L).otherwise(0L)).as("s_d"))
     agg.select(explode(array(
       struct(lit("1_total").as("stage"), col("total").as("docs_in"), col("total").as("docs_out")),
       struct(lit("2_quality").as("stage"), col("total").as("docs_in"), col("s_q").as("docs_out")),
