@@ -117,8 +117,13 @@ object ClusterParity {
     val cols = df.columns.sorted.toSeq
     val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val rows = proj.collect()
+    // Cells join on an escaped \u001F (ASCII unit separator, which fmt
+    // can never emit). Was a RAW 0x01 byte — invisible in any viewer, so
+    // it read as delimiter-less concatenation (r11 ADVICE); the escape
+    // makes the aliasing guard auditable: without a separator, rows
+    // (1,23) and (12,3) would both format "123" and hash equal.
     def lines(rounded: Boolean) =
-      rows.map(r => r.toSeq.map(fmt(_, rounded)).mkString("")).sorted.toSeq
+      rows.map(r => r.toSeq.map(fmt(_, rounded)).mkString("\u001F")).sorted.toSeq
     ResultSig(rows.length.toLong, md5(lines(rounded = false)), md5(lines(rounded = true)))
   }
 
@@ -226,7 +231,7 @@ object ClusterParity {
       while (rs.next()) out += Seq(
         rs.getString(1), rs.getString(2),
         canonDouble(rs.getDouble(3)), canonDouble(rs.getDouble(4)),
-        rs.getString(5)).mkString("")
+        rs.getString(5)).mkString("\u001F") // same separator contract as `lines`
       rs.close(); st.close(); c.close()
       out.result()
     } finally server.stop()

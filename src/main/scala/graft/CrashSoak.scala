@@ -97,8 +97,11 @@ object CrashSoak {
       def mark(e: String): Unit = {
         timeline.add(Ev(wallS, e)); println(f"[crash-soak] $wallS%6.1f s  $e")
       }
-      // cumulative delivered per incarnation, last line wins; summed at end
-      val deliveredPerInc = mutable.Map.empty[Int, Long]
+      // cumulative delivered per incarnation, last line wins; summed at
+      // end. TrieMap, not mutable.Map: after a kill the dead child's pump
+      // thread can still be draining buffered stdout while the next
+      // incarnation's pump writes (r11 ADVICE — concurrent writers).
+      val deliveredPerInc = scala.collection.concurrent.TrieMap.empty[Int, Long]
       val childExits = mutable.ArrayBuffer.empty[(Int, Int)] // (incarnation, exit code)
 
       val addOpens = Seq(

@@ -519,10 +519,22 @@ object Dedup {
     val dfc2 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2L).persist()
     val dim = if (dfc2.count() <= BroadcastDfLimit) broadcast(dfc2) else dfc2
-    sh.join(dim, Seq("shingle"), "left")
+    val docAgg = sh.join(dim, Seq("shingle"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("items"))
+      .persist()
+    // Materialize the doc-grain aggregate, then release the df dim: every
+    // downstream consumer (both candidate-join legs, both verification
+    // joins, the probe) reads docAgg's cache, so a dfc2 cache outliving
+    // this call was a pure leak — one orphaned dim per q86-family
+    // invocation in a long-lived session (r11 ADVICE). docAgg itself
+    // stays cached deliberately: it is the call's working set, reachable
+    // from the returned plan and releasable by the caller/clearCache —
+    // scoped, not orphaned (DedupSpec pins the cache census).
+    docAgg.count()
+    dfc2.unpersist()
+    docAgg
   }
 
   /** [[docShingleArrays]] flattened to the (doc_id, shingle, df, rn, sz)
@@ -615,7 +627,7 @@ object Dedup {
     // second time for data this table already holds. minshared =
     // ⌈tauPct·sz/100⌉ in pure integer math; prefix = sz − minshared + 1
     // leading shingles.
-    val docAgg = docShingleArrays(sh).persist()
+    val docAgg = docShingleArrays(sh) // already cached + materialized inside
     val ranked = explodeRanked(docAgg)
     // Per-shingle width cap (the production guard the round-8 scaling
     // audit names for q86): a shingle shared by more than the cap

@@ -190,6 +190,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment cache hygiene: no orphaned cache survives the call (r11 ADVICE)") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    assert(sc.getPersistentRDDs.isEmpty, "dirty cache going in")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unrelated words in this other document here now")
+    ).toDF("doc_id", "text")
+    val res = Dedup.containmentPairs(corpus, tauPct = 70)
+    res.collect()
+    // The call's documented working set — the corpus-grain shingle table
+    // and the doc-grain aggregate, both reachable from the returned plan
+    // and caller-releasable — may remain. The df≥2 dim (dfc2) must NOT:
+    // it is unreachable from outside, so surviving = a per-call leak.
+    val live = sc.getPersistentRDDs.size
+    assert(live <= 2, s"containmentPairs leaked caches: $live persistent RDDs " +
+      "survive (working-set contract allows sh + docAgg only; the df dim must " +
+      "be unpersisted once docAgg materializes)")
+    spark.catalog.clearCache()
+    assert(sc.getPersistentRDDs.isEmpty, "clearCache must release the working set")
+  }
+
   test("containment: prefix filtering is lossless vs the naive all-pairs formulation") {
     // a corpus dense in shared shingles (the adversarial case for any
     // blocking scheme): every doc shares boilerplate with every other

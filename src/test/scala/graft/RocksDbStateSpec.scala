@@ -118,8 +118,14 @@ class RocksDbStateSpec extends SparkSpec {
         query.processAllAvailable()
         val after = query.lastProgress.stateOperators(0).numRowsTotal
         assert(before == 2L)
-        assert(after < before + 2,
-          s"TTL eviction never fired under RocksDB: $before -> $after")
+        // EXACT census (r11 ADVICE tightened `< before + 2`, which passed
+        // on partial eviction): ttl=10 s, so by the final watermark
+        // (00:11:00, delay 0) fpX/fpY (deadlines 00:00:1x) AND the first
+        // late key (deadline 00:10:10) are all expired — only `late2`
+        // (deadline 00:11:10) may remain. Any surviving expired entry
+        // makes this >= 2 and fails.
+        assert(after == 1L,
+          s"TTL eviction incomplete under RocksDB: $before -> $after (want exactly 1)")
         // and the evicted fingerprint re-admits (the TTL contract holds
         // across the provider swap)
         input.addData(DocEvent(5L, "fpX", ts("2024-01-01 00:12:00")))
