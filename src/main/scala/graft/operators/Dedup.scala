@@ -178,6 +178,58 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Hamming ≤ 1 near-pairs over a fingerprint table (v1 < v2, hamming ∈
+    * {0,1}) — the multi-probe trick restructured onto the SIGNATURE DIM
+    * (r11 verdict #8). The former shape exploded 17 probe rows per RECORD
+    * and pushed that 17× stream through the bucket exchange, plus a
+    * count-window over the record grain for the hot-bucket cap and a
+    * record×record self-join — three corpus-grain exchanges, and the
+    * (expensive) upstream fingerprint plan evaluated on both join sides.
+    * But a `bits`-bit signature space holds at most 2^bits distinct
+    * values (65 536 at 16 bits) no matter the corpus, so everything
+    * combinatorial belongs at bucket grain:
+    *
+    *   1. ONE record-grain exchange: groupBy(sig) → carriers array
+    *      ((media_id, sig) rows, ~12 bytes each — map-side combinable
+    *      in size). The hot-signature cap (> maxBucket carriers =
+    *      fingerprint stop-words, the q182 df-cap) becomes a free
+    *      bucket-grain size() filter instead of a window pass.
+    *   2. Probe explosion on the ≤ 2^bits bucket dim: (bits+1) probes per
+    *      DISTINCT signature, self-joined — a dim⋈dim join bounded by
+    *      17·2^16 rows at 16 bits, regardless of corpus size.
+    *   3. Carrier pairs via a per-bucket-pair array cross-product with
+    *      v1 < v2, all inside codegen (transform/filter/flatten) — no
+    *      DISTINCT needed: each unordered pair (u, w), sig(u) ≠ sig(w),
+    *      surfaces only from the (sig(u), sig(w)) direction (the mirror
+    *      direction requires w < u), and same-sig pairs only from the
+    *      single (s, s) row the fl=0 probe produces.
+    *
+    * Output volume is unchanged (same pair set, proven by the unchanged
+    * q185 oracle hash); the exchange volume drops from 17× record grain
+    * to 1× record grain + a dim-sized join, and the fingerprint plan is
+    * consumed exactly once. At 100 TB the bucket dim is still ≤ 2^bits
+    * rows × ≤ maxBucket ids — the corpus never meets itself in a join.
+    */
+  def hammingNearPairs(sigs: DataFrame, bits: Int = 16,
+                       maxBucket: Int = 100): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    val buckets = sigs.groupBy("sig")
+      .agg(collect_list(col("media_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val probeCols = (0 to bits).map(i =>
+      if (i == 0) col("sig") else col("sig").bitwiseXOR(lit(1 << (i - 1))))
+    val probes = buckets.select(col("sig").as("s1"), col("ids").as("ids1"),
+      explode(array(probeCols: _*)).as("probe"))
+    probes
+      .join(buckets.select(col("sig").as("s2"), col("ids").as("ids2")),
+        col("probe") === col("s2"))
+      .select(col("s1"), col("s2"), explode(expr(
+        "flatten(transform(ids1, u -> filter(transform(ids2, w -> " +
+          "struct(u AS v1, w AS v2)), p -> p.v1 < p.v2)))")).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
+        when(col("s1") === col("s2"), 0).otherwise(1).cast("int").as("hamming"))
+  }
+
   /** SimHash (bits-wide, default 32): frequency-weighted ±1 vote per bit of
     * each word's md5-32 hash; bit set iff the vote is positive.
     * Output (doc_id, simhash). Near-dups then differ in few bits

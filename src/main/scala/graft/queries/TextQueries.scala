@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextOps
-import graft.operators.{H264, Multimodal, TextAnalysis, UnigramLm}
+import graft.operators.{Dedup, H264, Multimodal, TextAnalysis, UnigramLm}
 
 /** Text-analysis + multimodal-plumbing queries over `documents`. */
 object TextQueries {
@@ -798,13 +798,12 @@ object TextQueries {
     },
 
     // Hamming-near fingerprint pairs (the multi-probe trick applied to
-    // perceptual hashes): each image probes its own signature plus all
-    // 16 single-bit flips, so Hamming ≤ 1 pairs surface from 17 bucket
-    // lookups per record — never an all-pairs distance scan. Hot
-    // signatures (> 100 carriers) are dropped as fingerprint stop-words
-    // — the q182 df-cap, keeping bucket occupancy (and thus the join)
-    // linear in corpus size. The same composition serves any
-    // fingerprint table at any scale.
+    // perceptual hashes): Hamming ≤ 1 pairs surface from bucket lookups,
+    // never an all-pairs distance scan, with hot signatures (> 100
+    // carriers) dropped as fingerprint stop-words (the q182 df-cap).
+    // The probe explosion runs on the ≤ 2^16-row SIGNATURE DIM, not per
+    // record — see Dedup.hammingNearPairs for the exchange accounting
+    // (r11 verdict #8 restructure; oracle hash unchanged).
     QueryDef("q185_phash_hamming",
       """WITH m AS (
         |  SELECT doc_id, CAST(doc_id % 9973 AS INT) AS seed,
@@ -841,20 +840,7 @@ object TextQueries {
       val sigs = Multimodal.imageHashes(
         Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .select(col("media_id"), col("sig"))
-        .withColumn("__nsig", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sig")))
-        .filter(col("__nsig") <= 100).drop("__nsig")
-      val probes = sigs.select(col("media_id").as("v1"), col("sig").as("s1"),
-        explode(array((0 to 16).map(i =>
-          if (i == 0) col("sig")
-          else col("sig").bitwiseXOR(lit(1 << (i - 1)))): _*)).as("probe"))
-      probes
-        .join(sigs.select(col("media_id").as("v2"), col("sig").as("s2")),
-          col("probe") === col("s2") && col("v1") < col("v2"))
-        .select("v1", "v2", "s1", "s2").distinct()
-        .select(col("v1"), col("v2"),
-          when(col("s1") === col("s2"), 0).otherwise(1)
-            .cast("int").as("hamming"))
+      Dedup.hammingNearPairs(sigs, bits = 16, maxBucket = 100)
         .orderBy("v1", "v2")
     },
 

@@ -190,6 +190,34 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hammingNearPairs: equals brute-force hamming<=1, each pair exactly once") {
+    val fixture = Seq(
+      (1L, 0x0000), (2L, 0x0001), (3L, 0x0001), (4L, 0x8001),
+      (5L, 0x00FF), (6L, 0x00FE), (7L, 0x1234))
+    val got = Dedup.hammingNearPairs(fixture.toDF("media_id", "sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // exactly-once: the dim-grain formulation needs no DISTINCT — a
+    // duplicate here means the direction argument in the scaladoc broke
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length,
+      s"duplicate pairs emitted: $got")
+    val brute = for {
+      (a, sa) <- fixture; (b, sb) <- fixture if a < b
+      h = Integer.bitCount(sa ^ sb) if h <= 1
+    } yield (a, b, h)
+    assert(got.toSet == brute.toSet)
+  }
+
+  test("hammingNearPairs: hot signatures drop from BOTH probe and carrier sides") {
+    // 101 carriers of sig 7 (over maxBucket=100) + one hamming-1 neighbor:
+    // the hot bucket must vanish entirely — no within-bucket pairs AND no
+    // cross pairs into it from the neighbor's probes
+    val hot = (1L to 101L).map(i => (i, 7))
+    val near = Seq((200L, 6), (201L, 6)) // 6 ^ 7 = 1 bit
+    val got = Dedup.hammingNearPairs((hot ++ near).toDF("media_id", "sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((200L, 201L, 0)))
+  }
+
   test("containment cache hygiene: no orphaned cache survives the call (r11 ADVICE)") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()
