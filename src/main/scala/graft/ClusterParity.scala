@@ -36,8 +36,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * kept in the artifact for diagnostics (a rounded-equal/exact-unequal
   * pair is the expected signature of merge-order drift, not a bug).
   *
-  * Artifact: PARITY_r11.json — per-query {rows, hash} under both
-  * masters + per-query equal flag; non-zero exit on any mismatch.
+  * Artifact: $GRAFT_PARITY_OUT (default PARITY_r12.json) — per-query
+  * {rows, hash} under both masters + per-query equal flag; non-zero exit
+  * on any mismatch.
+  *
+  * Arg forms: no args = DefaultSlice (the r11 one-per-family set);
+  * `all` = the ENTIRE query board (r11 verdict #2 — a serialization bug
+  * hides in the unrepresentative query by definition: 90f1288's closure
+  * bug lived in a path no slice would have picked); explicit names = that
+  * set.
   */
 object ClusterParity {
 
@@ -241,8 +248,12 @@ object ClusterParity {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq else DefaultSlice
     val defs = SparkEntry.queries
+    val names = args.toSeq match {
+      case Seq("all") => defs.keys.toSeq.sorted
+      case Seq()      => DefaultSlice
+      case xs         => xs
+    }
     val missing = names.filterNot(defs.contains)
     require(missing.isEmpty, s"unknown queries: $missing")
 
@@ -285,7 +296,8 @@ object ClusterParity {
         s""""pipeline_equal":$pipeEq,"failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""local_sec":$localSec,"cluster_sec":$clusterSec,"sf":"$sfDir"}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("PARITY_r11.json"),
+    val outPath = sys.env.getOrElse("GRAFT_PARITY_OUT", "PARITY_r12.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     if (failures.nonEmpty) {
       System.err.println(s"[parity] MISMATCH: $failures")

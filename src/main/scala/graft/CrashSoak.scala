@@ -235,7 +235,7 @@ object CrashSoak {
       val exitsJson = childExits
         .map { case (i, c) => s"""{"incarnation":$i,"exit":$c}""" }.mkString("[", ",", "]")
       val json =
-        f"""{"metric":"crash_soak","duration_sec":$durationS,"kills":${killAts.size},"incarnations":${incarnation + 1},"child_exits":$exitsJson,"offered":$offered,"delivered":$delivered,"delivered_vs_offered":${delivered.toDouble / offered}%.3f,"replay_accounting":"delivered sums the value-sink input across all incarnations: a kill -9 replays the killed incarnation's uncommitted tail from the checkpointed offset (inflation over offered), while reconnect backfill older than the T6 queueCapacity (1000 ticks/item) is DiscardOldest-truncated (deflation); final-state exactness is the contract, row counts are diagnostics","final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"final_online":$finalOnline,"zero_loss_final_state":${mismatches.isEmpty},"state_store":"rocksdb","pass":$pass,"timeline":$tJson}"""
+        f"""{"metric":"crash_soak","duration_sec":$durationS,"kills":${killAts.size},"incarnations":${incarnation + 1},"child_exits":$exitsJson,"offered":$offered,"delivered":$delivered,"delivered_vs_offered":${delivered.toDouble / offered}%.3f,"replay_accounting":"delivered sums the value-sink input across all incarnations: a kill -9 replays the killed incarnation's uncommitted tail from the checkpointed offset (inflation over offered), while reconnect backfill older than the T6 queueCapacity (1000 ticks/item) is DiscardOldest-truncated (deflation); final-state exactness is the contract, row counts are diagnostics","final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"final_online":$finalOnline,"zero_loss_final_state":${mismatches.isEmpty},"state_store":"rocksdb","pipeline":"${sys.env.getOrElse("SPARK_GRAFT_SOAK_PIPELINE", "split")}","pass":$pass,"timeline":$tJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (json + "\n").getBytes)
       println(json)
       if (mismatches.nonEmpty) {
@@ -279,7 +279,9 @@ object CrashSoakChild {
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
         e.exception.foreach(m => println(s"[child] QUERY DIED: ${m.take(300)}"))
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.name == "graft-values") {
+        // value-path admission: the split mode's value query, or the one
+        // fused query (which subsumes it)
+        if (e.progress.name == "graft-values" || e.progress.name == "graft-fused") {
           val d = delivered.addAndGet(e.progress.numInputRows)
           println(s"[child] delivered=$d")
         }
@@ -293,10 +295,20 @@ object CrashSoakChild {
       .option("chunkRows", 65536L)
       .option("queueCapacity", 1000L)
       .load()
-    val handle = graft.streaming.IngestPipeline.start(raw, target,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
-      checkpointDir = Some(ckptDir))
-    println(s"[child] incarnation $incarnation started (checkpoint $ckptDir)")
+    // SPARK_GRAFT_SOAK_PIPELINE=fused runs the single-query FusedPipeline
+    // (inherited from the supervisor's environment): exactly-once across
+    // kill -9 must hold in BOTH contracts, not just the split default
+    val pipelineMode = sys.env.getOrElse("SPARK_GRAFT_SOAK_PIPELINE", "split")
+    val handle =
+      if (pipelineMode == "fused")
+        graft.streaming.FusedPipeline.start(raw, target,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+          checkpointDir = Some(ckptDir))
+      else
+        graft.streaming.IngestPipeline.start(raw, target,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+          checkpointDir = Some(ckptDir))
+    println(s"[child] incarnation $incarnation ($pipelineMode) started (checkpoint $ckptDir)")
 
     val stopFile = new java.io.File(stopPath)
     while (!stopFile.exists()) Thread.sleep(500)

@@ -155,8 +155,15 @@ object ThroughputBench {
     //   gated  — + exclusion gates + watermark dedup (the stateful
     //            exchange) into noop
     //   full   — the complete pipeline (default; value + liveness sinks)
+    //   fused  — the complete pipeline as ONE query (FusedPipeline): one
+    //            source admission, one dedup state, one device-keyed
+    //            FMGWS emitting both row kinds (r11 verdict #4 — decide
+    //            the split-vs-fused contract by measurement)
     val stageMode = sys.env.getOrElse("SPARK_GRAFT_TPUT_STAGE", "full")
     val handle = stageMode match {
+      case "fused" =>
+        graft.streaming.FusedPipeline.start(raw, target,
+          trigger = Trigger.ProcessingTime("0 seconds"))
       case "source" =>
         val q = raw.writeStream.format("noop")
           .trigger(Trigger.ProcessingTime("0 seconds"))

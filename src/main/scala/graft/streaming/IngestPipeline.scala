@@ -79,8 +79,8 @@ object IngestPipeline {
     * 0). The per-device reduction and the writes stay distributed — no
     * driver collect on the event path.
     */
-  private def livenessWriter(g: DataFrame, target: UpsertTarget, trigger: Trigger,
-                             checkpointDir: Option[String]) = {
+  private[graft] def livenessWriter(g: DataFrame, target: UpsertTarget, trigger: Trigger,
+                                    checkpointDir: Option[String]) = {
     val writer = Liveness.onlineEvents(MeasureStream.typed(g), watermarked = true)
       .writeStream.outputMode("append").trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Liveness.OnlineEvent], _: Long) =>
