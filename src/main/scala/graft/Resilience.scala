@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
+import scala.jdk.OptionConverters._
 
 /** Executor-death resilience audit (r11 verdict #3) — the missing third
   * leg of the trust triangle: ClusterParity proves multi-JVM correctness
@@ -42,11 +43,24 @@ import scala.jdk.CollectionConverters._
 object Resilience {
   import ClusterParity.{session, signature, ResultSig}
 
-  private def executorHandles(): Seq[ProcessHandle] =
-    ProcessHandle.current().descendants().iterator().asScala.filter { h =>
-      val cmd = h.info().commandLine()
-      cmd.isPresent && cmd.get.contains("CoarseGrainedExecutorBackend")
-    }.toSeq
+  /** Executor JVMs by /proc scan — NOT ProcessHandle.info().commandLine():
+    * the JDK returns Optional.empty for command lines past an internal
+    * size cap, and an executor launch command (the full dependency
+    * classpath) blows well past it, so descendants-based discovery finds
+    * nothing (measured: the r12 first run's killer never fired).
+    */
+  private def executorHandles(): Seq[ProcessHandle] = {
+    val procDir = new java.io.File("/proc")
+    procDir.listFiles((_: java.io.File, n: String) => n.forall(_.isDigit)).toSeq.flatMap { f =>
+      try {
+        val cmd = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")), "UTF-8")
+        if (cmd.contains("CoarseGrainedExecutorBackend"))
+          ProcessHandle.of(f.getName.toLong).asScala
+        else None
+      } catch { case _: Exception => None }
+    }
+  }
 
   /** Block until `n` executors are registered (relaunch after a kill). */
   private def awaitExecutors(spark: SparkSession, n: Int, timeoutSec: Int = 120): Unit = {
