@@ -333,6 +333,28 @@ object Warc {
       "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
       "Content-Length: \r\n\r\n").getBytes(US_ASCII)
 
+  /** Train a zstd dictionary from sample payloads (ZDICT, via the
+    * `ZstdDictTrainer` the zstd-jni Spark ships already carries) — the
+    * step a real `.warc.zst` exporter runs over a corpus sample before
+    * writing shards (r11 verdict #9): [[zstdMember]] accepts a
+    * caller-supplied dict, but producing one was the missing half. The
+    * returned bytes are a structured ZDICT dictionary (magic + entropy
+    * tables + content); both `ZstdCompressCtx.loadDict` and
+    * `ZstdInputStream.setDict` accept it, so it drops straight into
+    * [[dictionaryFrame]]/[[zstdMember]]/[[parseAll]]. Training throws
+    * (loud failure) when the sample set is too small for ZDICT to find
+    * shared structure — callers fall back to a raw-content dict like
+    * [[ResponseDict]], never to a silently-broken one.
+    */
+  def trainDictionary(samples: Seq[Array[Byte]], dictBytes: Int = 16384): Array[Byte] = {
+    require(samples.nonEmpty, "cannot train a dictionary from zero samples")
+    val total = samples.iterator.map(_.length.toLong).sum
+    require(total <= Int.MaxValue, s"sample set too large for one trainer buffer: $total")
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(total.toInt, dictBytes)
+    samples.foreach(trainer.addSample)
+    trainer.trainSamples() // throws ZstdException on insufficient samples
+  }
+
   /** [[roundTrip]] over the `.warc.zst` layout (r10 verdict #8): one
     * blob per partition = a leading skippable-frame DICTIONARY (itself
     * zstd-compressed, the Common Crawl form) + one zstd frame per

@@ -166,6 +166,38 @@ class WarcSpec extends SparkSpec {
     intercept[Exception] { Warc.parseAll(headless) }
   }
 
+  test("TRAINED dictionary (ZDICT): train -> skippable-frame write -> read round-trip, ratio beats no-dict") {
+    // a corpus of small records sharing WARC/HTTP boilerplate + recurring
+    // vocabulary — the regime where per-member zstd cannot rediscover the
+    // shared structure and a trained dictionary pays
+    val words = Vector("solar", "panel", "inverter", "telemetry", "voltage",
+      "current", "string", "combiner", "tracker", "irradiance")
+    val bodies = (0 until 600).map { i =>
+      (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+        .mkString(" ") + s" record-$i"
+    }
+    val records = (0 until 600).map(i => rec(s"https://w$i.example.com/docs/$i", bodies(i)))
+    val dict = Warc.trainDictionary(records, dictBytes = 4096)
+    assert(dict.length > 0 && dict.length <= 4096)
+    // round trip through the same skippable-frame + continuous-decode path
+    val blob = Warc.dictionaryFrame(dict) ++
+      records.take(50).flatMap(r => Warc.zstdMember(r, Some(dict)))
+    val out = Warc.parseAll(blob)
+    assert(out.length == 50)
+    assert(out.map(_.targetUri) == (0 until 50).map(i => s"https://w$i.example.com/docs/$i"))
+    (out zip bodies.take(50)).foreach { case (parsed, body) =>
+      assert(new String(parsed.body, UTF_8) == body)
+    }
+    // the trained dict must genuinely compress: member bytes (excluding
+    // the amortized dict frame) strictly smaller than dict-less members
+    val withDict = records.map(r => Warc.zstdMember(r, Some(dict)).length.toLong).sum
+    val noDict = records.map(r => Warc.zstdMember(r).length.toLong).sum
+    info(f"trained-dict members: $withDict B vs no-dict $noDict B " +
+      f"(${100.0 * withDict / noDict}%.1f%%), dict ${dict.length} B over 600 records")
+    assert(withDict < noDict,
+      s"trained dictionary did not pay: $withDict >= $noDict")
+  }
+
   test("raw (uncompressed) dictionary payload is accepted too") {
     val dict = "shared prefix material for tiny members ".getBytes(UTF_8)
     // hand-build the skippable frame with a RAW payload: magic+len+dict
