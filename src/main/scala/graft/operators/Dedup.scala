@@ -240,12 +240,21 @@ object Dedup {
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
       .withColumn("h", TextOps.hash32(col("w")))
-    wordFreq
-      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("((h >> b) & 1) = 1"), col("f")).otherwise(-col("f"))).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    // The per-bit votes are `bits` independent map-side-combined sums in
+    // ONE doc-keyed aggregation — NOT an explode(0..bits-1) into a
+    // (doc, b)-keyed exchange: the former shape pushed bits× the
+    // word-grain table through a second shuffle plus a third for the
+    // final doc fold (q34 was #2 on the r12 sf10 board at 34 s for
+    // exactly that reason). Same integer votes, same tie rule (> 0),
+    // order-free sums — the signature is bit-identical.
+    val votes = (0 until bits).map(b =>
+      sum(when(expr(s"((h >> $b) & 1) = 1"), col("f")).otherwise(-col("f"))).as(s"__v$b"))
+    wordFreq.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Per-round snapshot/reclaim for the iterative CC loops. With a
