@@ -98,13 +98,30 @@ object NativeTextOps {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_boundaries")
-    if (!registry.functionExists(id)) {
-      registry.createOrReplaceTempFunction(
-        "graft_cdc_boundaries", exprs => CdcBoundaries(exprs.head), "internal")
+    def reg(name: String, build: Seq[Expression] => Expression): Unit = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.createOrReplaceTempFunction(name, build, "internal")
+      }
     }
+    reg("graft_cdc_boundaries", exprs => CdcBoundaries(exprs.head))
+    reg("graft_normalize_text", exprs => NormalizeTextExpr(exprs.head))
+    reg("graft_text_features", exprs => TextFeaturesExpr(exprs.head))
+    reg("graft_bpe_count", exprs => BpeTokenCountExpr(exprs.head))
   }
 
   def cdcBoundaries(text: Column): Column =
     call_function("graft_cdc_boundaries", text)
+
+  /** One-pass twin of [[TextOps.normalized]] (see TextKernel). */
+  def normalizedText(text: Column): Column =
+    call_function("graft_normalize_text", text)
+
+  /** One-pass quality/lang-ID feature struct (see TextKernel.features). */
+  def textFeatures(text: Column): Column =
+    call_function("graft_text_features", text)
+
+  /** One-pass BPE-ish pre-tokenization count (see TextKernel). */
+  def bpeCount(text: Column): Column =
+    call_function("graft_bpe_count", text)
 }

@@ -1,0 +1,341 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass kernels for the per-row text hot paths of the
+  * curation family (quality gate, language-ID, fingerprint normalization,
+  * token counting). The declarative forms are correct but expensive at
+  * corpus scale: `TextOps.normalized` is two full regexp_replace passes
+  * plus a trim (three intermediate strings per document), and
+  * `withQualityFeatures`/`withLangId` tokenize with a regex split and
+  * then run interpreted higher-order functions (filter/transform/
+  * aggregate are CodegenFallback) over the word array — at the 100×
+  * corpus these five queries were the top of the board (q99 37.7 s,
+  * q64 31.3 s, q217 26.0 s, q31 24.3 s, q45 10.9 s at sf10-zipf).
+  *
+  * Each kernel is ONE scan over the document bytes with zero
+  * intermediate allocation on the (overwhelmingly common) pure-ASCII
+  * path, and an exact slow path that reproduces the Column-algebra
+  * semantics for non-ASCII input:
+  *
+  *  - lower()       ≡ UTF8String.toLowerCase: ASCII fast path, else
+  *                    String.toLowerCase(Locale.ROOT) (probed: U+0130 →
+  *                    [69, 307] on both).
+  *  - trim()        removes U+0020 ONLY (probed: \t\n\f\r\x0B survive).
+  *  - split(x,'\s+')≡ Java String.split(re, -1): leading empty token if
+  *                    the string starts with a separator, trailing empty
+  *                    tokens kept, ""  → [""]. Java \s = [ \t\n\x0B\f\r]
+  *                    (ASCII-only without UNICODE_CHARACTER_CLASS).
+  *  - length()      counts code points.
+  *
+  * The equivalence of kernel vs Column algebra is property-tested in
+  * TextKernelSpec over adversarial strings (whitespace runs, non-ASCII,
+  * casing edge cases); the 15+ affected oracle rows pin it end-to-end.
+  */
+object TextKernel {
+
+  private final val SpaceByte = ' '.toByte
+
+  /** Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]. */
+  @inline private def isWs(b: Int): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  @inline private def isAlnum(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  @inline private def toLower(b: Int): Int =
+    if (b >= 'A' && b <= 'Z') b + 32 else b
+
+  private def isAscii(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  // ---------------------------------------------------------------------
+  // normalize: trim(regexp_replace(regexp_replace(lower(text),
+  //            "[^a-z0-9 ]", ""), " +", " "))
+  // Single pass: emit lowered [a-z0-9]; a space is PENDING until the next
+  // kept alphanumeric (collapses runs, drops leading/trailing — exactly
+  // strip-then-collapse-then-trim, because stripped characters vanish
+  // without becoming separators).
+  // ---------------------------------------------------------------------
+
+  def normalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    if (isAscii(bytes)) {
+      val n = bytes.length
+      val out = new Array[Byte](n)
+      var k = 0
+      var pending = false
+      var i = 0
+      while (i < n) {
+        val c = toLower(bytes(i))
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          if (pending && k > 0) { out(k) = SpaceByte; k += 1 }
+          pending = false
+          out(k) = c.toByte
+          k += 1
+        } else if (c == ' ') {
+          pending = true
+        }
+        i += 1
+      }
+      UTF8String.fromBytes(out, 0, k)
+    } else {
+      // Exact slow path: the same pass over the ROOT-locale lowered
+      // string (what UTF8String.toLowerCase does for non-ASCII). Only
+      // ASCII [a-z0-9 ] can survive, so UTF-16 unit iteration is safe.
+      val lowered = s.toString.toLowerCase(Locale.ROOT)
+      val sb = new java.lang.StringBuilder(lowered.length)
+      var pending = false
+      var i = 0
+      while (i < lowered.length) {
+        val c = lowered.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          if (pending && sb.length > 0) sb.append(' ')
+          pending = false
+          sb.append(c)
+        } else if (c == ' ') {
+          pending = true
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // features: every count the quality/lang-ID gates need, one scan.
+  //   n_chars  = length(text)                       [code points]
+  //   words    = split(lower(trim(text)), "\s+")    [Java split, -1]
+  //   n_words  = size(words)
+  //   n_punct  = length(regexp_replace(text, "[A-Za-z0-9\s]", ""))
+  //   n_stop   = |{w ∈ words : w ∈ {the,a,of,and,to,in,is}}|  (with mult.)
+  //   n_en     = |{w ∈ words : w ∈ {the,and,a,of}}|
+  //   sum_word_len = Σ length(w)
+  //   has_cjk  = text rlike [\x{4e00}-\x{9fff}]
+  // ---------------------------------------------------------------------
+
+  val FeaturesType: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_en", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("has_cjk", BooleanType, nullable = false)))
+
+  /** Stop list {the,a,of,and,to,in,is}; en markers {the,and,a,of} ⊂ stop. */
+  private def classifyAscii(bytes: Array[Byte], start: Int, len: Int): Int = {
+    // returns bit0 = stopword, bit1 = en marker
+    len match {
+      case 1 =>
+        if (toLower(bytes(start)) == 'a') 3 else 0
+      case 2 =>
+        val c0 = toLower(bytes(start)); val c1 = toLower(bytes(start + 1))
+        if (c0 == 'o' && c1 == 'f') 3
+        else if ((c0 == 't' && c1 == 'o') || (c0 == 'i' && (c1 == 'n' || c1 == 's'))) 1
+        else 0
+      case 3 =>
+        val c0 = toLower(bytes(start)); val c1 = toLower(bytes(start + 1))
+        val c2 = toLower(bytes(start + 2))
+        if ((c0 == 't' && c1 == 'h' && c2 == 'e') ||
+          (c0 == 'a' && c1 == 'n' && c2 == 'd')) 3
+        else 0
+      case _ => 0
+    }
+  }
+
+  private def classifyStr(w: String): Int = w match {
+    case "the" | "a" | "of" | "and" => 3
+    case "to" | "in" | "is" => 1
+    case _ => 0
+  }
+
+  def features(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    if (isAscii(bytes)) featuresAscii(bytes) else featuresSlow(s.toString)
+  }
+
+  private def featuresAscii(bytes: Array[Byte]): InternalRow = {
+    val n = bytes.length
+    var nPunct = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (!isAlnum(b) && !isWs(b)) nPunct += 1
+      i += 1
+    }
+    // trim() strips U+0020 only
+    var i0 = 0
+    while (i0 < n && bytes(i0) == SpaceByte) i0 += 1
+    var i1 = n - 1
+    while (i1 >= i0 && bytes(i1) == SpaceByte) i1 -= 1
+    var nWords = 1L
+    var nStop = 0L
+    var nEn = 0L
+    var sumLen = 0L
+    if (i0 <= i1) {
+      i = i0
+      while (i <= i1) {
+        if (isWs(bytes(i))) {
+          nWords += 1 // one separator run = one more token (Java split, -1)
+          while (i <= i1 && isWs(bytes(i))) i += 1
+        } else {
+          val start = i
+          while (i <= i1 && !isWs(bytes(i))) i += 1
+          val len = i - start
+          sumLen += len
+          val cls = classifyAscii(bytes, start, len)
+          if ((cls & 1) != 0) nStop += 1
+          if ((cls & 2) != 0) nEn += 1
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](n.toLong, nWords, nPunct, nStop, nEn, sumLen, false))
+  }
+
+  private def featuresSlow(str: String): InternalRow = {
+    val nChars = str.codePointCount(0, str.length).toLong
+    var nPunct = 0L
+    var hasCjk = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val asciiKeep = cp < 0x80 && (isAlnum(cp) || isWs(cp))
+      if (!asciiKeep) nPunct += 1
+      if (cp >= 0x4E00 && cp <= 0x9FFF) hasCjk = true
+      i += Character.charCount(cp)
+    }
+    // trim spaces only, then ROOT-locale lower, then exact Java split
+    var a = 0
+    while (a < str.length && str.charAt(a) == ' ') a += 1
+    var b = str.length
+    while (b > a && str.charAt(b - 1) == ' ') b -= 1
+    val lowered = str.substring(a, b).toLowerCase(Locale.ROOT)
+    val tokens = lowered.split("\\s+", -1)
+    var nStop = 0L
+    var nEn = 0L
+    var sumLen = 0L
+    var t = 0
+    while (t < tokens.length) {
+      val w = tokens(t)
+      sumLen += w.codePointCount(0, w.length)
+      val cls = classifyStr(w)
+      if ((cls & 1) != 0) nStop += 1
+      if ((cls & 2) != 0) nEn += 1
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nChars, tokens.length.toLong, nPunct, nStop, nEn, sumLen, hasCjk))
+  }
+
+  // ---------------------------------------------------------------------
+  // bpeTokenCount: regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+  // = maximal ASCII-letter runs + maximal ASCII-digit runs + every other
+  // non-(ASCII-ws) code point individually (non-ASCII is never part of a
+  // run and never \s without UNICODE_CHARACTER_CLASS).
+  // ---------------------------------------------------------------------
+
+  def bpeTokenCount(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    if (isAscii(bytes)) {
+      val n = bytes.length
+      var count = 0L
+      var i = 0
+      while (i < n) {
+        val b = bytes(i)
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+          count += 1
+          while (i < n && ((bytes(i) >= 'a' && bytes(i) <= 'z') ||
+            (bytes(i) >= 'A' && bytes(i) <= 'Z'))) i += 1
+        } else if (b >= '0' && b <= '9') {
+          count += 1
+          while (i < n && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        } else {
+          if (!isWs(b)) count += 1
+          i += 1
+        }
+      }
+      count
+    } else {
+      val str = s.toString
+      var count = 0L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) {
+          count += 1
+          while (i < str.length && {
+            val c = str.charAt(i); (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          }) i += 1
+        } else if (cp >= '0' && cp <= '9') {
+          count += 1
+          while (i < str.length && { val c = str.charAt(i); c >= '0' && c <= '9' }) i += 1
+        } else {
+          if (!(cp < 0x80 && isWs(cp))) count += 1
+          i += Character.charCount(cp)
+        }
+      }
+      count
+    }
+  }
+}
+
+private[functions] trait TextKernelUnary extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+}
+
+/** trim∘collapse∘strip∘lower fingerprint normalization, one pass. */
+case class NormalizeTextExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.normalize(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.normalize($c)")
+}
+
+/** All quality/lang-ID counts as one struct, one pass. */
+case class TextFeaturesExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = TextKernel.FeaturesType
+  override def prettyName: String = "graft_text_features"
+  override protected def withNewChildInternal(newChild: Expression): TextFeaturesExpr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.features(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.features($c)")
+}
+
+/** BPE-ish pre-tokenization count, one pass. */
+case class BpeTokenCountExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.bpeTokenCount(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.bpeTokenCount($c)")
+}

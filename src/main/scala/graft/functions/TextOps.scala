@@ -38,9 +38,17 @@ object TextOps {
     s"list_transform(range(1, len($ws)), i -> $ws[i] || ' ' || $ws[i+1])"
 
   /** Aggressive normalization for near-dup fingerprinting: lower, strip
-    * non-alphanumerics, collapse whitespace.
+    * non-alphanumerics, collapse whitespace. One-pass TextKernel native
+    * (callers register via NativeTextOps — every operator entry point
+    * that builds this column does); [[normalizedRef]] is the original
+    * declarative form, kept as the property-test reference.
     */
-  def normalized(text: Column): Column =
+  def normalized(text: Column): Column = NativeTextOps.normalizedText(text)
+
+  /** Declarative twin of [[normalized]] — reference implementation for
+    * TextKernelSpec's equivalence property (two regexp_replace passes).
+    */
+  def normalizedRef(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   val normalizedSql: String =

@@ -29,6 +29,7 @@ object Dedup {
     * whitespace): each doc labeled with its canonical representative.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.NativeTextOps.register(docs.sparkSession)
     val fp = docs.withColumn("fp", md5(TextOps.normalized(col("text"))))
     val w = Window.partitionBy("fp")
     fp.withColumn("canonical_id", min(col("doc_id")).over(w))

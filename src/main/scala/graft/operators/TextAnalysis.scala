@@ -19,26 +19,36 @@ object TextAnalysis {
     * splits letter runs, digit runs, and single punctuation marks — a
     * deterministic stand-in for a real tokenizer's pre-tokenization.
     */
-  def tokenStats(docs: DataFrame): DataFrame =
+  def tokenStats(docs: DataFrame): DataFrame = {
+    // Both counts come from the one-pass TextKernel natives: the regex
+    // alternation scan was ~2/3 of q45's wall at the 100× corpus. The
+    // whitespace-token count is lowering-invariant (no case mapping
+    // produces or removes whitespace), so the shared feature struct's
+    // n_words is exactly size(split(trim(text), "\s+")).
+    graft.functions.NativeTextOps.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_ws_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType).as("n_bpe_tokens"))
+      graft.functions.NativeTextOps.textFeatures(col("text"))
+        .getField("n_words").as("n_ws_tokens"),
+      graft.functions.NativeTextOps.bpeCount(col("text")).as("n_bpe_tokens"))
+  }
 
   /** Appends the quality feature columns, keeping the input's (so
     * pipelines can chain more per-row stages without a join — see
     * [[curate]]).
     */
   def withQualityFeatures(docs: DataFrame): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    val stopArr = array(Stopwords.map(lit): _*)
+    // All five counts come from ONE TextKernel scan (the declarative
+    // form was a regex split + a regexp_replace + three interpreted
+    // HOF passes per row — the top of the sf10 board). Identical
+    // columns/types; equivalence is property-pinned in TextKernelSpec.
+    graft.functions.NativeTextOps.register(docs.sparkSession)
+    val tf = graft.functions.NativeTextOps.textFeatures(col("text"))
     docs
-      .withColumn("n_chars_m", length(col("text")).cast(LongType))
-      .withColumn("n_words", size(ws).cast(LongType))
-      .withColumn("n_punct",
-        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast(LongType))
-      .withColumn("n_stop", size(filter(ws, w => array_contains(stopArr, w))).cast(LongType))
-      .withColumn("sum_word_len",
-        aggregate(transform(ws, w => length(w).cast(LongType)), lit(0L), (acc, x) => acc + x))
+      .withColumn("n_chars_m", tf.getField("n_chars"))
+      .withColumn("n_words", tf.getField("n_words"))
+      .withColumn("n_punct", tf.getField("n_punct"))
+      .withColumn("n_stop", tf.getField("n_stop"))
+      .withColumn("sum_word_len", tf.getField("sum_word_len"))
       // TOTAL ratios: an empty document divides 0/0, which Spark renders
       // NULL but DuckDB (IEEE) renders NaN — NULL scores would silently
       // fall out of percentile sketches and windows while NaN sorts last,
@@ -121,17 +131,20 @@ object TextAnalysis {
     */
   /** Appends `predicted_lang` (+ `en_score`) to the input — chainable. */
   def withLangId(docs: DataFrame): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    val markers = array(Seq("the", "and", "a", "of").map(lit): _*)
+    // n_words/n_en/has_cjk from the same one-pass TextKernel struct the
+    // quality gate uses — when chained (curate/curationFunnel), codegen
+    // subexpression elimination evaluates the kernel once per row.
+    graft.functions.NativeTextOps.register(docs.sparkSession)
+    val tf = graft.functions.NativeTextOps.textFeatures(col("text"))
     docs
-      .withColumn("n_words", size(ws).cast(LongType))
-      .withColumn("n_en", size(filter(ws, w => array_contains(markers, w))).cast(LongType))
+      .withColumn("n_words", tf.getField("n_words"))
+      .withColumn("n_en", tf.getField("n_en"))
       // total for wordless docs (same NULL-vs-NaN hazard as the quality ratios)
       .withColumn("en_score",
         when(col("n_words") > 0, col("n_en").cast(DoubleType) / col("n_words"))
           .otherwise(0.0))
       .withColumn("predicted_lang",
-        when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        when(tf.getField("has_cjk"), "zh")
           .when(col("en_score") >= 0.03, "en")
           .otherwise("unknown"))
   }
