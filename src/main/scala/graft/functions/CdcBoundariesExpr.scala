@@ -108,6 +108,7 @@ object NativeTextOps {
     reg("graft_normalize_text", exprs => NormalizeTextExpr(exprs.head))
     reg("graft_text_features", exprs => TextFeaturesExpr(exprs.head))
     reg("graft_bpe_count", exprs => BpeTokenCountExpr(exprs.head))
+    reg("graft_shingle_hashes", exprs => ShingleHashesExpr(exprs.head))
   }
 
   def cdcBoundaries(text: Column): Column =
@@ -124,4 +125,8 @@ object NativeTextOps {
   /** One-pass BPE-ish pre-tokenization count (see TextKernel). */
   def bpeCount(text: Column): Column =
     call_function("graft_bpe_count", text)
+
+  /** One-pass word-3-gram xxhash64 array (see TextKernel.shingleHashes). */
+  def shingleHashes(text: Column): Column =
+    call_function("graft_shingle_hashes", text)
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -245,6 +246,102 @@ object TextKernel {
   }
 
   // ---------------------------------------------------------------------
+  // shingleHashes: xxhash64 images of the word 3-gram shingles, one pass.
+  //   ≡ transform(shingles3(split(lower(trim(text)), "\s+")),
+  //               s -> xxhash64(s))
+  // i.e. element i (0-based) is xxhash64(concat_ws(' ', ws[i], ws[i+1],
+  // ws[i+2])) with Spark's seed 42 over the UTF-8 bytes — bit-identical
+  // to hashing the materialized shingle string (pinned in
+  // TextKernelSpec), with no string/array/lambda materialization: the
+  // declarative form runs the interpreted ArrayTransform HOF and builds
+  // every shingle string just to hash it. Empty tokens (Java split's
+  // leading/trailing empties) participate exactly as concat_ws renders
+  // them (separators still emitted).
+  // ---------------------------------------------------------------------
+
+  private val scratchTL: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](1024))
+
+  private def scratch(n: Int): Array[Byte] = {
+    var b = scratchTL.get()
+    if (b.length < n) { b = new Array[Byte](Integer.highestOneBit(n) * 2); scratchTL.set(b) }
+    b
+  }
+
+  private final val Xxh64Seed = 42L
+
+  def shingleHashes(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    if (isAscii(bytes)) shingleHashesAscii(bytes)
+    else shingleHashesSlow(s.toString)
+  }
+
+  private def shingleHashesAscii(bytes: Array[Byte]): GenericArrayData = {
+    val n = bytes.length
+    var i0 = 0
+    while (i0 < n && bytes(i0) == SpaceByte) i0 += 1
+    var i1 = n - 1
+    while (i1 >= i0 && bytes(i1) == SpaceByte) i1 -= 1
+    // token boundaries (Java split -1 semantics, incl. empty end tokens)
+    var nTok = 1
+    var i = i0
+    while (i <= i1) { if (isWs(bytes(i))) nTok += 1; while (i <= i1 && isWs(bytes(i))) i += 1; if (i <= i1 && !isWs(bytes(i))) { while (i <= i1 && !isWs(bytes(i))) i += 1 } }
+    if (i0 > i1) nTok = 1 // "" → [""]
+    if (nTok < 3) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok)
+    val lens = new Array[Int](nTok)
+    var t = 0
+    i = i0
+    var tokStart = i0
+    while (i <= i1) {
+      if (isWs(bytes(i))) {
+        starts(t) = tokStart; lens(t) = i - tokStart; t += 1
+        while (i <= i1 && isWs(bytes(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    starts(t) = tokStart; lens(t) = i1 + 1 - tokStart; t += 1
+    val out = new Array[Long](nTok - 2)
+    var j = 0
+    while (j < nTok - 2) {
+      val need = lens(j) + lens(j + 1) + lens(j + 2) + 2
+      val buf = scratch(need)
+      var k = 0
+      var w = j
+      while (w <= j + 2) {
+        if (w > j) { buf(k) = SpaceByte; k += 1 }
+        var p = starts(w)
+        val e = starts(w) + lens(w)
+        while (p < e) { buf(k) = toLower(bytes(p)).toByte; k += 1; p += 1 }
+        w += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, k, Xxh64Seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def shingleHashesSlow(str: String): GenericArrayData = {
+    var a = 0
+    while (a < str.length && str.charAt(a) == ' ') a += 1
+    var b = str.length
+    while (b > a && str.charAt(b - 1) == ' ') b -= 1
+    val tokens = str.substring(a, b).toLowerCase(Locale.ROOT).split("\\s+", -1)
+    if (tokens.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](tokens.length - 2)
+    var j = 0
+    while (j < tokens.length - 2) {
+      val sh = UTF8String.fromString(tokens(j) + " " + tokens(j + 1) + " " + tokens(j + 2))
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        sh.getBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        sh.numBytes(), Xxh64Seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---------------------------------------------------------------------
   // bpeTokenCount: regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
   // = maximal ASCII-letter runs + maximal ASCII-digit runs + every other
   // non-(ASCII-ws) code point individually (non-ASCII is never part of a
@@ -326,6 +423,20 @@ case class TextFeaturesExpr(child: Expression) extends TextKernelUnary {
     TextKernel.features(a.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.features($c)")
+}
+
+/** xxhash64 images of word 3-gram shingles, one pass (no string/array
+  * materialization — see TextKernel.shingleHashes).
+  */
+case class ShingleHashesExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.shingleHashes(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.shingleHashes($c)")
 }
 
 /** BPE-ish pre-tokenization count, one pass. */

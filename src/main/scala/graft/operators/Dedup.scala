@@ -58,8 +58,15 @@ object Dedup {
     * window over the same exchange) + one doc-keyed rollup.
     */
   def shingleNovelty(docs: DataFrame): DataFrame = {
+    // Runs on xxhash64 shingle images ([[shingleHashes]] — the q86
+    // containment grain): no shingle string reaches the output, so the
+    // df window's exchange+sort and the distinct carry 8-byte longs
+    // instead of ~30-byte strings. A cross-shingle collision (≈2⁻⁶⁴ per
+    // pair) could merge two shingles' counts; the oracle gate computes
+    // df on the STRINGS and hash-matches, pinning zero collisions on
+    // the test corpora (same adjudication as containmentPairs).
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    shingles(docs)
+    shingleHashes(docs)
       .withColumn("d", count(lit(1)).over(wSh))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -528,13 +535,18 @@ object Dedup {
     * or admit one spurious candidate — both absorbed by the exact
     * verification step.
     */
-  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
-    docs.withColumn("ws", TextOps.words(col("text")))
-      .withColumn("shingle", explode(TextOps.shingles3("ws")))
-      // hash BEFORE the distinct: the dedup exchange then carries
-      // (doc_id, 8-byte long) instead of (doc_id, ~30-byte string)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.NativeTextOps.register(docs.sparkSession)
+    // hash BEFORE the distinct: the dedup exchange then carries
+    // (doc_id, 8-byte long) instead of (doc_id, ~30-byte string). The
+    // hashes come straight from the one-pass TextKernel native
+    // (bit-identical to xxhash64 of the materialized shingle string —
+    // TextKernelSpec), skipping the word array, the interpreted
+    // ArrayTransform HOF, and every shingle-string allocation.
+    docs.select(col("doc_id"),
+        explode(graft.functions.NativeTextOps.shingleHashes(col("text"))).as("shingle"))
       .distinct()
+  }
 
   /** (doc_id, shingle, df, rn, sz): each doc's shingles ranked in the
     * global (df, shingle) order with the doc's shingle count — the

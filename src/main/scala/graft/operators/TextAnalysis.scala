@@ -314,6 +314,7 @@ object TextAnalysis {
     * engine-exact, no tolerance needed.
     */
   def dropFrequentSpans(docs: DataFrame, minDocs: Long): DataFrame = {
+    graft.functions.NativeTextOps.register(docs.sparkSession)
     val withWs = docs.withColumn("ws", TextOps.words(col("text")))
     // 1-based token and shingle-start positions (matches the SQL twin)
     val toks = withWs.select(col("doc_id"),
@@ -322,8 +323,18 @@ object TextAnalysis {
     // sh feeds BOTH the document-frequency aggregation and the coverage
     // join — persisted so tokenize+shingle+posexplode runs once, not
     // twice (the Dedup.containmentPairs / SequencePack idiom)
-    val sh = withWs.select(col("doc_id"),
-      posexplode(TextOps.shingles3("ws")).as(Seq("sp0", "shingle")))
+    // Shingles travel as xxhash64 images (the q86 containment grain):
+    // no shingle string reaches the output, so the df exchange and the
+    // coverage join carry (doc_id, 8-byte long) instead of ~30-byte
+    // strings. A collision (≈2⁻⁶⁴/pair) could merge two shingles' df;
+    // the oracle computes df on STRINGS and hash-matches, pinning zero
+    // collisions on the test corpora. The hashes come from the one-pass
+    // TextKernel native (bit-identical to xxhash64 of the materialized
+    // shingle string — TextKernelSpec), so no shingle string or word
+    // array is ever built on this branch.
+    val sh = docs.select(col("doc_id"),
+      posexplode(graft.functions.NativeTextOps.shingleHashes(col("text")))
+        .as(Seq("sp0", "shingle")))
       .select(col("doc_id"), (col("sp0") + 1).as("sp"), col("shingle"))
       .persist()
     val frequent = sh.groupBy("shingle")
@@ -362,9 +373,13 @@ object TextAnalysis {
     * sharded like every other doc-keyed window here.
     */
   def repeatedIntervals(docs: DataFrame, minDocs: Long): DataFrame = {
-    val withWs = docs.withColumn("ws", TextOps.words(col("text")))
-    val sh = withWs.select(col("doc_id"),
-      posexplode(TextOps.shingles3("ws")).as(Seq("sp0", "shingle")))
+    graft.functions.NativeTextOps.register(docs.sparkSession)
+    // xxhash64 shingle images via the one-pass TextKernel native, same
+    // rationale/adjudication as [[dropFrequentSpans]] (positions only —
+    // no string ever surfaces).
+    val sh = docs.select(col("doc_id"),
+      posexplode(graft.functions.NativeTextOps.shingleHashes(col("text")))
+        .as(Seq("sp0", "shingle")))
       .select(col("doc_id"), (col("sp0") + 1).as("sp"), col("shingle"))
       .persist()
     val frequent = sh.groupBy("shingle")

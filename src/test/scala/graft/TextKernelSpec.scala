@@ -102,6 +102,22 @@ class TextKernelSpec extends AnyFunSuite with SparkSpec {
     assertSame(genTexts(1000).distinct)
   }
 
+  test("shingleHashes == xxhash64 over materialized shingle strings") {
+    val texts = (genTexts(400) ++ Seq(
+      "", " ", "a", "a b", "a b c", "a b c d", "\ta b c ", "the  the the",
+      "中文 one two three 漢字", "İ a b c", "a\tb\nc d", "x ! y ? z")).distinct
+    val ref = texts.toDF("text")
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(transform(TextOps.shingles3("ws"), s => xxhash64(s)).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val got = texts.toDF("text")
+      .select(NativeTextOps.shingleHashes(col("text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    texts.indices.foreach { i =>
+      assert(got(i) == ref(i), s"text=[${texts(i)}] kernel=${got(i)} ref=${ref(i)}")
+    }
+  }
+
   test("kernel natives survive whole-stage codegen and constant input") {
     val df = Seq(("the quick brown fox", 1)).toDF("text", "one")
       .select(NativeTextOps.textFeatures(col("text")).getField("n_words").as("w"),
