@@ -109,24 +109,41 @@ object NativeTextOps {
     reg("graft_text_features", exprs => TextFeaturesExpr(exprs.head))
     reg("graft_bpe_count", exprs => BpeTokenCountExpr(exprs.head))
     reg("graft_shingle_hashes", exprs => ShingleHashesExpr(exprs.head))
+    reg("graft_md5_hash32", exprs => Md5Hash32Expr(exprs.head))
+  }
+
+  /** Column builders register on the ACTIVE session at construction time
+    * (and callers with a specific session still call [[register]]
+    * directly): `call_function` resolves lazily at analysis, so a column
+    * built in a context without an explicit session — a query lambda, a
+    * spec's hand-built frame — must not depend on the caller remembering
+    * to register. Idempotent and ~free.
+    */
+  private def registered(name: String, cols: Column*): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(name, cols: _*)
   }
 
   def cdcBoundaries(text: Column): Column =
-    call_function("graft_cdc_boundaries", text)
+    registered("graft_cdc_boundaries", text)
 
   /** One-pass twin of [[TextOps.normalized]] (see TextKernel). */
   def normalizedText(text: Column): Column =
-    call_function("graft_normalize_text", text)
+    registered("graft_normalize_text", text)
 
   /** One-pass quality/lang-ID feature struct (see TextKernel.features). */
   def textFeatures(text: Column): Column =
-    call_function("graft_text_features", text)
+    registered("graft_text_features", text)
 
   /** One-pass BPE-ish pre-tokenization count (see TextKernel). */
   def bpeCount(text: Column): Column =
-    call_function("graft_bpe_count", text)
+    registered("graft_bpe_count", text)
 
   /** One-pass word-3-gram xxhash64 array (see TextKernel.shingleHashes). */
   def shingleHashes(text: Column): Column =
-    call_function("graft_shingle_hashes", text)
+    registered("graft_shingle_hashes", text)
+
+  /** Digest-direct md5 prefix hash (see TextKernel.md5Hash32). */
+  def md5Hash32(text: Column): Column =
+    registered("graft_md5_hash32", text)
 }

@@ -83,6 +83,10 @@ object ScalarOps {
     * Oracle form: `('0x' || substr(md5(x), 1, 8))::BIGINT`.
     */
   def md5Hash32(c: Column): Column =
+    NativeTextOps.md5Hash32(c.cast(StringType))
+
+  /** Declarative twin of [[md5Hash32]] — TextKernelSpec's reference. */
+  def md5Hash32Ref(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
 
   /** Exact decimal sum rendered as double — the only way to make a

@@ -391,6 +391,26 @@ object TextKernel {
       count
     }
   }
+
+  // ---------------------------------------------------------------------
+  // md5Hash32: ('0x' || substr(md5(x), 1, 8))::BIGINT — the cross-engine
+  // 32-bit hash anchor. The declarative form (conv(substring(md5(x),1,8),
+  // 16,10)) hex-encodes the full 16-byte digest to a 32-char string,
+  // substrings it, and re-parses hex — per evaluation. The first 8 hex
+  // chars ARE the first 4 digest bytes big-endian, so the native reads
+  // them straight off the digest: one ThreadLocal MessageDigest, zero
+  // string traffic. Values are bit-identical (TextKernelSpec).
+  // ---------------------------------------------------------------------
+
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Hash32(s: UTF8String): Long = {
+    val md = md5TL.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
 }
 
 private[functions] trait TextKernelUnary extends UnaryExpression {
@@ -449,4 +469,16 @@ case class BpeTokenCountExpr(child: Expression) extends TextKernelUnary {
     TextKernel.bpeTokenCount(a.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.bpeTokenCount($c)")
+}
+
+/** 32-bit md5 prefix hash, digest-direct (see TextKernel.md5Hash32). */
+case class Md5Hash32Expr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_hash32"
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash32Expr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.md5Hash32(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.md5Hash32($c)")
 }

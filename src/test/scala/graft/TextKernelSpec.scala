@@ -118,6 +118,17 @@ class TextKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("md5Hash32 digest-direct == conv(substring(md5)) reference") {
+    val texts = (genTexts(300) ++ Seq("", "a", "the quick", "中文", "42", "𝕏")).distinct
+    val both = texts.toDF("text").select(
+      graft.functions.ScalarOps.md5Hash32(col("text")).as("native"),
+      graft.functions.ScalarOps.md5Hash32Ref(col("text")).as("ref"))
+      .collect()
+    both.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"text=[$t] native=${r.getLong(0)} ref=${r.getLong(1)}")
+    }
+  }
+
   test("kernel natives survive whole-stage codegen and constant input") {
     val df = Seq(("the quick brown fox", 1)).toDF("text", "one")
       .select(NativeTextOps.textFeatures(col("text")).getField("n_words").as("w"),
