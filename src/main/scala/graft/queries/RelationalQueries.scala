@@ -1244,7 +1244,12 @@ object RelationalQueries {
         .slidingDistinct(cells, Seq("event_type"), windowDays = 7)
       val evd = ev.select(col("event_type").as("et"), to_date(col("ts")).as("eday"),
         col("user_id"))
-      val exact = approx.select(col("event_type"), col("cell"))
+      // the (type, day) dim is tiny (days × event types) but sits behind
+      // a window+aggregate lineage AQE sometimes mis-sizes: the range
+      // join was bimodal (9 s broadcast mode vs 18 s shuffle mode on the
+      // 100× corpus, both trees) — pin the broadcast so the events side
+      // never shuffles for it
+      val exact = broadcast(approx.select(col("event_type"), col("cell")))
         .join(evd, col("et") === col("event_type")
           && col("eday").between(date_sub(col("cell"), 6), col("cell")))
         .groupBy("event_type", "cell")
