@@ -88,13 +88,25 @@ object ScaleUp {
       // copy, while v vs −rot(v) across copies is anti-correlated, not
       // a near-dup). Distinct for every i < 128, covering the 100-copy
       // second-decade audit.
-      require(i < 128, s"embedding transform family is exhausted at 128 copies (got copy $i)")
+      // copies 0..127: the original rotate/negate family, byte-stable so
+      // regenerated 100x corpora stay comparable with earlier boards.
+      // copies 128..1023 (the 1000x third-decade audit): compose the
+      // rotation with a per-group SIGN DIAGONAL D_s (s = i div 64 in
+      // 2..15, flip coordinate j iff bit (j mod 4) of s) — a diagonal
+      // ±1 matrix is orthogonal, so norms and within-copy cosines are
+      // preserved while every s gives a distinct cross-copy structure
+      // (distinct 4-bit masks ⇒ distinct diagonals).
+      require(i < 1024, s"embedding transform family is exhausted at 1024 copies (got copy $i)")
       val r = i % 64
+      val s64 = i / 64
       val rotS =
         if (r == 0) "embedding"
         else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
           s"slice(embedding, 1, $r))"
-      val emb = expr(if (i < 64) rotS else s"transform($rotS, x -> -x)")
+      val emb = expr(
+        if (i < 64) rotS
+        else if (i < 128) s"transform($rotS, x -> -x)"
+        else s"transform($rotS, (x, j) -> CASE WHEN (($s64 >> (j % 4)) & 1) = 1 THEN -x ELSE x END)")
       df.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         emb.as("embedding"), col("label"))
     }
