@@ -36,5 +36,12 @@ Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default locale: UTF8String.toLowerCase's non-ASCII slow
+  // path delegates to String.toLowerCase() under the DEFAULT locale, and
+  // the TextKernel natives' probed-identical claim (TextFeaturesExpr)
+  // mirrors that with Locale.ROOT — identical except under tr/az/lt
+  // defaults (dotless-i rules). Pinning en-US keeps kernel and built-in
+  // byte-identical regardless of the host image's locale (r12 ADVICE).
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

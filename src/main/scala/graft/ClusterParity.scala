@@ -77,6 +77,29 @@ object ClusterParity {
     "q220_h264_idr_index",        // RDD mapPartitions codec walk
     "q221_gopher_rules")          // pure map-side integer gates
 
+  // ---- tree identity ----
+
+  /** The commit this run certifies, recorded IN the artifact so staleness
+    * is self-evident (r12 verdict #1: PARITY_r12/RESILIENCE_r12 certified
+    * a tree six plan-changing commits behind the HEAD they were cited
+    * for, and nothing in the artifact said so). `+dirty` marks uncommitted
+    * source; "unknown" if git is unavailable rather than failing the run.
+    */
+  def gitTree(): String = {
+    def run(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Exception => None }
+    run("git", "rev-parse", "--short=12", "HEAD") match {
+      case Some(h) =>
+        val dirty = run("git", "status", "--porcelain").exists(_.nonEmpty)
+        if (dirty) s"$h+dirty" else h
+      case None => "unknown"
+    }
+  }
+
   // ---- canonical result hashing ----
 
   private def canonDouble(d: Double): String =
@@ -291,12 +314,12 @@ object ClusterParity {
         s""""hash_cluster":"${c.roundedHash}","equal":$eq,"exact_equal":$exactEq}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"cluster_parity","queries":$qJson,""" +
+      s"""{"metric":"cluster_parity","commit":"${gitTree()}","queries":$qJson,""" +
         s""""pipeline_rows":${localPipe.size},"pipeline_rows_cluster":${clusterPipe.size},""" +
         s""""pipeline_equal":$pipeEq,"failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""local_sec":$localSec,"cluster_sec":$clusterSec,"sf":"$sfDir"}"""
     println(json)
-    val outPath = sys.env.getOrElse("GRAFT_PARITY_OUT", "PARITY_r12.json")
+    val outPath = sys.env.getOrElse("GRAFT_PARITY_OUT", "PARITY_r13.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     if (failures.nonEmpty) {

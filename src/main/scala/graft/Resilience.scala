@@ -282,13 +282,14 @@ object Resilience {
         s""""killed_in_flight":${b.kill.inFlight},"attempts":${b.attempts}}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"resilience","master":"local-cluster[2,16,4096]","batch":$bJson,""" +
+      s"""{"metric":"resilience","commit":"${ClusterParity.gitTree()}",""" +
+        s""""master":"local-cluster[2,16,4096]","batch":$bJson,""" +
         s""""streaming":{"rows":${calmRows.size},"rows_disturbed":${killedRows.size},""" +
         s""""equal":$streamEqual,"killed_pid":${streamKill.pid},""" +
         f""""kill_delay_sec":${streamKill.delaySec}%.2f},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
-    val outPath = sys.env.getOrElse("GRAFT_RESILIENCE_OUT", "RESILIENCE_r12.json")
+    val outPath = sys.env.getOrElse("GRAFT_RESILIENCE_OUT", "RESILIENCE_r13.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     if (failures.nonEmpty) {

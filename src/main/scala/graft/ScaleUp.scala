@@ -91,14 +91,20 @@ object ScaleUp {
       // copies 0..127: the original rotate/negate family, byte-stable so
       // regenerated 100x corpora stay comparable with earlier boards.
       // copies 128..1023 (the 1000x third-decade audit): compose the
-      // rotation with a per-group SIGN DIAGONAL D_s (s = i div 64 in
-      // 2..15, flip coordinate j iff bit (j mod 4) of s) — a diagonal
-      // ±1 matrix is orthogonal, so norms and within-copy cosines are
-      // preserved while every s gives a distinct cross-copy structure
-      // (distinct 4-bit masks ⇒ distinct diagonals).
+      // rotation with a per-group SIGN DIAGONAL D_s (flip coordinate j
+      // iff bit (j mod 4) of s) — a diagonal ±1 matrix is orthogonal, so
+      // norms and within-copy cosines are preserved while every s gives
+      // a distinct cross-copy structure (distinct 4-bit masks ⇒ distinct
+      // diagonals). s = i div 64 - 1, i.e. masks 1..14: mask 0 IS the
+      // pure rotation (copies 0..63) and mask 15 = -I IS the negate
+      // family (copies 64..127), so `i / 64` made copies 960..999
+      // byte-identical to 64..103 (r12 ADVICE, medium — the r8-class
+      // cross-copy exact-dup bug re-entering through the top mask).
+      // With masks 1..14 the family is exactly 64 rotations × 16
+      // distinct diagonals = 1024 distinct transforms.
       require(i < 1024, s"embedding transform family is exhausted at 1024 copies (got copy $i)")
       val r = i % 64
-      val s64 = i / 64
+      val s64 = i / 64 - 1
       val rotS =
         if (r == 0) "embedding"
         else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +

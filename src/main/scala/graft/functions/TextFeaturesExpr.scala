@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.util.Locale
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -30,8 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics for non-ASCII input:
   *
   *  - lower()       ≡ UTF8String.toLowerCase: ASCII fast path, else
-  *                    String.toLowerCase(Locale.ROOT) (probed: U+0130 →
-  *                    [69, 307] on both).
+  *                    String.toLowerCase() under the JVM DEFAULT locale —
+  *                    deliberately NOT Locale.ROOT, because that is what
+  *                    UTF8String's slow path does, so kernel and built-in
+  *                    stay byte-identical even under tr/az/lt defaults
+  *                    (r12 ADVICE); build.sbt additionally pins en-US.
+  *                    (probed: U+0130 → [69, 307] on both).
   *  - trim()        removes U+0020 ONLY (probed: \t\n\f\r\x0B survive).
   *  - split(x,'\s+')≡ Java String.split(re, -1): leading empty token if
   *                    the string starts with a separator, trailing empty
@@ -97,10 +100,10 @@ object TextKernel {
       }
       UTF8String.fromBytes(out, 0, k)
     } else {
-      // Exact slow path: the same pass over the ROOT-locale lowered
+      // Exact slow path: the same pass over the default-locale lowered
       // string (what UTF8String.toLowerCase does for non-ASCII). Only
       // ASCII [a-z0-9 ] can survive, so UTF-16 unit iteration is safe.
-      val lowered = s.toString.toLowerCase(Locale.ROOT)
+      val lowered = s.toString.toLowerCase()
       val sb = new java.lang.StringBuilder(lowered.length)
       var pending = false
       var i = 0
@@ -227,7 +230,7 @@ object TextKernel {
     while (a < str.length && str.charAt(a) == ' ') a += 1
     var b = str.length
     while (b > a && str.charAt(b - 1) == ' ') b -= 1
-    val lowered = str.substring(a, b).toLowerCase(Locale.ROOT)
+    val lowered = str.substring(a, b).toLowerCase()
     val tokens = lowered.split("\\s+", -1)
     var nStop = 0L
     var nEn = 0L
@@ -327,7 +330,7 @@ object TextKernel {
     while (a < str.length && str.charAt(a) == ' ') a += 1
     var b = str.length
     while (b > a && str.charAt(b - 1) == ' ') b -= 1
-    val tokens = str.substring(a, b).toLowerCase(Locale.ROOT).split("\\s+", -1)
+    val tokens = str.substring(a, b).toLowerCase().split("\\s+", -1)
     if (tokens.length < 3) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](tokens.length - 2)
     var j = 0

@@ -602,19 +602,41 @@ object Dedup {
     * WeakHashMap on the session: a stopped session's entries vanish with
     * it.
     */
+  /** Size-1 LRU per session (r12 verdict #2): the memo's use cases —
+    * bench timed passes, probe-then-operator compositions — re-run the
+    * SAME corpus back to back and never interleave corpora, so a single
+    * slot restores pass-over-pass reuse while a rolling-partition caller
+    * (a new plan every day) replaces, and UNPERSISTS, yesterday's
+    * corpus-scale aggregate instead of accumulating one per distinct
+    * input forever. Replacement evicts eagerly (blocking=false) so the
+    * old cache's blocks free without stalling the new corpus's run.
+    */
+  private final class MemoSlot {
+    var key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = _
+    var value: DataFrame = _
+  }
+
   private val docAggMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]]())
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, MemoSlot]())
+
+  /** Test hook: number of live memoized aggregates for the session (0/1). */
+  private[graft] def docAggMemoCensus(spark: org.apache.spark.sql.SparkSession): Int = {
+    val slot = docAggMemo.get(spark)
+    if (slot == null) 0
+    else slot.synchronized {
+      if (slot.value != null &&
+        slot.value.storageLevel != org.apache.spark.storage.StorageLevel.NONE) 1 else 0
+    }
+  }
 
   private[graft] def docShingleArrays(sh: DataFrame): DataFrame = {
-    val memo = docAggMemo.computeIfAbsent(sh.sparkSession,
-      _ => new java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]())
+    val slot = docAggMemo.computeIfAbsent(sh.sparkSession, _ => new MemoSlot)
     val key = sh.queryExecution.analyzed.canonicalized
-    val hit = memo.get(key)
-    if (hit != null && hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      return hit
+    slot.synchronized {
+      if (slot.key == key && slot.value != null &&
+        slot.value.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        return slot.value
+    }
     val dfc2 = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2L).persist()
     val dim = if (dfc2.count() <= BroadcastDfLimit) broadcast(dfc2) else dfc2
@@ -633,7 +655,12 @@ object Dedup {
     // scoped, not orphaned (DedupSpec pins the cache census).
     docAgg.count()
     dfc2.unpersist()
-    memo.put(key, docAgg)
+    slot.synchronized {
+      val old = slot.value
+      if (old != null && !(old eq docAgg)) old.unpersist(blocking = false)
+      slot.key = key
+      slot.value = docAgg
+    }
     docAgg
   }
 

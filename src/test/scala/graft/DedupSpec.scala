@@ -241,6 +241,39 @@ class DedupSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.isEmpty, "clearCache must release the working set")
   }
 
+  test("docAggMemo is a size-1 LRU: a second corpus evicts the first's aggregate (r12 verdict #2)") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    assert(sc.getPersistentRDDs.isEmpty, "dirty cache going in")
+    def corpus(tag: String) = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $tag one"),
+      (2L, s"alpha beta gamma delta epsilon $tag two"),
+      (3L, s"totally unrelated words in this other document $tag three")
+    ).toDF("doc_id", "text")
+    Dedup.containmentPairs(corpus("first"), tauPct = 70).collect()
+    assert(Dedup.docAggMemoCensus(spark) == 1, "first corpus memoized")
+    val liveAfterFirst = sc.getPersistentRDDs.size
+    // A DIFFERENT corpus (different canonical plan) must REPLACE the slot,
+    // unpersisting the first corpus's doc-grain aggregate — not accumulate
+    // one cached corpus-scale aggregate per distinct input for the
+    // session's lifetime.
+    Dedup.containmentPairs(corpus("second"), tauPct = 70).collect()
+    assert(Dedup.docAggMemoCensus(spark) == 1,
+      "memo retains at most ONE aggregate after a distinct second corpus")
+    // blocking=false eviction: census proves the slot flipped; the block
+    // count must not GROW corpus-over-corpus (allow the in-flight one).
+    val liveAfterSecond = sc.getPersistentRDDs.size
+    assert(liveAfterSecond <= liveAfterFirst + 1,
+      s"second corpus grew the cache census $liveAfterFirst -> $liveAfterSecond: " +
+        "replaced aggregate was not unpersisted")
+    // Same corpus again: the memo must HIT (no new persistent RDD).
+    val before = sc.getPersistentRDDs.size
+    Dedup.containmentPairs(corpus("second"), tauPct = 70).collect()
+    assert(sc.getPersistentRDDs.size == before,
+      "re-running the memoized corpus must not materialize a new aggregate")
+    spark.catalog.clearCache()
+  }
+
   test("containment: prefix filtering is lossless vs the naive all-pairs formulation") {
     // a corpus dense in shared shingles (the adversarial case for any
     // blocking scheme): every doc shares boilerplate with every other
