@@ -511,4 +511,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(6L)._6 == 0, "ellipsis rule")
     assert(got(7L)._7 == 0, "symbol rule")
   }
+
+  test("calibrateSpanMinDocs: caller's k below the floor, constant corpus fraction above") {
+    // below the floor the threshold is EXACTLY the caller's k — every
+    // test-SF oracle hash is unchanged by construction
+    assert(TextAnalysis.calibrateSpanMinDocs(5000L, 5L) == 5L)
+    assert(TextAnalysis.calibrateSpanMinDocs(20000L, 5L) == 5L)
+    // above it the FRACTION k/floor is held: 0.025% of the corpus
+    assert(TextAnalysis.calibrateSpanMinDocs(500000L, 5L) == 125L)
+    assert(TextAnalysis.calibrateSpanMinDocs(5000000L, 5L) == 1250L)
+    // monotone and never below the caller's k
+    assert(TextAnalysis.calibrateSpanMinDocs(20001L, 5L) >= 5L)
+  }
 }
