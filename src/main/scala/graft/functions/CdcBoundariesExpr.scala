@@ -110,6 +110,8 @@ object NativeTextOps {
     reg("graft_bpe_count", exprs => BpeTokenCountExpr(exprs.head))
     reg("graft_shingle_hashes", exprs => ShingleHashesExpr(exprs.head))
     reg("graft_md5_hash32", exprs => Md5Hash32Expr(exprs.head))
+    reg("graft_char_class_sig", exprs => CharClassSigExpr(exprs.head))
+    reg("graft_sig_l1", exprs => SigL1Expr(exprs(0), exprs(1)))
   }
 
   /** Column builders register on the ACTIVE session at construction time
@@ -146,4 +148,20 @@ object NativeTextOps {
   /** Digest-direct md5 prefix hash (see TextKernel.md5Hash32). */
   def md5Hash32(text: Column): Column =
     registered("graft_md5_hash32", text)
+
+  /** Packed 32-bin char-class histogram (see TextKernel.charClassSig). */
+  def charClassSig(text: Column): Column =
+    registered("graft_char_class_sig", text)
+
+  /** L1 distance between two [[charClassSig]] signatures — a NATIVE
+    * binary expression, one static call per pair. (A 32-term Column tree
+    * of shift/mask/abs was tried first: it inflated the join-stage
+    * codegen until the whole pair stage fell out of whole-stage codegen
+    * into interpreted evaluation — 8× SLOWER than no filter. Keep pair-
+    * grain predicates to one compact call.) L1 > 2·k ⇒ edit distance
+    * > k, so `l1 <= 2*maxDist` is a lossless pre-filter for a banded
+    * levenshtein (count filtering, the standard edit-join bound).
+    */
+  def sigL1(a: Column, b: Column): Column =
+    registered("graft_sig_l1", a, b)
 }

@@ -405,6 +405,76 @@ object TextKernel {
   // string traffic. Values are bit-identical (TextKernelSpec).
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // charClassSig: 32-bin code-point class histogram packed into 4 longs
+  // (8 bits/bin, clamped at 255) — the count-filter signature for the
+  // edit-distance join (q137). Bins: a-z → 0..25, A-Z → 26, 0-9 → 27,
+  // space → 28, other-ASCII → 29, non-ASCII → 30 (code-point grain, NOT
+  // bytes: one edit touches one code point). k edits change the histogram
+  // by ≤ 2k in L1 (substitution ±1 in two bins; insert/delete ±1 in one),
+  // so L1(sig_a, sig_b) > 2k ⇒ levenshtein(a,b) > k — a LOSSLESS
+  // pre-filter. Clamping only UNDERestimates L1 (both sides saturate),
+  // which keeps the bound valid; merged bins (A-Z, other) likewise only
+  // loosen it. One byte scan; continuation bytes (0b10xxxxxx) are skipped
+  // so multi-byte code points count once.
+  // ---------------------------------------------------------------------
+
+  def charClassSig(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if ((b & 0xC0) != 0x80) { // not a continuation byte: one code point
+        val bin =
+          if (b >= 'a' && b <= 'z') b - 'a'
+          else if (b >= 'A' && b <= 'Z') 26
+          else if (b >= '0' && b <= '9') 27
+          else if (b == ' ') 28
+          else if (b < 0x80) 29
+          else 30
+        if (counts(bin) < 255) counts(bin) += 1
+      }
+      i += 1
+    }
+    val packed = new Array[Long](4)
+    var w = 0
+    while (w < 4) {
+      var acc = 0L
+      var j = 0
+      while (j < 8) {
+        acc |= (counts(w * 8 + j).toLong & 0xFFL) << (j * 8)
+        j += 1
+      }
+      packed(w) = acc
+      w += 1
+    }
+    new GenericArrayData(packed)
+  }
+
+  /** Byte-lane L1 between two [[charClassSig]] signatures. One static
+    * call per pair (not a 32-term expression tree: the tree version
+    * inflated the join-stage codegen past Janino's comfort and the whole
+    * pair stage fell back to interpreted evaluation — measured 8× slower
+    * at sf0.1 than no filter at all).
+    */
+  def sigL1(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var l1 = 0L
+    var w = 0
+    while (w < 4) {
+      val x = a.getLong(w)
+      val y = b.getLong(w)
+      var j = 0
+      while (j < 64) {
+        l1 += math.abs(((x >>> j) & 0xFFL) - ((y >>> j) & 0xFFL))
+        j += 8
+      }
+      w += 1
+    }
+    l1
+  }
+
   private val md5TL: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -472,6 +542,44 @@ case class BpeTokenCountExpr(child: Expression) extends TextKernelUnary {
     TextKernel.bpeTokenCount(a.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.bpeTokenCount($c)")
+}
+
+/** 32-bin packed char-class histogram (see TextKernel.charClassSig). */
+case class CharClassSigExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_class_sig"
+  override protected def withNewChildInternal(newChild: Expression): CharClassSigExpr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.charClassSig(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.charClassSig($c)")
+}
+
+/** L1 distance between two packed char-class signatures (see
+  * TextKernel.sigL1) — the count-filter predicate of the edit-distance
+  * join, evaluated 10⁸+ times per sf10 run, so it must stay ONE static
+  * call inside whole-stage codegen.
+  */
+case class SigL1Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sig_l1"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> signatures, got $other")
+    }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigL1Expr =
+    copy(left = newLeft, right = newRight)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.sigL1(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernel.sigL1($a, $b)")
 }
 
 /** 32-bit md5 prefix hash, digest-direct (see TextKernel.md5Hash32). */

@@ -917,13 +917,29 @@ object Dedup {
         keyedAll.withColumn("__bw_rn", row_number().over(w))
           .filter(col("__bw_rn") <= cap).drop("__bw_rn")
     }
-    val lhs = keyed.select(col("lang"), col("__k"),
-      col("doc_id").as("doc_id_a"), col("__p").as("__pa"), col("__len").as("__la"))
-    val rhs = keyed.select(col("lang"), col("__k"),
-      col("doc_id").as("doc_id_b"), col("__p").as("__pb"), col("__len").as("__lb"))
+    // Count-filter pre-gate (r12 verdict #6 — q137 was the #1 sf10 wall
+    // item at 30+ s): the sf10 profile showed 242M candidate pairs of
+    // which 0.06% survive the banded DP — 37 s of levenshtein on losers.
+    // The distinct-prefix dim was measured a no-win (529,641 distinct of
+    // 529,775 rows: zipf tags make prefixes unique), so instead each row
+    // carries a 32-bin packed code-point class histogram (one native
+    // byte-scan, row grain) and the pair stream drops everything with
+    // histogram L1 > 2·maxDist BEFORE the DP — lossless by the standard
+    // count-filtering bound (k edits move the histogram ≤ 2k in L1;
+    // property-pinned in TextKernelSpec, oracle hash unchanged), ~40
+    // codegen'd integer ops per pair instead of a 120×11 DP table.
+    val sigged = keyed.withColumn("__sig",
+      graft.functions.NativeTextOps.charClassSig(col("__p")))
+    val lhs = sigged.select(col("lang"), col("__k"),
+      col("doc_id").as("doc_id_a"), col("__p").as("__pa"), col("__len").as("__la"),
+      col("__sig").as("__sa"))
+    val rhs = sigged.select(col("lang"), col("__k"),
+      col("doc_id").as("doc_id_b"), col("__p").as("__pb"), col("__len").as("__lb"),
+      col("__sig").as("__sb"))
     lhs.join(rhs, Seq("lang", "__k"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
-        abs(col("__la") - col("__lb")) <= maxDist)
+        abs(col("__la") - col("__lb")) <= maxDist &&
+        graft.functions.NativeTextOps.sigL1(col("__sa"), col("__sb")) <= 2 * maxDist)
       .select(col("doc_id_a"), col("doc_id_b"),
         levenshtein(col("__pa"), col("__pb"), maxDist).cast(LongType).as("dist"))
       .filter(col("dist") >= 0) // thresholded form returns -1 above maxDist

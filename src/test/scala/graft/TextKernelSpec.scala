@@ -147,4 +147,58 @@ class TextKernelSpec extends AnyFunSuite with SparkSpec {
     assert(TextKernel.normalize(u("")).toString == "")
     assert(TextKernel.normalize(u("!!!")).toString == "")
   }
+
+  test("charClassSig L1 bound is a lossless edit-distance pre-filter (seeded pairs)") {
+    // the count-filter invariant q137 relies on: L1(sig(a), sig(b)) <=
+    // 2 * levenshtein(a, b) for EVERY pair — so filtering pairs with
+    // L1 > 2*maxDist can never drop a true <=maxDist pair
+    val texts = (genTexts(120) ++ Seq("", "a", "ab", "ba", "中文 text", "UPPER lower 42")).distinct
+    val rng = new scala.util.Random(1213)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def sig(t: String): Array[Long] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val ad = TextKernel.charClassSig(UTF8String.fromString(t))
+      ad.toLongArray()
+    }
+    def l1(x: Array[Long], y: Array[Long]): Long =
+      (0 until 4).flatMap(w => (0 until 8).map(j =>
+        math.abs(((x(w) >> (j * 8)) & 0xFF) - ((y(w) >> (j * 8)) & 0xFF)))).sum
+    // random pairs + mutated near-pairs (the case the filter must keep)
+    val pairs = (1 to 200).map(_ => (texts(rng.nextInt(texts.length)), texts(rng.nextInt(texts.length)))) ++
+      texts.filter(_.length > 3).take(40).map { t =>
+        val i = rng.nextInt(t.length)
+        (t, t.substring(0, i) + "x" + t.substring(math.min(i + 1, t.length))) // 1 sub-ish edit
+      }
+    pairs.foreach { case (a, b) =>
+      // surrogate pairs break the naive char-grain lev; restrict to BMP-safe
+      if (!a.exists(Character.isSurrogate) && !b.exists(Character.isSurrogate)) {
+        val d = lev(a, b)
+        val bound = l1(sig(a), sig(b))
+        assert(bound <= 2L * d, s"a=[$a] b=[$b] lev=$d but sigL1=$bound > ${2 * d}")
+      }
+    }
+  }
+
+  test("sigL1 Column expression == scalar L1 on the packed signatures") {
+    val texts = genTexts(60).filter(_.nonEmpty)
+    val df = texts.zip(texts.reverse).toDF("a", "b")
+      .select(NativeTextOps.sigL1(
+        NativeTextOps.charClassSig(col("a")),
+        NativeTextOps.charClassSig(col("b"))).as("l1"),
+        col("a"), col("b"))
+    df.collect().foreach { r =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def arr(t: String) = TextKernel.charClassSig(UTF8String.fromString(t)).toLongArray()
+      val (x, y) = (arr(r.getString(1)), arr(r.getString(2)))
+      val want = (0 until 4).flatMap(w => (0 until 8).map(j =>
+        math.abs(((x(w) >> (j * 8)) & 0xFF) - ((y(w) >> (j * 8)) & 0xFF)))).sum
+      assert(r.getLong(0) == want)
+    }
+  }
 }
