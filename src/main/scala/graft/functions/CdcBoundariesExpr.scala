@@ -112,6 +112,7 @@ object NativeTextOps {
     reg("graft_md5_hash32", exprs => Md5Hash32Expr(exprs.head))
     reg("graft_char_class_sig", exprs => CharClassSigExpr(exprs.head))
     reg("graft_sig_l1", exprs => SigL1Expr(exprs(0), exprs(1)))
+    reg("graft_pii_redact", exprs => PiiRedactExpr(exprs.head))
   }
 
   /** Column builders register on the ACTIVE session at construction time
@@ -152,6 +153,10 @@ object NativeTextOps {
   /** Packed 32-bin char-class histogram (see TextKernel.charClassSig). */
   def charClassSig(text: Column): Column =
     registered("graft_char_class_sig", text)
+
+  /** PII counts + sequential redaction struct (see TextKernel.piiRedact). */
+  def piiRedact(text: Column): Column =
+    registered("graft_pii_redact", text)
 
   /** L1 distance between two [[charClassSig]] signatures — a NATIVE
     * binary expression, one static call per pair. (A 32-term Column tree

@@ -475,6 +475,232 @@ object TextKernel {
     l1
   }
 
+  // ---------------------------------------------------------------------
+  // piiRedact: the q91 battery — counts of email / IPv4 / phone matches
+  // on the ORIGINAL text plus the sequentially-redacted string
+  // (email → <EMAIL>, then IPv4 → <IP> on the email-redacted text, then
+  // phone → <PHONE>), exactly:
+  //
+  //   n_emails = regexp_count(text, EmailRe)
+  //   n_ips    = regexp_count(text, Ipv4Re)      [original text!]
+  //   n_phones = regexp_count(text, PhoneRe)     [original text!]
+  //   redacted = regexp_replace(regexp_replace(regexp_replace(
+  //                text, EmailRe,'<EMAIL>'), Ipv4Re,'<IP>'), PhoneRe,'<PHONE>')
+  //
+  // where EmailRe = [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+  //       Ipv4Re  = \b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b
+  //       PhoneRe = \b\d{3}-\d{3}-\d{4}\b
+  //
+  // All three patterns are pure-ASCII classes and Java's \b (no
+  // UNICODE_CHARACTER_CLASS) is \w = [A-Za-z0-9_] ASCII, so BYTE-grain
+  // matching is exact: UTF-8 continuation bytes are ≥ 0x80, outside every
+  // class and non-word — identical to how the regex engine sees the
+  // corresponding code points. Replacement stays SEQUENTIAL (three
+  // builder passes) because it is observable: in "a@b.com1.2.3.4" the
+  // IPv4 \b only exists AFTER <EMAIL> is substituted ('>' is non-word,
+  // 'm' is not), so a clever single pass would diverge from the regex
+  // composition. Match semantics mirrored from the engine:
+  //  - email: leftmost attempt succeeds iff the maximal local-char run
+  //    from p is followed by '@'; domain backtracks from the right to the
+  //    LAST '.' with ≥1 domain char before it and ≥2 letters after; match
+  //    ends at the end of that letter run. Failed attempts inside one
+  //    local run all fail identically, so the scan skips to the run end.
+  //  - ipv4: \d{1,3} backtracking against a following '.' succeeds iff
+  //    the digit RUN is 1..3 long (the dot only ever follows the full
+  //    run), so: four 1-3 digit runs joined by single dots, word
+  //    boundaries outside.
+  //  - find() resumes at the previous match end (appendReplacement).
+  // Property-pinned against the regexp_* composition in TextKernelSpec.
+  // ---------------------------------------------------------------------
+
+  val PiiType: StructType = StructType(Seq(
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  // Java quirk, found by the property pin: \b is UNICODE-aware even
+  // without UNICODE_CHARACTER_CLASS (Pattern.Bound checks '_' ||
+  // Character.isLetterOrDigit(cp) — so '中' is a word char for \b while
+  // \w stays ASCII). Boundary checks must therefore decode the adjacent
+  // CODE POINT when it is non-ASCII; "1.2.3.4" glued to CJK does NOT
+  // match Ipv4Re in Java (no boundary), and the kernel must agree.
+  @inline private def isWordAscii(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'
+
+  /** Code point of the UTF-8 sequence STARTING at q (q must be a lead
+    * byte; match edges always are).
+    */
+  private def cpAt(t: Array[Byte], q: Int): Int = {
+    val b0 = t(q) & 0xFF
+    if (b0 < 0x80) b0
+    else if (b0 < 0xE0 && q + 1 < t.length)
+      ((b0 & 0x1F) << 6) | (t(q + 1) & 0x3F)
+    else if (b0 < 0xF0 && q + 2 < t.length)
+      ((b0 & 0x0F) << 12) | ((t(q + 1) & 0x3F) << 6) | (t(q + 2) & 0x3F)
+    else if (q + 3 < t.length)
+      ((b0 & 0x07) << 18) | ((t(q + 1) & 0x3F) << 12) |
+        ((t(q + 2) & 0x3F) << 6) | (t(q + 3) & 0x3F)
+    else 0xFFFD
+  }
+
+  /** Is the code point ENDING at position p (i.e. immediately before p)
+    * a Java-\b word char?
+    */
+  private def isWordBefore(t: Array[Byte], p: Int): Boolean = {
+    if (p == 0) return false
+    val b = t(p - 1) & 0xFF
+    if (b < 0x80) return isWordAscii(b)
+    var s = p - 1
+    while (s > 0 && (t(s) & 0xC0) == 0x80) s -= 1
+    val cp = cpAt(t, s)
+    cp == '_' || Character.isLetterOrDigit(cp)
+  }
+
+  /** Is the code point STARTING at position q a Java-\b word char? */
+  private def isWordAt(t: Array[Byte], q: Int): Boolean = {
+    if (q >= t.length) return false
+    val b = t(q) & 0xFF
+    if (b < 0x80) return isWordAscii(b)
+    val cp = cpAt(t, q)
+    cp == '_' || Character.isLetterOrDigit(cp)
+  }
+  @inline private def isDigit(b: Int): Boolean = b >= '0' && b <= '9'
+  @inline private def isLetter(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isLocalChar(b: Int): Boolean =
+    isLetter(b) || isDigit(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  @inline private def isDomainChar(b: Int): Boolean =
+    isLetter(b) || isDigit(b) || b == '.' || b == '-'
+
+  /** Next email match at/after `from`: packs (start, end) as a long, or
+    * -1. See the semantics note above.
+    */
+  private def findEmail(t: Array[Byte], from: Int): Long = {
+    val n = t.length
+    var p = from
+    while (p < n) {
+      if (isLocalChar(t(p) & 0xFF)) {
+        var e = p
+        while (e < n && isLocalChar(t(e) & 0xFF)) e += 1
+        if (e < n && t(e) == '@') {
+          var r = e + 1
+          while (r < n && isDomainChar(t(r) & 0xFF)) r += 1
+          // backtrack: the last '.' at d ≥ e+2 with ≥2 letters after
+          var d = r - 1
+          var matchEnd = -1
+          while (d >= e + 2 && matchEnd < 0) {
+            if (t(d) == '.') {
+              var le = d + 1
+              while (le < n && isLetter(t(le) & 0xFF)) le += 1
+              if (le - (d + 1) >= 2) matchEnd = le
+            }
+            d -= 1
+          }
+          if (matchEnd > 0) return (p.toLong << 32) | matchEnd.toLong
+          p = e + 1 // every start inside [p, e] fails the same way
+        } else {
+          p = e + 1 // local run not followed by '@'
+        }
+      } else p += 1
+    }
+    -1L
+  }
+
+  /** Next IPv4 match at/after `from` (see semantics note), or -1. */
+  private def findIpv4(t: Array[Byte], from: Int): Long = {
+    val n = t.length
+    var p = from
+    while (p < n) {
+      if (isDigit(t(p) & 0xFF) && !isWordBefore(t, p)) {
+        // four 1-3 digit runs joined by single dots; \b after the last
+        var ok = true
+        var q = p
+        var g = 0
+        while (g < 4 && ok) {
+          val d0 = q
+          while (q < n && isDigit(t(q) & 0xFF)) q += 1
+          val runLen = q - d0
+          if (runLen < 1 || runLen > 3) ok = false
+          else if (g < 3) {
+            if (q < n && t(q) == '.') q += 1 else ok = false
+          }
+          g += 1
+        }
+        if (ok && !isWordAt(t, q)) return (p.toLong << 32) | q.toLong
+      }
+      p += 1
+    }
+    -1L
+  }
+
+  /** Next phone match at/after `from` (\b\d{3}-\d{3}-\d{4}\b), or -1. */
+  private def findPhone(t: Array[Byte], from: Int): Long = {
+    val n = t.length
+    var p = from
+    while (p + 12 <= n) {
+      if (isDigit(t(p) & 0xFF) && !isWordBefore(t, p) &&
+        isDigit(t(p + 1) & 0xFF) && isDigit(t(p + 2) & 0xFF) && t(p + 3) == '-' &&
+        isDigit(t(p + 4) & 0xFF) && isDigit(t(p + 5) & 0xFF) && isDigit(t(p + 6) & 0xFF) &&
+        t(p + 7) == '-' &&
+        isDigit(t(p + 8) & 0xFF) && isDigit(t(p + 9) & 0xFF) &&
+        isDigit(t(p + 10) & 0xFF) && isDigit(t(p + 11) & 0xFF) &&
+        !isWordAt(t, p + 12))
+        return (p.toLong << 32) | (p + 12).toLong
+      p += 1
+    }
+    -1L
+  }
+
+  /** One find/replace pass; also returns the match count. */
+  private def replaceAll(t: Array[Byte], find: (Array[Byte], Int) => Long,
+                         token: Array[Byte]): (Array[Byte], Long) = {
+    var m = find(t, 0)
+    if (m < 0) return (t, 0L) // common case: no allocation at all
+    val out = new java.io.ByteArrayOutputStream(t.length + 16)
+    var pos = 0
+    var count = 0L
+    while (m >= 0) {
+      val s = (m >>> 32).toInt
+      val e = (m & 0xFFFFFFFFL).toInt
+      out.write(t, pos, s - pos)
+      out.write(token, 0, token.length)
+      pos = e
+      count += 1
+      m = if (e >= t.length) -1L else find(t, e)
+    }
+    out.write(t, pos, t.length - pos)
+    (out.toByteArray, count)
+  }
+
+  private def countAll(t: Array[Byte], find: (Array[Byte], Int) => Long): Long = {
+    var c = 0L
+    var m = find(t, 0)
+    while (m >= 0) {
+      c += 1
+      val e = (m & 0xFFFFFFFFL).toInt
+      m = if (e >= t.length) -1L else find(t, e)
+    }
+    c
+  }
+
+  private val EmailToken = "<EMAIL>".getBytes("UTF-8")
+  private val IpToken = "<IP>".getBytes("UTF-8")
+  private val PhoneToken = "<PHONE>".getBytes("UTF-8")
+
+  def piiRedact(s: UTF8String): InternalRow = {
+    val t = s.getBytes
+    // counts are over the ORIGINAL text (regexp_count semantics) …
+    val nIps = countAll(t, findIpv4)
+    val nPhones = countAll(t, findPhone)
+    // … while redaction is sequential (regexp_replace composition)
+    val (t1, nEmails) = replaceAll(t, findEmail, EmailToken)
+    val (t2, _) = replaceAll(t1, findIpv4, IpToken)
+    val (t3, _) = replaceAll(t2, findPhone, PhoneToken)
+    new GenericInternalRow(Array[Any](nEmails, nIps, nPhones,
+      UTF8String.fromBytes(t3)))
+  }
+
   private val md5TL: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -580,6 +806,20 @@ case class SigL1Expr(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernel.sigL1($a, $b)")
+}
+
+/** PII counts + sequentially-redacted text, byte-grain matchers (see
+  * TextKernel.piiRedact — replaces six regex passes per document).
+  */
+case class PiiRedactExpr(child: Expression) extends TextKernelUnary {
+  override def dataType: DataType = TextKernel.PiiType
+  override def prettyName: String = "graft_pii_redact"
+  override protected def withNewChildInternal(newChild: Expression): PiiRedactExpr =
+    copy(child = newChild)
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.piiRedact(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.piiRedact($c)")
 }
 
 /** 32-bit md5 prefix hash, digest-direct (see TextKernel.md5Hash32). */

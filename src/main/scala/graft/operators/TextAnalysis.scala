@@ -722,7 +722,26 @@ object TextAnalysis {
     * half-eaten by the IP pattern), then IP, then phone. Pure map-side
     * Column algebra: zero shuffles at any scale, codegen'd regex.
     */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // One-pass native battery (r12 verdict #9 stretch): the declarative
+    // form below runs SIX regex passes per document (3 regexp_count + 3
+    // chained regexp_replace) and measured 6.2 s at sf10 — pure map-side
+    // regex, the exact class the TextKernel family exists for. The
+    // kernel's byte-grain matchers are engine-exact for these ASCII-only
+    // patterns (incl. \b and the email backtracking order) and
+    // property-pinned against this twin in TextKernelSpec.
+    val pii = graft.functions.NativeTextOps.piiRedact(col(textCol))
+    docs.select(col("doc_id"),
+      pii.getField("n_emails").as("n_emails"),
+      pii.getField("n_ips").as("n_ips"),
+      pii.getField("n_phones").as("n_phones"),
+      pii.getField("redacted").as("redacted"))
+  }
+
+  /** The regexp_* composition [[redactPii]] replaced — kept as the
+    * kernel's property-test reference (TextKernelSpec).
+    */
+  private[graft] def redactPiiDeclarative(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
       regexp_count(col(textCol), lit(EmailRe)).cast(LongType).as("n_emails"),
       regexp_count(col(textCol), lit(Ipv4Re)).cast(LongType).as("n_ips"),

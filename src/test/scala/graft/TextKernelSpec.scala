@@ -201,4 +201,33 @@ class TextKernelSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(0) == want)
     }
   }
+
+  test("piiRedact kernel == regexp_* composition (seeded adversarial PII strings)") {
+    // fragments stress every matcher edge: boundary-glued digits (the
+    // \\b cases), >3-digit octets, multi-@ locals, domains with trailing
+    // junk, dots everywhere, matches created ONLY by sequential
+    // replacement ("a@b.com1.2.3.4"), non-ASCII neighbors, string ends
+    val piiFrags = Vector(
+      "user@mail.com", "a@b.co", "a@b.c", "x@y.comm.de", "a@b.com1.2.3.4",
+      "1.2.3.4", "10.0.0.1", "999.999.999.999", "1234.5.6.7", "1.2.3.456789",
+      "1.2.3.4.5", "555-123-4567", "x555-123-4567", "555-123-45678",
+      "55-123-4567", "a@@b.com", "a@..com", "@nope.com", "no@domain",
+      "tel 555-000-0000.", "ip:8.8.8.8,", "a.b@c-d.org!", "%+-._@ok.net",
+      "mail@-x.io", "m@x.c-", "1.2.3.4@x.com 5.6.7.8", "中文8.8.8.8中文",
+      " end@s.tr", "42", ".", "@", "-", "a@b.cd.ef", "A@B.CO2", "x@y.z12ab.fr")
+    val rnd = new java.util.Random(91L)
+    val glue = Vector("", " ", "  ", "x", "5", "_", ">", "\n", "中")
+    val texts = (0 until 400).map { _ =>
+      (0 until rnd.nextInt(6)).map { _ =>
+        val pool = if (rnd.nextBoolean()) piiFrags else fragments
+        pool(rnd.nextInt(pool.size))
+      }.mkString(glue(rnd.nextInt(glue.size)))
+    }.distinct ++ piiFrags
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = graft.operators.TextAnalysis.redactPii(df).orderBy("doc_id").collect()
+    val ref = graft.operators.TextAnalysis.redactPiiDeclarative(df).orderBy("doc_id").collect()
+    native.zip(ref).zip(texts).foreach { case ((n, r), t) =>
+      assert(n == r, s"text=[$t]\n  native=$n\n  ref   =$r")
+    }
+  }
 }
