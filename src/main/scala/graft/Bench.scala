@@ -124,11 +124,19 @@ object Bench {
         f"driver heap ${heap / 1e9}%.1f GB — heavy pair-grain queries may spill hard; " +
         "consider SPARK_DRIVER_MEM=16g (or higher)")
     System.err.println(s"[bench] input=$inputBytes B shuffle.partitions=$shufflePartitions")
-    val spark = SparkSession.builder()
+    // third-decade audit knobs (r13): SPARK_GRAFT_IO_CODEC=zstd roughly
+    // halves shuffle/spill bytes on the pair-grain heavies (q86's sf100
+    // transient spill is disk-bound, not CPU-bound); PASSES/WARM let the
+    // sf100 FULL-board leg run single-pass (a scale audit hunts >10x
+    // decades, not 5% precision — 4 executions/query at 10x data is a
+    // wall-clock no-go). Official driver runs keep the 3-pass default.
+    val ioCodec = sys.env.get("SPARK_GRAFT_IO_CODEC")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = ioCodec.fold(b0)(c => b0.config("spark.io.compression.codec", c))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val calibBefore = calibrate()
@@ -168,11 +176,13 @@ object Bench {
       s.last > SpreadFloorSec && s.last / s.head > SpreadCriterion
     def loaded(s: IndexedSeq[Double], f: Double): Boolean =
       s.last > SpreadFloorSec && f > ForeignCoresCriterion
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val doWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1"
     queries.foreach { case (name, fn) =>
       try {
-        materialize(fn(spark, sfDir)) // warm this query's codegen/JIT, untimed
+        if (doWarm) materialize(fn(spark, sfDir)) // warm codegen/JIT, untimed
         def timeOnce(): (IndexedSeq[Double], Double) = {
-          val passes = (1 to 3).map { _ =>
+          val passes = (1 to nPasses).map { _ =>
             val (b0, s0) = cpuSnapshot()
             val t0 = System.nanoTime()
             materialize(fn(spark, sfDir))
@@ -206,8 +216,8 @@ object Bench {
         // artifact says so PER QUERY — no more out-of-band adjudication
         if (loaded(samples, foreign)) loadFlagged += name
         foreigns += name -> foreign
-        spreads += name -> ((samples(0), samples(1), samples(2)))
-        times += name -> samples(1) // median of 3
+        spreads += name -> ((samples.head, samples(samples.size / 2), samples.last))
+        times += name -> samples(samples.size / 2) // median pass
       } catch {
         case e: Exception =>
           // strip ALL JSON-illegal chars (quotes, backslash, and every

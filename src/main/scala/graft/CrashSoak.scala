@@ -235,7 +235,7 @@ object CrashSoak {
       val exitsJson = childExits
         .map { case (i, c) => s"""{"incarnation":$i,"exit":$c}""" }.mkString("[", ",", "]")
       val json =
-        f"""{"metric":"crash_soak","duration_sec":$durationS,"kills":${killAts.size},"incarnations":${incarnation + 1},"child_exits":$exitsJson,"offered":$offered,"delivered":$delivered,"delivered_vs_offered":${delivered.toDouble / offered}%.3f,"replay_accounting":"delivered sums the value-sink input across all incarnations: a kill -9 replays the killed incarnation's uncommitted tail from the checkpointed offset (inflation over offered), while reconnect backfill older than the T6 queueCapacity (1000 ticks/item) is DiscardOldest-truncated (deflation); final-state exactness is the contract, row counts are diagnostics","final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"final_online":$finalOnline,"zero_loss_final_state":${mismatches.isEmpty},"state_store":"rocksdb","pipeline":"${sys.env.getOrElse("SPARK_GRAFT_SOAK_PIPELINE", "split")}","pass":$pass,"timeline":$tJson}"""
+        f"""{"metric":"crash_soak","duration_sec":$durationS,"kills":${killAts.size},"incarnations":${incarnation + 1},"child_exits":$exitsJson,"offered":$offered,"delivered":$delivered,"delivered_vs_offered":${delivered.toDouble / offered}%.3f,"replay_accounting":"delivered sums the value-sink input across all incarnations: a kill -9 replays the killed incarnation's uncommitted tail from the checkpointed offset (inflation over offered), while reconnect backfill older than the T6 queueCapacity (1000 ticks/item) is DiscardOldest-truncated (deflation); final-state exactness is the contract, row counts are diagnostics","final_state_keys":${expected.size},"final_state_mismatches":${mismatches.size},"final_online":$finalOnline,"zero_loss_final_state":${mismatches.isEmpty},"state_store":"rocksdb","pipeline":"${sys.env.getOrElse("SPARK_GRAFT_SOAK_PIPELINE", "split")}","profile":"${sys.env.getOrElse("SPARK_GRAFT_SOAK_PROFILE", "default")}","pass":$pass,"timeline":$tJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (json + "\n").getBytes)
       println(json)
       if (mismatches.nonEmpty) {
@@ -299,16 +299,22 @@ object CrashSoakChild {
     // (inherited from the supervisor's environment): exactly-once across
     // kill -9 must hold in BOTH contracts, not just the split default
     val pipelineMode = sys.env.getOrElse("SPARK_GRAFT_SOAK_PIPELINE", "split")
+    // SPARK_GRAFT_SOAK_PROFILE=fresh soaks the ReferenceFreshness preset
+    // (10 s watermark — the r13 supported freshness mode must survive
+    // kill -9 exactly like the default, not just pass a latency bench);
+    // the soak's 1 s trigger is kept in either profile (kills must land
+    // mid-batch, and the default's 5 s trigger just slows the feed).
+    val profileName = sys.env.getOrElse("SPARK_GRAFT_SOAK_PROFILE", "default")
+    val profile = graft.streaming.IngestProfile.byName(profileName)
+      .copy(trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
     val handle =
       if (pipelineMode == "fused")
-        graft.streaming.FusedPipeline.start(raw, target,
-          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
-          checkpointDir = Some(ckptDir))
+        graft.streaming.FusedPipeline.start(raw, target, 1.0, 0.0,
+          profile, Some(ckptDir))
       else
-        graft.streaming.IngestPipeline.start(raw, target,
-          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
-          checkpointDir = Some(ckptDir))
-    println(s"[child] incarnation $incarnation ($pipelineMode) started (checkpoint $ckptDir)")
+        graft.streaming.IngestPipeline.start(raw, target, 1.0, 0.0,
+          profile, Some(ckptDir))
+    println(s"[child] incarnation $incarnation ($pipelineMode/$profileName) started (checkpoint $ckptDir)")
 
     val stopFile = new java.io.File(stopPath)
     while (!stopFile.exists()) Thread.sleep(500)

@@ -126,8 +126,17 @@ object FusedPipeline {
   def start(raw: DataFrame, target: CurrentValuesSink.UpsertTarget,
             slope: Double = 1.0, offset: Double = 0.0,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-            checkpointDir: Option[String] = None): IngestPipeline.Handle = {
-    val g = IngestPipeline.gated(raw)
+            checkpointDir: Option[String] = None): IngestPipeline.Handle =
+    start(raw, target, slope, offset,
+      IngestProfile.Default.copy(trigger = trigger), checkpointDir)
+
+  /** [[start]] under a named freshness profile (see [[IngestProfile]]). */
+  def start(raw: DataFrame, target: CurrentValuesSink.UpsertTarget,
+            slope: Double, offset: Double,
+            profile: IngestProfile,
+            checkpointDir: Option[String]): IngestPipeline.Handle = {
+    val trigger = profile.trigger
+    val g = IngestPipeline.gated(raw, profile.watermarkDelay)
     import g.sparkSession.implicits._
     // the DSv2 source carries event_seq (true dequeue order, the
     // deterministic tiebreak); a source without one gets a constant —

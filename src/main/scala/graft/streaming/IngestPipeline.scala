@@ -59,8 +59,20 @@ object IngestPipeline {
   def start(raw: DataFrame, target: UpsertTarget,
             slope: Double = 1.0, offset: Double = 0.0,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-            checkpointDir: Option[String] = None): Handle = {
-    val g = gated(raw)
+            checkpointDir: Option[String] = None): Handle =
+    start(raw, target, slope, offset,
+      IngestProfile.Default.copy(trigger = trigger), checkpointDir)
+
+  /** [[start]] under a NAMED freshness profile (r12 verdict #8): the
+    * watermark and trigger travel together — see [[IngestProfile]] for
+    * the dedup-horizon vs liveness-freshness trade each preset takes.
+    */
+  def start(raw: DataFrame, target: UpsertTarget,
+            slope: Double, offset: Double,
+            profile: IngestProfile,
+            checkpointDir: Option[String]): Handle = {
+    val trigger = profile.trigger
+    val g = gated(raw, profile.watermarkDelay)
 
     // value path: only good values reach the table (F1)
     val valueWriter = CurrentValuesSink

@@ -45,6 +45,32 @@ class IngestPipelineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("ReferenceFreshness profile: same pipeline semantics, 10 s dedup horizon (r12 verdict #8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MeasureEvent]
+    val target = new InMemoryTarget
+    val handle = IngestPipeline.start(input.toDF(), target, 2.0, 1.0,
+      IngestProfile.ReferenceFreshness.copy(
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds")),
+      None)
+    try {
+      val e1 = MeasureEvent("d1", "temp", 4.0, ts("2024-01-01 00:00:01"), status_ok = true)
+      input.addData(e1, e1, // duplicate inside the 10 s horizon: dropped
+        MeasureEvent("d1", "temp", 6.0, ts("2024-01-01 00:00:09"), status_ok = true),
+        MeasureEvent("d2", "rpm", 3.0, ts("2024-01-01 00:00:09"), status_ok = false))
+      handle.processAllAvailable()
+      val snap = target.snapshot.map(r => (r.device, r.measure_name) -> r).toMap
+      val d1temp = snap(("d1", "temp"))
+      assert(d1temp.tag_value == 6.0 && d1temp.measure_value == 13.0)
+      assert(!snap.contains(("d2", "rpm")))
+      assert(snap(("d1", CurrentValues.OnlineMeasure)).measure_value == 1.0)
+      assert(snap(("d2", CurrentValues.OnlineMeasure)).measure_value == 0.0)
+    } finally handle.stop()
+    assert(IngestProfile.byName("fresh") == IngestProfile.ReferenceFreshness)
+    assert(IngestProfile.byName("default") == IngestProfile.Default)
+    assertThrows[IllegalArgumentException](IngestProfile.byName("nope"))
+  }
+
   test("startScaled: per-point scale_mode scaling end-to-end through the pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MeasureEvent]
