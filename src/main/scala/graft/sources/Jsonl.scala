@@ -57,7 +57,18 @@ object Jsonl {
     * serialize→shard→parse path.
     */
   def roundTrip(docs: DataFrame, corruptEvery: Int = 50): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // ONE deterministic directory per (input plan, corruptEvery), not a
+    // fresh createTempDirectory per call: the returned frame lazily
+    // re-reads the files, so the dir cannot be deleted here — and a bench
+    // run (warm + timed passes + retries) was leaving ~200 MB of orphaned
+    // JSONL per pass at sf10, ~2 GB per pass at the sf100 audit, on the
+    // same disk whose headroom the containment heavies spill into. The
+    // plan-keyed name makes repeat calls overwrite ONE dir (bounded churn)
+    // while distinct corpora still get distinct dirs.
+    val key = docs.queryExecution.analyzed.canonicalized.hashCode()
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      f"graft-jsonl-$corruptEvery-$key%08x").toString
     write(docs, dir, corruptEvery)
     read(docs.sparkSession, dir)
       .groupBy("lang")
