@@ -223,6 +223,10 @@ object Bench {
           // strip ALL JSON-illegal chars (quotes, backslash, and every
           // control char incl. \t \r) or the emitted line won't parse
           errors += name -> e.toString.take(300).replaceAll("[\\x00-\\x1f\"\\\\]", " ")
+          // the artifact carries only the message; the sf100 audit needed
+          // the frames (a state-dependent IndexOutOfBounds reproduced only
+          // inside the full-board session) — stderr is the diagnosis channel
+          e.printStackTrace(System.err)
       } finally {
         // isolate queries: operators persist intermediates (shingle sets,
         // IVF assignments) that legitimately carry across THIS query's
