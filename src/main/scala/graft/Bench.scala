@@ -85,6 +85,14 @@ object Bench {
   /** USER_HZ: Linux ABI fixes /proc jiffies at 100/s for userspace. */
   private val Hz = 100.0
 
+  /** Middle-index median — NEVER a literal `(1)`: under the sf100
+    * single-pass audit knob a pass vector has ONE element, and the
+    * literal index threw inside the per-query try — the r13 board's
+    * four phantom "query failures" (q07/q08/q09/q101) were exactly this
+    * (BenchSizingSpec pins the single-element case).
+    */
+  private[graft] def med(s: IndexedSeq[Double]): Double = s(s.size / 2)
+
   /** Initial shuffle partitions derived from the INPUT byte count, not
     * the CPU count (r9 verdict #4): one partition per ~4 MB of on-disk
     * parquet, floored at one per core and capped at 4096. Rationale: the
@@ -143,14 +151,18 @@ object Bench {
     // optional args = query-name filter (local iteration; driver passes none)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    val times = Vector.newBuilder[(String, Double)]
+    // declared-but-not-run queries, machine-readable (r13 ADVICE: the
+    // sf100 artifact silently omitted one query and only the commit
+    // message knew — totals must be auditable from the JSON alone)
+    val skipped = (SparkEntry.queries.keySet -- queries.map(_._1)).toSeq.sorted
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // per-query (min, median, max) of the three timed passes: a poisoned
     // (machine-contention) run self-identifies by its spread — two of the
     // first seven rounds shipped official numbers that only out-of-band
     // re-runs could adjudicate because the artifact carried medians only
     // (see README "Reading bench artifacts").
-    val spreads = Vector.newBuilder[(String, (Double, Double, Double))]
-    val errors = Vector.newBuilder[(String, String)]
+    val spreads = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double))]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // self-correcting spread (r8 verdict #5): a query whose max/min
     // exceeds the README's 3x poisoned-run criterion re-times itself
     // (bounded retries) and the artifact keeps the quietest round;
@@ -169,15 +181,44 @@ object Bench {
     // real co-tenant (the r11 culprit ran DuckDB verify passes) shows
     // as tens of cores.
     val ForeignCoresCriterion = 1.5
-    val contended = Vector.newBuilder[String]
-    val loadFlagged = Vector.newBuilder[String]
-    val foreigns = Vector.newBuilder[(String, Double)]
+    val contended = scala.collection.mutable.ArrayBuffer.empty[String]
+    val loadFlagged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val foreigns = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def noisy(s: IndexedSeq[Double]): Boolean =
       s.last > SpreadFloorSec && s.last / s.head > SpreadCriterion
     def loaded(s: IndexedSeq[Double], f: Double): Boolean =
       s.last > SpreadFloorSec && f > ForeignCoresCriterion
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val doWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1"
+    def buildLine(calibAfter: Option[Double]): String = {
+      val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // "queries" stays a flat name→median map (the driver contract);
+      // "spread" carries [min, median, max] per query alongside it.
+      val spJson = spreads
+        .map { case (k, (lo, med, hi)) => s"\"" + k + s"\":[$lo,$med,$hi]" }
+        .mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val loadJson = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val skipJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val foreignJson = foreigns
+        .map { case (k, v) => "\"" + k + f"""":${v}%.2f""" }
+        .mkString("{", ",", "}")
+      val total = times.map(_._2).sum
+      val calibJson = calibAfter match {
+        case Some(c) => f"[$calibBefore%.3f,$c%.3f]"
+        case None    => f"[$calibBefore%.3f]" // mid-run snapshot: end anchor pending
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"contended":$contJson,"load_flagged":$loadJson,"foreign_cores":$foreignJson,"errors":$errJson,"skipped":$skipJson,"calib_sec":$calibJson,"sf":"$sfDir"}"""
+    }
+    // the file is the complete record: the driver's stdout capture
+    // truncates long lines (q01–q16 were lost from BENCH_r03/r04)
+    def persist(calibAfter: Option[Double] = None): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (buildLine(calibAfter) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     queries.foreach { case (name, fn) =>
       try {
         if (doWarm) materialize(fn(spark, sfDir)) // warm codegen/JIT, untimed
@@ -206,7 +247,7 @@ object Bench {
             if (loaded(again, f2) != loaded(samples, foreign)) !loaded(again, f2)
             else {
               val (rA, rS) = (again.last / again.head, samples.last / samples.head)
-              rA < rS || (rA == rS && again(1) < samples(1))
+              rA < rS || (rA == rS && med(again) < med(samples))
             }
           if (better) { samples = again; foreign = f2 }
           retries += 1
@@ -219,14 +260,24 @@ object Bench {
         spreads += name -> ((samples.head, samples(samples.size / 2), samples.last))
         times += name -> samples(samples.size / 2) // median pass
       } catch {
-        case e: Exception =>
+        // NonFatal, not Exception (r13 ADVICE): a VirtualMachineError
+        // escaping one query at sf100 must not discard the hours of
+        // per-query data already collected — the incremental persist
+        // below keeps the artifact current either way, and fatal
+        // errors still abort the run AFTER their query is recorded.
+        case e: Throwable =>
           // strip ALL JSON-illegal chars (quotes, backslash, and every
           // control char incl. \t \r) or the emitted line won't parse
           errors += name -> e.toString.take(300).replaceAll("[\\x00-\\x1f\"\\\\]", " ")
           // the artifact carries only the message; the sf100 audit needed
-          // the frames (a state-dependent IndexOutOfBounds reproduced only
-          // inside the full-board session) — stderr is the diagnosis channel
+          // the frames (the r13 "state-dependent IndexOutOfBounds" that
+          // turned out to be this harness's own single-pass median bug)
+          // — stderr is the diagnosis channel
           e.printStackTrace(System.err)
+          if (!scala.util.control.NonFatal(e)) {
+            if (args.isEmpty) persist()
+            throw e
+          }
       } finally {
         // isolate queries: operators persist intermediates (shingle sets,
         // IVF assignments) that legitimately carry across THIS query's
@@ -236,40 +287,19 @@ object Bench {
         // 9.4 s at the end of a full run vs 2.7 s isolated. In a finally:
         // a FAILED query's leftovers must not contaminate the rest either.
         spark.catalog.clearCache()
+        // incremental persist (r13 ADVICE): an 8600 s board whose JVM
+        // dies at query 200 must still leave the 199 completed rows on
+        // disk. FULL runs only — a filtered local-iteration run must
+        // not clobber the round's complete per-query map (that is how
+        // the r6 detail was lost).
+        if (args.isEmpty) persist()
       }
     }
-    val ts = times.result()
-    val es = errors.result()
-    val qs = ts.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // "queries" stays a flat name→median map (the driver contract);
-    // "spread" carries [min, median, max] per query alongside it.
-    val spJson = spreads.result()
-      .map { case (k, (lo, med, hi)) => s"\"" + k + s"\":[$lo,$med,$hi]" }
-      .mkString("{", ",", "}")
-    val errJson = es.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val contJson = contended.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadJson = loadFlagged.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val foreignJson = foreigns.result()
-      .map { case (k, v) => "\"" + k + f"""":${v}%.2f""" }
-      .mkString("{", ",", "}")
-    val total = ts.map(_._2).sum
     val calibAfter = calibrate()
-    val calibJson = f"[$calibBefore%.3f,$calibAfter%.3f]"
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spJson,"contended":$contJson,"load_flagged":$loadJson,"foreign_cores":$foreignJson,"errors":$errJson,"calib_sec":$calibJson,"sf":"$sfDir"}"""
+    val line = buildLine(Some(calibAfter))
     println(line)
-    // Also persist to a file: the driver's stdout capture truncates long
-    // lines (q01–q16 were lost from BENCH_r03/r04), so the file is the
-    // complete record. FULL runs only — a filtered local-iteration run
-    // must not clobber the round's complete per-query map (that is how
-    // the r6 detail was lost).
-    if (args.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (args.isEmpty) persist(Some(calibAfter))
     spark.stop()
-    if (es.nonEmpty) sys.exit(1)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -206,6 +206,20 @@ object NativeVectorOps {
             s"with literal int config, got $other")
       }, "internal")
     }
+    val amId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_argmax_cell")
+    if (!registry.functionExists(amId)) {
+      registry.createOrReplaceTempFunction("graft_argmax_cell", {
+        case Seq(e,
+            Literal(cl: ArrayData, ArrayType(LongType, _)),
+            Literal(fl: ArrayData, ArrayType(DoubleType, _)),
+            Literal(nm: ArrayData, ArrayType(DoubleType, _)),
+            Literal(d: Int, _)) =>
+          ArgmaxCosine(e, cl.toLongArray(), fl.toDoubleArray(), nm.toDoubleArray(), d)
+        case other => throw new IllegalArgumentException(
+          s"graft_argmax_cell(embedding, cells, centsFlat, norms, dim) " +
+            s"with literal model arrays, got $other")
+      }, "internal")
+    }
     val zId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zvalue")
     if (!registry.functionExists(zId)) {
       registry.createOrReplaceTempFunction("graft_zvalue", {
@@ -217,6 +231,28 @@ object NativeVectorOps {
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Best-cosine cell id of `e` against a driver-collected centroid
+    * model (see [[ArgmaxCosine]]) — the whole IVF/k-means assignment as
+    * one narrow map expression. `cells(i)` labels `cents(i)`; norms are
+    * derived here with the identical IEEE fold the declarative form used.
+    */
+  def argmaxCell(e: Column, cells: Array[Long], cents: Array[Array[Double]]): Column = {
+    require(cells.nonEmpty && cells.length == cents.length,
+      "centroid model must be non-empty and aligned")
+    val dim = cents.head.length
+    val flat = new Array[Double](cents.length * dim)
+    var i = 0
+    while (i < cents.length) {
+      require(cents(i).length == dim, "ragged centroid matrix")
+      System.arraycopy(cents(i), 0, flat, i * dim, dim)
+      i += 1
+    }
+    val norms = cents.map(ArgmaxCosine.norm)
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("graft_argmax_cell", e,
+      typedlit(cells.toSeq), typedlit(flat.toSeq), typedlit(norms.toSeq), lit(dim))
+  }
 
   /** Morton key of two bigint dimensions (see [[ZValue]]). */
   def zValue(x: Column, y: Column, bits: Int): Column = {

@@ -277,23 +277,31 @@ object Dedup {
     * lineage so plan depth stays constant across rounds.
     */
   private[graft] final class RoundSnapshots(spark: org.apache.spark.sql.SparkSession) {
-    private val reliableBase = spark.sparkContext.getCheckpointDir
-      .map(_ + "/graft-cc-" + java.util.UUID.randomUUID())
+    // Parquet round-trip ALWAYS (round 14): the former no-checkpoint-dir
+    // branch used localCheckpoint(), whose blocks live in executor
+    // storage memory and — the defect — were NEVER reclaimed (reclaim
+    // was a no-op for that branch), so an 8-round kCore at sf100
+    // retained eight 150M-row edge snapshots on one 32 GB heap and died
+    // of Java-heap OOM mid-board. A snapshot's job is lineage
+    // truncation + durability of the ROUND, not cache residency:
+    // parquet on local disk gives both, reclaim is a directory delete
+    // that works identically with or without a cluster checkpoint dir,
+    // and the OS page cache keeps hot re-reads near memory speed.
+    private val base = spark.sparkContext.getCheckpointDir
+      .getOrElse(System.getProperty("java.io.tmpdir")) +
+      "/graft-cc-" + java.util.UUID.randomUUID()
     private var step = 0
-    def snapshot(df: DataFrame): DataFrame = reliableBase match {
-      case Some(base) =>
-        val path = s"$base/step-$step"
-        step += 1
-        df.write.parquet(path)
-        spark.read.parquet(path)
-      case None => df.localCheckpoint()
+    def snapshot(df: DataFrame): DataFrame = {
+      val path = s"$base/step-$step"
+      step += 1
+      df.write.parquet(path)
+      spark.read.parquet(path)
     }
-    def reclaim(df: DataFrame): Unit = reliableBase.foreach { _ =>
+    def reclaim(df: DataFrame): Unit =
       df.inputFiles.headOption.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f).getParent
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
-    }
   }
 
   /** Connected components over an undirected pair list — the step that

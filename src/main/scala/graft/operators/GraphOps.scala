@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge DataFrames — the keyed-join
@@ -24,9 +25,10 @@ object GraphOps {
     * guarantees outdeg ≥ 1 for every node — no dangling-mass special
     * case.
     *
-    * Scale shape: `(src, dst, outdeg_src)` is computed once and
-    * hash-clustered on src — in-memory (`repartition(src).persist()`,
-    * the default) or, with `adjacencyTable` set, written ONCE through
+    * Scale shape: the GROUPED adjacency list `(src, dsts array)` is
+    * computed once (outdeg ≡ size(dsts)) and hash-clustered on src —
+    * node-grain in-memory cache (the default) or, with
+    * `adjacencyTable` set, written ONCE through
     * [[graft.sources.Storage.writeSrcBucketed]] and re-read per round:
     * the bucketed scan carries the same src distribution without an
     * Exchange AND without requiring the edge set to fit in cluster
@@ -41,8 +43,8 @@ object GraphOps {
     * billion-node graph exceeds the threshold and keeps the shuffled
     * join (both forms are integer-sum order-invariant, so the result is
     * bit-identical either way). Every `checkpointEvery` rounds the
-    * node-sized rank frontier is snapshotted (reliable parquet under
-    * the session checkpoint dir, else `localCheckpoint`) and the
+    * node-sized rank frontier is snapshotted (parquet round-trip,
+    * under the session checkpoint dir when set) and the
     * superseded snapshot reclaimed — plan depth and snapshot storage
     * stay constant no matter how many rounds run, so `iters` = 30+ is
     * safe.
@@ -53,26 +55,37 @@ object GraphOps {
   def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
                   dampNum: Long = 85L, checkpointEvery: Int = 10,
                   broadcastFrontierMaxNodes: Long = 4000000L,
-                  adjacencyTable: Option[(String, String)] = None): DataFrame = {
+                  adjacencyTable: Option[(String, String)] = None,
+                  disjointDomains: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100 && checkpointEvery >= 1)
     val spark = edges.sparkSession
     val snaps = new Dedup.RoundSnapshots(spark)
-    val sym = edges.toDF("src", "dst")
+    // disjointDomains (round 14): the caller asserts the directed edge
+    // list is ALREADY distinct and src/dst draw from disjoint id domains
+    // (q138's even/odd encoding), so e ∩ swap(e) = ∅ and the symmetrized
+    // set is distinct by construction — the union stays a pure map and
+    // the 2·|E|-row distinct exchange (1.17B rows at sf100) disappears.
+    val sym0 = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
-      .distinct()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adjRaw = sym.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
+    val sym = if (disjointDomains) sym0 else sym0.distinct()
+    // GROUPED adjacency list, not an edge list (round 14 — the sf100
+    // adjudication): (src, dsts array) is node-grain — 15M rows instead
+    // of 1.17B at sf100 — so each round's join probes nodes, not edges,
+    // and the edge grain exists only transiently inside the stage
+    // (explode). outdeg = size(dsts), so the former degree aggregation
+    // + edge-grain degree join disappear from the build entirely.
+    val grouped = sym.groupBy("src").agg(collect_list(col("dst")).as("dsts"))
     val adj = adjacencyTable match {
       case Some((tableName, path)) =>
-        graft.sources.Storage.writeSrcBucketed(adjRaw, tableName, path)
+        graft.sources.Storage.writeSrcBucketed(grouped, tableName, path)
         spark.table(tableName)
       case None =>
-        adjRaw.repartition(col("src")).persist()
+        grouped.persist()
     }
 
     val base = lit((100L - dampNum) * scale / 100L)
-    val frontier0 = adj.select(col("src").as("node")).distinct()
+    // src is unique by construction of the groupBy — no distinct pass
+    val frontier0 = adj.select(col("src").as("node"))
       .withColumn("rank_fp", lit(scale))
       .persist()
     // one up-front action: materializes the frontier (and the cached
@@ -82,9 +95,18 @@ object GraphOps {
     var ranks = frontier0
     var lastSnap: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val next = adj.join(if (small) broadcast(ranks) else ranks,
+      // past the broadcast threshold the node frontier joins SHUFFLE-HASH,
+      // never sort-merge (round 14 — the sf100 adjudication): the
+      // adjacency side is pre-partitioned on src, but SMJ would also
+      // SORT it every round. Hashing the node-sized frontier per
+      // partition keeps the adjacency a pure stream; integer sums are
+      // join-strategy-invariant, so results are unchanged. The contrib
+      // divides ONCE per node, then fans out by explode.
+      val next = adj.join(
+          if (small) broadcast(ranks) else ranks.hint("shuffle_hash"),
           col("src") === col("node"))
-        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .withColumn("contrib", expr("rank_fp div size(dsts)"))
+        .select(col("contrib"), explode(col("dsts")).as("dst"))
         .groupBy(col("dst").as("node"))
         .agg((base + expr(s"($dampNum * sum(contrib)) div 100")).as("rank_fp"))
         .select(col("node"), col("rank_fp"))
@@ -132,17 +154,29 @@ object GraphOps {
     // drop self loops BEFORE symmetrizing — a filter after only one
     // union branch would let (v, v) back in through the swapped side
     val base = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    // edge-list adjacency, DISK_ONLY (round 14 — measured): the grouped
+    // (src, dsts) form that wins for PageRank LOSES here (340 vs 277 s
+    // at sf100) — LPA's round aggregate is (dst, label)-grain, so the
+    // explode regenerates the edge grain anyway and the grouping buys
+    // nothing; DISK_ONLY keeps the edge-sized cache out of the heap the
+    // per-round (dst, label) shuffle needs.
     val sym = base
       .union(base.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
       .repartition(col("src"))
-      .persist()
+      .persist(StorageLevel.DISK_ONLY)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
     val small = labels.count() <= broadcastFrontierMaxNodes
     for (_ <- 1 to rounds) {
-      labels = sym.join(if (small) broadcast(labels) else labels,
+      // shuffle-hash past the broadcast threshold — the pageRankInt
+      // round-join posture (SMJ would re-sort the cached edge side
+      // every round; the label frontier is the node-sized build side,
+      // probing the CACHED fixed-partition sym, so per-task builds stay
+      // small — the safe SHJ case, unlike modularity's coalesced joins)
+      labels = sym.join(
+          if (small) broadcast(labels) else labels.hint("shuffle_hash"),
           col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("node"))
@@ -218,7 +252,7 @@ object GraphOps {
     val sym = base
       .union(base.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
-      .persist()
+      .persist(StorageLevel.DISK_ONLY) // edge-sized (q138 posture)
     val und = sym.filter(col("src") < col("dst"))
     val m = und.count() // bounded scalar: the undirected edge count
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -227,6 +261,13 @@ object GraphOps {
     // labelPropagation re-runs its whole round chain per reference
     // (measured: 3× the LPA cost at sf0.1 unpersisted)
     val lab = labels.select(col("node"), col("label")).persist()
+    // deliberately NO shuffle-hash hint here (round 14): these joins run
+    // over AQE-coalesced exchanges (und is a filter of the cache, lab a
+    // fresh agg), and SHJ against a coalesced node-sized build OOM'd at
+    // sf100 ("not enough memory to build hash map"); the PR/LPA round
+    // joins keep the hint because they probe the CACHED fixed-partition
+    // side, where per-task builds stay small. SMJ's sort here is
+    // one-time, not per-round.
     val intra = und
       .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
       .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))

@@ -61,32 +61,51 @@ object KMeans {
       .select(col("cluster"), col("centroid"))
   }
 
-  /** One assignment pass: each vector to its argmax-cosine centroid.
-    * `centroids` must be small — it broadcasts. Norms compute once per
-    * vector / per centroid BEFORE the |corpus|×k scoring (the ivfCells
-    * shape), and the argmax partially aggregates map-side.
+  /** The corpus with its argmax-cosine cluster attached in ONE narrow-map
+    * projection — the round-14 assignment shape (see
+    * [[graft.functions.ArgmaxCosine]]): the old `crossJoin(broadcast)` +
+    * `max(struct)` form materialized an n·k-row intermediate and paid a
+    * per-vector combine exchange; the fused expression keeps bit-identical
+    * scores and the same HIGHER-cluster tie order with zero intermediate
+    * rows and no exchange. Centroids collect to the driver first —
+    * bounded k·dim model state, the same posture the broadcast carried.
     */
-  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  private def withCluster(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
-    val e = embD("embedding")
-    val cents = centroids.select(col("cluster"), col("centroid"),
-      sqrt(NativeVectorOps.dot(col("centroid"), col("centroid"))).as("c_norm"))
-    embeddings
-      .select(col("vec_id"), e.as("d_emb"),
-        sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos",
-        NativeVectorOps.dot(col("d_emb"), col("centroid")) / (col("d_norm") * col("c_norm")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cos"), col("cluster"))).as("best"))
-      .select(col("vec_id"), col("best.cluster").as("cluster"))
+    val rows = centroids.select(col("cluster").cast(IntegerType), col("centroid"))
+      .collect()
+    if (rows.isEmpty)
+      embeddings.select(col("vec_id"), col("embedding"),
+        lit(null).cast(IntegerType).as("cluster")).filter(lit(false))
+    else {
+      val ids = rows.map(_.getInt(0).toLong)
+      val cents = rows.map(_.getSeq[Double](1).toArray)
+      embeddings.select(col("vec_id"), col("embedding"),
+        NativeVectorOps.argmaxCell(embD("embedding"), ids, cents)
+          .cast(IntegerType).as("cluster"))
+    }
   }
+
+  /** One assignment pass: each vector to its argmax-cosine centroid.
+    * `centroids` must be small (bounded model state). The whole pass is
+    * a narrow map — see [[withCluster]].
+    */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    withCluster(embeddings, centroids).select("vec_id", "cluster")
 
   /** One update pass: fixed-point component means over each cluster's
     * members → (cluster, centroid array<double>).
     */
   def update(embeddings: DataFrame, assignment: DataFrame): DataFrame =
-    embeddings.join(assignment, Seq("vec_id"))
+    updateFrom(embeddings.join(assignment, Seq("vec_id")))
+
+  /** [[update]] over a frame that already carries (embedding, cluster) —
+    * the fit loop's form: with assignment a narrow map, gluing it back
+    * to the corpus with a vec_id self-join would be the only exchange
+    * left in the round, and an unnecessary one.
+    */
+  private def updateFrom(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cluster"), posexplode(embD("embedding")).as(Seq("pos", "v")))
       .withColumn("q", bround(col("v") * (1L << 20), 0).cast(LongType))
       .groupBy("cluster", "pos")
@@ -105,7 +124,7 @@ object KMeans {
     val spark = embeddings.sparkSession
     var cents = materialized(spark, seeds(embeddings, k, step))
     for (_ <- 1 to iters)
-      cents = materialized(spark, update(embeddings, assign(embeddings, cents)))
+      cents = materialized(spark, updateFrom(withCluster(embeddings, cents)))
     cents
   }
 

@@ -12,11 +12,28 @@ import org.apache.spark.sql.types.IntegerType
   * board's exactness conventions (integer overlap counts, deterministic
   * ties) so the whole linkage is oracle-verifiable.
   *
-  * Scale shape: candidate pairs come ONLY from the (block, bigram)
-  * join — records sharing no block or no bigram never pair, so the
-  * comparison space is Σ per-(block,bigram) a·b, bounded by the
-  * blocking key's selectivity, never |A|·|B|. The resolve step is one
-  * (b_id)-keyed window over the candidate-pair frame.
+  * Scale shape (round 14 — the sf100 OOM fix): candidate pairs come
+  * from ONE equi-join on `block`; the bigram overlap is computed per
+  * joined row with `array_intersect` over the two records' distinct
+  * bigram SETS, never by exploding bigrams into a pair-grain frame.
+  * The round-13 sf100 board OOM'd exactly there: the exploded
+  * (block, bigram) join materialized 3.5e9 pre-aggregation rows whose
+  * (b_id, a_id) hash-agg exhausted execution memory. The block-only
+  * join emits Σ_block a·b rows (1.29e9 at sf100 — measured) that
+  * stream straight into a PARTIAL argmax aggregation: every pair of a
+  * given b_id is produced inside the single partition owning its block,
+  * so map-side combine collapses the stream to one row per b_id before
+  * the only post-join shuffle (|B| rows, never pair-grain). Scores are
+  * bit-identical to the exploded formulation for the operator's
+  * contract below.
+  *
+  * Contract: each `id` carries exactly ONE (block, key) row per side —
+  * standard single-key blocking (q178's shape). Multi-scheme blocking
+  * composes by unioning `link` outputs per scheme and re-resolving,
+  * not by feeding multi-block inputs (under which the old exploded
+  * form summed scores ACROSS schemes — a different operator). `id`
+  * must be numeric (the argmax tiebreak encodes "smallest a_id wins"
+  * as a struct-max over (score, -a_id)).
   */
 object RecordLinkage {
 
@@ -36,40 +53,57 @@ object RecordLinkage {
     * bigrams(b)| (set semantics); each b_id resolves to the highest
     * score, ties to the smallest a_id; scores below `minOverlap` drop.
     *
-    * `maxBlockWidth` is the standard linkage guard at scale (the one the
-    * round-8 scaling audit names for q178): a (block, bigram) key matched
-    * by more than the cap records ON EITHER SIDE fans out a·b candidate
-    * pairs, and such a key is by definition a non-discriminating blocker
-    * (corpus-common name fragments). Oversized keys are SKIPPED — a pair
-    * is lost only if every key it shares is oversized, and a surviving
-    * pair's score only counts its surviving shared keys. Default None
-    * keeps the linkage exhaustive (q178's pinned hashes);
-    * RecordLinkageSpec quantifies the trade on a hot-block fixture.
+    * `maxBlockWidth` is the standard linkage guard at scale: a block
+    * matched by more than the cap records ON EITHER SIDE fans out a·b
+    * candidate pairs, and such a block is by definition a
+    * non-discriminating blocker. Oversized blocks are SKIPPED on the
+    * side that exceeds the cap — their records pair only through
+    * their other side's narrow blocks (here: not at all, since each
+    * record has one block), a quantified recall cut
+    * (RecordLinkageSpec pins it on a hot-block fixture).
+    *
+    * `calibrate` (default) resolves an unset cap from the corpus size
+    * with [[Dedup.calibrateBlockWidthCap]] — 4·⌈√n⌉, floored to None
+    * (exhaustive-exact) below 20k records, so q178's pinned oracle
+    * hashes are unchanged at every test SF. At the sf100 audit corpus
+    * the calibrated cap (≈15.5k) sits far above the measured max block
+    * width (438): it exists to bound ADVERSARIAL block skew, not to
+    * shave the honest corpus.
     */
   def link(a: DataFrame, b: DataFrame, minOverlap: Int,
-           maxBlockWidth: Option[Int] = None): DataFrame = {
+           maxBlockWidth: Option[Int] = None,
+           calibrate: Boolean = true): DataFrame = {
     require(maxBlockWidth.forall(_ > 0), "maxBlockWidth must be positive when set")
-    def grams(df: DataFrame, idAs: String) = df
-      .select(col("id").as(idAs), col("block"),
-        explode(charBigrams(col("key"))).as("bigram"))
-    def capped(g: DataFrame): DataFrame = maxBlockWidth match {
-      case None => g
-      case Some(cap) =>
-        // width computed per side over the SAME (block, bigram) exchange
-        // the join shuffles on — one extra window, no new partitioning
-        val w = Window.partitionBy("block", "bigram")
-        g.withColumn("__bw", count(lit(1)).over(w))
-          .filter(col("__bw") <= cap).drop("__bw")
+    val cap = maxBlockWidth.orElse(
+      if (calibrate) Dedup.calibrateBlockWidthCap(math.max(a.count(), b.count()))
+      else None)
+    def prep(df: DataFrame, idAs: String, gAs: String): DataFrame = {
+      val base = df.select(col("id").as(idAs), col("block"),
+        charBigrams(col("key")).as(gAs))
+      cap match {
+        case None => base
+        case Some(c) =>
+          // width computed per side over the SAME block exchange the
+          // join shuffles on — one extra window, no new partitioning
+          val w = Window.partitionBy("block")
+          base.withColumn("__bw", count(lit(1)).over(w))
+            .filter(col("__bw") <= c).drop("__bw")
+      }
     }
-    val pairs = capped(grams(a, "a_id"))
-      .join(capped(grams(b, "b_id")), Seq("block", "bigram"))
-      .groupBy("b_id", "a_id")
-      .agg(count(lit(1)).cast(IntegerType).as("score"))
-    val w = Window.partitionBy("b_id")
-      .orderBy(col("score").desc, col("a_id").asc)
-    pairs
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1 && col("score") >= minOverlap)
-      .select(col("b_id"), col("a_id"), col("score"))
+    val scored = prep(a, "a_id", "__ga")
+      .join(prep(b, "b_id", "__gb"), Seq("block"))
+      .select(col("b_id"), col("a_id"),
+        size(array_intersect(col("__ga"), col("__gb")))
+          .cast(IntegerType).as("score"))
+      // the exploded form never emitted zero-overlap pairs (no shared
+      // bigram → no join row); preserve that so the argmax domain —
+      // and therefore which b_ids appear at minOverlap ≤ 1 — matches
+      .filter(col("score") >= 1)
+    scored
+      .groupBy("b_id")
+      .agg(max(struct(col("score"), (-col("a_id")).as("na"))).as("__m"))
+      .select(col("b_id"), (-col("__m.na")).as("a_id"),
+        col("__m.score").as("score"))
+      .filter(col("score") >= minOverlap)
   }
 }

@@ -367,12 +367,38 @@ object Similarity {
     else math.max(math.round(math.sqrt(2.0 * n)), (n + maxCells - 1) / maxCells)
   }
 
+  /** Driver-collected IVF centroid model at resolved step: (cell ids,
+    * centroid vectors). Bounded by construction — the calibrated cell
+    * count is clamped at [[calibrateIvfStep]]'s maxCells (≤ 34 MB), the
+    * same bound the former `broadcast(cents)` carried; at 100 TB the
+    * model is the output of the index-build job, identical either way.
+    */
+  private def ivfModel(embeddings: DataFrame, stepR: Long): (Array[Long], Array[Array[Double]]) = {
+    val rows = embeddings.filter(col("vec_id") % stepR === 0)
+      .select(col("vec_id"), embD("embedding")).collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** The assignment column for a collected model — `vec_id % step ≡ 0`
+    * seed centroids, best-cosine cell per vector as ONE native map
+    * expression ([[graft.functions.ArgmaxCosine]]). Round 14: the former
+    * `crossJoin(broadcast(cents))` + `max(struct)` materialized ~2·10⁹
+    * intermediate pair rows at sf100 (measured 129×/decade on q44 —
+    * memory bandwidth, not flops); the fused expression keeps the same
+    * O(n·cells) arithmetic, bit-identical scores and ties, zero
+    * intermediate rows, and no exchange at all.
+    */
+  private def ivfCellCol(embeddings: DataFrame, stepR: Long): Option[Column] = {
+    val (cells, cents) = ivfModel(embeddings, stepR)
+    if (cells.isEmpty) None
+    else Some(NativeVectorOps.argmaxCell(embD("embedding"), cells, cents))
+  }
+
   /** IVF coarse quantizer: cell = the centroid (vec_id ≡ 0 mod `step`,
     * a deterministic training-free seed pick — real IVF would k-means, but
     * the Spark plumbing is identical) with max cosine to the vector.
-    * Assignment is a broadcast of the centroid set + map-side scoring with
-    * a partially-aggregated argmax (`max(struct(score, cell))`), so the
-    * only exchange is the final per-vector combine. Output (vec_id, cell).
+    * Assignment is a single narrow-map projection over the corpus (see
+    * [[ivfCellCol]]). Output (vec_id, cell).
     *
     * `calibrate` (default on) resolves the step through
     * [[calibrateIvfStep]] — a no-op at every test-SF size by the floor.
@@ -381,22 +407,13 @@ object Similarity {
                calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val stepR = if (calibrate) calibrateIvfStep(embeddings.count(), step) else step
-    val e = embD("embedding")
-    // norms once per vector / per centroid BEFORE the |corpus|×|cents|
-    // scoring — the full cosine recomputes both norms per pair, tripling
-    // the dominant dot-product work. Same sqrt(dot) doubles, so the
-    // scores (and the argmax) are bit-identical.
-    val cents = embeddings.filter(col("vec_id") % stepR === 0)
-      .select(col("vec_id").as("cell"), e.as("c_emb"),
-        sqrt(NativeVectorOps.dot(e, e)).as("c_norm"))
-    embeddings
-      .select(col("vec_id"), e.as("d_emb"), sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cs",
-        NativeVectorOps.dot(col("d_emb"), col("c_emb")) / (col("d_norm") * col("c_norm")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cs"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
+    ivfCellCol(embeddings, stepR) match {
+      case None => // no centroid rows: the former crossJoin emitted nothing
+        embeddings.select(col("vec_id"), lit(null).cast(LongType).as("cell"))
+          .filter(lit(false))
+      case Some(cellCol) =>
+        embeddings.select(col("vec_id"), cellCol.as("cell"))
+    }
   }
 
   /** The IVF *index build*: [[ivfCells]] persisted. Assignment is computed
@@ -443,11 +460,20 @@ object Similarity {
         NativeVectorOps.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("q_emb"), col("q_norm"), col("cell"))
-    // probe against the PERSISTED assignment (ivfIndex) — recomputing the
-    // |corpus|×|cents| argmax inside every probe was the r3 regression
-    val scored = embeddings
-      .select(col("vec_id"), e.as("d_emb"), sqrt(NativeVectorOps.dot(e, e)).as("d_norm"))
-      .join(ivfIndex(embeddings, stepR, calibrate = false), Seq("vec_id"))
+    // assignment inlined as the narrow-map expression (round 14): the
+    // corpus picks up its cell in the SAME projection that carries
+    // d_emb/d_norm — no assignment join, no exchange, and the argmax
+    // runs once per pass as a fused loop instead of a 2·10⁹-row
+    // crossJoin (the r3 "recompute per probe" regression was the
+    // crossJoin form recomputing; a map-side expression has no such cliff)
+    val withCell = ivfCellCol(embeddings, stepR) match {
+      case Some(cc) => embeddings.select(col("vec_id"), e.as("d_emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("d_norm"), cc.as("cell"))
+      case None => embeddings.select(col("vec_id"), e.as("d_emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("d_norm"),
+        lit(null).cast(LongType).as("cell")).filter(lit(false))
+    }
+    val scored = withCell
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
@@ -1090,9 +1116,12 @@ object Similarity {
     val cents = pqCentroids(embeddings)
     val qCells = probeCells(embeddings, queryMaxId, nprobe, stepR)
     val dtable = pqDistanceTables(embeddings, cents, queryMaxId)
-    // candidates: codes of vectors in probed cells, ADC-scored
+    // candidates: codes of vectors in probed cells, ADC-scored. The IVF
+    // assignment joins in as (vec_id, cell) — ivfCells is a narrow map
+    // now (round 14), so this equi-join's build side is corpus-thin and
+    // carries no crossJoin lineage.
     val adc = pqAssign(embeddings, cents).select("vec_id", "codes")
-      .join(ivfIndex(embeddings, stepR, calibrate = false), Seq("vec_id"))
+      .join(ivfCells(embeddings, stepR, calibrate = false), Seq("vec_id"))
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(dtable), Seq("q_id"))
@@ -1125,14 +1154,18 @@ object Similarity {
                     calibrate: Boolean = true): DataFrame = {
     NativeVectorOps.register(embeddings.sparkSession)
     val e = embD("embedding")
-    // persisted: withCell feeds the pair join's BOTH sides and the final
-    // verdict join — unpersisted, the |corpus|×|cents| IVF assignment
-    // argmax and the norms would compute three times (the r3 ivfTopK
-    // regression class; see ivfIndex)
-    val withCell = embeddings
-      .select(col("vec_id"), e.as("emb"), sqrt(NativeVectorOps.dot(e, e)).as("nrm"))
-      .join(ivfCells(embeddings, step, calibrate), Seq("vec_id"))
-      .persist()
+    val stepR = if (calibrate) calibrateIvfStep(embeddings.count(), step) else step
+    // cell inlined in the SAME projection as emb/nrm (round 14 — no
+    // assignment join); still persisted: withCell feeds the pair join's
+    // BOTH sides and the final verdict join, and the n·cells argmax is
+    // worth computing once, not three times
+    val withCell = (ivfCellCol(embeddings, stepR) match {
+      case Some(cc) => embeddings.select(col("vec_id"), e.as("emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("nrm"), cc.as("cell"))
+      case None => embeddings.select(col("vec_id"), e.as("emb"),
+        sqrt(NativeVectorOps.dot(e, e)).as("nrm"),
+        lit(null).cast(LongType).as("cell")).filter(lit(false))
+    }).persist()
     val a = withCell.select(col("cell"), col("vec_id").as("keep_id"),
       col("emb").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withCell.select(col("cell"), col("vec_id").as("drop_id"),

@@ -610,7 +610,12 @@ object RelationalQueries {
       val edges = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.operators.GraphOps.pageRankInt(edges, iters = 5)
+        .distinct()
+      // even/odd node encoding ⇒ src/dst domains disjoint: with the edge
+      // list distinct here (the oracle's e0), the operator's symmetrized
+      // distinct is provably redundant — disjointDomains skips that
+      // 2·|E|-row exchange (oracle semantics identical)
+      graft.operators.GraphOps.pageRankInt(edges, iters = 5, disjointDomains = true)
     },
 
     // Hot-key aggregation via two-phase salting (SkewTools): splits each

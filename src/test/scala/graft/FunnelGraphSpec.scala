@@ -133,6 +133,36 @@ class FunnelGraphSpec extends SparkSpec {
     assert(bcast.nonEmpty)
   }
 
+  test("pagerank: shuffled-frontier rounds never sort-merge the edge side (r14 sf100 fix)") {
+    // at 15M nodes the frontier passes the broadcast threshold and the
+    // round join must go SHUFFLE-HASH: SMJ re-sorted the 1.17B-row
+    // cached adjacency EVERY round at sf100 (the 745 s decade). The pin
+    // is strategy-level — no SortMergeJoin anywhere in the shuffled-
+    // frontier plan (AQE may still upgrade a hash join to broadcast on
+    // a small fixture; both are sort-free on the edge side).
+    val edges = (1L to 50L).map(i => (i, i % 9)).toDF("src", "dst")
+    val pr = GraphOps.pageRankInt(edges, iters = 3, broadcastFrontierMaxNodes = 0L)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"edge side must never re-sort:\n${plan.take(4000)}")
+    assert(plan.contains("HashJoin"), s"round join must hash:\n${plan.take(4000)}")
+    val lpa = GraphOps.labelPropagation(edges, rounds = 2, broadcastFrontierMaxNodes = 0L)
+    lpa.collect()
+    val lplan = lpa.queryExecution.executedPlan.toString
+    assert(!lplan.contains("SortMergeJoin"), s"LPA edge side must never re-sort:\n${lplan.take(4000)}")
+  }
+
+  test("pagerank: disjointDomains on pre-distincted even/odd edges is bit-identical") {
+    // q138's contract: src even, dst odd, edge list distinct — the
+    // symmetrized distinct is then provably redundant and skipped
+    val edges = (1L to 60L).map(i => (i * 2, (i % 7) * 2 + 1)).toDF("src", "dst").distinct()
+    val full = GraphOps.pageRankInt(edges, iters = 4)
+      .as[(Long, Long)].collect().toList
+    val skipped = GraphOps.pageRankInt(edges, iters = 4, disjointDomains = true)
+      .as[(Long, Long)].collect().toList
+    assert(full == skipped && full.nonEmpty)
+  }
+
   test("pagerank: bucketed adjacency table matches in-memory, no adj-side exchange") {
     val edges = (1L to 50L).map(i => (i, i % 9)).toDF("src", "dst")
     val inMem = GraphOps.pageRankInt(edges, iters = 5)
@@ -149,10 +179,13 @@ class FunnelGraphSpec extends SparkSpec {
       // the same round shape over a PLAIN parquet copy of the adjacency
       // needs exactly one more shuffle (its scan has no distribution)
       def roundExchanges(adj: org.apache.spark.sql.DataFrame): Int = {
+        // grouped-adjacency schema (r14): (src, dsts array), outdeg = size(dsts)
         val frontier = adj.select(col("src").as("node")).distinct()
           .withColumn("rank_fp", lit(1000000L))
         val round = adj.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
-          .groupBy(col("dst")).agg(sum(expr("rank_fp div outdeg")).as("s"))
+          .withColumn("contrib", expr("rank_fp div size(dsts)"))
+          .select(col("contrib"), explode(col("dsts")).as("dst"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
         "Exchange hashpartitioning".r
           .findAllIn(round.queryExecution.executedPlan.toString).length
       }

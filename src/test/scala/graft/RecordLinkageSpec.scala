@@ -51,11 +51,13 @@ class RecordLinkageSpec extends SparkSpec {
     assert(RecordLinkage.link(a, b, minOverlap = 1).isEmpty)
   }
 
-  test("maxBlockWidth skips oversized (block, bigram) keys; narrow blocks resolve unchanged") {
-    // hot block: 60 a-records and 60 b-records sharing one name stem —
-    // every (block, bigram) key there is 60 wide on both sides, so the
-    // uncapped comparison space is ~3600 pairs. Clean block: one honest
-    // match whose keys are all width 1.
+  test("maxBlockWidth skips oversized blocks; narrow blocks resolve unchanged") {
+    // hot block: 60 a-records and 60 b-records sharing one blocking key —
+    // the uncapped comparison space there is 3600 pairs. Clean block: one
+    // honest match of width 1. Block-width cap semantics (round 14, the
+    // sf100 OOM posture): an oversized block is skipped ENTIRELY on the
+    // side that exceeds the cap — a quantified recall cut on
+    // non-discriminating blockers, never a score change on survivors.
     val hotA = (1L to 60L).map(i => (i, "h", s"customer common $i"))
     val hotB = (101L to 160L).map(i => (i, "h", s"customer common ${i - 100}"))
     val a = sys(hotA :+ ((70L, "c", "distinctive alpha")): _*)
@@ -66,14 +68,32 @@ class RecordLinkageSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     // the clean block's resolution (id AND score) is untouched by the cap
     assert(capped(170L) === full(170L))
-    // the hot block's non-discriminating keys are skipped: its b-records
-    // either drop entirely or resolve through the (narrow) per-record
-    // suffix bigrams only — never through the 60-wide stem keys
+    // the 60-wide hot block exceeds cap=10 on both sides: none of its
+    // b-records may resolve, and none may leak a cross-block pair
     val hotResolved = capped.keySet.filter(_ <= 160L)
-    assert(hotResolved.size < full.keySet.count(_ <= 160L),
-      "cap must shrink the hot block's linkage")
+    assert(hotResolved.isEmpty, s"oversized block must be skipped: $hotResolved")
+    assert(full.keySet.count(_ <= 160L) == 60, "uncapped hot block resolves fully")
     info(s"maxBlockWidth=10: resolved ${capped.size} of ${full.size} b-records " +
       s"(hot block ${hotResolved.size}/60)")
+  }
+
+  test("calibrated cap floors to exhaustive-exact at test-SF sizes") {
+    // the sf100 posture must not move a single row at oracle SFs: below
+    // the 20k-record floor calibrate=true resolves to None, so the
+    // default-calibrated linkage is bit-identical to the explicit
+    // exhaustive one — q178's pinned hashes are safe by construction.
+    val a = sys((1L to 50L).map(i => (i, s"b${i % 7}", f"rec$i%04d")): _*)
+    val b = sys((101L to 150L).map(i => (i, s"b${(i - 100) % 7}", f"rec${i - 100}%04d")): _*)
+    val calibrated = RecordLinkage.link(a, b, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exhaustive = RecordLinkage.link(a, b, minOverlap = 1, calibrate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(calibrated === exhaustive)
+    assert(calibrated.nonEmpty)
+    // and the floor itself: the calibrator only arms past 20k records
+    import graft.operators.Dedup
+    assert(Dedup.calibrateBlockWidthCap(20000L).isEmpty)
+    assert(Dedup.calibrateBlockWidthCap(20001L).nonEmpty)
   }
 
   test("charBigrams: distinct set semantics, single char yields empty") {
