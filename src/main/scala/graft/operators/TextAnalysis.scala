@@ -503,18 +503,25 @@ object TextAnalysis {
   def bigramLikelihood(docs: DataFrame): DataFrame = {
     // three consumers (bigram counts, context counts, the final join)
     // derive from this projection — persisted so the regex tokenization
-    // scans the document text once, not three times (two small strings
-    // per row; evictable MEMORY_AND_DISK, session-scoped like ivfIndex)
+    // scans the document text once, not three times. Bigrams and their
+    // context words travel as xxhash64 IMAGES from here on (the q83
+    // span-dedup grain, round 14 — q104 measured 29×/decade at sf100):
+    // the count dims and both joins carry 8-byte longs instead of
+    // ~15-byte strings, and no string reaches any exchange. Counts key
+    // on hashes, so a collision (≈2⁻⁶⁴/pair) could merge two bigrams'
+    // counts; the oracle computes on STRINGS and hash-matches, pinning
+    // zero collisions on the test corpora (the q83 adjudication).
+    // w1 hashes once at the persisted grain — the string form computed
+    // substring_index twice (context dim + final join).
     val bg = docs
       .withColumn("ws", TextOps.words(col("text")))
-      .select(col("doc_id"), explode(TextOps.bigrams("ws")).as("bg"))
+      .select(col("doc_id"), explode(TextOps.bigrams("ws")).as("bg0"))
+      .select(col("doc_id"), xxhash64(col("bg0")).as("bg"),
+        xxhash64(substring_index(col("bg0"), " ", 1)).as("w1"))
       .persist()
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val ctxCounts = bg
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    val ctxCounts = bg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
     bg.join(bgCounts, Seq("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctxCounts, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
