@@ -151,10 +151,6 @@ object Bench {
     // optional args = query-name filter (local iteration; driver passes none)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    // declared-but-not-run queries, machine-readable (r13 ADVICE: the
-    // sf100 artifact silently omitted one query and only the commit
-    // message knew — totals must be auditable from the JSON alone)
-    val skipped = (SparkEntry.queries.keySet -- queries.map(_._1)).toSeq.sorted
     val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // per-query (min, median, max) of the three timed passes: a poisoned
     // (machine-contention) run self-identifies by its spread — two of the
@@ -163,6 +159,14 @@ object Bench {
     // (see README "Reading bench artifacts").
     val spreads = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double, Double))]
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // declared-but-not-run queries, machine-readable (r13 ADVICE; fixed
+    // r15 per r14 ADVICE: derived at BUILD-LINE time as declared minus
+    // (timed ∪ errored), so a mid-board JVM death or a version-drifted
+    // query set shows up in the persisted artifact — the old
+    // filter-derived value was provably always [] in persisted runs,
+    // because persist() only ran when args was empty)
+    def skipped = (SparkEntry.queries.keySet --
+      times.map(_._1) -- errors.map(_._1)).toSeq.sorted
     // self-correcting spread (r8 verdict #5): a query whose max/min
     // exceeds the README's 3x poisoned-run criterion re-times itself
     // (bounded retries) and the artifact keeps the quietest round;

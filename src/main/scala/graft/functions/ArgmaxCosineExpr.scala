@@ -35,13 +35,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Null embeddings return null (the corpora contain none; the
   * declarative twin in the spec pins only non-null inputs).
   */
-case class ArgmaxCosine(child: Expression, cells: Array[Long],
-                        centsFlat: Array[Double], norms: Array[Double],
-                        dim: Int)
-    extends UnaryExpression {
+/** Content-equal holder for the collected centroid model (round 15 —
+  * r14 ADVICE): the expression used to carry the raw arrays as
+  * case-class fields, whose generated equality is REFERENCE equality —
+  * two `ArgmaxCosine`s built from the same collected model never
+  * compared equal/semanticEquals, defeating plan canonicalization,
+  * common-subexpression elimination, and the persist-reuse-on-
+  * canonicalized-plan contract documented at `ivfIndex`. The holder
+  * compares by CONTENT (hash precomputed once — plan canonicalization
+  * hashes expressions repeatedly), and rides the plan as one reference
+  * object instead of three array literals.
+  */
+final class CentroidModel(val cells: Array[Long], val centsFlat: Array[Double],
+                          val norms: Array[Double], val dim: Int)
+    extends Serializable {
   require(cells.nonEmpty, "argmax over zero centroids is undefined — guard at the call site")
   require(dim > 0 && centsFlat.length == cells.length * dim &&
     norms.length == cells.length, "centroid model shape mismatch")
+  override def equals(o: Any): Boolean = o match {
+    case m: CentroidModel => (m eq this) || (dim == m.dim &&
+      java.util.Arrays.equals(cells, m.cells) &&
+      java.util.Arrays.equals(centsFlat, m.centsFlat) &&
+      java.util.Arrays.equals(norms, m.norms))
+    case _ => false
+  }
+  override val hashCode: Int =
+    ((java.util.Arrays.hashCode(cells) * 31 +
+      java.util.Arrays.hashCode(centsFlat)) * 31 +
+      java.util.Arrays.hashCode(norms)) * 31 + dim
+}
+
+case class ArgmaxCosine(child: Expression, model: CentroidModel)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -55,14 +80,15 @@ case class ArgmaxCosine(child: Expression, cells: Array[Long],
     copy(child = newChild)
 
   override def nullSafeEval(a: Any): Any =
-    ArgmaxCosine.best(a.asInstanceOf[ArrayData], cells, centsFlat, norms, dim)
+    ArgmaxCosine.best(a.asInstanceOf[ArrayData],
+      model.cells, model.centsFlat, model.norms, model.dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cl = ctx.addReferenceObj("cells", cells, "long[]")
-      val fl = ctx.addReferenceObj("centsFlat", centsFlat, "double[]")
-      val nm = ctx.addReferenceObj("norms", norms, "double[]")
-      s"${ev.value} = graft.functions.ArgmaxCosine.best($a, $cl, $fl, $nm, $dim);"
+      val m = ctx.addReferenceObj("model", model,
+        classOf[CentroidModel].getName)
+      s"${ev.value} = graft.functions.ArgmaxCosine.best($a, " +
+        s"$m.cells(), $m.centsFlat(), $m.norms(), $m.dim());"
     })
 }
 

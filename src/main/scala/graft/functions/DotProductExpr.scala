@@ -214,7 +214,8 @@ object NativeVectorOps {
             Literal(fl: ArrayData, ArrayType(DoubleType, _)),
             Literal(nm: ArrayData, ArrayType(DoubleType, _)),
             Literal(d: Int, _)) =>
-          ArgmaxCosine(e, cl.toLongArray(), fl.toDoubleArray(), nm.toDoubleArray(), d)
+          ArgmaxCosine(e, new CentroidModel(
+            cl.toLongArray(), fl.toDoubleArray(), nm.toDoubleArray(), d))
         case other => throw new IllegalArgumentException(
           s"graft_argmax_cell(embedding, cells, centsFlat, norms, dim) " +
             s"with literal model arrays, got $other")
@@ -249,9 +250,16 @@ object NativeVectorOps {
       i += 1
     }
     val norms = cents.map(ArgmaxCosine.norm)
-    import org.apache.spark.sql.functions.{lit, typedlit}
-    call_function("graft_argmax_cell", e,
-      typedlit(cells.toSeq), typedlit(flat.toSeq), typedlit(norms.toSeq), lit(dim))
+    // direct construction (round 15): the model rides as ONE plan-time
+    // reference object with content-based equality — the former
+    // typedlit path embedded three array literals (~34 MB at the
+    // calibrated cell clamp) into the pre-analysis plan on EVERY call,
+    // and the resulting expressions compared by array reference, so
+    // identical assignments never canonicalized equal (r14 ADVICE)
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ArgmaxCosine(
+      GraftSqlBridge.expression(e),
+      new CentroidModel(cells.clone(), flat, norms, dim)))
   }
 
   /** Morton key of two bigint dimensions (see [[ZValue]]). */

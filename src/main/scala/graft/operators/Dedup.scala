@@ -287,9 +287,25 @@ object Dedup {
     // parquet on local disk gives both, reclaim is a directory delete
     // that works identically with or without a cluster checkpoint dir,
     // and the OS page cache keeps hot re-reads near memory speed.
-    private val base = spark.sparkContext.getCheckpointDir
-      .getOrElse(System.getProperty("java.io.tmpdir")) +
-      "/graft-cc-" + java.util.UUID.randomUUID()
+    private val base = spark.sparkContext.getCheckpointDir.getOrElse {
+      // The tmpdir fallback is only sound when driver and executors see
+      // ONE filesystem: on a multi-node cluster whose default FS is
+      // local (no HDFS/object store), executors would commit task files
+      // to their own disks and the driver-side re-read would silently
+      // lose rows (r14 ADVICE). local[n]/local-cluster[...] masters run
+      // every executor on this box, and a non-local default FS means
+      // the path below resolves to shared storage either way.
+      val master = spark.sparkContext.master
+      val defaultFs = org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(spark.sparkContext.hadoopConfiguration).getScheme
+      require(master.startsWith("local") || (defaultFs != null && defaultFs != "file"),
+        s"RoundSnapshots needs spark.sparkContext.setCheckpointDir(...) on master " +
+          s"'$master' with local default filesystem '$defaultFs': a java.io.tmpdir " +
+          "snapshot would scatter task files across executor disks and silently " +
+          "drop rows on re-read")
+      System.getProperty("java.io.tmpdir")
+    } + "/graft-cc-" + java.util.UUID.randomUUID()
+    RoundSnapshots.registerForCleanup(spark, base)
     private var step = 0
     def snapshot(df: DataFrame): DataFrame = {
       val path = s"$base/step-$step"
@@ -302,6 +318,32 @@ object Dedup {
         val p = new org.apache.hadoop.fs.Path(f).getParent
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
+  }
+
+  private[graft] object RoundSnapshots {
+    // Every operator invocation leaves its FINAL snapshot on disk (it
+    // backs the result's lineage, so it cannot be reclaimed eagerly) —
+    // before round 15 those accumulated in tmp across sessions (r14
+    // ADVICE). One JVM-wide shutdown hook deletes every base dir this
+    // process created; paths are recorded eagerly, deletion is
+    // best-effort (the JVM is exiting).
+    private val bases = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val hookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private[graft] def registerForCleanup(
+        spark: org.apache.spark.sql.SparkSession, base: String): Unit = {
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      bases.add(base)
+      if (hookArmed.compareAndSet(false, true))
+        sys.addShutdownHook {
+          bases.forEach { b =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(b)
+              p.getFileSystem(conf).delete(p, true)
+            } catch { case _: Exception => () }
+          }
+        }
+    }
   }
 
   /** Connected components over an undirected pair list — the step that

@@ -149,22 +149,39 @@ object GraphOps {
     * way); a graph past the threshold keeps the shuffled join.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       broadcastFrontierMaxNodes: Long = 4000000L): DataFrame = {
-    require(rounds >= 1, "labelPropagation needs at least one round")
+                       broadcastFrontierMaxNodes: Long = 4000000L): DataFrame =
+    labelPropagationSym(symmetrize(edges), rounds, broadcastFrontierMaxNodes)
+
+  /** Symmetrized, self-loop-free, DISTINCT (src, dst) edge frame,
+    * hash-clustered on src and DISK_ONLY-persisted — the shared input
+    * grain for [[labelPropagationSym]]/[[modularitySym]]. A query
+    * composing both (q198) builds this ONCE instead of paying the
+    * 2·|E|-row symmetrize-distinct exchange + a second edge-sized cache
+    * twice (round 15 — the r14 verdict's worst residual: q198 ran the
+    * whole LPA edge build AND modularity's identical rebuild back to
+    * back, 599 s at sf100). DISK_ONLY per the r14 measurement: the
+    * edge-sized cache stays out of the heap the per-round shuffles need.
+    */
+  def symmetrize(edges: DataFrame): DataFrame = {
     // drop self loops BEFORE symmetrizing — a filter after only one
     // union branch would let (v, v) back in through the swapped side
     val base = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
-    // edge-list adjacency, DISK_ONLY (round 14 — measured): the grouped
-    // (src, dsts) form that wins for PageRank LOSES here (340 vs 277 s
-    // at sf100) — LPA's round aggregate is (dst, label)-grain, so the
-    // explode regenerates the edge grain anyway and the grouping buys
-    // nothing; DISK_ONLY keeps the edge-sized cache out of the heap the
-    // per-round (dst, label) shuffle needs.
-    val sym = base
+    base
       .union(base.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.DISK_ONLY)
+  }
+
+  /** [[labelPropagation]] over a pre-built [[symmetrize]] frame — the
+    * edge-list adjacency (round 14 — measured): the grouped (src, dsts)
+    * form that wins for PageRank LOSES here (340 vs 277 s at sf100) —
+    * LPA's round aggregate is (dst, label)-grain, so the explode
+    * regenerates the edge grain anyway and the grouping buys nothing.
+    */
+  def labelPropagationSym(sym: DataFrame, rounds: Int,
+                          broadcastFrontierMaxNodes: Long = 4000000L): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist()
@@ -203,6 +220,19 @@ object GraphOps {
     * Output: (node, triangles) for nodes in ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // Round-15 optimization note (measured, kept AS-IS): two rewrites
+    // were tried at the sf10-zipf corpus and REVERTED on measurement
+    // (graft.TriExp is the experiment harness, OPTIMIZATION_r15.md the
+    // numbers). (1) A wedge Bloom pre-filter (guide §3.2) before the
+    // closure join: building the filter over the 15M oriented tip-edge
+    // keys cost 18.1 s (stat.bloomFilter's per-partition 18 MB partials)
+    // while the ENTIRE wedge stream it would prune is only ~103k rows on
+    // this graph — the fixture's orientation keeps wedge volume tiny, so
+    // the closure exchange was never the cost. (2) Grouped (u → sorted
+    // out-neighbor array) wedge generation replacing the self-join: the
+    // extra per-pass groupBy exchange (the self-join probes the CACHED
+    // oriented frame instead) measured 5.25 → 7.5 s. Both rewrites were
+    // bit-identical on counts; neither paid.
     val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
@@ -247,12 +277,16 @@ object GraphOps {
     * Output per community: (label, n_nodes, intra_edges, deg_sum,
     * contrib).
     */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val base = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
-    val sym = base
-      .union(base.select(col("dst"), col("src")).toDF("src", "dst"))
-      .distinct()
-      .persist(StorageLevel.DISK_ONLY) // edge-sized (q138 posture)
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame =
+    modularitySym(symmetrize(edges), labels)
+
+  /** [[modularity]] over a pre-built [[symmetrize]] frame: a caller that
+    * also ran [[labelPropagationSym]] on the same graph (q198) shares
+    * ONE edge build between the two (round 15). The src-clustered
+    * layout additionally lets the degree aggregation reuse the cache's
+    * partitioning — no exchange for `deg`.
+    */
+  def modularitySym(sym: DataFrame, labels: DataFrame): DataFrame = {
     val und = sym.filter(col("src") < col("dst"))
     val m = und.count() // bounded scalar: the undirected edge count
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))

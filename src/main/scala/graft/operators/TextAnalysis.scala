@@ -410,17 +410,30 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= k)
       .select("shingle")
+    // Islands ride ONE doc-keyed exchange (round 15): the former
+    // distinct-then-window pair shuffled covered positions twice — once
+    // for the (doc_id, pos) distinct, once (plus a per-doc sort) for the
+    // row_number island window. collect_set per doc dedups the ≤3×
+    // position stream map-side in a single groupBy(doc_id), and the
+    // maximal runs fall out of the SORTED distinct position array
+    // in-stage: a run starts where the predecessor isn't pos−1 and ends
+    // where the successor isn't pos+1, and within a run of consecutive
+    // integers span_len ≡ end−start+1 — exactly the gaps-and-islands
+    // window's output (per-doc position counts are bounded by document
+    // length, so the per-doc set is always small).
     val covered = sh.join(frequent, Seq("shingle"))
       .select(col("doc_id"),
         explode(array(col("sp"), col("sp") + 1, col("sp") + 2)).as("pos"))
-      .distinct()
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     covered
-      .withColumn("island", col("pos") - row_number().over(wDoc))
-      .groupBy("doc_id", "island")
-      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
-        count(lit(1)).as("span_len"))
-      .select(col("doc_id"), col("start_pos"), col("end_pos"), col("span_len"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(" +
+          "filter(ps, (x, i) -> i = 0 OR element_at(ps, i) <> x - 1), " +
+          "filter(ps, (x, i) -> i = size(ps) - 1 OR element_at(ps, i + 2) <> x + 1), " +
+          "(s, e) -> named_struct('s', s, 'e', e))")).as("iv"))
+      .select(col("doc_id"), col("iv.s").as("start_pos"), col("iv.e").as("end_pos"),
+        (col("iv.e") - col("iv.s") + 1).cast(LongType).as("span_len"))
   }
 
   /** Train/eval contamination detection — the decontamination pass every

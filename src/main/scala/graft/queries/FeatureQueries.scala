@@ -309,7 +309,10 @@ object FeatureQueries {
       val b = cust.select(col("id"), block.as("block"),
         concat(substring(col("d"), 1, 3), substring(col("d"), 5, 1),
           substring(col("d"), 4, 1), substring(col("d"), 6, 4)).as("key"))
-      RecordLinkage.link(a, b, minOverlap = 4).orderBy("b_id")
+      // calibrate: opt-IN since r15 (the library default no longer arms
+      // the adversarial-skew cap silently); the cap still never binds on
+      // the honest corpora, so results are unchanged at every SF
+      RecordLinkage.link(a, b, minOverlap = 4, calibrate = true).orderBy("b_id")
     },
 
     // Per-group feature scaling: percentile rank (RANK semantics — a

@@ -1010,20 +1010,35 @@ object RelationalQueries {
         |SELECT p1, p2, c, lift,
         |       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS INT) AS rk
         |FROM scored QUALIFY rk <= 25 ORDER BY rk""".stripMargin) { (s, dir) =>
-      // persisted: consumed by the n_orders action, the cp marginals agg,
-      // and both sides of the pair self-join — unpersisted, each consumer
-      // replays the lineitem scan + distinct shuffle (the q61 diamond
-      // lesson). MEMORY_AND_DISK, evicted with the session.
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // ONE order-keyed exchange (round 15 — the r14 verdict's #3 sf10
+      // wall item): the former op-distinct + self-join pair pushed the
+      // 600M-row (o, p) frame through TWO full exchanges at sf100 (the
+      // distinct, then the o-keyed join). collect_set per order builds
+      // each order's DISTINCT part set with map-side partial aggregation
+      // in a single groupBy(o), and the a.p < b.p pairs explode from the
+      // sorted set IN-STAGE (items/order ≈ 7 → ~21 pairs, linear in
+      // orders) — the only other exchanges are the part-grain marginal
+      // and (p1, p2) aggregations, both tiny (parts domain ≈ 2k). Same
+      // pairs, same counts, same lift: sort_array(collect_set) is
+      // exactly the distinct per-order part set, and the i < j pairs of
+      // a sorted set are exactly the p1 < p2 pairs of the self-join.
+      // Persisted: consumed by the n_orders action, the cp marginals,
+      // and the pair explode (the q61 diamond lesson).
+      val ops = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
         .persist()
       // bounded driver scalar (the q147 convention) — a 1-row crossJoin
-      // would plan as BroadcastNestedLoopJoin, which PlanGuard bans
-      val nOrders = op.agg(countDistinct(col("o"))).head().getLong(0)
-      val cp = op.groupBy("p").agg(count(lit(1)).as("c"))
-      val pairs = op.toDF("o", "p1")
-        .join(op.toDF("o", "p2"), Seq("o"))
-        .filter(col("p1") < col("p2"))
+      // would plan as BroadcastNestedLoopJoin, which PlanGuard bans;
+      // one row per order, so count() ≡ the former countDistinct(o)
+      val nOrders = ops.count()
+      val cp = ops.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+      val pairs = ops
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), " +
+            "y -> named_struct('p1', x, 'p2', y))))")).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
       pairs
@@ -1476,8 +1491,13 @@ object RelationalQueries {
       val edges = Tables.orders(s, dir)
         .select(col("o_custkey").as("src"),
           (lit(1L) + col("o_orderkey") % m).as("dst"))
-      graft.operators.GraphOps.modularity(edges,
-        graft.operators.GraphOps.labelPropagation(edges, rounds = 3))
+      // ONE shared symmetrize (round 15): LPA and modularity used to
+      // each build + cache their own identical 2·|E|-row distinct edge
+      // set — the r14 verdict's worst residual (71.6×/decade, 599 s at
+      // sf100). Same edge set, same labels, same integer contributions.
+      val sym = graft.operators.GraphOps.symmetrize(edges)
+      graft.operators.GraphOps.modularitySym(sym,
+        graft.operators.GraphOps.labelPropagationSym(sym, rounds = 3))
         .orderBy("label")
     },
 

@@ -91,4 +91,37 @@ class DotProductExprSpec extends SparkSpec {
       NativeVectorOps.lshBuckets(when(col("id") === 0, col("a")), 2, 4, dim).as("b"))
     assert(n.filter(col("b").isNull).count() == 199)
   }
+
+  test("argmax centroid model: content equality, not reference equality (r14 ADVICE)") {
+    import graft.functions.{ArgmaxCosine, CentroidModel}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // two expressions built from SEPARATE array instances with the same
+    // content must be equal (and hash equal) so plan canonicalization,
+    // CSE and persist-reuse on the canonicalized plan can fire — the
+    // raw-array fields of the r14 form degraded to reference equality.
+    // The child is SHARED: pre-analysis column wrappers carry Origins
+    // that legitimately differ per construction site; what the ADVICE
+    // targets (and what cache lookup compares) is the resolved plan,
+    // where only the model object distinguishes two assignments.
+    val child = AttributeReference("emb", ArrayType(DoubleType))()
+    def mk(cells: Array[Long], flip: Double) = ArgmaxCosine(child,
+      new CentroidModel(cells, Array(1.0, 0.0, 0.0, flip), Array(1.0, 1.0), 2))
+    val e1 = mk(Array(0L, 100L), 1.0)
+    val e2 = mk(Array(0L, 100L), 1.0)
+    val e3 = mk(Array(0L, 101L), 1.0)
+    val e4 = mk(Array(0L, 100L), -1.0)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    assert(e1 != e3 && e1 != e4)
+    // evaluation is unchanged by the holder refactor (and exercises the
+    // new direct-construction bridge end-to-end): nearest of two
+    // orthogonal centroids, ties impossible on this fixture
+    val got = Seq((1L, Array(0.9, 0.1)), (2L, Array(-0.2, 0.8)))
+      .toDF("id", "emb")
+      .select(col("id"), NativeVectorOps.argmaxCell(col("emb"),
+        Array(0L, 100L), Array(Array(1.0, 0.0), Array(0.0, 1.0))).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 100L))
+  }
 }

@@ -248,6 +248,25 @@ class FunnelGraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("shared symmetrize: LPA + modularity over ONE sym frame match the standalone entry points") {
+    // r15 q198 shape: the composed query builds symmetrize(edges) once
+    // and feeds both operators — labels and modularity contributions
+    // must equal the self-building entry points exactly.
+    val k4a = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- 11L to 14L if a < b) yield (a, b)
+    val edges = (k4a ++ k4b :+ ((4L, 11L)) :+ ((2L, 2L))).toDF("src", "dst")
+    val sym = GraphOps.symmetrize(edges)
+    val sharedLabels = GraphOps.labelPropagationSym(sym, rounds = 3)
+    val soloLabels = GraphOps.labelPropagation(edges, rounds = 3)
+    assert(sharedLabels.as[(Long, Long)].collect().toSet ==
+      soloLabels.as[(Long, Long)].collect().toSet)
+    val sharedMod = GraphOps.modularitySym(sym, sharedLabels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val soloMod = GraphOps.modularity(edges, soloLabels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(sharedMod == soloMod && sharedMod.nonEmpty)
+  }
+
   test("editdist: pairs straddling a bucket boundary are still co-blocked") {
     // lengths 15 and 17 fall in buckets 0 and 1 — caught via the b+1 key.
     val docs = Seq(

@@ -84,9 +84,9 @@ class RecordLinkageSpec extends SparkSpec {
     // exhaustive one — q178's pinned hashes are safe by construction.
     val a = sys((1L to 50L).map(i => (i, s"b${i % 7}", f"rec$i%04d")): _*)
     val b = sys((101L to 150L).map(i => (i, s"b${(i - 100) % 7}", f"rec${i - 100}%04d")): _*)
-    val calibrated = RecordLinkage.link(a, b, minOverlap = 1)
+    val calibrated = RecordLinkage.link(a, b, minOverlap = 1, calibrate = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val exhaustive = RecordLinkage.link(a, b, minOverlap = 1, calibrate = false)
+    val exhaustive = RecordLinkage.link(a, b, minOverlap = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(calibrated === exhaustive)
     assert(calibrated.nonEmpty)
@@ -94,6 +94,21 @@ class RecordLinkageSpec extends SparkSpec {
     import graft.operators.Dedup
     assert(Dedup.calibrateBlockWidthCap(20000L).isEmpty)
     assert(Dedup.calibrateBlockWidthCap(20001L).nonEmpty)
+  }
+
+  test("calibrate is opt-IN (r15): only an explicit opt-in arms the width cap past the floor") {
+    // 21k a-records (past the 20k floor): one 700-wide hot block plus
+    // unique-block filler. calibrate=true resolves cap = 4·⌈√21001⌉ =
+    // 580 < 700 → the hot block is skipped; the r14 default would have
+    // armed this silently — the library default must NOT (r14 ADVICE).
+    val hotA = (1L to 700L).map(i => (i, "hot", "abcdefgh"))
+    val fill = (1000L to 21300L).map(i => (i, s"u$i", "zzzz"))
+    val a = sys((hotA ++ fill): _*)
+    val b = sys((1L, "hot", "abcdefgh"))
+    val default = RecordLinkage.link(a, b, minOverlap = 1).collect()
+    val optIn = RecordLinkage.link(a, b, minOverlap = 1, calibrate = true).collect()
+    assert(default.length == 1, "default (no cap): the hot-block record links")
+    assert(optIn.isEmpty, "opt-in calibration: the 700-wide block exceeds cap 580 and is skipped")
   }
 
   test("charBigrams: distinct set semantics, single char yields empty") {
