@@ -524,6 +524,16 @@ object TextAnalysis {
     // on hashes, so a collision (≈2⁻⁶⁴/pair) could merge two bigrams'
     // counts; the oracle computes on STRINGS and hash-matches, pinning
     // zero collisions on the test corpora (the q83 adjudication).
+    // Collision margin at scale (the r14 verdict asked for the number):
+    // with n distinct bigrams the birthday bound gives
+    // P(any collision) <= n^2 / 2^65 — at the sf100-zipf corpus's ~1e9
+    // distinct bigrams that is ~1e18/3.7e19 ~= 2.7% per run, and one
+    // collision perturbs only the two merged bigrams' counts (an
+    // O(1/n_bigrams) shift in the affected documents' likelihood sums),
+    // never a crash or row loss. At a true 100 TB corpus (~1e11 bigrams)
+    // the bound saturates; the right form there is the same pipeline
+    // with a 128-bit image (two independent hash columns as the key) —
+    // same plan shape, 16 B keys, collision odds back below 1e-4.
     // w1 hashes once at the persisted grain — the string form computed
     // substring_index twice (context dim + final join).
     val bg = docs
